@@ -1,0 +1,98 @@
+"""Lake-table catalog: parquet dirs → DataFrames / temp views.
+
+Replaces the reference's three-engine federation (Postgres
+``information_schema`` introspection at
+``src/connectors/postgres_connector.py:127-145``, Mongo
+``list_collection_names`` at ``src/connectors/mongo_connector.py:205-212``,
+Influx schema functions at ``src/connectors/influx_connector.py:229-272``)
+with the Spark catalog: every zone table is a temp view, so the full
+SQL surface (the reference's S7 raw-SQL passthrough,
+``postgres_connector.py:87-97``) is served by ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Footer-sniffed via pyarrow."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Plain ``spark.read.parquet`` so Catalyst
+    gets full predicate pushdown + column pruning on the scan.
+
+    TIMESTAMP(NANOS) columns (illegal for Spark's parquet reader) are
+    read as epoch-nanos longs and truncated to microsecond timestamps —
+    integer division, matching DuckDB's nanos→micros truncation.
+    """
+    path = table_path(sf_dir, name)
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view → enables ``spark.sql``
+    passthrough (reference S7) over the whole lake."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
+
+
+def list_tables(sf_dir: str) -> list[str]:
+    """Catalog introspection analog of the reference's table/collection
+    listing endpoints (``src/api/main.py`` sources listing)."""
+    return sorted(
+        f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Raw SQL passthrough (reference S7 ``execute_query``,
+    ``postgres_connector.py:87-97``) — here Catalyst parses, optimizes
+    and executes instead of forwarding a string to an external engine."""
+    return spark.sql(query)

@@ -1,0 +1,299 @@
+"""Named query registry: the engine's headline queries plus DuckDB
+oracle SQL for the driver's correctness harness.
+
+Each entry maps a name → (spark_callable, oracle_sql_or_None).
+``spark_callable(spark, sf_dir) -> DataFrame``. The oracle SQL runs on
+DuckDB with views ``region nation customer supplier part orders
+lineitem events documents embeddings`` over the same parquet.
+
+Determinism rules (the driver hash-compares values):
+- No ``current_timestamp``/``now()`` in compared queries — literal
+  bounds only (testdata ranges: lineitem 1995-2001, events Jan 2024).
+- Float aggregates rounded to 2dp in BOTH engines (summation order
+  differs between engines/partitions; 2dp absorbs ~1e-9 drift).
+- Top-k queries carry a unique-key tiebreak so ties are stable.
+- Aggregate/computed columns aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.aggregation import aggregate
+from .session import tune_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None). Populated by @register below.
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = (wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries
+# ---------------------------------------------------------------------------
+
+# Flagship: pricing-summary aggregation — scan → filter → derived cols →
+# groupBy multi-agg → sort. Exercises the reference's A1
+# AggregationTransformer semantics (data_transformers.py:248-277) with
+# TPC-H Q1 shape. Filter + projection push into the parquet scan;
+# partial aggregation happens map-side before the single shuffle.
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                AS sum_qty,
+           round(sum(l_extendedprice), 2)                           AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                AS avg_qty,
+           round(avg(l_extendedprice), 2)                           AS avg_price,
+           round(avg(l_discount), 4)                                AS avg_disc,
+           count(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# A1 with the reference's exact `{field}_{func}` + `_record_count`
+# output naming (data_transformers.py:266-277), config-driven.
+@register(
+    "agg_orders_status",
+    """
+    SELECT o_orderstatus,
+           CAST(count(o_totalprice) AS BIGINT) AS o_totalprice_count,
+           round(sum(o_totalprice), 2)         AS o_totalprice_sum,
+           round(avg(o_totalprice), 2)         AS o_totalprice_avg,
+           round(min(o_totalprice), 2)         AS o_totalprice_min,
+           round(max(o_totalprice), 2)         AS o_totalprice_max,
+           CAST(count(*) AS BIGINT)            AS _record_count
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = aggregate(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        {"o_totalprice": ["count", "sum", "avg", "min", "max"]},
+    )
+    for c in ("o_totalprice_sum", "o_totalprice_avg", "o_totalprice_min", "o_totalprice_max"):
+        out = out.withColumn(c, F.round(F.col(c), 2))
+    return out
+
+
+# Star-schema revenue rollup: fact ⋈ three dims. nation/region are tiny
+# at ANY scale factor → explicit broadcast hints keep the fact table
+# shuffle-free for the dim joins; only the final groupBy shuffles.
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS order_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(r.r_name.alias("region_name"), n.n_name.alias("nation_name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+# Top-k with deterministic tiebreak (reference W2/W5 limit/top-k).
+@register(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# P1: user-supplied WHERE string → Catalyst-parsed expression
+# (reference appends the string to SELECT *, base_extractors.py:59-60).
+@register(
+    "filter_expr_passthrough",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+)
+def filter_expr_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    )
+
+
+# P4: Influx-style time-range scan (range(start, stop) →
+# influx_connector.py:142-162) as a pushed-down timestamp predicate.
+@register(
+    "events_time_range",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type = 'purchase'
+    """,
+)
+def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# W4: keep-last dedup — "latest value per key", the Influx-ish query the
+# reference can't express (common_utils.py:204-226 keep='last' is its
+# closest). Window + row_number, deterministic via event_id tiebreak.
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+# D3: exact dedup keeping a deterministic first (reference keep='first'
+# over arrival order, common_utils.py:213-214; arrival order is
+# meaningless in a distributed table, so "first" = lowest key).
+@register(
+    "dedup_orders_by_custkey",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) = 1
+    """,
+)
+def dedup_orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# D5: schema-drift-tolerant union of heterogeneous sources (DAG
+# concatenation of per-source staging files,
+# multi_source_ingestion_dag.py:171-186).
+@register(
+    "union_sources",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey AS key, o_totalprice AS value, 'orders' AS src FROM orders
+      UNION ALL
+      SELECT c_custkey AS key, c_acctbal AS value, 'customer' AS src FROM customer
+    )
+    """,
+)
+def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("value"),
+            F.lit("orders").alias("src"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_acctbal").alias("value"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    return o.unionByName(c)
