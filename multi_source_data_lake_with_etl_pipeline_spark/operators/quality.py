@@ -1,0 +1,156 @@
+"""Data-quality profiling (SURVEY.md §2.5 A2-A6, §2.9 V4-V5).
+
+Reference ``DataQualityValidator`` (data_validators.py:135-193):
+min-record count, per-column null%, full-row duplicate%, zero-variance
+numeric columns — each a separate pandas pass. Here: ONE wide
+aggregation over the table (single scan, partial aggs map-side), with
+thresholds applied to the tiny result driver-side, exactly like the
+reference's warning semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# data_validators.py:140-144 defaults
+DEFAULT_RULES = {
+    "min_records": 1,
+    "max_null_percentage": 0.5,
+    "max_duplicate_percentage": 0.1,
+}
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """A2: per-column null fraction, one row out."""
+    n = F.count(F.lit(1))
+    aggs = [
+        F.round(
+            F.sum(F.col(c).isNull().cast("long")) / n, 6
+        ).alias(c)
+        for c in df.columns
+    ]
+    return df.agg(*aggs)
+
+
+def duplicate_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A3: duplicate-row count/fraction over (a subset of) columns.
+
+    ``count(*) - countDistinct(struct(cols))`` needs only one shuffle of
+    partial distinct sketches, not a full-row groupBy."""
+    cols = cols or df.columns
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(*cols))).alias("duplicate_rows"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct(F.struct(*cols)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("duplicate_fraction"),
+    )
+
+
+def numeric_variance_profile(df: DataFrame) -> DataFrame:
+    """A4: stddev per numeric column (zero-variance detection)."""
+    nums = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType))
+    ]
+    return df.agg(*[F.round(F.stddev(c), 6).alias(c) for c in nums])
+
+
+def quality_report(
+    df: DataFrame, rules: dict | None = None, dup_cols: list[str] | None = None
+) -> dict:
+    """V4: full quality pass → metrics dict + warnings, mirroring
+    ``DataQualityValidator.validate`` (data_validators.py:146-193) but
+    in ONE scan (all profiles in a single agg)."""
+    rules = {**DEFAULT_RULES, **(rules or {})}
+    cols = df.columns
+    dup_cols = dup_cols or cols
+    nums = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType))
+    ]
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_total")]
+    aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}") for c in cols]
+    aggs.append((n - F.count_distinct(F.struct(*dup_cols))).alias("_dups"))
+    aggs += [F.stddev(c).alias(f"_std_{c}") for c in nums]
+    row: Row = df.agg(*aggs).collect()[0]
+
+    total = row["_total"]
+    warnings: list[str] = []
+    if total < rules["min_records"]:
+        warnings.append(f"Record count {total} below minimum {rules['min_records']}")
+    null_pcts = {c: (row[f"_null_{c}"] / total if total else 0.0) for c in cols}
+    for c, pct in null_pcts.items():
+        if pct > rules["max_null_percentage"]:
+            warnings.append(f"Column '{c}' has {pct:.1%} null values")
+    dup_pct = row["_dups"] / total if total else 0.0
+    if dup_pct > rules["max_duplicate_percentage"]:
+        warnings.append(f"Duplicate rate {dup_pct:.1%} exceeds threshold")
+    zero_var = [c for c in nums if row[f"_std_{c}"] is not None and row[f"_std_{c}"] == 0.0]
+    for c in zero_var:
+        warnings.append(f"Column '{c}' has zero variance")
+
+    return {
+        "is_valid": True,  # quality issues warn, never fail (data_validators.py:193)
+        "warnings": warnings,
+        "metrics": {
+            "total_records": total,
+            "null_percentages": null_pcts,
+            "duplicate_percentage": dup_pct,
+            "zero_variance_columns": zero_var,
+            "column_types": dict(df.dtypes),  # A6
+        },
+    }
+
+
+@dataclass
+class ValidationResult:
+    """data_validators.py:15-43 result object."""
+
+    is_valid: bool = True
+    errors: list = field(default_factory=list)
+    warnings: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+class ValidationPipeline:
+    """V5: compose named validators over one DataFrame
+    (data_validators.py:270-308)."""
+
+    def __init__(self, validators: dict[str, callable]):
+        self.validators = validators
+
+    def validate(self, df: DataFrame) -> dict[str, ValidationResult]:
+        results = {}
+        for name, fn in self.validators.items():
+            try:
+                out = fn(df)
+                if isinstance(out, dict):
+                    results[name] = ValidationResult(
+                        is_valid=out.get("is_valid", True),
+                        warnings=out.get("warnings", []),
+                        metrics=out.get("metrics", {}),
+                    )
+                else:
+                    results[name] = out
+            except Exception as exc:  # error-tolerance (V6)
+                results[name] = ValidationResult(is_valid=False, errors=[str(exc)])
+        return results
+
+    @staticmethod
+    def get_summary(results: dict[str, ValidationResult]) -> dict:
+        return {
+            "total_validators": len(results),
+            "total_errors": sum(len(r.errors) for r in results.values()),
+            "total_warnings": sum(len(r.warnings) for r in results.values()),
+            "overall_valid": all(r.is_valid for r in results.values()),
+        }

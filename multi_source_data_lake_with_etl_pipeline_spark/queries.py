@@ -297,3 +297,300 @@ def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(c)
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / scalar-function queries (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+# F1/F2/F3-adjacent string pipeline on real columns. DuckDB lacks
+# initcap, so the oracle emulates title-case for the single-word
+# c_mktsegment values.
+@register(
+    "scalar_string_ops",
+    """
+    SELECT c_custkey,
+           trim(c_name)                                           AS name_trimmed,
+           lower(c_mktsegment)                                    AS segment_lower,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS segment_title,
+           CAST(length(c_name) AS INT)                            AS name_len
+    FROM customer
+    """,
+)
+def scalar_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import title_case
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim("c_name").alias("name_trimmed"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        title_case(F.col("c_mktsegment")).alias("segment_title"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+# F4: phone normalization — 10-digit strings synthesized from keys so
+# both engines see identical input; oracle replicates the format rule.
+@register(
+    "phone_normalize",
+    """
+    WITH p AS (
+      SELECT c_custkey,
+             '555' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '123' AS digits
+      FROM customer
+    )
+    SELECT c_custkey,
+           '(' || substr(digits,1,3) || ') ' || substr(digits,4,3) || '-' || substr(digits,7,4) AS phone_fmt
+    FROM p
+    """,
+)
+def phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import normalize_phone
+
+    c = _t(spark, sf_dir, "customer")
+    digits = F.concat(
+        F.lit("555"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("123"),
+    )
+    return c.select(
+        "c_custkey", normalize_phone(digits).alias("phone_fmt")
+    )
+
+
+# F10: multi-format date parsing — round-trip o_orderdate through a
+# non-ISO rendering and recover the timestamp via the fallback chain.
+@register(
+    "multi_format_date_parse",
+    """
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS parsed
+    FROM orders
+    """,
+)
+def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import parse_date_multi
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        parse_date_multi(F.date_format("o_orderdate", "MM/dd/yyyy")).alias("parsed"),
+    )
+
+
+# F9: age-in-years from a date at a fixed as-of (deterministic).
+@register(
+    "age_years_from_date",
+    """
+    SELECT o_orderkey,
+           CAST(floor(datediff('day', o_orderdate, DATE '2026-01-01') / 365) AS BIGINT) AS age_years
+    FROM orders
+    """,
+)
+def age_years_from_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import age_years
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        age_years(F.col("o_orderdate"), F.lit("2026-01-01").cast("date")).alias("age_years"),
+    )
+
+
+# F8: regexp extraction (postal-code pattern) over synthesized text.
+@register(
+    "regexp_extract_postal",
+    """
+    SELECT c_custkey,
+           regexp_extract('Cust ' || c_name || ' ZIP ' || lpad(CAST(10000 + c_custkey % 90000 AS VARCHAR), 5, '0'),
+                          '\\b(\\d{5}(?:-\\d{4})?)\\b', 1) AS postal
+    FROM customer
+    """,
+)
+def regexp_extract_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import postal_code
+
+    c = _t(spark, sf_dir, "customer")
+    addr = F.concat(
+        F.lit("Cust "),
+        F.col("c_name"),
+        F.lit(" ZIP "),
+        F.lpad((F.lit(10000) + F.col("c_custkey") % 90000).cast("string"), 5, "0"),
+    )
+    return c.select("c_custkey", postal_code(addr).alias("postal"))
+
+
+# F15/F20: JSON parse on the events.props payload column.
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(props IS NOT NULL AND json_valid(props) AS BOOLEAN) AS props_valid
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import is_valid_json
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k_value"),
+            is_valid_json(F.col("props")).alias("props_valid"),
+        )
+        .filter(F.col("k_value") > 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validation / quality queries (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+# V1: flag-don't-drop row validation; result = key + error count + flag.
+@register(
+    "validation_flags",
+    """
+    SELECT o_orderkey,
+           CAST((CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 1000 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 400000 THEN 1 ELSE 0 END)
+              AS INT) AS err_cnt,
+           CAST(((CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 1000 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 400000 THEN 1 ELSE 0 END)) = 0
+              AS BOOLEAN) AS _is_valid
+    FROM orders
+    """,
+)
+def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validation import FieldRule, validate
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        FieldRule("o_orderstatus", required=True),
+        FieldRule("o_totalprice", min=1000, max=400000),
+    ]
+    return validate(o, rules).select(
+        "o_orderkey",
+        F.size("_validation_errors").alias("err_cnt"),
+        "_is_valid",
+    )
+
+
+# V3: business-rule violation counting in one aggregation pass.
+@register(
+    "business_rule_violations",
+    """
+    SELECT CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 49) THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+           CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                          AND NOT (l_extendedprice > l_discount) THEN 1 ELSE 0 END) AS BIGINT) AS price_gt_discount,
+           CAST(sum(CASE WHEN NOT (l_tax >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS tax_nonneg,
+           CAST(count(*) AS BIGINT) AS _record_count
+    FROM lineitem
+    """,
+)
+def business_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validation import BusinessRule, validate_business_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        BusinessRule("qty_range", "range", field="l_quantity", min=1, max=49),
+        BusinessRule(
+            "price_gt_discount",
+            "relationship",
+            field1="l_extendedprice",
+            field2="l_discount",
+            operator="greater_than",
+        ),
+        BusinessRule("tax_nonneg", "custom", predicate=~(F.col("l_tax") >= 0)),
+    ]
+    return validate_business_rules(li, rules)
+
+
+# A2: per-column null-fraction profile (single row).
+@register(
+    "null_profile_customer",
+    """
+    SELECT round(sum(CASE WHEN c_custkey   IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS c_custkey,
+           round(sum(CASE WHEN c_name      IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS c_name,
+           round(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS c_nationkey,
+           round(sum(CASE WHEN c_acctbal   IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS c_acctbal,
+           round(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS c_mktsegment
+    FROM customer
+    """,
+)
+def null_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import null_profile
+
+    return null_profile(_t(spark, sf_dir, "customer"))
+
+
+# A3: duplicate stats over a projection that genuinely has duplicates.
+@register(
+    "duplicate_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(count(*) - count(DISTINCT ROW(l_orderkey, l_returnflag)) AS BIGINT) AS duplicate_rows,
+           round((count(*) - count(DISTINCT ROW(l_orderkey, l_returnflag))) / CAST(count(*) AS DOUBLE), 6) AS duplicate_fraction
+    FROM lineitem
+    """,
+)
+def duplicate_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import duplicate_stats
+
+    return duplicate_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_returnflag"]
+    )
+
+
+# D1/D2: stable md5 record-hash + duplicate-group finder. Hash recipe
+# (concat_ws with \x01 over sorted key fields) reproduced in DuckDB.
+@register(
+    "hash_duplicate_groups",
+    """
+    WITH h AS (
+      SELECT md5(concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus)) AS _record_hash,
+             o_custkey, o_orderstatus
+      FROM orders
+    )
+    SELECT _record_hash,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           min(o_custkey)    AS o_custkey,
+           min(o_orderstatus) AS o_orderstatus
+    FROM h
+    GROUP BY _record_hash
+    HAVING count(*) > 1
+    """,
+)
+def hash_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import find_duplicates
+
+    return find_duplicates(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_orderstatus"]
+    )
+
+
+# A1 superset: rollup with the reference's output-naming convention.
+@register(
+    "rollup_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2)  AS o_totalprice_sum,
+           CAST(count(*) AS BIGINT)     AS _record_count
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = aggregate(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"o_totalprice": ["sum"]},
+        mode="rollup",
+    )
+    return out.withColumn("o_totalprice_sum", F.round("o_totalprice_sum", 2))

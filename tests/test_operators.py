@@ -1,0 +1,191 @@
+"""Operator-fidelity unit tests mirroring the reference suite's
+exact-value assertions (SURVEY.md §5.1: test_etl_pipeline.py:98-146,
+210-287; common_utils tests :292-341)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.functions import scalar as S
+from multi_source_data_lake_with_etl_pipeline_spark.operators import (
+    cleaning,
+    dedup,
+    normalization,
+    quality,
+    validation,
+)
+
+
+def _one(df, col):
+    return df.select(col).collect()[0][0]
+
+
+def test_cleaning_reference_triples(spark):
+    # test_etl_pipeline.py:98-107: '  John Doe  '→'John Doe',
+    # 'JOHN@EXAMPLE.COM'→'john@example.com', status title-cased.
+    df = spark.createDataFrame(
+        [("  John Doe  ", "JOHN@EXAMPLE.COM", "active", "")],
+        "name string, email string, status string, note string",
+    )
+    out = cleaning.clean(df).collect()[0]
+    assert out["name"] == "John Doe"
+    assert out["email"] == "john@example.com"
+    assert out["status"] == "Active"
+    assert out["note"] is None  # ''→null (F6)
+    assert "_cleaned_at" in cleaning.clean(df).columns
+
+
+def test_phone_normalization(spark):
+    # data_transformers.py:72-83 cases
+    df = spark.createDataFrame(
+        [("5551234567",), ("1-555-123-4567",), ("(555) 123-4567",), ("12345",)],
+        "phone string",
+    )
+    got = [r[0] for r in df.select(S.normalize_phone(F.col("phone"))).collect()]
+    assert got == [
+        "(555) 123-4567",
+        "+1 (555) 123-4567",
+        "(555) 123-4567",
+        "12345",  # passthrough
+    ]
+
+
+def test_email_and_url_predicates(spark):
+    df = spark.createDataFrame(
+        [("john@test.com", "https://x.com/a"), ("invalid-email", "notaurl")],
+        "e string, u string",
+    )
+    rows = df.select(S.is_email(F.col("e")), S.is_url(F.col("u"))).collect()
+    assert [tuple(r) for r in rows] == [(True, True), (False, False)]
+
+
+def test_multi_format_date_parse(spark):
+    df = spark.createDataFrame(
+        [("2024-01-15",), ("01/15/2024",), ("2024-01-15T10:30:00",), ("nope",)],
+        "d string",
+    )
+    got = [r[0] for r in df.select(S.parse_date_multi(F.col("d"))).collect()]
+    assert got[0].day == 15 and got[1].month == 1 and got[2].hour == 10
+    assert got[3] is None
+
+
+def test_detect_semantic_type(spark):
+    # common_utils tests (test_etl_pipeline.py:316-325)
+    cases = [
+        ("123", "integer"),
+        ("12.5", "float"),
+        ("true", "boolean"),
+        ("john@test.com", "email"),
+        ("2024-01-15", "date"),
+        ("https://example.com/x", "url"),
+        ("hello world", "string"),
+        (None, "null"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    got = [r[0] for r in df.select(S.detect_semantic_type(F.col("v"))).collect()]
+    assert got == [t for _, t in cases]
+
+
+def test_validation_flags_kept_not_dropped(spark):
+    # test_etl_pipeline.py:109-128: invalid records kept with flags
+    df = spark.createDataFrame(
+        [("John", "john@test.com", 30), ("", "bad-email", 200)],
+        "name string, email string, age long",
+    )
+    rules = [
+        validation.FieldRule("name", required=True, min_length=1),
+        validation.FieldRule("email", required=True, type="email"),
+        validation.FieldRule("age", type="integer", min=0, max=150),
+    ]
+    out = validation.validate(df, rules).collect()
+    assert out[0]["_is_valid"] and out[0]["_validation_errors"] == []
+    assert not out[1]["_is_valid"]
+    assert len(out[1]["_validation_errors"]) == 3  # missing name, bad email, age>150
+    assert validation.filter_valid(validation.validate(df, rules)).count() == 1
+
+
+def test_business_rules(spark):
+    df = spark.createDataFrame(
+        [(10.0, 5.0), (3.0, 8.0), (2000000.0, 1.0)], "amount double, fee double"
+    )
+    rules = [
+        validation.BusinessRule("amount_range", "range", field="amount", min=0, max=1_000_000),
+        validation.BusinessRule(
+            "amount_gt_fee", "relationship", field1="amount", field2="fee",
+            operator="greater_than",
+        ),
+    ]
+    row = validation.validate_business_rules(df, rules).collect()[0]
+    assert row["amount_range"] == 1 and row["amount_gt_fee"] == 1
+    assert row["_record_count"] == 3
+
+
+def test_quality_report_warnings(spark):
+    # test_etl_pipeline.py:240-266: duplicates + nulls drive warnings
+    df = spark.createDataFrame(
+        [(1, None, 7.0), (1, None, 7.0), (2, None, 7.0)],
+        "id long, missing string, const double",
+    )
+    rep = quality.quality_report(
+        df, {"max_null_percentage": 0.4, "max_duplicate_percentage": 0.1}
+    )
+    w = " ".join(rep["warnings"])
+    assert "missing" in w and "Duplicate rate" in w and "zero variance" in w
+    assert rep["is_valid"]  # warnings never fail (data_validators.py:193)
+    assert rep["metrics"]["total_records"] == 3
+
+
+def test_validation_pipeline_summary(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    pipe = quality.ValidationPipeline(
+        {"quality": lambda d: quality.quality_report(d), "boom": lambda d: 1 / 0}
+    )
+    results = pipe.validate(df)
+    summary = quality.ValidationPipeline.get_summary(results)
+    assert summary["total_validators"] == 2
+    assert not summary["overall_valid"]  # boom failed
+    assert results["boom"].errors
+
+
+def test_dedup_keep_last(spark):
+    # common_utils.py:204-226 keep='last' semantics with explicit order
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k long, v string, ts long"
+    )
+    out = dedup.deduplicate(df, ["k"], keep="last", order_col="ts")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "b", 2: "c"}
+    assert dedup.deduplicate(df, ["k"]).count() == 2
+
+
+def test_record_hash_equality(spark):
+    # test_etl_pipeline.py:292-314: same fields ⇒ same hash, field-order
+    # independent (we sort in with_record_hash)
+    df = spark.createDataFrame(
+        [("a@x.com", "John"), ("a@x.com", "John"), ("b@x.com", "Jane")],
+        "email string, name string",
+    )
+    hashes = [r[0] for r in dedup.with_record_hash(df, ["name", "email"]).select("_record_hash").collect()]
+    assert hashes[0] == hashes[1] != hashes[2]
+    groups = dedup.find_duplicates(df, ["email", "name"]).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+def test_normalize_schema_standard_renames(spark):
+    # data_transformers.py:211-218
+    df = spark.createDataFrame([(1, "x", "p")], "id long, name string, custom string")
+    out = normalization.normalize_schema(df, {"custom": "custom_field"})
+    assert set(out.columns) == {"record_id", "full_name", "custom_field"}
+
+
+def test_coerce_types_error_tolerant(spark):
+    # V6: bad value → null, stage survives (data_transformers.py:303-308)
+    df = spark.createDataFrame([("30",), ("abc",)], "age string")
+    got = [r[0] for r in normalization.coerce_types(df, {"age": "long"}).collect()]
+    assert got == [30, None]
+
+
+def test_nan_to_null(spark):
+    df = spark.createDataFrame([(float("nan"),), (1.5,)], "v double")
+    got = [r[0] for r in cleaning.nan_to_null(df).collect()]
+    assert got == [None, 1.5]
