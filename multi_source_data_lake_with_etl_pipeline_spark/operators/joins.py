@@ -1,0 +1,130 @@
+"""Join operators (SURVEY.md §2.4).
+
+The reference's only join is a driver-side nested loop over dicts
+(``test_system_integration.py:200-226``) plus per-record upsert probes
+(``base_loaders.py:159-173``). Here: the full Spark join surface, plus
+the two time-series joins the events workload needs that Spark lacks
+as primitives — as-of join and range join.
+
+Scale notes:
+- ``key_join`` auto-broadcasts a known-small side; everything else is
+  sort-merge with AQE free to switch to shuffled-hash/broadcast at
+  runtime.
+- ``asof_join`` is the union+window formulation: ONE shuffle on the
+  key (no point-in-time cross join, no per-row subquery). This is the
+  only formulation that survives 100 TB — both inputs partition by
+  key, sort by time within partition, and state is a single running
+  "last right-row" per key.
+- ``range_join`` is an equi-join on key with a range predicate pushed
+  into the join condition — Spark executes equi-part as the shuffle
+  key, range as a post-filter within matched groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1: key-equality join (the reference's merge-by-user_id,
+    dict-union ⇒ left join, test_system_integration.py:215-226)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    with the same key and ``right.ts <= left.ts`` (inclusive).
+
+    Implementation: tag + union + ``last(..., ignorenulls)`` over a
+    key-partitioned time-ordered window — one shuffle, no cross join.
+    ``tolerance`` (e.g. ``'1 hour'``) nulls matches older than the
+    interval, like pandas ``merge_asof(tolerance=...)``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    rcols = [c for c in (right_cols or right.columns) if c not in keys + [right_ts]]
+
+    # Payloads carried as structs so heterogeneous/overlapping schemas
+    # don't collide in the union.
+    l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    r_payload = F.struct(
+        *[F.col(c) for c in rcols], F.col(right_ts).alias("_r_ts")
+    ).alias("_r")
+    l_type = left.select(l_payload).schema[0].dataType
+    r_type = right.select(r_payload).schema[0].dataType
+
+    u = left.select(
+        *keys,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        l_payload,
+        F.lit(None).cast(r_type).alias("_r"),
+    ).unionByName(
+        right.select(
+            *keys,
+            F.col(right_ts).alias("_t"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast(l_type).alias("_l"),
+            r_payload,
+        )
+    )
+
+    # right rows (_side=0) sort before left rows at equal ts → inclusive.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    if tolerance is not None:
+        in_tol = F.col("_match._r_ts") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        matched = matched.withColumn(
+            "_match", F.when(in_tol, F.col("_match")).otherwise(F.lit(None))
+        )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_match.{c}").alias(c) for c in rcols]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: right rows with the same key and
+    ``left.ts + lower <= right.ts <= left.ts + upper``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (right[right_ts] >= left[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, how)

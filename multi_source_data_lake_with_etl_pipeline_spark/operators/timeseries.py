@@ -1,0 +1,120 @@
+"""Time-series operators (SURVEY.md §2.10, §2.6, §2.2 L5).
+
+The reference's time-series layer is Influx passthrough: range scans
+(``influx_connector.py:142-162``), long-format point writes
+(``base_loaders.py:222-240``), relative ranges. Watermarks/windows are
+absent there; they're first-class here via Spark's ``window`` /
+``session_window`` (batch AND streaming — ``streaming/`` reuses these
+shapes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_range(
+    df: DataFrame,
+    ts_col: str,
+    start: str | None = None,
+    stop: str | None = None,
+    relative: str | None = None,
+) -> DataFrame:
+    """T1/P4: Influx range(start, stop) semantics. ``relative='1 hour'``
+    = Flux ``range(start: -1h)`` against current_timestamp (non-
+    deterministic — don't use in oracle-compared queries)."""
+    out = df
+    if relative is not None:
+        out = out.filter(
+            F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {relative}")
+        )
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+    if stop is not None:
+        out = out.filter(F.col(ts_col) < F.lit(stop).cast("timestamp"))
+    return out
+
+
+def to_points(
+    df: DataFrame,
+    measurement: str,
+    time_col: str,
+    tag_cols: Sequence[str],
+    field_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """L5: melt a wide record into Influx-style long-format points
+    ``(time, measurement, <tags>, field, value)``
+    (point assembly base_loaders.py:222-240; numeric-default field
+    selection :234-239). Uses native ``unpivot`` — a zero-shuffle
+    narrow transformation."""
+    if field_cols is None:
+        field_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float", "long", "integer")
+            and f.name not in tag_cols
+            and f.name != time_col
+        ]
+    ids = [time_col, *tag_cols]
+    out = df.select(*ids, *[F.col(c).cast("double").alias(c) for c in field_cols])
+    out = out.unpivot(ids, field_cols, "field", "value")
+    return out.withColumn("measurement", F.lit(measurement)).select(
+        F.col(time_col).alias("time"), "measurement", *tag_cols, "field", "value"
+    )
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence = (),
+) -> DataFrame:
+    """Tumbling-window aggregation; emits window_start/window_end."""
+    g = df.groupBy(F.window(ts_col, duration), *keys)
+    out = g.agg(*aggs) if aggs else g.count()
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence = (),
+) -> DataFrame:
+    """Sliding-window aggregation (each row lands in duration/slide
+    windows)."""
+    g = df.groupBy(F.window(ts_col, duration, slide), *keys)
+    out = g.agg(*aggs) if aggs else g.count()
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence = (),
+) -> DataFrame:
+    """Session windows (gap-based) — batch mode. A new session starts
+    when the inter-event gap is >= ``gap``."""
+    g = df.groupBy(F.session_window(ts_col, gap), *keys)
+    out = g.agg(*aggs) if aggs else g.count()
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )

@@ -594,3 +594,309 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="rollup",
     )
     return out.withColumn("o_totalprice_sum", F.round("o_totalprice_sum", 2))
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.4) + window/time-series analytics (§2.6, §2.10)
+# ---------------------------------------------------------------------------
+
+# As-of join: for each purchase event, the user's most recent click at
+# or before the purchase. Union+window formulation (one shuffle); the
+# oracle uses DuckDB's native ASOF JOIN. Right side deduped per
+# (user_id, ts) for tie determinism in both engines.
+@register(
+    "asof_purchase_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_event_id, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("click_event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id", "click_value"],
+    ).select("event_id", "user_id", "ts", "value", "click_event_id", "click_value")
+
+
+# Range join: clicks within 1 hour after each purchase, same user.
+@register(
+    "range_join_followup_clicks",
+    """
+    SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS clicks_within_1h
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_followup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = range_join(
+        purchases.withColumnRenamed("user_id", "p_user_id"),
+        clicks.withColumnRenamed("c_user_id", "p_user_id"),
+        key="p_user_id", left_ts="ts", right_ts="c_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_event_id").alias("clicks_within_1h")
+    )
+
+
+# Semi/anti joins — customers with vs without orders.
+@register(
+    "customers_without_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# Tumbling window aggregation (T-ops): hourly per event_type.
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts)                    AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT)                  AS event_cnt,
+           round(sum(value), 2)                      AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import tumbling
+
+    e = _t(spark, sf_dir, "events")
+    return tumbling(
+        e, "ts", "1 hour", keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+    ).select("window_start", "window_end", "event_type", "event_cnt", "value_sum")
+
+
+# Sliding window (1h window, 30m slide): each event lands in 2 windows.
+@register(
+    "events_sliding_1h_30m",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS ws, event_type, value FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS event_cnt,
+           round(sum(value), 2)     AS value_sum
+    FROM buckets GROUP BY ws, event_type
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import sliding
+
+    e = _t(spark, sf_dir, "events")
+    return sliding(
+        e, "ts", "1 hour", "30 minutes", keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+    ).select("window_start", "event_type", "event_cnt", "value_sum")
+
+
+# Session windows (gap 1h) per user — oracle via gaps-and-islands.
+@register(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS event_cnt
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(
+        e, "ts", "1 hour", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("event_cnt")],
+    ).select("user_id", "session_start", "session_end", "event_cnt")
+
+
+# Moving aggregate: trailing-5-event sum + window size per user.
+# (Sum, not avg: source values are 2dp decimals, so a 5-row average
+# lands exactly on round-to-2dp tie boundaries where Spark/DuckDB FP
+# bits disagree; the sum stays 0.005 away from any boundary.)
+@register(
+    "moving_agg_per_user",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2)        AS moving_sum,
+           CAST(count(*) OVER w AS BIGINT)    AS window_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+
+
+# Ranking/lag analytics per customer order history.
+@register(
+    "order_history_analytics",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT)  AS order_seq,
+           round(lag(o_totalprice) OVER w, 2)   AS prev_price,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_history_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.rank().over(wr).cast("long").alias("price_rank"),
+    )
+
+
+# L5: melt to Influx-style long-format points via native unpivot.
+@register(
+    "lineitem_to_points",
+    """
+    SELECT l_shipdate AS time, 'lineitem' AS measurement, l_returnflag,
+           f.field, f.value
+    FROM lineitem,
+    LATERAL (VALUES ('l_quantity', l_quantity), ('l_extendedprice', l_extendedprice),
+                    ('l_discount', l_discount), ('l_tax', l_tax)) AS f(field, value)
+    WHERE l_orderkey % 7 = 0
+    """,
+)
+def lineitem_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import to_points
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    return to_points(
+        li,
+        "lineitem",
+        time_col="l_shipdate",
+        tag_cols=["l_returnflag"],
+        field_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+# Pivot: event_type → columns (explicit value list for stable schema).
+@register(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out
+
+
+# F11: date-range generation (sequence + explode).
+@register(
+    "date_range_per_region",
+    """
+    SELECT r_name, gs AS day
+    FROM region, generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07', INTERVAL '1 day') AS t(gs)
+    """,
+)
+def date_range_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    seq = F.sequence(
+        F.lit("2024-01-01").cast("timestamp"),
+        F.lit("2024-01-07").cast("timestamp"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return r.select("r_name", F.explode(seq).alias("day"))
