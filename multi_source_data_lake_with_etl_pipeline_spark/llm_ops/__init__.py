@@ -1,0 +1,14 @@
+"""Training-data-pipeline operators (SURVEY.md §4.3.5 north star).
+
+Beyond the reference's capability surface: the operations a large-scale
+LLM training-data pipeline needs, built Spark-first on the
+``documents`` / ``embeddings`` tables:
+
+- ``text_stats``   — quality scoring, token counting, language ID,
+                     document fingerprinting.
+- ``dedup``        — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+- ``similarity``   — brute-force cosine top-k, LSH-bucketed and IVF
+                     approximate variants.
+- ``multimodal``   — binary-column plumbing (decode/feature UDF shapes
+                     over mapInPandas; codecs stubbed, see module doc).
+"""

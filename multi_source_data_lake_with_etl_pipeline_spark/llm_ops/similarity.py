@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector —
+  one narrow scan, per-partition top-k then global top-k (Spark's
+  ``orderBy().limit()`` already executes as TakeOrdered: no full sort,
+  no shuffle of the data, only k rows per partition move).
+- ``similar_pairs``: exact all-pairs over a (sampled/blocked) set.
+- ``hyperplane_lsh_buckets`` / ``ann_lsh``: random-hyperplane signature
+  → equality-join buckets — the linear-cost approximate path.
+- ``ann_ivf``: inverted-file search — coarse centroids, partition
+  pruning via top-``nprobe`` centroid assignment. The 100 TB shape:
+  the centroid assignment is a broadcast map-side op; only probed
+  partitions are scanned.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity (id tiebreak)."""
+    q = _lit_vec(query_vec)
+    return (
+        df.select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (id_1 < id_2). Quadratic —
+    use on a blocked/sampled set; ``ann_lsh`` is the scale path."""
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_v1"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(cosine(F.col("_v1"), F.col("_v2")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0."""
+    bits = [
+        F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1)).otherwise(F.lit(0)) for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + b.cast("long") * F.lit(2**i).cast("long")
+    return sig
+
+
+def ann_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only rows in the query's hyperplane bucket
+    are scored. Recall < 1 by construction (bucket may exclude true
+    neighbors); multiply tables (seeds) to raise recall."""
+    dim = dim or len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    import numpy as np
+
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(np.array(query_vec), np.array(p))) > 0:
+            qsig += 2**i
+    q = _lit_vec(query_vec)
+    return (
+        df.withColumn("_sig", hyperplane_signature(F.col(vec_col), planes))
+        .filter(F.col("_sig") == qsig)
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+    Centroid list is broadcast as literals — a map-side narrow op.
+
+    Argmax via array_position over an array of similarities: N
+    independent expressions, not an iterated when-chain (which would
+    nest the running best into every branch — exponential tree)."""
+    sims = F.array(*[cosine(F.col(vec_col), _lit_vec(c)) for _, c in centroids])
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    return df.withColumn("_centroid", F.element_at(ids, pos))
+
+
+def ann_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only vectors assigned to the ``nprobe``
+    centroids nearest the query. At scale the assignment is written
+    once (partitionBy _centroid) and probing = partition pruning."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+
+    def cos_np(c):
+        c = np.array(c, dtype="float64")
+        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12))
+
+    probe_ids = [
+        cid for cid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:nprobe]
+    ]
+    q = _lit_vec(query_vec)
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("_centroid").isin(probe_ids))
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

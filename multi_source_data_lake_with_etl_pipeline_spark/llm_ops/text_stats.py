@@ -1,0 +1,109 @@
+"""Text analysis for training-data curation: quality stats, token
+counting, language ID, document fingerprinting.
+
+All JVM-side expressions (split/regexp/aggregate) — no Python UDFs, so
+a 100 TB documents table profiles at full scan speed with one narrow
+pass and zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID (the classic "count function words" trick).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "para", "con"],
+}
+
+# BPE-ish tokenization: word pieces = letter runs, digit runs, or a
+# single non-space symbol (a practical proxy for subword pre-tokenizers).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (empty-string-free)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats. Integer/exact outputs where possible
+    (cross-engine comparable without rounding)."""
+    t = F.col(text_col)
+    w = words(t)
+    return df.withColumns(
+        {
+            "stat_n_chars": F.length(t).cast("long"),
+            "stat_n_words": F.size(w).cast("long"),
+            "stat_word_chars": F.aggregate(
+                w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+            "stat_n_tokens": F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long"),
+            "stat_n_digits": F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")),
+            "stat_n_punct": F.length(t)
+            - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+            "stat_n_stopwords": F.size(
+                F.filter(w, lambda x: F.lower(x).isin(LANG_STOPWORDS["en"]))
+            ).cast("long"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword signal
+    + low symbol noise (the usual heuristic pre-filter stack)."""
+    s = text_stats(df, text_col)
+    len_ok = (F.col("stat_n_words") >= 10) & (F.col("stat_n_words") <= 100_000)
+    stop_ratio = F.col("stat_n_stopwords") / F.greatest(F.col("stat_n_words"), F.lit(1))
+    punct_ratio = F.col("stat_n_punct") / F.greatest(F.col("stat_n_chars"), F.lit(1))
+    score = (
+        len_ok.cast("double") * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+    )
+    return s.withColumn("quality_score", F.round(score, 4))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: score per language = # of stopword
+    hits; argmax wins (ties broken by language-code order)."""
+    w = words(F.col(text_col))
+
+    # NB: a two-parameter lambda in F.filter means (element, index) to
+    # PySpark — bind the stopword list via a factory, not a default arg.
+    def hits(sw: list[str]):
+        return F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
+
+    scored = df.withColumns(
+        {f"_score_{lang}": hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"_score_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):  # earlier langs win ties (checked last)
+        pred = F.when((F.col(f"_score_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).drop(*[f"_score_{lg}" for lg in langs])
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct not applied)."""
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint = lexicographic min of md5(shingle) — a
+    1-permutation MinHash usable as a cheap near-dup blocking key.
+    md5 (not xxhash) so external engines can reproduce it."""
+    sh = shingles(F.col(text_col), n)
+    return df.withColumn(
+        "fingerprint",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    )

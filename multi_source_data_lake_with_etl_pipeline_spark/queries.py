@@ -900,3 +900,240 @@ def date_range_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("INTERVAL 1 DAY"),
     )
     return r.select("r_name", F.explode(seq).alias("day"))
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data ops (llm_ops/): text stats, dedup, similarity
+# ---------------------------------------------------------------------------
+
+# Text quality stats — all-integer outputs (cross-engine exact).
+@register(
+    "text_quality_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS stat_n_chars,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS stat_n_words,
+           CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''), x -> length(x))) AS BIGINT) AS stat_word_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS stat_n_tokens,
+           CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                x -> list_contains(['the','a','of','to','and','in','is','that','for','it'], lower(x)))) AS BIGINT) AS stat_n_stopwords
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import text_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return text_stats(d).select(
+        "doc_id", "stat_n_chars", "stat_n_words", "stat_word_chars",
+        "stat_n_tokens", "stat_n_stopwords",
+    )
+
+
+# Language-ID heuristic (stopword votes, deterministic tiebreak).
+@register(
+    "lang_id_stopwords",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''), x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','that','for','it'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','un','una','para','con'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','pour','dans'], x))) AS s_fr
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(s_en AS INT) AS en_hits
+    FROM s
+    """,
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import LANG_STOPWORDS, lang_id, words
+
+    d = _t(spark, sf_dir, "documents")
+    en_hits = F.size(
+        F.filter(words(F.col("text")), lambda x: F.lower(x).isin(LANG_STOPWORDS["en"]))
+    )
+    return lang_id(d).select(
+        "doc_id", "lang", "pred_lang", en_hits.alias("en_hits")
+    )
+
+
+# Document fingerprint: min(md5(shingle)) — md5 so DuckDB reproduces it.
+@register(
+    "doc_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+      FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+    ), fp AS (SELECT doc_id, min(h) AS fingerprint FROM sh GROUP BY doc_id)
+    SELECT d.doc_id, fp.fingerprint
+    FROM d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint")
+
+
+# Exact dedup: keep lowest doc_id per identical text.
+@register(
+    "exact_text_dedup",
+    """
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+# Exact n-gram-Jaccard near-dup pairs (inverted index, max_df=20).
+@register(
+    "near_dup_pairs_jaccard",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+    ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(inter / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id_1 JOIN sizes s2 ON s2.doc_id = id_2
+    WHERE inter / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
+    """,
+)
+def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5, max_df=20)
+
+
+# MinHash+LSH near-dup (banded candidates + exact-Jaccard verify).
+# No oracle: LSH recall < 1 by construction; CORRECTNESS records a
+# rows-only check, tests assert recall against the exact pairs.
+@register("minhash_lsh_neardup", None)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+# SimHash near-dup (hamming ≤ 3 via pigeonhole chunk join). Capped to
+# doc_id < 2000 so candidate volume stays bounded at every SF (16-bit
+# chunk collisions grow quadratically with corpus size; production
+# would widen chunks instead). No oracle: approximate by construction.
+@register("simhash_neardup", None)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_pairs(d, max_hamming=3)
+
+
+# Brute-force cosine top-k against the vec_id=0 embedding.
+@register(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding, q.qv)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+# Exact all-pairs cosine over a deterministic 1/20 sample.
+@register(
+    "embedding_similar_pairs",
+    """
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0)
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           round(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding)
+          / (sqrt(list_dot_product(a.embedding, a.embedding))
+             * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.3
+    """,
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import similar_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    return similar_pairs(emb, threshold=0.3)
+
+
+# Approximate NN via random-hyperplane LSH bucket (recall<1 → no oracle).
+@register("ann_lsh_bucket", None)
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_lsh(emb, qvec, k=10, n_planes=8)
+
+
+# Approximate NN via IVF partition pruning (recall<1 → no oracle).
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").between(0, 15))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    qvec = centroids[0][1]
+    return ann_ivf(emb, qvec, centroids, k=10, nprobe=2)
+
+
+# Multimodal plumbing: synthetic binary assets → mapInPandas feature
+# extraction (decode stubbed, deterministic). No oracle: input is not a
+# lake table; exact values asserted in unit tests.
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, 64)
+    return extract_features(assets).select(
+        "asset_id", "modality", "n_bytes", "width", "height"
+    )

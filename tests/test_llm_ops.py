@@ -1,0 +1,128 @@
+"""LLM-ops tests: dedup recall, similarity correctness, multimodal
+plumbing exactness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.catalog import load_table
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops import dedup as nd
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops import similarity as sim
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops import text_stats as ts
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+    _decode_image_stub,
+    extract_features,
+    frame_sample_plan,
+    synth_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates + verify must recover (almost) all exact pairs;
+    at J≥0.5 with b=16/r=4 expected recall ≥ 0.65 per pair — the
+    planted pairs here are J≈0.99 where recall ≈ 1."""
+    exact = {
+        (r["id_1"], r["id_2"])
+        for r in nd.ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+    lsh = {
+        (r["id_1"], r["id_2"])
+        for r in nd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    assert lsh <= exact or not (lsh - exact), "LSH+verify must not invent pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_finds_planted_neardups(spark, docs):
+    pairs = nd.simhash_pairs(docs, max_hamming=3).collect()
+    assert len(pairs) > 0
+    # hamming-0/low pairs should be the planted near-dups: verify one
+    # pair really is near-identical by exact jaccard
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in nd.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
+    }
+    hits = [p for p in pairs if (p["id_1"], p["id_2"]) in exact]
+    assert hits, "simhash pairs should overlap exact near-dup pairs"
+
+
+def test_exact_dedup_keeps_all_unique(spark, docs):
+    n = docs.count()
+    assert nd.exact_dedup(docs).count() == n  # no exact text dups planted
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    top = sim.cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    approx = sim.ann_lsh(emb, q, k=10, n_planes=6)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 10
+    # scores must be genuine cosines (bounded)
+    assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in rows)
+
+
+def test_ann_ivf_probes_reduce_scan(spark, emb):
+    rows = emb.filter(F.col("vec_id").between(0, 7)).collect()
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    assigned = sim.ivf_assign(emb, centroids)
+    counts = assigned.groupBy("_centroid").count().collect()
+    assert len(counts) == 8  # every centroid owns a partition
+    out = sim.ann_ivf(emb, centroids[3][1], centroids, k=5, nprobe=2).collect()
+    assert len(out) == 5
+    assert out[0]["cos_sim"] >= out[-1]["cos_sim"]
+
+
+def test_quality_score_range(spark, docs):
+    scored = ts.quality_score(docs)
+    row = scored.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_decode_stub_deterministic():
+    w, h, feat = _decode_image_stub(b"\x00\x20\x40\xff")
+    assert (w, h) == (5, 5)
+    assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-6
+    assert _decode_image_stub(b"\x00\x20\x40\xff") == (w, h, feat)
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = synth_assets(spark, 12)
+    feats = extract_features(assets)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert len(rows) == 12
+    # exact parity with the stub, end-to-end through mapInPandas
+    payload0 = bytes((0 * 7 + j) % 256 for j in range(10))
+    w, h, feat = _decode_image_stub(payload0)
+    assert rows[0]["width"] == w and rows[0]["height"] == h
+    assert rows[0]["n_bytes"] == len(payload0)
+    assert [round(x, 6) for x in rows[0]["feature"]] == pytest.approx(feat, abs=1e-6)
+    assert "payload" not in feats.columns  # binary pruned post-decode
+
+
+def test_frame_sample_plan(spark):
+    assets = synth_assets(spark, 12)
+    plan = frame_sample_plan(assets, every_n_seconds=5)
+    rows = plan.collect()
+    assert all(r["frame_ts"] % 5 == 0 for r in rows)
+    vids = assets.filter(F.col("modality") == "video").count()
+    assert plan.select("asset_id").distinct().count() == vids
