@@ -1,0 +1,3 @@
+"""Declarative pipeline layer (SURVEY.md §3.2)."""
+
+from .pipeline import ETLJob, TransformStep, run_job  # noqa: F401

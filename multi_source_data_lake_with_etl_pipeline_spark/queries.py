@@ -1137,3 +1137,118 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets).select(
         "asset_id", "modality", "n_bytes", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough (S7), merge semantics (L4), streaming (T2-T4)
+# ---------------------------------------------------------------------------
+
+# S7: the SAME SQL string through spark.sql and DuckDB — shipping-
+# priority (TPC-H Q3 shape) over the registered lake views.
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@register("sql_passthrough_shipping_priority", _Q3_SQL)
+def sql_passthrough_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return sql(spark, _Q3_SQL)
+
+
+# L4: MERGE semantics (whenMatchedUpdateAll/whenNotMatchedInsertAll) as
+# a pure plan — source = repriced low-key orders + synthetic new keys.
+@register(
+    "merge_upsert_semantics",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice + 1000, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey <= 50
+      UNION ALL
+      SELECT 9000000 + r_regionkey, 1, 'N', CAST(42.42 AS DOUBLE),
+             TIMESTAMP '2026-01-01 00:00:00', '1-URGENT'
+      FROM region
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice, o_orderdate, o_orderpriority
+    FROM (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+    )
+    """,
+)
+def merge_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sinks.merge import merge_upsert_df
+
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") <= 50).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1000, 2)
+    )
+    inserts = _t(spark, sf_dir, "region").select(
+        (F.lit(9000000) + F.col("r_regionkey")).cast("long").alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.42).alias("o_totalprice"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    src = updates.unionByName(inserts)
+    merged = merge_upsert_df(o, src, "o_orderkey")
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# Streaming: events parquet as a file STREAM → watermarked tumbling agg
+# → availableNow → memory sink. Returns the emitted (closed) windows.
+# No oracle: append-mode watermarking intentionally withholds the open
+# tail window — covered by batch-parity tests in tests/test_streaming.py.
+@register("stream_tumbling_events", None)
+def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .catalog import load_table
+    from .streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_tumbling_agg,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    stream = read_events_stream(spark, staged)
+    agg = stream_tumbling_agg(stream, "1 hour", watermark="10 minutes")
+    run_to_memory_sink(agg, "stream_tumbling_events_q")
+    return spark.table("stream_tumbling_events_q")
+
+
+# Streaming dedup: doubled stream → dropDuplicatesWithinWatermark.
+@register("stream_dedup_events", None)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .catalog import load_table
+    from .streaming.ingest import read_events_stream, run_to_memory_sink, stream_dedup
+
+    staged = tempfile.mkdtemp(prefix="events_dedup_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    stream = read_events_stream(spark, staged)
+    doubled = stream.unionByName(stream)
+    deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
+    run_to_memory_sink(deduped, "stream_dedup_events_q")
+    return spark.table("stream_dedup_events_q")

@@ -1,0 +1,36 @@
+"""File writers (reference L6: ``base_loaders.py:281-315``,
+``common_utils.py:141-171``): JSON / JSONL / CSV / Parquet, append or
+overwrite, optional ``partitionBy`` (the "automated data partitioning"
+the reference claims but never implements — ``README.md:293``)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    mode: str = "append",
+    partition_by: Sequence[str] | None = None,
+    coalesce: int | None = None,
+    **options,
+) -> None:
+    """L6 writer. ``coalesce`` bounds output file count for small
+    results (driver-friendly); leave None at scale so every task
+    writes its own file."""
+    out = df.coalesce(coalesce) if coalesce else df
+    writer = out.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    fmt = {"json": "json", "jsonl": "json", "csv": "csv", "parquet": "parquet"}.get(
+        file_format
+    )
+    if fmt is None:
+        raise ValueError(f"unsupported file format: {file_format!r}")
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.format(fmt).save(path)

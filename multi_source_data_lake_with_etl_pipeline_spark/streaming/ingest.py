@@ -1,0 +1,143 @@
+"""Structured Streaming ingestion + windowed aggregation.
+
+The reference only *configures* real-time (MQTT/OPC UA settings at
+``config/settings.py:94-108``, ``enable_real_time_processing=False``
+at ``:191``; no implementation anywhere in ``src/``). Here the events
+workload runs as a real stream: file source → watermark → tumbling /
+sliding / session windows → append sinks, plus streaming dedup
+(``dropDuplicatesWithinWatermark`` — the streaming analog of D1-D3).
+
+Batch/stream parity: the window shapes are the same expressions used
+by ``operators.timeseries`` — one logical definition, two runtimes.
+
+Tests drive everything with ``trigger(availableNow=True)`` + memory
+sink: bounded, deterministic, no long-running query. An MQTT/OPC-UA
+bridge would land here as a custom DataSource; the socket/Kafka path
+is the standard production route.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    file_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over an events directory (T4's
+    sensor-ingestion slot; micro-batch = the reference's hourly batch
+    cadence T2, but continuous)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(file_format).load(path)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — late data beyond the
+    watermark is dropped, state is bounded (the two things the
+    reference's batch pipeline cannot express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+def stream_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Streaming session windows (stateful; closes when watermark
+    passes session end + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), *keys)
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "event_cnt",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state — duplicates arriving within
+    the watermark horizon are dropped (D1-D3's streaming analog)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append", timeout_s: int = 120
+) -> None:
+    """Drive a streaming DataFrame to completion with availableNow →
+    in-memory table ``query_name`` (test/verify harness path)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+) -> None:
+    """T3: append-only streaming parquet sink with checkpointing."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    q = writer.trigger(availableNow=True).start() if available_now else writer.start()
+    if available_now:
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()

@@ -1,0 +1,164 @@
+"""Sources, sinks, merge/delete, routing, and the declarative
+pipeline layer — end-to-end round-trips on tmp dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.catalog import load_table, register_views, sql
+from multi_source_data_lake_with_etl_pipeline_spark.plans.pipeline import (
+    ETLJob,
+    TransformStep,
+    build_plan,
+    run_job,
+)
+from multi_source_data_lake_with_etl_pipeline_spark.sinks.files import write_file
+from multi_source_data_lake_with_etl_pipeline_spark.sinks.merge import (
+    delete_where,
+    merge_upsert,
+)
+from multi_source_data_lake_with_etl_pipeline_spark.sinks.routing import (
+    LoaderManager,
+    MultiTargetLoader,
+    route_by_content,
+)
+from multi_source_data_lake_with_etl_pipeline_spark.sources.files import (
+    infer_format,
+    read_file,
+    validate_source,
+)
+from multi_source_data_lake_with_etl_pipeline_spark.sources.registry import ExtractorRegistry
+
+
+def test_file_roundtrip_formats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    for fmt in ("parquet", "csv", "jsonl"):
+        path = str(tmp_path / f"out_{fmt}")
+        write_file(df, path, file_format=fmt, mode="overwrite", coalesce=1)
+        back = read_file(spark, path, file_format=fmt)
+        assert back.count() == 2
+        assert {r["name"] for r in back.collect()} == {"a", "b"}
+
+
+def test_infer_format_and_validate(spark, tmp_path):
+    assert infer_format("x.ndjson") == "jsonl"
+    assert infer_format("x.parquet") == "parquet"
+    with pytest.raises(ValueError):
+        infer_format("x.xyz")
+    assert validate_source(spark, str(tmp_path))
+    assert not validate_source(spark, str(tmp_path / "missing"))
+
+
+def test_sql_passthrough_over_catalog(spark, sf_dir):
+    register_views(spark, sf_dir)
+    out = sql(spark, "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'")
+    assert out.collect()[0]["n"] > 0
+
+
+def test_merge_upsert_counts_and_content(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], "id long, name string, v double"
+    ).write.parquet(path)
+    src = spark.createDataFrame(
+        [(1, "new", 11.0), (3, "ins", 30.0)], "id long, name string, v double"
+    )
+    res = merge_upsert(spark, path, src, "id")
+    assert res == {"inserted": 1, "updated": 1}
+    rows = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert rows[1]["name"] == "new" and rows[2]["name"] == "keep" and rows[3]["v"] == 30.0
+
+
+def test_delete_where(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double").write.parquet(path)
+    n = delete_where(spark, path, "v >= 7")
+    assert n == 3
+    assert spark.read.parquet(path).count() == 7
+
+
+def test_content_routing_rules():
+    # DAG routing (multi_source_ingestion_dag.py:272-277)
+    assert route_by_content("daily_transactions") == ["structured", "archive"]
+    assert route_by_content("app_events") == ["semi_structured", "archive"]
+    assert route_by_content("users") == ["structured", "semi_structured", "archive"]
+    assert route_by_content("misc_blob") == ["archive"]
+
+
+def test_multi_target_and_loader_manager(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    results = MultiTargetLoader().load(
+        df,
+        [
+            {"path": str(tmp_path / "t1"), "file_format": "parquet", "mode": "overwrite"},
+            {"path": str(tmp_path / "t2"), "file_format": "csv", "mode": "overwrite"},
+        ],
+    )
+    assert all(r["status"] == "success" for r in results)
+
+    mgr = LoaderManager()
+    res = mgr.route_and_load(
+        df,
+        {
+            "zone_a": {"type": "file", "params": {"path": str(tmp_path / "za"),
+                                                  "file_format": "parquet", "mode": "overwrite"}},
+            "bad": {"type": "file", "params": {"path": str(tmp_path / "zb"),
+                                               "file_format": "nope"}},
+        },
+    )
+    assert res["zone_a"]["status"] == "success"
+    assert res["bad"]["status"] == "failed"  # error-tolerant (V6)
+    stats = mgr.get_stats()
+    assert stats["total_loads"] == 2 and stats["failed"] == 1
+
+
+def test_declarative_job_end_to_end(spark, sf_dir, tmp_path):
+    """§3.2 lifecycle as one lazy plan: extract → clean → validate →
+    filter-valid → load, mirroring the integration test flow
+    (test_system_integration.py:110-194)."""
+    job = ETLJob(
+        source_type="parquet_table",
+        source_config={"sf_dir": sf_dir, "table": "customer"},
+        transformations=[
+            TransformStep("cleaning"),
+            TransformStep(
+                "validation",
+                {"rules": [
+                    {"field": "c_name", "required": True, "min_length": 1},
+                    {"field": "c_acctbal", "min": -1000.0, "max": 10_000_000.0},
+                ]},
+            ),
+            TransformStep("filter_valid"),
+        ],
+        target_config={
+            "silver": {"type": "file",
+                       "params": {"path": str(tmp_path / "silver"),
+                                  "file_format": "parquet", "mode": "overwrite"}},
+        },
+    )
+    result = run_job(spark, job)
+    assert result["status"] == "completed"
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert out.count() > 0
+    assert "_validation_errors" in out.columns and "_cleaned_at" in out.columns
+
+
+def test_custom_extractor_and_transform(spark):
+    reg = ExtractorRegistry()
+    reg.register("inline", lambda spark, rows, **_: spark.createDataFrame(rows, "id long"))
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.pipeline import register_transform
+
+    register_transform("double_id", lambda df, **p: df.withColumn("id", F.col("id") * 2))
+    job = ETLJob(
+        source_type="inline",
+        source_config={"rows": [(1,), (2,)]},
+        transformations=[TransformStep("double_id")],
+        target_config={},
+    )
+    plan = build_plan(spark, job, reg)
+    assert sorted(r["id"] for r in plan.collect()) == [2, 4]
