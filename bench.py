@@ -32,11 +32,21 @@ def main() -> None:
     # numbers measure the engine, not first-run JIT.
     q.pricing_summary(spark, sf_dir).count()
 
+    # Warm the Python UDF worker pool (spark.python.worker.reuse keeps
+    # them alive) so Arrow-UDF queries measure decode, not worker spawn.
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, 32, 1, 32).mapInPandas(_identity, "id long").count()
+
     timings: dict[str, float] = {}
     for name, fn in q.spark_queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Release per-query persisted intermediates so queries are
+        # measured independently (no cross-query memory pressure).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

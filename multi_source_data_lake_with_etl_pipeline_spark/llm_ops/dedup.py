@@ -8,13 +8,19 @@ Scale design (the point of each variant):
   the candidate join explodes with document frequency, so hot shingles
   are dropped (``max_df``) exactly like production near-dup pipelines;
   cost is Σ df² over kept shingles, NOT corpus².
-- **minhash_lsh**: the 100 TB path. One pass computes k min-hashes per
-  doc (explode shingles → k agg-min in a single groupBy), banding turns
-  pair discovery into an equality join on (band, band_hash) — no
-  quadratic step anywhere; candidates verified with exact Jaccard.
-- **simhash**: 64-bit signature via per-token hash bit-voting; the
-  pigeonhole banding (4×16-bit chunks) finds all pairs within hamming
-  distance 3 with equality joins only.
+- **minhash_lsh**: the 100 TB path. Signatures are computed PER ROW
+  with higher-order functions (zero shuffles — a narrow map over the
+  corpus); banding turns pair discovery into an equality join on
+  (band, band_hash) — no quadratic step anywhere; candidates verified
+  with exact Jaccard.
+- **simhash**: 64-bit signature via per-shingle hash bit-voting, also
+  per-row/shuffle-free; the pigeonhole banding (4×16-bit chunks) finds
+  all pairs within hamming distance 3 with equality joins only.
+
+Shuffle hygiene: the inverted index always carries ``xxhash64(shingle)``
+(8-byte keys), never shingle strings, and per-doc distinctness comes
+from ``array_distinct`` BEFORE the explode, so the (id, key) stream is
+born distinct — no dedup shuffle.
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_stats import shingles
+
+_LONG_MAX = (1 << 63) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -33,10 +41,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(best, id_col, "left_semi")
 
 
+def _shingle_hash_set(text_col: str, n: int) -> Column:
+    """Per-row distinct shingle hashes: array<long>. All narrow ops."""
+    return F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+    )
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy narrow stages get cluster-wide parallelism.
+
+    Signature computation is shuffle-free, so it inherits the scan's
+    partitioning — a small table read as 1-2 parquet splits would pin
+    the whole corpus to 1-2 cores. At real scale the scan already has
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return (
-        df.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """Inverted-index stream (id, _sk). Distinct by construction
+    (array_distinct before explode) — no extra shuffle, and the join
+    key is an 8-byte long, not the shingle text."""
+    return _widen(df).select(
+        id_col, F.explode(_shingle_hash_set(text_col, n)).alias("_sk")
     )
 
 
@@ -56,14 +86,9 @@ def ngram_jaccard_pairs(
     """
     # One shingle pass, persisted: the set feeds both join sides and the
     # size table — without the persist Spark re-parses every document
-    # three times. The join key is xxhash64(shingle) (8-byte shuffle
-    # keys instead of ~20-byte strings; collision odds ~(N²/2⁶⁴) are
-    # negligible against the 4dp-rounded Jaccard).
-    sh = (
-        _distinct_shingles(df, text_col, id_col, n)
-        .select(id_col, F.xxhash64("shingle").alias("_sk"))
-        .persist()
-    )
+    # three times. Collision odds ~(N²/2⁶⁴) on the 8-byte keys are
+    # negligible against the 4dp-rounded Jaccard.
+    sh = _distinct_shingles(df, text_col, id_col, n).persist()
     if max_df is not None:
         keep = sh.groupBy("_sk").count().filter(F.col("count") <= max_df).select("_sk")
         sh = sh.join(keep, "_sk", "left_semi").persist()
@@ -99,19 +124,26 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """k MinHash values per doc in ONE pass: explode distinct shingles,
-    hash each with k seeds (xxhash64 with a seed column), k agg-mins in
-    a single groupBy. Output: (id, sig array<long>[k])."""
-    sh = _distinct_shingles(df, text_col, id_col, n)
-    mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+    """k MinHash values per doc, computed PER ROW (no explode, no
+    shuffle): fold the distinct-shingle-hash array with an elementwise
+    ``least``. Output: (id, sig array<long>[k]). A narrow map stage —
+    signatures for a 100 TB corpus run at scan speed with zero exchange.
+
+    Per-seed re-hash is ``xxhash64(seed, h)`` — one JVM hash call per
+    (shingle, seed). Measured faster than the Kirsch-Mitzenmacher
+    h1+i*h2 double-hashing here: under ANSI SQL the multiply/add pay
+    overflow checks that cost more than xxhash's mixing."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        _shingle_hash_set(text_col, n),
+        F.array_repeat(F.lit(_LONG_MAX), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, h)),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    return mins.select(
-        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return _widen(df).select(id_col, sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -132,7 +164,10 @@ def minhash_lsh_pairs(
     ≈ 0.9998 at J=0.8 — tune bands up for lower thresholds.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # Persist: the banding self-join reads the signature table twice,
+    # and without the persist each side recomputes the whole signature
+    # fold. Signatures are tiny (id + k longs ≈ 0.5 KB/doc).
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -155,11 +190,11 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     sh = _distinct_shingles(df, text_col, id_col, n).persist()
-    s1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    s2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    s1 = sh.select(F.col(id_col).alias("id_1"), "_sk")
+    s2 = sh.select(F.col(id_col).alias("id_2"), "_sk")
     inter = (
         cand.join(s1, "id_1")
-        .join(s2, ["id_2", "shingle"])
+        .join(s2, ["id_2", "_sk"])
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -180,24 +215,47 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash per doc: hash each distinct shingle, vote ±1 per
-    bit position, sign of the vote sets the bit. One explode + one
-    groupBy. (Shingles, not tokens: on a shared-vocabulary corpus the
-    distinct-token set is near-identical across docs and SimHash would
-    saturate; 3-gram shingles keep the signature discriminative.)"""
-    tok = _distinct_shingles(df, text_col, id_col, 3).withColumnRenamed("shingle", "tok")
-    h = F.xxhash64("tok")
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_b{i}")
-            for i in range(bits)
-        ]
+    bit position, sign of the vote sets the bit. Computed PER ROW
+    (fold over the shingle-hash array with an elementwise vote update)
+    — zero shuffles, vs. the naive explode + 64-column groupBy whose
+    codegen collapses. (Shingles, not tokens: on a shared-vocabulary
+    corpus the distinct-token set is near-identical across docs and
+    SimHash would saturate; 3-gram shingles keep it discriminative.)"""
+    # SWAR bit-counting: 16 packed counters, each holding 4 × 16-bit
+    # lanes (bits j, j+16, j+32, j+48 live in counter j), so each
+    # shingle costs 16 shift/mask/adds instead of 64 branch votes.
+    # Lane width 16 ⇒ correct up to 65,535 distinct shingles per doc.
+    assert bits == 64, "SWAR packing is specialized to 64-bit signatures"
+    lane = F.lit(0x0001000100010001)
+    base = _widen(df).select(
+        id_col, _shingle_hash_set(text_col, 3).alias("_sh")
     )
+    counters = F.aggregate(
+        F.col("_sh"),
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftrightunsigned(h, j).bitwiseAND(lane) for j in range(16)]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # Materialize the fold ONCE behind aliases: the unpack below
+    # references the counters 64 times, and CollapseProject must not
+    # re-inline the aggregate per reference.
+    packed = base.select(id_col, counters.alias("_cnt"), F.size("_sh").alias("_n"))
+    # Bit i set ⟺ ones-count > half the shingles (vote sum positive).
+    # Sum of disjoint bit values == bitwise OR; bit 63 is -(2**63).
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return votes.select(id_col, sig.alias("simhash"))
+        ones = F.shiftrightunsigned(F.col("_cnt")[i % 16], 16 * (i // 16)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        sig = sig + F.when(
+            ones * 2 > F.col("_n"), F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return packed.select(id_col, sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -210,8 +268,11 @@ def simhash_pairs(
 
     Pigeonhole banding: split into 4 × 16-bit chunks; any pair with
     distance ≤ 3 shares at least one identical chunk → equality join
-    per chunk, then exact hamming verify via bit_count(xor)."""
-    sig = simhash_signatures(df, text_col, id_col)
+    per chunk, then exact hamming verify via bit_count(xor).
+
+    Signatures persisted: the chunk self-join reads them twice (8 bytes
+    per doc — negligible at any scale)."""
+    sig = simhash_signatures(df, text_col, id_col).persist()
     chunks = sig.select(
         id_col,
         "simhash",

@@ -1133,8 +1133,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.multimodal import extract_features, synth_assets
 
+    # 64 rows across 4 partitions: partition count sized to the input
+    # (at scale, batch_hint=executor-cores×partitions; here the default
+    # 32 would spawn a Python worker per 2-row partition).
     assets = synth_assets(spark, 64)
-    return extract_features(assets).select(
+    return extract_features(assets, batch_hint=4).select(
         "asset_id", "modality", "n_bytes", "width", "height"
     )
 
