@@ -65,7 +65,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
         + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
     )
-    return s.withColumn("quality_score", F.round(score, 4))
+    # Integer basis-point variant (0..10000): same score expressed with
+    # exact integer arithmetic + floor, so it is bit-identical across
+    # engines (the double score can land on round-half ties). The
+    # fractional terms are k/d with d ≤ doc length, so the quotient is
+    # ≥ 1/d away from any integer — far outside double ulp — and floor
+    # is unambiguous.
+    nw = F.greatest(F.col("stat_n_words"), F.lit(1))
+    nc = F.greatest(F.col("stat_n_chars"), F.lit(1))
+    score_bp = (
+        len_ok.cast("long") * 4000
+        + F.floor(F.least(F.col("stat_n_stopwords") * 5, nw) * 3000 / nw)
+        + (3000 - F.floor(F.least(F.col("stat_n_punct") * 5, nc) * 3000 / nc))
+    )
+    return s.withColumns(
+        {"quality_score": F.round(score, 4), "quality_score_bp": score_bp}
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1255,3 +1255,283 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
     run_to_memory_sink(deduped, "stream_dedup_events_q")
     return spark.table("stream_dedup_events_q")
+
+
+# ---------------------------------------------------------------------------
+# Coverage extensions: §2.5 aggregate superset (cube, distinct/approx),
+# §2.6 W3 offset pagination, §2.7 intersect/except, §2.8 F12/F16,
+# §2.9 A4 variance profile, LLM quality scoring.
+# ---------------------------------------------------------------------------
+
+_EN_STOP_SQL = "'the','a','of','to','and','in','is','that','for','it'"
+
+
+# F12: time_ago humanization (common_utils.py:317-331), bucketed +
+# counted so the 100 TB plan is scan → narrow projection → one agg.
+@register(
+    "time_ago_buckets",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(TIMESTAMP '2024-01-30 23:58:00'))
+                  - floor(epoch(ts)) AS BIGINT) AS secs
+      FROM events
+    )
+    SELECT CASE
+             WHEN secs < 60    THEN secs::VARCHAR || ' seconds ago'
+             WHEN secs < 3600  THEN CAST(floor(secs / 60.0)    AS BIGINT)::VARCHAR || ' minutes ago'
+             WHEN secs < 86400 THEN CAST(floor(secs / 3600.0)  AS BIGINT)::VARCHAR || ' hours ago'
+             ELSE                   CAST(floor(secs / 86400.0) AS BIGINT)::VARCHAR || ' days ago'
+           END AS ago,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY ago
+    """,
+)
+def time_ago_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import time_ago
+
+    ev = _t(spark, sf_dir, "events")
+    ref = F.lit("2024-01-30 23:58:00").cast("timestamp")
+    return (
+        ev.select(time_ago(F.col("ts"), ref).alias("ago"))
+        .groupBy("ago")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# F16: per-value semantic type detection (common_utils.py:24-52) as a
+# profiling aggregation: 9 synthesized value shapes → type histogram.
+@register(
+    "semantic_type_profile",
+    r"""
+    WITH vals AS (
+      SELECT 'user' || c_custkey::VARCHAR || '@example.com' AS v FROM customer
+      UNION ALL SELECT c_custkey::VARCHAR FROM customer
+      UNION ALL SELECT c_acctbal::VARCHAR FROM customer
+      UNION ALL SELECT '(' || lpad(((c_custkey % 800) + 200)::VARCHAR, 3, '0')
+                 || ') 555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') FROM customer
+      UNION ALL SELECT CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'FALSE' END FROM customer
+      UNION ALL SELECT (DATE '1995-01-01' + ((c_custkey % 1000)::INTEGER))::VARCHAR FROM customer
+      UNION ALL SELECT 'https://example.com/page/' || c_custkey::VARCHAR FROM customer
+      UNION ALL SELECT c_name FROM customer
+      UNION ALL SELECT CAST(NULL AS VARCHAR) FROM customer
+    )
+    SELECT CASE
+             WHEN v IS NULL THEN 'null'
+             WHEN lower(trim(v)) IN ('true', 'false') THEN 'boolean'
+             WHEN regexp_matches(trim(v), '^-?\d+$') THEN 'integer'
+             WHEN regexp_matches(trim(v), '^-?\d*\.\d+$') THEN 'float'
+             WHEN regexp_matches(trim(v), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$') THEN 'email'
+             WHEN length(regexp_replace(v, '[^0-9]', '', 'g')) BETWEEN 10 AND 15
+                  AND regexp_matches(trim(v), '^[\d\s\-\(\)\+\.]+$') THEN 'phone'
+             WHEN regexp_matches(trim(v), '^\d{4}-\d{2}-\d{2}$') THEN 'date'
+             WHEN regexp_matches(trim(v), '^https?://') THEN 'url'
+             ELSE 'string'
+           END AS vtype,
+           CAST(count(*) AS BIGINT) AS n
+    FROM vals GROUP BY vtype
+    """,
+)
+def semantic_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .functions.scalar import detect_semantic_type
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    shapes = [
+        F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")),
+        key.cast("string"),
+        F.col("c_acctbal").cast("string"),
+        F.concat(
+            F.lit("("),
+            F.lpad(((key % 800) + 200).cast("string"), 3, "0"),
+            F.lit(") 555-"),
+            F.lpad((key % 10000).cast("string"), 4, "0"),
+        ),
+        F.when(key % 2 == 0, F.lit("true")).otherwise(F.lit("FALSE")),
+        F.date_add(F.to_date(F.lit("1995-01-01")), (key % 1000).cast("int")).cast("string"),
+        F.concat(F.lit("https://example.com/page/"), key.cast("string")),
+        F.col("c_name"),
+        F.lit(None).cast("string"),
+    ]
+    vals = reduce(
+        lambda a, b: a.unionAll(b), [c.select(s.alias("v")) for s in shapes]
+    )
+    return (
+        vals.select(detect_semantic_type(F.col("v")).alias("vtype"))
+        .groupBy("vtype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# §2.5 superset: CUBE over (status, priority) — all 4 grouping-set
+# combinations in one shuffle (Expand + single hash aggregate).
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# §2.5 superset: exact distinct aggregate (countDistinct) per group.
+@register(
+    "segment_distinct_nations",
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(*) AS BIGINT)                    AS n_customers,
+           round(avg(c_acctbal), 2)                    AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+# §2.5 superset: approximate aggregates (HLL++ distinct, quantile
+# sketch) — the 100 TB cardinality path. No oracle: sketch results are
+# engine-specific by design (driver does the rows-only check).
+@register("approx_events_profile", None)
+def approx_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_event_types"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+    )
+
+
+# §2.7: INTERSECT / EXCEPT (distinct set semantics) — repeat vs.
+# churned customers across two order years.
+@register(
+    "orders_intersect_except",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+         i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b),
+         e AS (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    SELECT 'both_years' AS set_op, CAST(count(*) AS BIGINT) AS n FROM i
+    UNION ALL
+    SELECT 'only_1996' AS set_op, CAST(count(*) AS BIGINT) AS n FROM e
+    """,
+)
+def orders_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_years").alias("set_op"), "n"
+    )
+    only = a.subtract(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1996").alias("set_op"), "n"
+    )
+    return both.unionAll(only)
+
+
+# §2.6 W3: ORDER BY + OFFSET + LIMIT pagination (the reference's
+# LIMIT/OFFSET scan loop, base_extractors.py:54-75, as one page read).
+@register(
+    "orders_page_offset",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 1000
+    """,
+)
+def orders_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+# §2.9 A4: numeric variance profile (data_validators.py:180-182) —
+# stddev per numeric column + zero-variance flags, one agg pass.
+@register(
+    "variance_profile_lineitem",
+    """
+    SELECT round(stddev(l_quantity), 2)      AS l_quantity,
+           round(stddev(l_extendedprice), 2) AS l_extendedprice,
+           round(stddev(l_discount), 2)      AS l_discount,
+           round(stddev(l_tax), 2)           AS l_tax,
+           (stddev(l_quantity) = 0)          AS l_quantity_zero_var,
+           (stddev(l_discount) = 0)          AS l_discount_zero_var
+    FROM lineitem
+    """,
+)
+def variance_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import numeric_variance_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    prof = numeric_variance_profile(li)
+    return prof.select(
+        *[F.round(F.col(c), 2).alias(c) for c in prof.columns],
+        (F.col("l_quantity") == 0).alias("l_quantity_zero_var"),
+        (F.col("l_discount") == 0).alias("l_discount_zero_var"),
+    )
+
+
+# LLM text analysis: composite quality score (length band + stopword
+# signal + symbol-noise penalty) — scan-speed narrow pass, no UDFs.
+@register(
+    "doc_quality_score",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> lower(x) IN ({_EN_STOP_SQL}))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npunct,
+             length(text) AS nchars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT)     AS stat_n_words,
+           CAST(nstop AS BIGINT)  AS stat_n_stopwords,
+           CAST(npunct AS BIGINT) AS stat_n_punct,
+           CAST(
+             (CASE WHEN nw BETWEEN 10 AND 100000 THEN 4000 ELSE 0 END)
+             + floor(least(nstop * 5, greatest(nw, 1)) * 3000 / greatest(nw, 1))
+             + (3000 - floor(least(npunct * 5, greatest(nchars, 1)) * 3000 / greatest(nchars, 1)))
+             AS BIGINT) AS quality_score_bp
+    FROM s
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "stat_n_words", "stat_n_stopwords", "stat_n_punct", "quality_score_bp"
+    )
