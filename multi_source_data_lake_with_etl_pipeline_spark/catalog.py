@@ -47,23 +47,64 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one lake table. Plain ``spark.read.parquet`` so Catalyst
-    gets full predicate pushdown + column pruning on the scan.
+SILVER_DIR = os.environ.get("SPARK_GRAFT_SILVER_DIR", "/tmp/mdl_silver")
 
-    TIMESTAMP(NANOS) columns (illegal for Spark's parquet reader) are
-    read as epoch-nanos longs and truncated to microsecond timestamps —
-    integer division, matching DuckDB's nanos→micros truncation.
-    """
-    path = table_path(sf_dir, name)
-    nanos = _nanos_timestamp_cols(path)
-    if not nanos:
-        return spark.read.parquet(path)
+
+def _read_nanos_converted(spark: SparkSession, path: str, nanos: list[str]) -> DataFrame:
+    """Raw (bronze) read of a TIMESTAMP(NANOS) parquet: epoch-nanos
+    longs truncated to microsecond timestamps — integer division,
+    matching DuckDB's nanos→micros truncation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def silver_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Path of the normalized (silver) copy of a table whose raw
+    parquet Spark cannot scan efficiently; None if the raw file is
+    already directly scannable.
+
+    The raw events parquet stores TIMESTAMP(NANOS): Spark's reader
+    only takes it as a long column, and converting long→timestamp in
+    the plan makes every time predicate un-pushable — a full scan per
+    query at 100 TB. The medallion fix is a ONE-TIME bronze→silver
+    normalization (nanos → native micros timestamps, rows clustered by
+    time), after which every downstream query gets parquet predicate
+    pushdown + row-group pruning on the time axis for free. Staging is
+    atomic (tmp + rename) and keyed on the source file's identity, so
+    concurrent sessions and changed inputs are safe.
+    """
+    path = table_path(sf_dir, name)
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return None
+    st = os.stat(path)
+    key = f"{name}-{st.st_size}-{int(st.st_mtime)}"
+    dest = os.path.join(SILVER_DIR, key)
+    if not os.path.exists(dest):
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        df = _read_nanos_converted(spark, path, nanos)
+        # Cluster by the leading timestamp column: row-group min/max
+        # stats then prune time-range scans.
+        df.sortWithinPartitions(nanos[0]).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost a concurrent staging race — theirs is fine
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Plain ``spark.read.parquet`` so Catalyst
+    gets full predicate pushdown + column pruning on the scan; tables
+    with un-scannable raw types are served from their silver copy
+    (see ``silver_path``)."""
+    silver = silver_path(spark, sf_dir, name)
+    return spark.read.parquet(silver or table_path(sf_dir, name))
 
 
 def load_tables(

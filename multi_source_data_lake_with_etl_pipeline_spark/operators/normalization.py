@@ -47,3 +47,18 @@ def coerce_types(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     return df.withColumns(
         {c: F.col(c).try_cast(t) for c, t in casts.items() if c in df.columns}
     )
+
+
+def schema_compatible(required, target) -> bool:
+    """V7: all required field names of ``required`` present in
+    ``target`` (common_utils.py:431-438). Accepts DataFrames,
+    StructTypes, or iterables of names."""
+
+    def names(s) -> set[str]:
+        if hasattr(s, "schema"):
+            s = s.schema
+        if hasattr(s, "fieldNames"):
+            return set(s.fieldNames())
+        return set(s)
+
+    return names(required) <= names(target)

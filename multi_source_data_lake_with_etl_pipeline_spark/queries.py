@@ -1223,18 +1223,17 @@ def merge_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail window — covered by batch-parity tests in tests/test_streaming.py.
 @register("stream_tumbling_events", None)
 def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from .catalog import load_table
+    from .catalog import silver_path
     from .streaming.ingest import (
         read_events_stream,
         run_to_memory_sink,
         stream_tumbling_agg,
     )
 
-    staged = tempfile.mkdtemp(prefix="events_stream_")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
-    stream = read_events_stream(spark, staged)
+    # The silver events copy doubles as the file-stream source dir —
+    # no per-run re-staging (at scale the stream tails the landing
+    # zone; availableNow drains it as one batch here).
+    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     agg = stream_tumbling_agg(stream, "1 hour", watermark="10 minutes")
     run_to_memory_sink(agg, "stream_tumbling_events_q")
     return spark.table("stream_tumbling_events_q")
@@ -1243,14 +1242,10 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming dedup: doubled stream → dropDuplicatesWithinWatermark.
 @register("stream_dedup_events", None)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from .catalog import load_table
+    from .catalog import silver_path
     from .streaming.ingest import read_events_stream, run_to_memory_sink, stream_dedup
 
-    staged = tempfile.mkdtemp(prefix="events_dedup_")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
-    stream = read_events_stream(spark, staged)
+    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     doubled = stream.unionByName(stream)
     deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
     run_to_memory_sink(deduped, "stream_dedup_events_q")

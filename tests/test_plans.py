@@ -1,0 +1,123 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 claims
+(pushdown, pruning, broadcast, JVM-side expressions, bounded shuffles)
+must be visible in `explain`, not just intended.
+
+These tests pin the plan shape so a refactor that silently drops a
+pushdown or adds a Python UDF to a hot path fails CI, the same way a
+wrong value would.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import multi_source_data_lake_with_etl_pipeline_spark.queries as q
+from multi_source_data_lake_with_etl_pipeline_spark.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_text(q.pricing_summary(spark, SF_SMOKE))
+    # Filter reaches the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan reads only the 7 needed columns, not all 11.
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_returnflag" in read and "l_comment" not in read
+    assert read.count(":") - 1 <= 8  # schema field count ≤ 8
+    # Aggregation is JVM codegen, with map-side partial aggregation.
+    codegen = plan_text(q.pricing_summary(spark, SF_SMOKE), "codegen")
+    assert "WholeStageCodegen subtrees" in codegen
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    plan = plan_text(q.regional_revenue(spark, SF_SMOKE))
+    # Small dims (region/nation/customer at smoke SF) must broadcast —
+    # no shuffle join on the fact side for this star query.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_events_time_range_pushdown(spark):
+    # The silver staging (catalog.silver_path) exists precisely so that
+    # time predicates reach the parquet scan as native timestamp
+    # filters instead of dying at a long→timestamp conversion.
+    plan = plan_text(q.events_time_range(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_text_ops_have_no_python_udfs(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import (
+        lang_id,
+        quality_score,
+        text_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn in (text_stats, quality_score, lang_id):
+        plan = plan_text(fn(docs))
+        assert "EvalPython" not in plan, f"{fn.__name__} fell off the JVM path"
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_signatures,
+    )
+
+    # Drop caches persisted by earlier dedup runs: a matching cached
+    # subtree would splice an InMemoryRelation (with its own AQE plan
+    # text) into the explain output and distort the Exchange count.
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_text(minhash_signatures(docs))
+    # The signature computation itself is a narrow map: the only
+    # allowed Exchange is the explicit small-input widening repartition.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "EvalPython" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    plan = plan_text(q.asof_purchase_click(spark, SF_SMOKE))
+    # As-of join = union + window, not a cross/range join: no
+    # CartesianProduct and no BroadcastNestedLoopJoin anywhere.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_observed_metrics_single_pass(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import observed
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+        FieldRule,
+        validate,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    flagged = validate(cust, [FieldRule("c_acctbal", required=True, min=0)])
+    df, obs = observed(flagged)
+    n = df.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert 0 < got["n_invalid"] < n  # negative balances exist
+
+
+def test_schema_compatible(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.normalization import (
+        schema_compatible,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    assert schema_compatible(["c_custkey", "c_name"], cust)
+    assert not schema_compatible(["c_custkey", "missing_col"], cust)
+    assert schema_compatible(cust, cust)
