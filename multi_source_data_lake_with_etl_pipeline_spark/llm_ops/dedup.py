@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     # three times. Collision odds ~(N²/2⁶⁴) on the 8-byte keys are
     # negligible against the 4dp-rounded Jaccard.
     sh = _distinct_shingles(df, text_col, id_col, n).persist()
+    sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
     if max_df is not None:
         keep = sh.groupBy("_sk").count().filter(F.col("count") <= max_df).select("_sk")
         sh = sh.join(keep, "_sk", "left_semi").persist()
@@ -122,7 +123,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
 ) -> DataFrame:
     """k MinHash values per doc, computed PER ROW (no explode, no
     shuffle): fold the distinct-shingle-hash array with an elementwise
@@ -151,7 +152,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
@@ -160,14 +161,21 @@ def minhash_lsh_pairs(
     with exact Jaccard (no max_df cap — verification only runs on the
     candidate set, which banding already made near-linear).
 
-    With k=64, b=16, r=4: P(candidate | J=0.5) ≈ 1-(1-0.5^4)^16 ≈ 0.65,
-    ≈ 0.9998 at J=0.8 — tune bands up for lower thresholds.
+    With k=32, b=16, r=2: P(candidate | J=0.5) ≈ 1-(1-0.5²)^16 ≈ 0.99,
+    still ~0.48 at J=0.2 — the extra low-J candidates are cheap because
+    only the verify join sees them, and it is linear in candidates.
+    (r=4/k=64 had ~0.65 recall at J=0.5 — banding width, not hash
+    count, is the recall lever.)
     """
     r = num_hashes // bands
-    # Persist: the banding self-join reads the signature table twice,
-    # and without the persist each side recomputes the whole signature
-    # fold. Signatures are tiny (id + k longs ≈ 0.5 KB/doc).
+    # Persist + eager count: the banding self-join reads the signature
+    # table twice, and AQE launches both join-side stages concurrently —
+    # against a lazily-persisted table the two stages RACE to compute
+    # the uncached fold (each task pair duplicates the work). One count
+    # materializes the cache before fan-out. Signatures are tiny
+    # (id + k longs ≈ 0.3 KB/doc).
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    sig.count()
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -190,6 +198,7 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     sh = _distinct_shingles(df, text_col, id_col, n).persist()
+    sh.count()  # materialize before the three readers below fan out
     s1 = sh.select(F.col(id_col).alias("id_1"), "_sk")
     s2 = sh.select(F.col(id_col).alias("id_2"), "_sk")
     inter = (
@@ -270,9 +279,10 @@ def simhash_pairs(
     distance ≤ 3 shares at least one identical chunk → equality join
     per chunk, then exact hamming verify via bit_count(xor).
 
-    Signatures persisted: the chunk self-join reads them twice (8 bytes
-    per doc — negligible at any scale)."""
+    Signatures persisted + eagerly materialized: the chunk self-join
+    reads them twice (8 bytes per doc — negligible at any scale)."""
     sig = simhash_signatures(df, text_col, id_col).persist()
+    sig.count()
     chunks = sig.select(
         id_col,
         "simhash",
