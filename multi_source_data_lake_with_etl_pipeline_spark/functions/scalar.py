@@ -95,8 +95,16 @@ def title_case(c: Column) -> Column:
 
 
 def sanitize_string(c: Column) -> Column:
-    """F14: drop control chars (ord < 32) + trim (common_utils.py:417-428)."""
-    return F.trim(F.regexp_replace(c, r"[\x00-\x1F]", ""))
+    """F14: drop control chars (ord < 32) + strip (common_utils.py:417-428).
+
+    The reference strips with Python ``str.strip()``, which is
+    Unicode-aware; ``F.trim`` only removes ASCII spaces, so the strip
+    is a Unicode-whitespace regex for parity."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"[\x00-\x1F]", ""),
+        r"^\p{IsWhite_Space}+|\p{IsWhite_Space}+$",
+        "",
+    )
 
 
 def parse_date_multi(c: Column) -> Column:

@@ -128,3 +128,35 @@ def range_join(
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(right, cond, how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigated key join: explode the DIM side ``salt`` ways and
+    scatter the FACT side's hot keys uniformly across the replicas, so
+    one pathological key (a power-user id, a default/null-ish sentinel)
+    spreads over ``salt`` tasks instead of stalling one straggler.
+
+    This is the manual fallback for engines/paths where AQE skew-join
+    splitting doesn't apply (e.g. the skewed side feeds a co-grouped
+    aggregation). With AQE available prefer
+    ``spark.sql.adaptive.skewJoin.enabled`` — kept here because the
+    reference's ETL has no answer to skew at all and a 100 TB fact
+    table always has hot keys.
+
+    Cost model: dim is replicated ``salt``× (use for small/medium dims;
+    a broadcastable dim should just use ``key_join(broadcast_right=
+    True)`` which needs no salt at all).
+    """
+    salt_col = (F.rand(seed=42) * salt).cast("int")
+    fact_s = fact.withColumn("_salt", salt_col)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = fact_s.join(dim_s, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -1530,3 +1530,49 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs).select(
         "doc_id", "stat_n_words", "stat_n_stopwords", "stat_n_punct", "quality_score_bp"
     )
+
+
+# §2.4 superset: FULL OUTER join — reconciliation of two entity sets
+# where either side may be missing (debt customers vs 1996 buyers).
+@register(
+    "customer_order_reconciliation",
+    """
+    WITH a AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    ),
+    b AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey,
+           acctbal, n_orders, revenue,
+           (a.c_custkey IS NULL)  AS no_debt,
+           (b.o_custkey IS NULL)  AS no_1996_orders
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+    """,
+)
+def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return a.join(b, a.c_custkey == b.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "acctbal",
+        "n_orders",
+        "revenue",
+        F.col("c_custkey").isNull().alias("no_debt"),
+        F.col("o_custkey").isNull().alias("no_1996_orders"),
+    )

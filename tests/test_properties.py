@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the scalar function library —
+the randomized coverage the reference never had (SURVEY.md §5.1:
+faker/great-expectations in requirements, never imported).
+
+Each property runs a batch of generated values through the Spark
+expression ONCE (single createDataFrame + collect per property, not
+per example) and checks the invariant in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.functions.scalar import (
+    detect_semantic_type,
+    md5_record_hash,
+    normalize_phone,
+    sanitize_string,
+    to_number,
+)
+
+
+def run_column(spark, values, expr_builder):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r["out"] for r in df.select(expr_builder(F.col("v")).alias("out")).collect()]
+
+
+# One digit-string per length class, plus arbitrary formatting noise.
+phone_texts = st.text(
+    alphabet="0123456789 ()-.+abcxyz", min_size=0, max_size=20
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(phone_texts, min_size=1, max_size=50))
+def test_normalize_phone_properties(spark, vals):
+    outs = run_column(spark, vals, normalize_phone)
+    for v, out in zip(vals, outs):
+        digits = re.sub(r"[^0-9]", "", v)
+        if len(digits) == 10:
+            assert out == f"({digits[0:3]}) {digits[3:6]}-{digits[6:10]}"
+        elif len(digits) == 11 and digits.startswith("1"):
+            assert out == f"+1 ({digits[1:4]}) {digits[4:7]}-{digits[7:11]}"
+        else:  # passthrough unchanged (data_transformers.py:82-83)
+            assert out == v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(10**12), 10**12).map(str),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=32
+            ).map(lambda f: f"{f:.6f}"),
+            st.text(alphabet="abc .-", max_size=8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_to_number_properties(spark, vals):
+    outs = run_column(spark, vals, to_number)
+    for v, out in zip(vals, outs):
+        t = v.strip()
+        if re.fullmatch(r"-?\d+", t):
+            assert out == float(int(t))
+        elif re.fullmatch(r"-?\d*\.\d+", t):
+            assert abs(out - float(t)) < 1e-6 * max(1.0, abs(float(t)))
+        else:
+            assert out is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=50))
+def test_sanitize_strips_control_chars(spark, vals):
+    outs = run_column(spark, vals, sanitize_string)
+    for out in outs:
+        if out is not None:
+            assert not any(ord(ch) < 32 for ch in out)
+            assert out == out.strip()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=25), min_size=1, max_size=40))
+def test_detect_semantic_type_total(spark, vals):
+    # Totality: every value classifies to exactly one known type label.
+    outs = run_column(spark, vals, detect_semantic_type)
+    labels = {"null", "boolean", "integer", "float", "email", "phone", "date", "url", "string"}
+    assert all(o in labels for o in outs)
+
+
+def test_record_hash_stability_and_sensitivity(spark):
+    df = spark.createDataFrame(
+        [("a@x.com", "555", "Jo"), ("a@x.com", "555", "Jo"), ("b@x.com", "555", "Jo")],
+        "email string, phone string, name string",
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(
+            md5_record_hash("email", "name", "phone").alias("h")
+        ).collect()
+    ]
+    assert hashes[0] == hashes[1]  # equal records ⇒ equal hash
+    assert hashes[0] != hashes[2]  # any field change ⇒ different hash
+
+
+def test_salted_join_matches_plain_join(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    # Heavy skew: 80% of rows on one key.
+    fact = fact.withColumn(
+        "k", F.when(F.col("v") % 5 != 0, F.lit(3)).otherwise(F.col("k"))
+    )
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("label")
+    )
+    plain = fact.join(dim, "k").groupBy("k", "label").count()
+    salted = salted_join(fact, dim, "k").groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
