@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Spark emits one generated class per codegen stage; a long
+        # session (100+ distinct queries) fills the JVM's default
+        # 240 MB code cache, after which HotSpot silently stops JIT
+        # compilation and expression-heavy operators run interpreted
+        # (measured 10-40x slowdowns late in a benchmark session).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
