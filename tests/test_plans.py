@@ -121,3 +121,63 @@ def test_schema_compatible(spark):
     assert schema_compatible(["c_custkey", "c_name"], cust)
     assert not schema_compatible(["c_custkey", "missing_col"], cust)
     assert schema_compatible(cust, cust)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    # Zone tables written partitionBy(time-derived key) get static
+    # partition pruning: a year-filtered read touches 1/Nth of the
+    # files (the "automated data partitioning" the reference claims
+    # but never implements, README.md:293).
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    filtered = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    plan = plan_text(filtered)
+    pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "1996" in pf_line
+    years = orders.select("o_year").distinct().count()
+    assert filtered.count() == orders.filter(F.col("o_year") == 1996).count()
+    assert years > 1  # pruning actually skipped something
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # Co-located join: both sides bucketed on the key → sort-merge join
+    # with ZERO Exchange. At 100 TB this is the difference between a
+    # full-fact-table shuffle per join and none.
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", str(tmp_path / "b_customer"))
+        .saveAsTable("b_customer")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_text(joined)
+        import re
+
+        assert "SortMergeJoin" in plan
+        assert not re.findall(r"\(\d+\) Exchange", plan), "bucketed join shuffled"
+        assert joined.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
