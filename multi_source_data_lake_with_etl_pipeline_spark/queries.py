@@ -1576,3 +1576,40 @@ def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c_custkey").isNull().alias("no_debt"),
         F.col("o_custkey").isNull().alias("no_1996_orders"),
     )
+
+
+# Star-schema query over the two remaining dim tables (part, supplier):
+# parts-supplied-per-nation revenue. Both dims broadcast; lineitem is
+# the only shuffled side (one agg exchange).
+@register(
+    "supplier_part_revenue",
+    """
+    SELECT n.n_name,
+           p.p_brand,
+           CAST(count(*) AS BIGINT)                                    AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)       AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15
+    GROUP BY n.n_name, p.p_brand
+    """,
+)
+def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_size") <= 15))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
