@@ -181,3 +181,53 @@ def ann_ivf(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_build(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF index: assignments written
+    ``partitionBy(_centroid)``, so each centroid's posting list is its
+    own partition directory. At 100 TB this is the amortized one-time
+    build; every search afterward reads only ``nprobe`` partitions
+    (static partition pruning — no scan of the other lists)."""
+    ivf_assign(df, centroids, vec_col).write.partitionBy("_centroid").mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def ann_ivf_probe(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a built IVF index: rank centroids driver-side (tiny),
+    read ONLY the nprobe matching partitions, brute-force within."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+
+    def cos_np(c):
+        c = np.array(c, dtype="float64")
+        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12))
+
+    probe_ids = [
+        cid for cid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:nprobe]
+    ]
+    q = _lit_vec(query_vec)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_centroid").isin(probe_ids))
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1613,3 +1613,30 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# IVF with a MATERIALIZED index: assignments written partitionBy
+# (_centroid) once (cached like the silver tables), probes read only
+# nprobe partition dirs — partition pruning IS the index lookup.
+@register("ann_ivf_partitioned", None)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .catalog import SILVER_DIR, table_path
+    from .llm_ops.similarity import ann_ivf_probe, ivf_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").between(0, 15))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    src = table_path(sf_dir, "embeddings")
+    st = os.stat(src)
+    index_path = os.path.join(
+        SILVER_DIR, f"ivf16-{st.st_size}-{int(st.st_mtime)}"
+    )
+    if not os.path.exists(index_path):
+        ivf_build(emb, centroids, index_path)
+    return ann_ivf_probe(spark, index_path, centroids[0][1], centroids, k=10, nprobe=2)

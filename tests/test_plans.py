@@ -181,3 +181,21 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        ann_ivf_probe,
+        ivf_build,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    path = str(tmp_path / "ivf_idx")
+    ivf_build(emb, centroids, path)
+    probe = ann_ivf_probe(spark, path, centroids[0][1], centroids, k=5, nprobe=2)
+    plan = plan_text(probe)
+    pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "_centroid" in pf_line and " in (" in pf_line.lower()
+    assert probe.count() == 5
