@@ -143,6 +143,50 @@ CORPUS: dict[str, str] = {
           ON o.o_orderstatus = s.code
         GROUP BY s.status_name
     """,
+    "except_all_bag_semantics": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "intersect_all_bag_semantics": """
+        SELECT o_orderpriority FROM orders WHERE o_orderkey < 2000
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    """,
+    "ntile_percent_rank": """
+        SELECT c_custkey,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+        FROM customer WHERE c_custkey < 400
+    """,
+    "first_last_value_frames": """
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type)  OVER w AS latest_type
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "nested_ctes": """
+        WITH yearly AS (
+          SELECT o_custkey, extract(year FROM o_orderdate) AS yr,
+                 sum(o_totalprice) AS spend
+          FROM orders GROUP BY o_custkey, yr
+        ),
+        peaks AS (
+          SELECT o_custkey, max(spend) AS peak FROM yearly GROUP BY o_custkey
+        )
+        SELECT y.o_custkey, y.yr, round(y.spend, 2) AS spend
+        FROM yearly y JOIN peaks p
+          ON p.o_custkey = y.o_custkey AND y.spend = p.peak
+        WHERE y.spend > 600000
+    """,
+    "count_distinct_multi": """
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS prios
+        FROM orders GROUP BY o_orderstatus
+    """,
 }
 
 
