@@ -47,14 +47,22 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
 
+    # Best-of-N per query (default 2): this host is a shared VM and
+    # CPU-bound stages can be throttled 3-10x by neighbor load for
+    # minutes at a time; the per-query minimum measures the engine,
+    # the mean would measure the neighbors.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in q.spark_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # Release per-query persisted intermediates so queries are
-        # measured independently (no cross-query memory pressure).
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            # Release per-query persisted intermediates so queries are
+            # measured independently (no cross-query memory pressure).
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
