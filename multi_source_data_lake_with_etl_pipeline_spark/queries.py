@@ -1640,3 +1640,35 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(index_path):
         ivf_build(emb, centroids, index_path)
     return ann_ivf_probe(spark, index_path, centroids[0][1], centroids, k=10, nprobe=2)
+
+
+# Custom stateful streaming op (applyInPandasWithState): per-user
+# running totals; after the availableNow drain the final state equals
+# the batch aggregate, so this one IS oracle-comparable (update-mode
+# sink may hold one row per touched batch — keep the latest via
+# max_by on the monotone event count).
+@register(
+    "stream_stateful_running_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           round(sum(coalesce(value, 0)), 2)      AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import silver_path
+    from .streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_running_totals,
+    )
+
+    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
+    totals = stream_running_totals(stream)
+    run_to_memory_sink(totals, "stream_stateful_q", output_mode="update")
+    sink = spark.table("stream_stateful_q")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+    )

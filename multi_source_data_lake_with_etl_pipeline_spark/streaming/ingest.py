@@ -141,3 +141,37 @@ def write_stream_parquet(
         q.awaitTermination(300)
         if q.isActive:
             q.stop()
+
+
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained in state-store state across
+    micro-batches — the arbitrary-stateful extension point the window/
+    dedup built-ins can't express (e.g. running feature aggregates for
+    an online training-data feed).
+
+    State is two numbers per key: bounded, skew-safe (one key = one
+    state row regardless of event volume). Output mode is ``update``:
+    each batch emits the refreshed totals only for keys it touched.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

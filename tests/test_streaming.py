@@ -109,3 +109,30 @@ def test_stream_parquet_sink(spark, events_dir, tmp_path):
     assert written.count() == spark.read.parquet(events_dir).filter(
         F.col("event_type") == "purchase"
     ).count()
+
+
+def test_stream_running_totals_matches_batch(spark, events_dir):
+    from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_running_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    totals = stream_running_totals(stream)
+    run_to_memory_sink(totals, "running_totals_q", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals_q").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
