@@ -96,3 +96,16 @@ def run_job(
         else "partial",
         "destinations": load_results,
     }
+
+
+def deep_merge(base: dict, override: dict) -> dict:
+    """F19: recursive config merge (common_utils.py:354-365) — driver-
+    side job-spec composition (defaults ⊕ per-source overrides), not a
+    data op. Returns a new dict; nested dicts merge, scalars override."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out

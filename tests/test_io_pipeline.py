@@ -162,3 +162,16 @@ def test_custom_extractor_and_transform(spark):
     )
     plan = build_plan(spark, job, reg)
     assert sorted(r["id"] for r in plan.collect()) == [2, 4]
+
+
+def test_deep_merge_config():
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.pipeline import deep_merge
+
+    base = {"reader": {"format": "parquet", "opts": {"a": 1, "b": 2}}, "mode": "append"}
+    override = {"reader": {"opts": {"b": 9, "c": 3}}, "mode": "overwrite"}
+    merged = deep_merge(base, override)
+    assert merged == {
+        "reader": {"format": "parquet", "opts": {"a": 1, "b": 9, "c": 3}},
+        "mode": "overwrite",
+    }
+    assert base["reader"]["opts"] == {"a": 1, "b": 2}  # no mutation
