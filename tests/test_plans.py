@@ -199,3 +199,11 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
     assert "_centroid" in pf_line and " in (" in pf_line.lower()
     assert probe.count() == 5
+
+
+def test_supplier_part_star_broadcasts_all_dims(spark):
+    plan = plan_text(q.supplier_part_revenue(spark, SF_SMOKE))
+    # Three dims (supplier, part, nation) broadcast; the fact side
+    # shuffles exactly once — for the final aggregation.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

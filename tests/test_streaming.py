@@ -136,3 +136,66 @@ def test_stream_running_totals_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: after a checkpointed run advances the
+    watermark, a later run sees an event older than the watermark and
+    drops it — the closed window is neither re-emitted nor updated."""
+    import datetime as dt
+    import os
+
+    from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        stream_tumbling_agg,
+    )
+
+    src_dir = tmp_path / "late_src"
+    cp = str(tmp_path / "cp")
+    os.makedirs(src_dir)
+
+    def add_file(name, rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import shutil
+
+        for f in os.listdir(tmp_path / name):
+            if f.endswith(".parquet"):
+                shutil.copy(tmp_path / name / f, src_dir / f"{name}.parquet")
+
+    out_dir = str(tmp_path / "agg_out")
+
+    def run():
+        # Parquet sink: the one append sink that supports checkpoint
+        # recovery (memory sink refuses to resume).
+        agg = stream_tumbling_agg(
+            read_events_stream(spark, str(src_dir)), "1 hour", watermark="10 minutes"
+        )
+        q_ = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # Run 1: hours 0 and 5 → watermark commits at 4:50; hour-0 window
+    # (end 1:00 < 4:50) closes and is emitted.
+    add_file("b1", [(1, t(0, 30), 1, "x", 1.0, None), (2, t(5, 0), 1, "x", 1.0, None)])
+    out1 = {r["window_start"].hour: r["value_sum"] for r in run()}
+    assert out1.get(0) == 1.0
+
+    # Run 2 (same checkpoint): a 100.0-value event at 0:45 is now LATE
+    # (0:45 < watermark 4:50) → dropped; hour-0 must not re-emit or
+    # absorb the late value anywhere in the committed output.
+    add_file("b2", [(3, t(0, 45), 1, "x", 100.0, None), (4, t(6, 0), 1, "x", 1.0, None)])
+    out2 = run()
+    hour0 = [r for r in out2 if r["window_start"].hour == 0]
+    assert len(hour0) == 1 and hour0[0]["value_sum"] == 1.0
+    assert all(r["value_sum"] < 100.0 for r in out2)
