@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         keep = sh.groupBy("_sk").count().filter(F.col("count") <= max_df).select("_sk")
         sh = sh.join(keep, "_sk", "left_semi").persist()
+        sh.count()  # materialize: the self-join below reads it twice
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_1"), "_sk")
     b = sh.select(F.col(id_col).alias("id_2"), "_sk")
