@@ -1672,3 +1672,62 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
     )
+
+
+# Event funnel: per-user ordered progression view → click → purchase
+# (first-touch timestamps; a step counts only if it happens after the
+# previous step). One scan + one conditional aggregation per user —
+# the classic sequential-funnel shape, no joins, no window state.
+@register(
+    "event_funnel_conversion",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             (t_view IS NOT NULL) AS did_view,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view)
+               AS did_click_after_view,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+              AND t_purchase IS NOT NULL AND t_purchase > t_click)
+               AS did_full_funnel
+      FROM steps
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_users,
+           CAST(sum(CASE WHEN did_view THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN did_click_after_view THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS clicked_after_view,
+           CAST(sum(CASE WHEN did_full_funnel THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS converted
+    FROM flags
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    did_full = (
+        did_click & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return steps.select(
+        did_view.alias("did_view"),
+        did_click.alias("did_click_after_view"),
+        did_full.alias("did_full_funnel"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("did_view"), 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(F.col("did_click_after_view"), 1).otherwise(0)).alias(
+            "clicked_after_view"
+        ),
+        F.sum(F.when(F.col("did_full_funnel"), 1).otherwise(0)).alias("converted"),
+    )

@@ -187,6 +187,41 @@ CORPUS: dict[str, str] = {
                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS prios
         FROM orders GROUP BY o_orderstatus
     """,
+    "correlated_scalar_select": """
+        SELECT c_custkey,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c WHERE c_custkey < 100
+    """,
+    "case_in_group_by": """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        GROUP BY CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END
+    """,
+    "in_subquery_segment": """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    "cross_join_inline": """
+        SELECT r.r_name, m.mult, CAST(r.r_regionkey * m.mult AS BIGINT) AS scaled
+        FROM region r CROSS JOIN (VALUES (1), (10)) AS m(mult)
+    """,
+    "union_distinct_dedup": """
+        SELECT o_orderpriority FROM orders WHERE o_orderkey < 500
+        UNION
+        SELECT o_orderpriority FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+    "having_vs_subquery": """
+        WITH per_cust AS (
+          SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) > (SELECT avg(cnt) * 2 FROM per_cust)
+    """,
 }
 
 
