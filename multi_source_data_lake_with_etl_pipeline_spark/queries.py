@@ -1731,3 +1731,58 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("did_full_funnel"), 1).otherwise(0)).alias("converted"),
     )
+
+
+# F20: REST envelope unwrap over a column of synthesized envelopes —
+# each props JSON wrapped as {"data":[...]}, {"results":[...]}, or
+# {"items":[...]} by row, unwrapped back via the data/results/items
+# fallback chain, payload key extracted from the recovered array.
+@register(
+    "envelope_unwrap_stats",
+    """
+    WITH env AS (
+      SELECT CASE CAST(event_id % 3 AS INTEGER)
+               WHEN 0 THEN '{"data":['    || props || ']}'
+               WHEN 1 THEN '{"results":[' || props || ']}'
+               ELSE        '{"items":['   || props || ']}'
+             END AS envelope
+      FROM events
+    ),
+    unwrapped AS (
+      SELECT coalesce(json_extract(envelope, '$.data'),
+                      json_extract(envelope, '$.results'),
+                      json_extract(envelope, '$.items')) AS payload
+      FROM env
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_envelopes,
+           CAST(count(payload) AS BIGINT)  AS n_unwrapped,
+           CAST(sum(CAST(json_extract_string(payload, '$[0].k') AS BIGINT))
+                AS BIGINT)                 AS sum_k
+    FROM unwrapped
+    """,
+)
+def envelope_unwrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import json_envelope_unwrap
+
+    ev = _t(spark, sf_dir, "events")
+    envelope = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('{"data":['), F.col("props"), F.lit("]}")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit('{"results":['), F.col("props"), F.lit("]}")),
+        )
+        .otherwise(F.concat(F.lit('{"items":['), F.col("props"), F.lit("]}")))
+    )
+    unwrapped = ev.select(
+        json_envelope_unwrap(envelope).alias("payload")
+    )
+    return unwrapped.agg(
+        F.count(F.lit(1)).alias("n_envelopes"),
+        F.count("payload").alias("n_unwrapped"),
+        F.sum(
+            F.get_json_object("payload", "$[0].k").cast("long")
+        ).alias("sum_k"),
+    )
