@@ -53,13 +53,19 @@ def main() -> None:
     # the mean would measure the neighbors.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name, fn in q.spark_queries().items():
         best = float("inf")
         attempts = runs
         extended = False
         while attempts > 0:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # one broken query must not lose the run
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                spark.catalog.clearCache()
+                break
             best = min(best, time.perf_counter() - t0)
             # Release per-query persisted intermediates so queries are
             # measured independently (no cross-query memory pressure).
@@ -71,20 +77,20 @@ def main() -> None:
             if attempts == 0 and not extended and best > 5.0 and runs > 1:
                 extended = True
                 attempts = 1
-        timings[name] = round(best, 4)
+        if best != float("inf"):
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        payload["failed_queries"] = failures
+    print(json.dumps(payload))
     spark.stop()
 
 
