@@ -1786,3 +1786,54 @@ def envelope_unwrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("payload", "$[0].k").cast("long")
         ).alias("sum_k"),
     )
+
+
+# Streaming session windows (stateful session_window + watermark) over
+# the silver events stream. No oracle: append mode withholds sessions
+# the final watermark hasn't closed — batch parity is asserted in
+# tests/test_streaming.py instead.
+@register("stream_session_windows", None)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import silver_path
+    from .streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_session_agg,
+    )
+
+    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
+    sessions = stream_session_agg(stream, gap="30 minutes", watermark="10 minutes")
+    run_to_memory_sink(sessions, "stream_session_q")
+    return spark.table("stream_session_q")
+
+
+# V4/A2-A6 combined: the full single-pass quality profile as a QUERY —
+# one aggregation computes row count, per-column null fractions,
+# full-row duplicate fraction, and zero-variance flags (the
+# DataQualityValidator metrics, data_validators.py:146-193).
+@register(
+    "quality_profile_orders",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_records,
+           round(1.0 - count(o_custkey) / count(*), 6)        AS null_frac_custkey,
+           round(1.0 - count(o_totalprice) / count(*), 6)     AS null_frac_totalprice,
+           round((count(*) - count(DISTINCT (o_orderkey, o_custkey, o_orderstatus,
+                                             o_totalprice, o_orderdate,
+                                             o_orderpriority))) / count(*), 6)
+                                                              AS duplicate_frac,
+           (stddev(o_totalprice) = 0)                         AS totalprice_zero_var
+    FROM orders
+    """,
+)
+def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        n.alias("total_records"),
+        F.round(1.0 - F.count("o_custkey") / n, 6).alias("null_frac_custkey"),
+        F.round(1.0 - F.count("o_totalprice") / n, 6).alias("null_frac_totalprice"),
+        F.round(
+            (n - F.count_distinct(F.struct(*[F.col(c) for c in o.columns]))) / n, 6
+        ).alias("duplicate_frac"),
+        (F.stddev("o_totalprice") == 0).alias("totalprice_zero_var"),
+    )
