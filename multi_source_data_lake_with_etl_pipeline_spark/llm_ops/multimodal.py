@@ -44,8 +44,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType()),
         T.StructField("modality", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),       # image/video, else null
+        T.StructField("height", T.IntegerType()),      # image/video, else null
+        T.StructField("n_frames", T.IntegerType()),    # video, else null
+        T.StructField("sample_rate", T.IntegerType()), # audio, else null
+        T.StructField("duration_s", T.FloatType()),    # audio/video, else null
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -69,6 +72,37 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [round(int(h) / total, 6) for h in hist]
 
 
+def _byte_hist8(payload: bytes) -> list[float]:
+    n = len(payload)
+    if n:
+        hist = np.bincount(np.frombuffer(payload, np.uint8) >> 5, minlength=8)
+    else:
+        hist = np.zeros(8, dtype=np.int64)
+    return [round(int(h) / max(n, 1), 6) for h in hist]
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, float, list[float]]:
+    """STUB audio codec. Real deployment: soundfile/torchaudio →
+    ``(sr, frames/sr, mfcc(payload))``. Here sample_rate and duration
+    derive from payload length; feature = 8 energy-band proxies
+    (byte histogram) — deterministic."""
+    n = len(payload)
+    sample_rate = 8000 * (1 + n % 6)  # 8k..48k
+    duration = round(n / sample_rate, 6)
+    return sample_rate, duration, _byte_hist8(payload)
+
+
+def _decode_video_stub(payload: bytes) -> tuple[int, int, int, float, list[float]]:
+    """STUB video codec. Real deployment: ffmpeg probe + frame decode →
+    ``(w, h, n_frames, duration, pooled_frame_embedding)``. Here all
+    values derive deterministically from payload length."""
+    n = len(payload)
+    width, height = (n % 320) * 4 + 16, (n % 180) * 4 + 16
+    n_frames = n // 64 + 1
+    duration = round(n_frames / 24.0, 6)  # 24 fps
+    return width, height, n_frames, duration, _byte_hist8(payload)
+
+
 def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
@@ -84,8 +118,15 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                 pdf["asset_id"], pdf["modality"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, feat = _decode_image_stub(payload)
-                rows.append((aid, mod, len(payload), w, h, feat))
+                w = h = nf = sr = None
+                dur = None
+                if mod == "audio":
+                    sr, dur, feat = _decode_audio_stub(payload)
+                elif mod == "video":
+                    w, h, nf, dur, feat = _decode_video_stub(payload)
+                else:
+                    w, h, feat = _decode_image_stub(payload)
+                rows.append((aid, mod, len(payload), w, h, nf, sr, dur, feat))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
@@ -114,6 +155,30 @@ def frame_sample_plan(assets: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     )
 
 
+def resize_plan(
+    assets: DataFrame, max_w: int = 512, max_h: int = 512
+) -> DataFrame:
+    """Image resize *plan*: target dimensions (aspect-preserving,
+    downscale-only) computed relationally from metadata — the decode+
+    rescale UDF stage receives explicit work orders and skips no-ops.
+    Pure narrow expressions; no Python, no payload reads."""
+    w = F.element_at(F.col("meta"), "width").cast("int")
+    h = F.element_at(F.col("meta"), "height").cast("int")
+    scale = F.least(F.lit(max_w) / w, F.lit(max_h) / h, F.lit(1.0))
+    return (
+        assets.filter((F.col("modality") == "image") & w.isNotNull() & h.isNotNull())
+        .select(
+            "asset_id",
+            w.alias("width"),
+            h.alias("height"),
+            F.round(scale, 6).alias("scale"),
+            F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("target_w"),
+            F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("target_h"),
+            (scale < 1.0).alias("needs_resize"),
+        )
+    )
+
+
 def synth_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic asset table for tests (payload bytes are
     a function of asset_id)."""
@@ -127,7 +192,13 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
                 modality,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
                 payload,
-                {"duration_s": str((i % 4) * 10)} if modality == "video" else {},
+                {"duration_s": str((i % 4) * 10)}
+                if modality == "video"
+                else (
+                    {"width": str(320 + (i % 10) * 120), "height": str(240 + (i % 7) * 80)}
+                    if modality == "image"
+                    else {}
+                ),
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -1138,7 +1138,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 would spawn a Python worker per 2-row partition).
     assets = synth_assets(spark, 64)
     return extract_features(assets, batch_hint=4).select(
-        "asset_id", "modality", "n_bytes", "width", "height"
+        "asset_id", "modality", "n_bytes", "width", "height",
+        "n_frames", "sample_rate", "duration_s",
     )
 
 

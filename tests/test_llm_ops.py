@@ -119,6 +119,43 @@ def test_multimodal_feature_extraction(spark):
     assert "payload" not in feats.columns  # binary pruned post-decode
 
 
+def test_modality_dispatch(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        _decode_audio_stub,
+        _decode_video_stub,
+        extract_features,
+        synth_assets,
+    )
+
+    feats = {r["asset_id"]: r for r in extract_features(synth_assets(spark, 9)).collect()}
+    # asset 1 is audio: sr/duration set, dims null
+    payload1 = bytes((1 * 7 + j) % 256 for j in range(1 * 20 + 10))
+    sr, dur, feat = _decode_audio_stub(payload1)
+    assert feats[1]["sample_rate"] == sr and feats[1]["width"] is None
+    assert abs(feats[1]["duration_s"] - dur) < 1e-6
+    # asset 2 is video: frames + dims set, sample_rate null
+    payload2 = bytes((2 * 7 + j) % 256 for j in range(2 * 20 + 10))
+    w, h, nf, vdur, _ = _decode_video_stub(payload2)
+    assert feats[2]["n_frames"] == nf and feats[2]["width"] == w
+    assert feats[2]["sample_rate"] is None
+    # asset 0 is image: dims set, frames/sr null
+    assert feats[0]["width"] is not None and feats[0]["n_frames"] is None
+
+
+def test_resize_plan(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import resize_plan, synth_assets
+
+    plan = {r["asset_id"]: r for r in resize_plan(synth_assets(spark, 12), 512, 512).collect()}
+    assert plan  # images only
+    for r in plan.values():
+        assert r["target_w"] <= 512 and r["target_h"] <= 512
+        # aspect ratio preserved within integer-floor tolerance
+        assert abs(r["target_w"] / r["width"] - r["target_h"] / r["height"]) < 0.02
+        assert r["needs_resize"] == (r["scale"] < 1.0)
+        if not r["needs_resize"]:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+
+
 def test_frame_sample_plan(spark):
     assets = synth_assets(spark, 12)
     plan = frame_sample_plan(assets, every_n_seconds=5)
