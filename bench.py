@@ -52,12 +52,18 @@ def main() -> None:
     # minutes at a time; the per-query minimum measures the engine,
     # the mean would measure the neighbors.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Soft wall-clock budget: when neighbor load stretches the run past
+    # this, degrade to single attempts (never skip a query — a complete
+    # JSON with noisier numbers beats a timeout with none).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_start = time.perf_counter()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in q.spark_queries().items():
+        over_budget = time.perf_counter() - bench_start > budget_s
         best = float("inf")
-        attempts = runs
-        extended = False
+        attempts = 1 if over_budget else runs
+        extended = over_budget
         while attempts > 0:
             t0 = time.perf_counter()
             try:
