@@ -231,3 +231,46 @@ def ann_ivf_probe(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_lsh_multitable(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: union the query's bucket across
+    ``n_tables`` independently-seeded plane sets, dedup, score once.
+
+    Recall rises as 1-(1-p)^T for per-table hit probability p, while
+    cost stays ~T small bucket scans — the standard recall lever when
+    a single table's bucket misses near neighbors. All signatures
+    compute in ONE narrow pass (T sig columns side by side), so the
+    corpus is still scanned exactly once."""
+    import numpy as np
+
+    dim = dim or len(query_vec)
+    qv = np.array(query_vec, dtype="float64")
+    sig_cols = []
+    hit = F.lit(False)
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if float(qv @ np.array(p)) > 0:
+                qsig += 2**i
+        sig = hyperplane_signature(F.col(vec_col), planes)
+        sig_cols.append(sig.alias(f"_sig{t}"))
+        hit = hit | (F.col(f"_sig{t}") == qsig)
+    q = _lit_vec(query_vec)
+    return (
+        df.select(id_col, vec_col, *sig_cols)
+        .filter(hit)
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1838,3 +1838,15 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duplicate_frac"),
         (F.stddev("o_totalprice") == 0).alias("totalprice_zero_var"),
     )
+
+
+# Multi-table LSH: 4 independently-seeded hyperplane tables, one scan
+# computing all signatures, bucket-union → score. Recall lever over the
+# single-table ann_lsh_bucket (no oracle: approximate by construction).
+@register("ann_lsh_multitable", None)
+def ann_lsh_multitable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import ann_lsh_multitable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_lsh_multitable(emb, qvec, k=10, n_tables=4)

@@ -163,3 +163,20 @@ def test_frame_sample_plan(spark):
     assert all(r["frame_ts"] % 5 == 0 for r in rows)
     vids = assets.filter(F.col("modality") == "video").count()
     assert plan.select("asset_id").distinct().count() == vids
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark, emb):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        ann_lsh,
+        ann_lsh_multitable,
+        cosine_topk,
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    truth = {r["vec_id"] for r in cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).collect()}
+    single = {r["vec_id"] for r in ann_lsh(emb, qvec, k=10).collect()}
+    multi = {r["vec_id"] for r in ann_lsh_multitable(emb, qvec, k=10, n_tables=4).collect()}
+    # Multi-table recall ≥ single-table recall (the table-0 bucket is a
+    # subset of the union), and both are subsets of scored candidates.
+    assert len(multi & truth) >= len(single & truth)
+    assert multi  # non-empty bucket union
