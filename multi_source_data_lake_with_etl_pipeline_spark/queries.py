@@ -1850,3 +1850,29 @@ def ann_lsh_multitable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann_lsh_multitable(emb, qvec, k=10, n_tables=4)
+
+
+# Grouping metadata: GROUPING() flags distinguish "NULL because rolled
+# up" from "NULL in the data" across cube cells — the standard way to
+# consume multi-level aggregates programmatically.
+@register(
+    "cube_grouping_flags",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT)               AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -214,6 +214,12 @@ CORPUS: dict[str, str] = {
         UNION
         SELECT o_orderpriority FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
     """,
+    "percentile_within_group": """
+        SELECT o_orderstatus,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS median_price,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_price
+        FROM orders GROUP BY o_orderstatus
+    """,
     "having_vs_subquery": """
         WITH per_cust AS (
           SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
