@@ -1876,3 +1876,57 @@ def cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# TPC-H Q7-shaped nation-pair trade volume: lineitem joined through
+# supplier AND through orders→customer, with the nation dim playing two
+# roles. Both nation sides broadcast; AQE picks broadcast for supplier/
+# customer at small SF and shuffled joins at scale — same plan text.
+@register(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(count(*) AS BIGINT)                                  AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(o.o_orderdate) AS yr,
+             l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+        AND n1.n_nationkey <> n2.n_nationkey
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("n1_key") < 4) & (F.col("n2_key") < 4) & (F.col("n1_key") != F.col("n2_key"))
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            ),
+        )
+    )
