@@ -1930,3 +1930,59 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# TPC-H Q8-shaped market share: one supplier-nation's fraction of total
+# sale volume into a customer region, per year — the ratio-of-
+# conditional-sums pattern (numerator = CASE inside sum, one pass).
+@register(
+    "nation_market_share",
+    """
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS yr,
+             n1.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'AFRICA'
+    ) sales
+    GROUP BY yr
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(
+        nat.join(F.broadcast(reg.filter(F.col("r_name") == "AFRICA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
