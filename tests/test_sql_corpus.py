@@ -220,6 +220,24 @@ CORPUS: dict[str, str] = {
                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_price
         FROM orders GROUP BY o_orderstatus
     """,
+    "left_join_null_anti": """
+        SELECT c.c_custkey FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IS NULL
+    """,
+    "concat_ws_greatest_least": """
+        SELECT c_custkey,
+               concat_ws('|', c_name, c_mktsegment) AS joined,
+               round(greatest(c_acctbal, 0.0), 2)   AS floor0,
+               round(least(c_acctbal, 1000.0), 2)   AS cap1k
+        FROM customer WHERE c_custkey < 250
+    """,
+    "interval_date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE)  AS due_date,
+               CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS month_before
+        FROM orders WHERE o_orderkey < 600
+    """,
     "having_vs_subquery": """
         WITH per_cust AS (
           SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
