@@ -1986,3 +1986,43 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# Quality family: percentile-based outlier detection — per-status p99
+# of order value (exact interpolated percentile), then count of orders
+# above it. Threshold table is tiny → broadcast back onto the fact.
+@register(
+    "outlier_orders_by_status",
+    """
+    WITH thresholds AS (
+      SELECT o_orderstatus,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(max(t.p99), 2)     AS p99_price,
+           CAST(sum(CASE WHEN o.o_totalprice > t.p99 THEN 1 ELSE 0 END) AS BIGINT)
+                                    AS n_outliers
+    FROM orders o JOIN thresholds t ON t.o_orderstatus = o.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+)
+def outlier_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    thresholds = F.broadcast(
+        o.groupBy("o_orderstatus").agg(
+            F.percentile("o_totalprice", 0.99).alias("p99")
+        )
+    )
+    return (
+        o.join(thresholds, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("p99"), 2).alias("p99_price"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("p99"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
