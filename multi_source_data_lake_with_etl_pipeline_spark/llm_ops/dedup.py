@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_stats import shingles
+from .text_stats import shingles, words
 
 _LONG_MAX = (1 << 63) - 1
 
@@ -54,11 +54,31 @@ def _widen(df: DataFrame) -> DataFrame:
     Signature computation is shuffle-free, so it inherits the scan's
     partitioning — a small table read as 1-2 parquet splits would pin
     the whole corpus to 1-2 cores. At real scale the scan already has
-    thousands of splits and this is a no-op."""
+    thousands of splits/files and this is a no-op.
+
+    Split-count probe uses ``inputFiles()`` (plan metadata, no Java RDD
+    conversion — ``df.rdd.getNumPartitions()`` detoured through an RDD
+    materialization on every dedup call). File count under-estimates
+    split count for huge files, but a source with >= defaultParallelism
+    files never needs widening, which is the only decision made here."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # non-file sources (memory, streaming) — widen
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)
+
+
+def _with_min_words(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Drop docs with fewer than ``n`` words before signature-based
+    pair-finding: their shingle set is EMPTY, so their Jaccard with
+    anything is undefined/0 — but the fold identity would give them all
+    an IDENTICAL degenerate signature (all-LONG_MAX MinHash / zero
+    SimHash), pairing every short doc with every other short doc:
+    a quadratic candidate blowup of guaranteed non-duplicates."""
+    return df.filter(F.size(words(F.col(text_col))) >= n)
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -92,8 +112,10 @@ def ngram_jaccard_pairs(
     sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
     if max_df is not None:
         keep = sh.groupBy("_sk").count().filter(F.col("count") <= max_df).select("_sk")
+        raw = sh
         sh = sh.join(keep, "_sk", "left_semi").persist()
         sh.count()  # materialize: the self-join below reads it twice
+        raw.unpersist()  # filtered copy is cached; drop the unfiltered one
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_1"), "_sk")
     b = sh.select(F.col(id_col).alias("id_2"), "_sk")
@@ -168,6 +190,7 @@ def minhash_lsh_pairs(
     (r=4/k=64 had ~0.65 recall at J=0.5 — banding width, not hash
     count, is the recall lever.)
     """
+    df = _with_min_words(df, text_col, n)
     r = num_hashes // bands
     # Persist + eager count: the banding self-join reads the signature
     # table twice, and AQE launches both join-side stages concurrently —
@@ -282,6 +305,7 @@ def simhash_pairs(
 
     Signatures persisted + eagerly materialized: the chunk self-join
     reads them twice (8 bytes per doc — negligible at any scale)."""
+    df = _with_min_words(df, text_col, 3)
     sig = simhash_signatures(df, text_col, id_col).persist()
     sig.count()
     chunks = sig.select(

@@ -105,12 +105,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct not applied)."""
+    """Word n-gram shingles as an array<string> (distinct not applied).
+
+    Documents with fewer than ``n`` words yield an EMPTY array (so
+    downstream array_min/explode produce NULL/no rows, matching the SQL
+    oracles' LEFT-JOIN-NULL shape). The transform branch is guarded by
+    CASE WHEN, which Spark evaluates lazily per row — without the guard,
+    size(w)-n < 0 makes sequence() descend and element_at() throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's ANSI mode.
+    """
     w = words(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
-    return F.transform(
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
     )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -180,3 +180,40 @@ def test_multitable_lsh_recall_dominates_single_table(spark, emb):
     # subset of the union), and both are subsets of scored candidates.
     assert len(multi & truth) >= len(single & truth)
     assert multi  # non-empty bucket union
+
+
+def test_short_and_empty_docs_do_not_crash_shingle_ops(spark):
+    """ADVICE r1 (high): sequence(0, size-n) descends for <n-word docs and
+    element_at threw under ANSI. Every shingle-based op must handle 0/1/2-word
+    and empty/whitespace docs: fingerprint → NULL, pair-finders → no
+    degenerate all-short-doc pairs."""
+    rows = [
+        (1, "one"),
+        (2, "two words"),
+        (3, ""),
+        (4, "   "),
+        (5, "a proper document with quite a few words in it for shingling"),
+        (6, "a proper document with quite a few words in it for shingling"),
+        (7, "totally different text about completely unrelated matters here today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in ts.fingerprint(df).collect()}
+    assert fp[1] is None and fp[2] is None and fp[3] is None and fp[4] is None
+    assert fp[5] is not None and fp[5] == fp[6]
+
+    exact_pairs = {(r["id_1"], r["id_2"]) for r in nd.ngram_jaccard_pairs(df, max_df=None).collect()}
+    assert exact_pairs == {(5, 6)}
+
+    lsh_pairs = {(r["id_1"], r["id_2"]) for r in nd.minhash_lsh_pairs(df).collect()}
+    assert lsh_pairs == {(5, 6)}
+
+    sim_pairs = {(r["id_1"], r["id_2"]) for r in nd.simhash_pairs(df).collect()}
+    assert (5, 6) in sim_pairs
+    # short/empty docs must NOT pair with each other via degenerate signatures
+    shorts = {1, 2, 3, 4}
+    assert not [p for p in sim_pairs if p[0] in shorts or p[1] in shorts]
+    assert not [p for p in lsh_pairs if p[0] in shorts or p[1] in shorts]
+
+    stats = {r["doc_id"]: r for r in ts.text_stats(df).collect()}
+    assert stats[3]["stat_n_words"] == 0 and stats[1]["stat_n_words"] == 1
