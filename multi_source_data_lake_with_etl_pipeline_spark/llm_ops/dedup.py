@@ -296,40 +296,58 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    blocks: int = 6,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of 64-bit SimHash.
 
-    Pigeonhole banding: split into 4 × 16-bit chunks; any pair with
-    distance ≤ 3 shares at least one identical chunk → equality join
-    per chunk, then exact hamming verify via bit_count(xor).
+    Multi-table pigeonhole banding (the Manku/WWW'07 scheme): split the
+    64 bits into ``blocks`` blocks; if two signatures differ in at most
+    ``d = max_hamming`` bits, those bits touch at most ``d`` blocks, so
+    SOME combination of ``blocks - d`` blocks is bit-identical. Each
+    doc therefore gets C(blocks, blocks-d) keys — xxhash64 of one block
+    combination each — and near-dup discovery is an equality join on
+    (table, key), verified exactly with bit_count(xor).
 
-    Signatures persisted + eagerly materialized: the chunk self-join
+    Key width is the point: with the old 4 × 16-bit chunk join, random
+    collisions grow as N²·4/2¹⁷ — quadratic blowup that forced a corpus
+    cap. With b=6, d=3 the effective key is 64·(b-d)/b = 32 bits across
+    C(6,3)=20 tables: N²·20/2³³ expected false candidates, ~3000× fewer,
+    so the uncapped full-corpus query stays near-linear (only genuinely
+    close pairs collide; the 20× key explode is a narrow map).
+
+    Signatures persisted + eagerly materialized: the key self-join
     reads them twice (8 bytes per doc — negligible at any scale)."""
+    from itertools import combinations
+
+    d = max_hamming
+    assert 1 <= blocks - d, "need at least one untouched block (blocks > max_hamming)"
     df = _with_min_words(df, text_col, 3)
     sig = simhash_signatures(df, text_col, id_col).persist()
     sig.count()
-    chunks = sig.select(
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs = [sum(sizes[:i]) for i in range(blocks)]
+
+    def block_val(i: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
+            F.lit((1 << sizes[i]) - 1)
+        )
+
+    combos = list(combinations(range(blocks), blocks - d))
+    keyed = sig.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias(f"c{c}")
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+            F.array(*[F.xxhash64(*[block_val(i) for i in combo]) for combo in combos])
+        ).alias("tbl", "key"),
     )
-    a = chunks.select(
-        F.col(id_col).alias("id_1"), F.col("simhash").alias("_s1"), "chunk_idx", "chunk_val"
+    a = keyed.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("_s1"), "tbl", "key"
     )
-    b = chunks.select(
-        F.col(id_col).alias("id_2"), F.col("simhash").alias("_s2"), "chunk_idx", "chunk_val"
+    b = keyed.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("_s2"), "tbl", "key"
     )
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
+        a.join(b, ["tbl", "key"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).alias("hamming"))
         .distinct()

@@ -1043,15 +1043,15 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.5)
 
 
-# SimHash near-dup (hamming ≤ 3 via pigeonhole chunk join). Capped to
-# doc_id < 2000 so candidate volume stays bounded at every SF (16-bit
-# chunk collisions grow quadratically with corpus size; production
-# would widen chunks instead). No oracle: approximate by construction.
+# SimHash near-dup (hamming ≤ 3 via multi-table pigeonhole banding,
+# b=6 blocks → C(6,3)=20 tables of 32-bit keys), UNCAPPED: candidate
+# volume is N²·20/2³³ random collisions + true near-dups, near-linear
+# at any SF. No oracle: approximate by construction.
 @register("simhash_neardup", None)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.dedup import simhash_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=3)
 
 
