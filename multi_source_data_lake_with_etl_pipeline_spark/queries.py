@@ -2059,3 +2059,34 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# TPC-H Q21-shaped: correlated EXISTS + NOT EXISTS in one predicate —
+# the S7 surface's hardest correlated-subquery slice (VERDICT r1 #4),
+# pushed through spark.sql verbatim so Catalyst's subquery decorrelation
+# (rewrite to semi/anti joins) is what's under test. Same string is the
+# DuckDB oracle.
+_Q21_SQL = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_discount > 0.05
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_discount > 0.05)
+    GROUP BY s.s_name
+"""
+
+
+@register("sql_correlated_waiting_suppliers", _Q21_SQL)
+def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return sql(spark, _Q21_SQL)

@@ -246,6 +246,63 @@ CORPUS: dict[str, str] = {
         FROM orders GROUP BY o_custkey
         HAVING count(*) > (SELECT avg(cnt) * 2 FROM per_cust)
     """,
+    # --- TPC-H correlated-subquery shapes (the S7 surface's least
+    # proven slice, VERDICT r1 #4). Adapted to this schema (no
+    # partsupp/commitdate): the correlation STRUCTURE is what's tested.
+    "tpch_q17_correlated_avg": """
+        -- Q17 shape: scalar agg correlated on the outer join key
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "tpch_q2_correlated_min": """
+        -- Q2 shape: equality against a correlated MIN over the same table
+        SELECT l.l_partkey, l.l_suppkey, round(l.l_extendedprice, 2) AS best_price
+        FROM lineitem l
+        WHERE l.l_partkey < 150
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "tpch_q20_two_col_correlation": """
+        -- Q20 shape: scalar agg correlated on TWO outer columns
+        SELECT DISTINCT l1.l_partkey, l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_partkey < 250
+          AND l1.l_quantity > (SELECT 0.9 * max(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey
+                                 AND l2.l_suppkey <> l1.l_suppkey)
+    """,
+    "tpch_q21_exists_not_exists": """
+        -- Q21 shape: correlated EXISTS and NOT EXISTS in one predicate
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_discount > 0.05
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_discount > 0.05)
+        GROUP BY s.s_name
+    """,
+    "nested_exists_chain": """
+        -- EXISTS nested inside EXISTS, correlating two levels out
+        SELECT n_nationkey, n_name FROM nation n
+        WHERE EXISTS (
+          SELECT 1 FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+            AND EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49))
+    """,
 }
 
 
