@@ -3,10 +3,10 @@
 ``src/api/main.py:229-240``).
 
 An extractor is any ``(spark, **config) -> DataFrame`` callable keyed
-by source type. Built-ins: file, parquet_table, sql, rest_api. JDBC /
-Mongo / Influx federation would register here via the same interface
-(DSv2 connectors; out of scope for the parquet-lake test harness —
-SURVEY.md §4.3.4).
+by source type. Built-ins: file, parquet_table, sql, rest_api,
+rest_api_parallel (S6 scale path), jdbc (S1 federation — Mongo/Influx
+would register the same way via their DSv2 connectors; live servers
+are out of scope for the parquet-lake test harness, SURVEY.md §4.3.4).
 """
 
 from __future__ import annotations
@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from .files import read_file
+from .jdbc import jdbc_extract
+from .rest import rest_api_parallel
 
 
 class ExtractorRegistry:
@@ -29,6 +31,8 @@ class ExtractorRegistry:
         )
         self.register("sql", lambda spark, query, **_: spark.sql(query))
         self.register("rest_api", _rest_api_extract)
+        self.register("rest_api_parallel", rest_api_parallel)
+        self.register("jdbc", jdbc_extract)
 
     def register(self, source_type: str, fn: Callable[..., DataFrame]) -> None:
         self._extractors[source_type] = fn

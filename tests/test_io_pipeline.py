@@ -266,3 +266,114 @@ def test_partitioned_delete_prunes_and_drops_emptied(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "p=1"))
     left = {r["id"] for r in spark.read.parquet(path).collect()}
     assert left == {1, 2, 4}  # NULL-v row kept
+
+
+def test_jdbc_option_mapping_and_dispatch(spark):
+    """S1 federation semantics → spark.read.jdbc options (VERDICT r1
+    #5). No driver jar in this container, so a fake reader captures
+    what WOULD hit the JDBC source."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.jdbc import (
+        build_jdbc_options,
+        jdbc_extract,
+    )
+
+    opts = build_jdbc_options(
+        "jdbc:postgresql://db:5432/lake", table="orders",
+        where="o_totalprice > 1000", limit=50, offset=10,
+        partition_column="o_orderkey", lower_bound=1, upper_bound=60000,
+        num_partitions=8, user="u", password="p",
+    )
+    # WHERE/LIMIT/OFFSET pushed into a source-side subquery
+    assert opts["dbtable"] == (
+        "(SELECT * FROM orders WHERE o_totalprice > 1000 LIMIT 50 OFFSET 10) sub"
+    )
+    assert opts["partitionColumn"] == "o_orderkey" and opts["numPartitions"] == "8"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "60000"
+
+    with pytest.raises(ValueError):
+        build_jdbc_options("jdbc:x", table="t", query="SELECT 1")
+    with pytest.raises(ValueError):
+        build_jdbc_options("jdbc:x", table="t", partition_column="c")
+
+    captured = {}
+
+    def fake_reader(options, predicates):
+        captured["options"], captured["predicates"] = options, predicates
+        return spark.createDataFrame([(1,)], "id long")
+
+    reg = ExtractorRegistry()
+    out = reg.extract(
+        spark, "jdbc", url="jdbc:postgresql://db/lake", table="orders",
+        where="o_orderstatus = 'O'",
+        predicates=["o_orderkey % 2 = 0", "o_orderkey % 2 = 1"],
+        reader=fake_reader,
+    )
+    assert out.count() == 1
+    assert captured["predicates"] == ["o_orderkey % 2 = 0", "o_orderkey % 2 = 1"]
+    assert "o_orderstatus = 'O'" in captured["options"]["dbtable"]
+
+    with pytest.raises(ValueError):  # predicates XOR range partitioning
+        jdbc_extract(
+            spark, "jdbc:x", table="t", predicates=["a=1"],
+            partition_column="c", lower_bound=0, upper_bound=9, num_partitions=2,
+            reader=fake_reader,
+        )
+
+
+@pytest.fixture(scope="module")
+def http_json_server():
+    """Local http.server serving envelope-wrapped JSON (S6 test rig)."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            import json as _json
+
+            page = self.path.rstrip("/").rsplit("/", 1)[-1]
+            if page == "boom":
+                self.send_error(500, "boom")
+                return
+            body = _json.dumps(
+                {"data": [{"id": int(page) * 10 + i, "name": f"rec{page}-{i}"} for i in range(3)]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_rest_api_parallel_fetch(spark, http_json_server):
+    """S6 scale path: URL-list DataFrame → mapInPandas fetch → typed
+    parse; dead endpoints become error rows, not task failures."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.rest import (
+        rest_api_parallel,
+        unwrap_envelope,
+    )
+
+    assert unwrap_envelope({"results": [1, 2]}) == [1, 2]
+    assert unwrap_envelope({"x": 1}) == [{"x": 1}]
+    assert unwrap_envelope([3]) == [3]
+
+    urls = [f"{http_json_server}/page/{i}" for i in range(4)] + [f"{http_json_server}/boom"]
+    out = rest_api_parallel(spark, urls, schema="id long, name string").collect()
+    good = [r for r in out if r["_fetch_error"] is None]
+    bad = [r for r in out if r["_fetch_error"] is not None]
+    assert len(good) == 12 and len(bad) == 1
+    assert {r["id"] for r in good} == {p * 10 + i for p in range(4) for i in range(3)}
+    assert "boom" in bad[0]["url"]
+
+    # schema inference path
+    inferred = rest_api_parallel(spark, urls[:2])
+    assert {"id", "name"} <= set(inferred.columns)
+    assert inferred.filter(F.col("id").isNotNull()).count() == 6
