@@ -21,6 +21,13 @@ Shuffle hygiene: the inverted index always carries ``xxhash64(shingle)``
 (8-byte keys), never shingle strings, and per-doc distinctness comes
 from ``array_distinct`` BEFORE the explode, so the (id, key) stream is
 born distinct — no dedup shuffle.
+
+Caching contract: the pair-finders persist small intermediates
+(signatures / shingle index) that the RETURNED lazy DataFrame still
+reads — they cannot be unpersisted here. Intermediates that stop being
+referenced (e.g. the pre-``max_df`` shingle table) are unpersisted
+eagerly; callers running many unrelated dedup jobs in one session
+should ``spark.catalog.clearCache()`` between them (bench.py does).
 """
 
 from __future__ import annotations

@@ -10,6 +10,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
+def _write_yaml(df: DataFrame, path: str, mode: str) -> None:
+    """YAML writer parity (reference ``common_utils.py:141-171``).
+    YAML has no distributed/splittable form — like the reference this
+    is a driver-side dump of a SMALL result (reports, configs, query
+    outputs), never a bulk-data path. Gated on PyYAML like the reader."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("PyYAML not installed; YAML write unavailable") from exc
+    import os
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a" if mode == "append" else "w") as fh:
+        yaml.safe_dump(rows, fh, sort_keys=False, default_flow_style=False)
+
+
 def write_file(
     df: DataFrame,
     path: str,
@@ -22,6 +39,9 @@ def write_file(
     """L6 writer. ``coalesce`` bounds output file count for small
     results (driver-friendly); leave None at scale so every task
     writes its own file."""
+    if file_format == "yaml":
+        _write_yaml(df, path, mode)
+        return
     out = df.coalesce(coalesce) if coalesce else df
     writer = out.write.mode(mode).options(**options)
     if partition_by:

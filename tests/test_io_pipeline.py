@@ -377,3 +377,18 @@ def test_rest_api_parallel_fetch(spark, http_json_server):
     inferred = rest_api_parallel(spark, urls[:2])
     assert {"id", "name"} <= set(inferred.columns)
     assert inferred.filter(F.col("id").isNotNull()).count() == 6
+
+
+def test_yaml_write_read_roundtrip(spark, tmp_path):
+    """L6 YAML parity (reference common_utils.py:141-171)."""
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double")
+    path = str(tmp_path / "out.yaml")
+    write_file(df, path, file_format="yaml", mode="overwrite")
+    back = read_file(spark, path, file_format="yaml")
+    assert sorted((r["id"], r["name"], r["v"]) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5),
+    ]
+    # append mode extends the document list
+    write_file(spark.createDataFrame([(3, "c", 3.5)], "id long, name string, v double"),
+               path, file_format="yaml", mode="append")
+    assert read_file(spark, path, file_format="yaml").count() == 3
