@@ -2090,3 +2090,46 @@ def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 
     register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
     return sql(spark, _Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable invariants for the approximate operators (VERDICT r1
+# #10): each emits the EXACT property its algorithm guarantees as a
+# violation count whose oracle is literally SELECT 0 — turning rows-only
+# checks into hash-checked CORRECTNESS rows.
+# ---------------------------------------------------------------------------
+
+
+# MinHash+LSH emits only exact-Jaccard-verified pairs, so its output
+# must be a subset of the exhaustive n-gram-Jaccard pair universe with
+# identical similarity values (recall may be < 1; precision is exact).
+@register("minhash_lsh_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(d, threshold=0.5)
+    exact = ngram_jaccard_pairs(d, threshold=0.5, max_df=None)
+    return (
+        lsh.join(exact, ["id_1", "id_2", "jaccard"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+# Hyperplane-LSH scores are genuine cosines of real rows: every
+# (vec_id, cos_sim) it returns must agree with the brute-force cosine
+# of that vec_id against the same query vector.
+@register("ann_lsh_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def ann_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import _lit_vec, ann_lsh, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    approx = ann_lsh(emb, qvec, k=10, n_planes=8)
+    full = emb.select(
+        "vec_id", F.round(cosine(F.col("embedding"), _lit_vec(qvec)), 4).alias("cos_sim")
+    )
+    return (
+        approx.join(full, ["vec_id", "cos_sim"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
