@@ -1236,7 +1236,7 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zone; availableNow drains it as one batch here).
     stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     agg = stream_tumbling_agg(stream, "1 hour", watermark="10 minutes")
-    run_to_memory_sink(agg, "stream_tumbling_events_q")
+    run_to_memory_sink(agg, "stream_tumbling_events_q", state_partitions=4)
     return spark.table("stream_tumbling_events_q")
 
 
@@ -1249,7 +1249,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     doubled = stream.unionByName(stream)
     deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
-    run_to_memory_sink(deduped, "stream_dedup_events_q")
+    run_to_memory_sink(deduped, "stream_dedup_events_q", state_partitions=4)
     return spark.table("stream_dedup_events_q")
 
 
@@ -1667,7 +1667,9 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     totals = stream_running_totals(stream)
-    run_to_memory_sink(totals, "stream_stateful_q", output_mode="update")
+    run_to_memory_sink(
+        totals, "stream_stateful_q", output_mode="update", state_partitions=4
+    )
     sink = spark.table("stream_stateful_q")
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -1804,7 +1806,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
     sessions = stream_session_agg(stream, gap="30 minutes", watermark="10 minutes")
-    run_to_memory_sink(sessions, "stream_session_q")
+    run_to_memory_sink(sessions, "stream_session_q", state_partitions=4)
     return spark.table("stream_session_q")
 
 

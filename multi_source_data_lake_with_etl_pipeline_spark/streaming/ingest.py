@@ -110,20 +110,44 @@ def stream_dedup(
 
 
 def run_to_memory_sink(
-    df: DataFrame, query_name: str, output_mode: str = "append", timeout_s: int = 120
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+    state_partitions: int | None = None,
 ) -> None:
     """Drive a streaming DataFrame to completion with availableNow →
-    in-memory table ``query_name`` (test/verify harness path)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    in-memory table ``query_name`` (test/verify harness path).
+
+    ``state_partitions`` sizes the state store: a stateful streaming
+    query fixes its number of state-store partitions at first start
+    from ``spark.sql.shuffle.partitions``, and every micro-batch then
+    pays a per-partition load/commit cost *regardless of state size*.
+    Inheriting the batch shuffle default (sized for TB-scale joins)
+    gives tiny-state streams 32 near-empty stores and ~2 s of pure
+    commit overhead per drain; sizing to the actual state volume
+    (key-cardinality × bytes/key ÷ target-store-size) is the real
+    production tuning, not a local-mode hack. The conf is restored
+    after the query terminates — batch queries are unaffected.
+    """
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def write_stream_parquet(
