@@ -2135,3 +2135,189 @@ def ann_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.join(full, ["vec_id", "cos_sim"], "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
     )
+
+
+# SimHash pairs carry their hamming distance: recomputing both
+# signatures from scratch must reproduce it exactly, and no emitted
+# pair may exceed the requested radius. (Precision is exact — banding
+# only affects recall.)
+@register("simhash_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import simhash_pairs, simhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, max_hamming=3)
+    sig = simhash_signatures(d)
+    s1 = sig.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
+    s2 = sig.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
+    return (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .filter(
+            (F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) != F.col("hamming"))
+            | (F.col("hamming") > 3)
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+# IVF scores are genuine cosines of real rows (probing only affects
+# WHICH rows are scored, never their scores).
+@register("ann_ivf_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def ann_ivf_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import _lit_vec, ann_ivf, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").between(0, 15))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    qvec = centroids[0][1]
+    approx = ann_ivf(emb, qvec, centroids, k=10, nprobe=2)
+    full = emb.select(
+        "vec_id", F.round(cosine(F.col("embedding"), _lit_vec(qvec)), 4).alias("cos_sim")
+    )
+    return (
+        approx.join(full, ["vec_id", "cos_sim"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+# Multi-table LSH dominates its own table-0 (seed 42 = ann_lsh's
+# single table): the bucket union is a candidate superset, so at every
+# rank i the multi-table score must be >= the single-table score.
+@register("ann_multitable_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def ann_multitable_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .llm_ops.similarity import ann_lsh, ann_lsh_multitable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    multi = ann_lsh_multitable(emb, qvec, k=10, n_tables=4).select(
+        F.row_number().over(w).alias("rank"), F.col("cos_sim").alias("multi_sim")
+    )
+    single = ann_lsh(emb, qvec, k=10, n_planes=8).select(
+        F.row_number().over(w).alias("rank"), F.col("cos_sim").alias("single_sim")
+    )
+    return (
+        multi.join(single, "rank")
+        .filter(F.col("multi_sim") < F.col("single_sim"))
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+# Sketch aggregates stay inside their error envelopes: HLL++ distinct
+# counts within 3x the default rsd of the exact count, approximate
+# quantiles bounded by [min, max] and monotone across probabilities.
+@register("approx_profile_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def approx_profile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.approx_count_distinct("event_type").alias("at"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("q"),
+        F.count_distinct("user_id").alias("eu"),
+        F.count_distinct("event_type").alias("et"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    bad = (
+        (F.abs(F.col("au") - F.col("eu")) > 0.15 * F.col("eu"))
+        | (F.abs(F.col("at") - F.col("et")) > 0.15 * F.col("et"))
+        | (F.col("q")[0] < F.col("vmin"))
+        | (F.col("q")[2] > F.col("vmax"))
+        | (F.col("q")[0] > F.col("q")[1])
+        | (F.col("q")[1] > F.col("q")[2])
+    )
+    return prof.select(F.sum(bad.cast("bigint")).alias("violations"))
+
+
+# Multimodal plumbing is structure-preserving: exactly one feature row
+# per asset, byte counts equal payload lengths, modality carried
+# through, and each modality populates its own metadata slots.
+@register("multimodal_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def multimodal_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, 64)
+    feats = extract_features(assets, batch_hint=4)
+    src = assets.select(
+        "asset_id",
+        F.col("modality").alias("_m_in"),
+        F.length("payload").alias("_len_in"),
+    )
+    j = src.join(feats, "asset_id", "full_outer")
+    bad = (
+        F.col("_m_in").isNull()  # feature row with no source asset
+        | F.col("modality").isNull()  # asset with no feature row
+        | (F.col("_m_in") != F.col("modality"))
+        | (F.col("_len_in") != F.col("n_bytes"))
+        | ((F.col("modality") == "image") & (F.col("width").isNull() | F.col("height").isNull()))
+        | ((F.col("modality") == "audio") & (F.col("sample_rate").isNull() | F.col("duration_s").isNull()))
+        | ((F.col("modality") == "video") & (F.col("n_frames").isNull() | F.col("duration_s").isNull()))
+    )
+    return j.agg(F.sum(bad.cast("bigint")).alias("violations"))
+
+
+# Every window the stream emits (append mode, closed by the watermark)
+# must carry EXACTLY the batch engine's aggregate values for that
+# window — streaming correctness reduces to "emitted subset, identical
+# values".
+@register("stream_tumbling_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def stream_tumbling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streamed = stream_tumbling_events(spark, sf_dir)
+    batch = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_cnt",
+            "value_sum",
+        )
+    )
+    return (
+        streamed.join(batch, list(streamed.columns), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+
+# Streaming dedup of the doubled stream must reproduce the original
+# event set EXACTLY (the 365-day watermark retains all state, so
+# equality holds in both directions).
+@register("stream_dedup_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def stream_dedup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = stream_dedup_events(spark, sf_dir)
+    batch = _t(spark, sf_dir, "events").select(*deduped.columns)
+    missing = batch.join(deduped, list(batch.columns), "left_anti")
+    extra = deduped.join(batch, list(batch.columns), "left_anti")
+    return missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))
+
+
+# Closed streaming sessions must match the batch session_window result
+# value-for-value (same gap, same keys).
+@register("stream_session_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def stream_session_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import sessionize
+
+    streamed = stream_session_windows(spark, sf_dir)
+    batch = sessionize(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs=(F.count(F.lit(1)).alias("event_cnt"),),
+    ).select(*streamed.columns)
+    return (
+        streamed.join(batch, list(streamed.columns), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
