@@ -2102,18 +2102,30 @@ def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-# MinHash+LSH emits only exact-Jaccard-verified pairs, so its output
-# must be a subset of the exhaustive n-gram-Jaccard pair universe with
-# identical similarity values (recall may be < 1; precision is exact).
+# MinHash+LSH emits only exact-Jaccard-verified pairs: recomputing the
+# shingle-set Jaccard independently (per emitted pair — O(pairs), never
+# the O(corpus²) exact-pair universe) must reproduce every value, and
+# no pair may sit below the threshold. Precision is exact; only recall
+# is approximate.
 @register("minhash_lsh_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
 def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from .llm_ops.dedup import _shingle_hash_set, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    lsh = minhash_lsh_pairs(d, threshold=0.5)
-    exact = ngram_jaccard_pairs(d, threshold=0.5, max_df=None)
+    # Persist + eagerly materialize the (small) pair set: the two
+    # verification joins below otherwise re-execute the entire LSH
+    # DAG once per broadcast build.
+    lsh = minhash_lsh_pairs(d, threshold=0.5).persist()
+    lsh.count()
+    docs = d.select("doc_id", _shingle_hash_set("text", 3).alias("_sh"))
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
     return (
-        lsh.join(exact, ["id_1", "id_2", "jaccard"], "left_anti")
+        lsh.join(docs.select(F.col("doc_id").alias("id_1"), F.col("_sh").alias("_a")), "id_1")
+        .join(docs.select(F.col("doc_id").alias("id_2"), F.col("_sh").alias("_b")), "id_2")
+        .filter(
+            (F.round(inter / union, 4) != F.col("jaccard")) | (F.col("jaccard") < 0.5)
+        )
         .agg(F.count(F.lit(1)).alias("violations"))
     )
 
@@ -2250,17 +2262,23 @@ def multimodal_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("modality").alias("_m_in"),
         F.length("payload").alias("_len_in"),
     )
-    j = src.join(feats, "asset_id", "full_outer")
+    # Broadcast the tiny source side so the mapInPandas output stream
+    # joins in place (no exchange; full-outer would force a shuffle and
+    # is not broadcastable). Orphan feature rows surface as null _m_in;
+    # MISSING feature rows surface through the row-count term (the
+    # source row count is the constructor's n).
+    j = feats.join(F.broadcast(src), "asset_id", "left")
     bad = (
         F.col("_m_in").isNull()  # feature row with no source asset
-        | F.col("modality").isNull()  # asset with no feature row
         | (F.col("_m_in") != F.col("modality"))
         | (F.col("_len_in") != F.col("n_bytes"))
         | ((F.col("modality") == "image") & (F.col("width").isNull() | F.col("height").isNull()))
         | ((F.col("modality") == "audio") & (F.col("sample_rate").isNull() | F.col("duration_s").isNull()))
         | ((F.col("modality") == "video") & (F.col("n_frames").isNull() | F.col("duration_s").isNull()))
     )
-    return j.agg(F.sum(bad.cast("bigint")).alias("violations"))
+    return j.agg(
+        (F.sum(bad.cast("bigint")) + F.abs(F.count(F.lit(1)) - F.lit(64))).alias("violations")
+    )
 
 
 # Every window the stream emits (append mode, closed by the watermark)
@@ -2321,3 +2339,183 @@ def stream_session_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         streamed.join(batch, list(streamed.columns), "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape extensions (adapted to the reduced lake schema — no
+# partsupp): each proves a distinct plan family through both engines.
+# ---------------------------------------------------------------------------
+
+
+# Q9 shape: product-profit rollup — 4-way star join (three broadcast
+# dims) + LIKE filter + two-level group. The part filter prunes before
+# any join; dims broadcast so lineitem never shuffles until the final
+# narrow aggregation.
+@register(
+    "profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+# Q10 shape: returned-item reporting — revenue per customer over one
+# order-year, top 20. Ordered by the UNROUNDED revenue + key tiebreak
+# so both engines pick the same page.
+@register(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.round(rev, 2).alias("revenue"), rev.alias("_o"))
+        .orderBy(F.desc("_o"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+    )
+
+
+# Q13 shape: customer order-count distribution — aggregate OF an
+# aggregate, zero-order customers retained by the left join.
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# Q14 shape: promo revenue share — conditional-sum ratio with a tight
+# one-month scan window; exercised through the raw-SQL surface (S7).
+_Q14_SQL = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@register("promo_revenue_share", _Q14_SQL)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return sql(spark, _Q14_SQL)
+
+
+# Q18 shape: large-quantity orders — HAVING on a grouped sum, then a
+# semi-join back onto the 3-way join (the classic "group, filter,
+# rejoin" plan).
+@register(
+    "large_quantity_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 200)
+        .select(F.col("l_orderkey").alias("_big_key"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big, o.o_orderkey == F.col("_big_key"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+# Q22 shape: above-average balances with no recent orders — uncorrelated
+# scalar subquery + correlated NOT EXISTS through the raw-SQL surface.
+_Q22_SQL = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+"""
+
+
+@register("idle_high_balance_segments", _Q22_SQL)
+def idle_high_balance_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return sql(spark, _Q22_SQL)
