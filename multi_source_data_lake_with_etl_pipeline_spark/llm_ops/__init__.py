@@ -11,4 +11,9 @@ LLM training-data pipeline needs, built Spark-first on the
                      approximate variants.
 - ``multimodal``   — binary-column plumbing (decode/feature UDF shapes
                      over mapInPandas; codecs stubbed, see module doc).
+- ``clusters``     — connected components over near-dup pairs
+                     (pointer-jumping label propagation), cluster-level
+                     dedup.
+- ``packing``      — fixed-token-budget sequence packing (concat-and-
+                     cut window arithmetic; greedy no-straddle bins).
 """
