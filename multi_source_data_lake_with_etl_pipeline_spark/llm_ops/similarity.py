@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,7 +94,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def hyperplane_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
-    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0."""
+    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0 (JVM HOF
+    variant — one fold per plane; fine for a handful of planes)."""
     bits = [
         F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1)).otherwise(F.lit(0)) for p in planes
     ]
@@ -100,6 +103,44 @@ def hyperplane_signature(
     for i, b in enumerate(bits):
         sig = sig + b.cast("long") * F.lit(2**i).cast("long")
     return sig
+
+
+def hyperplane_signatures_arrow(
+    vec_col: str, plane_sets: list[list[list[float]]]
+) -> Column:
+    """ALL table signatures in one Arrow-batched matmul:
+    ``array<long>`` of length ``len(plane_sets)``.
+
+    The JVM HOF variant materializes one zipped array + fold PER
+    PLANE per row — T·P array allocations for T tables of P planes.
+    Here every batch does a single (N, dim) @ (dim, T·P) float64
+    matmul (the documented UDF exception: vectorized math that
+    built-ins can only express as per-plane folds). Still a narrow
+    map — no shuffle, scan-speed at any corpus size — and the same
+    float64 arithmetic as the driver-side query-vector signature, so
+    row/query bit decisions can't diverge on borderline dots."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(plane_sets)
+    n_planes = len(plane_sets[0])
+    W = np.concatenate(
+        [np.array(p, dtype="float64").T for p in plane_sets], axis=1
+    )  # (dim, T*P)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype("float64")
+        bits = (m @ W) > 0
+        sigs = np.empty((m.shape[0], n_tables), dtype="int64")
+        for t in range(n_tables):
+            sigs[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+        return pd.Series(list(sigs))
+
+    return _sigs(F.col(vec_col))
 
 
 def ann_lsh(
@@ -125,7 +166,10 @@ def ann_lsh(
             qsig += 2**i
     q = _lit_vec(query_vec)
     return (
-        df.withColumn("_sig", hyperplane_signature(F.col(vec_col), planes))
+        df.withColumn(
+            "_sig",
+            F.element_at(hyperplane_signatures_arrow(vec_col, [planes]), 1),
+        )
         .filter(F.col("_sig") == qsig)
         .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -255,20 +299,23 @@ def ann_lsh_multitable(
 
     dim = dim or len(query_vec)
     qv = np.array(query_vec, dtype="float64")
-    sig_cols = []
-    hit = F.lit(False)
+    plane_sets = []
+    qsigs = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=42 + t)
         qsig = 0
         for i, p in enumerate(planes):
             if float(qv @ np.array(p)) > 0:
                 qsig += 2**i
-        sig = hyperplane_signature(F.col(vec_col), planes)
-        sig_cols.append(sig.alias(f"_sig{t}"))
-        hit = hit | (F.col(f"_sig{t}") == qsig)
+        plane_sets.append(planes)
+        qsigs.append(qsig)
+    sigs = hyperplane_signatures_arrow(vec_col, plane_sets)
+    hit = F.lit(False)
+    for t, qsig in enumerate(qsigs):
+        hit = hit | (F.element_at(F.col("_sigs"), t + 1) == F.lit(qsig))
     q = _lit_vec(query_vec)
     return (
-        df.select(id_col, vec_col, *sig_cols)
+        df.select(id_col, vec_col, sigs.alias("_sigs"))
         .filter(hit)
         .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
