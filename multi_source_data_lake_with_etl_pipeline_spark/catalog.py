@@ -98,6 +98,37 @@ def silver_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     return dest
 
 
+def streamable_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Directory the file-stream source should watch for *name*: the
+    silver copy when the raw parquet needs normalization, else the raw
+    path (e.g. when the lake already stores native-micros timestamps).
+
+    Spark's file-stream source requires a *directory* (``basePath``
+    must be a directory); a lake table that is one bare parquet file is
+    exposed through a directory holding a symlink to it — zero data
+    copy, and the identity key (size+mtime) invalidates the link dir
+    if the source file changes."""
+    silver = silver_path(spark, sf_dir, name)
+    if silver:
+        return silver
+    raw = table_path(sf_dir, name)
+    if os.path.isdir(raw):
+        return raw
+    st = os.stat(raw)
+    dest = os.path.join(SILVER_DIR, f"{name}-streamdir-{st.st_size}-{int(st.st_mtime)}")
+    if not os.path.exists(dest):
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        os.symlink(raw, os.path.join(tmp, os.path.basename(raw)))
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost a concurrent race — theirs is fine
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Plain ``spark.read.parquet`` so Catalyst
     gets full predicate pushdown + column pruning on the scan; tables

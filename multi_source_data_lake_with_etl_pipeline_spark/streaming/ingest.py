@@ -39,17 +39,35 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession,
     path: str,
-    schema: T.StructType = EVENTS_SCHEMA,
+    schema: T.StructType | None = None,
     file_format: str = "parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based streaming source over an events directory (T4's
     sensor-ingestion slot; micro-batch = the reference's hourly batch
-    cadence T2, but continuous)."""
+    cadence T2, but continuous).
+
+    When *schema* is None it is inferred from the existing files via a
+    driver-side batch footer read — a stream source needs an explicit
+    schema, and deriving it from the data keeps the stream's timestamp
+    type (TIMESTAMP vs TIMESTAMP_NTZ) identical to what batch queries
+    over the same lake see, so stream/batch parity joins stay
+    type-exact whichever physical type the lake stores."""
+    if schema is None:
+        schema = spark.read.format(file_format).load(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.format(file_format).load(path)
+    stream = reader.format(file_format).load(path)
+    # Watermarks and time windows demand TIMESTAMP; a lake that stores
+    # TIMESTAMP_NTZ would reject withWatermark outright
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). With the session timezone
+    # pinned to UTC (session.py) the cast is value-identical, so the
+    # stream sees the same instants batch queries do.
+    for f in stream.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return stream
 
 
 def stream_tumbling_agg(
