@@ -16,4 +16,10 @@ LLM training-data pipeline needs, built Spark-first on the
                      dedup.
 - ``packing``      — fixed-token-budget sequence packing (concat-and-
                      cut window arithmetic; greedy no-straddle bins).
+- ``pii``          — PII detection + redaction (RE2/Java-compatible
+                     patterns, single-projection scrub).
+- ``sampling``     — deterministic hash sampling: uniform, stratified,
+                     train/holdout split (engine- and layout-stable).
+- ``decontam``     — benchmark decontamination via distinct word
+                     n-gram overlap (broadcast benchmark gram set).
 """

@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+``df.sample()`` is seed-and-partitioning dependent: re-running after a
+repartition (or on a different cluster layout) yields a different
+subset, which breaks reproducible corpus construction. The operators
+here derive the keep/drop decision from a hash of a stable key column,
+so the same row is kept on every run, on every engine, at every
+partition count — and membership is decidable row-locally with zero
+shuffles (a narrow filter that Catalyst pushes into the scan).
+
+Portability trick: Spark and DuckDB (and Postgres, etc.) all render
+``md5(key_string)`` as the same lowercase hex, and lowercase hex
+strings order lexicographically exactly like their numeric values —
+so ``substr(md5(key), 1, 4) < '1999'`` is a portable "keep with
+probability 0x1999/0x10000" predicate with no integer-conversion
+dialect trouble. Granularity is 1/65536, plenty for corpus sampling.
+
+Reference parity: extends the reference's fixed LIMIT-style subsetting
+(src/api/main.py:154-176 caps result sets) with real reproducible
+sampling, which it lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 1 << 16  # 4 hex chars
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold string t such that P[substr(md5(k),1,4) < t] ≈ fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = min(int(round(fraction * _SPACE)), _SPACE)
+    if n >= _SPACE:
+        return "g"  # > every hex string of length 4
+    return format(n, "04x")
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """First 4 hex chars of md5(salt || key) — the row's stable
+    uniform draw, as a portable hex string."""
+    k = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    return F.substring(F.md5(k), 1, 4)
+
+
+def keep_fraction(key: Column, fraction: float, salt: str = "") -> Column:
+    """Boolean: row survives a deterministic ``fraction`` sample."""
+    return hash_bucket(key, salt) < F.lit(fraction_threshold(fraction))
+
+
+def sample_fraction(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample keyed on ``key_col``."""
+    return df.filter(keep_fraction(F.col(key_col), fraction, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    sources, keep all rare-language docs).
+
+    The per-stratum threshold is a small CASE expression — still a
+    row-local filter, still pushed to the scan; no join, no shuffle,
+    no driver-side stratum enumeration. For a very large (or dynamic)
+    strata map, join a broadcast rates table instead and filter on
+    ``hash_bucket(key) < threshold_col`` — same predicate shape.
+    """
+    thr: Column = F.lit(fraction_threshold(default))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.01, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint deterministic train/holdout split (same predicate,
+    negated — a row can never land in both, on any run)."""
+    keep = keep_fraction(F.col(key_col), holdout_fraction, salt)
+    return df.filter(~keep), df.filter(keep)

@@ -131,3 +131,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         "fingerprint",
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule: drop docs
+    whose duplicate-n-gram fraction is high — boilerplate, spam, OCR
+    loops).
+
+    Adds, per doc:
+      rep_total_ngrams    total word n-grams
+      rep_distinct_ngrams distinct word n-grams
+      rep_ratio_bp        floor(10000 * duplicated / total), 0 if no grams
+      rep_top_share_bp    floor(10000 * max-single-gram-count / total)
+
+    All computed inside ONE array projection (shingles → array_distinct
+    / HOF fold) — no explode, no shuffle: the 100 TB version is a
+    narrow full-scan column, same as text_stats. Integer basis points
+    so external engines reproduce it exactly (floor of k/d with d ≤
+    gram count is ulp-safe, see quality_score).
+    """
+    sh = shingles(F.col(text_col), n)
+    total = F.size(sh).cast("long")
+    distinct = F.size(F.array_distinct(sh)).cast("long")
+    # max single-gram multiplicity = longest equal-run in the SORTED
+    # gram array, found with one linear fold (struct accumulator:
+    # previous gram, current run, best run). O(g log g) per row — the
+    # naive per-distinct-gram recount is O(g²) and melts on long docs.
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    top = F.aggregate(
+        F.array_sort(sh),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(one).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(one),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    safe_total = F.greatest(total, F.lit(1).cast("long"))
+    return df.withColumns(
+        {
+            "rep_total_ngrams": total,
+            "rep_distinct_ngrams": distinct,
+            "rep_ratio_bp": F.floor((total - distinct) * 10000 / safe_total).cast("long"),
+            "rep_top_share_bp": F.floor(top * 10000 / safe_total).cast("long"),
+        }
+    )

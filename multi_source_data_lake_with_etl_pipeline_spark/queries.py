@@ -2839,3 +2839,227 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(d, budget=2048, group_col="source").select(
         "doc_id", "source", "n_tokens", "bin_id", "bin_fill"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation round 3: PII scrub, deterministic sampling,
+# benchmark decontamination, intra-doc repetition, vocabulary profile
+# ---------------------------------------------------------------------------
+
+
+# PII scrub over a deterministically constructed PII-bearing corpus
+# (the synthetic documents table is PII-free word soup, so the query
+# builds text with known email/phone/ip/ssn/card placements from
+# customer keys — both engines construct the identical corpus, then
+# the oracle re-runs the identical RE2/Java-compatible patterns).
+# Scale shape: ONE narrow projection (concat + regexp chain), no
+# shuffle, no Python — a 100 TB scrub runs at scan speed.
+@register(
+    "pii_scrub",
+    r"""
+    WITH c AS (
+      SELECT c_custkey,
+        'customer ' || c_name || ' contact user' || CAST(c_custkey AS VARCHAR)
+        || '@example.com phone 555-'
+        || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+        || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+        || CASE WHEN c_custkey % 5 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN c_custkey % 7 = 0
+                THEN ' card 4111-1111-1111-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+      FROM customer)
+    SELECT c_custkey,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS pii_n_email,
+      CAST(len(regexp_extract_all(text, '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b')) AS BIGINT) AS pii_n_credit_card,
+      CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS pii_n_ssn,
+      CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS pii_n_phone,
+      CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS pii_n_ipv4,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text, '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS pii_n_total,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b', '<CREDIT_CARD>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS text_redacted
+    FROM c
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.pii import scrub
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+
+    def pad(m: int, w: int) -> Column:
+        return F.lpad((key % m).cast("string"), w, "0")
+
+    text = F.concat(
+        F.lit("customer "), F.col("c_name"),
+        F.lit(" contact user"), key.cast("string"),
+        F.lit("@example.com phone 555-"), pad(1000, 3), F.lit("-"), pad(10000, 4),
+        F.lit(" ip 10."), (key % 256).cast("string"),
+        F.lit(".0."), (key % 100).cast("string"),
+        F.when(key % 5 == 0, F.concat(F.lit(" ssn 123-45-"), pad(10000, 4)))
+         .otherwise(F.lit("")),
+        F.when(key % 7 == 0, F.concat(F.lit(" card 4111-1111-1111-"), pad(10000, 4)))
+         .otherwise(F.lit("")),
+    )
+    return scrub(c.select("c_custkey", text.alias("text"))).select(
+        "c_custkey", "pii_n_email", "pii_n_credit_card", "pii_n_ssn",
+        "pii_n_phone", "pii_n_ipv4", "pii_n_total", "text_redacted",
+    )
+
+
+# Deterministic stratified sampling: hash-of-key membership, so the
+# sample is identical across runs / engines / partition layouts —
+# a row-local filter Catalyst pushes to the scan (no shuffle, no seed
+# state). Thresholds are md5-hex-prefix compares: F 5%, O 20%, P 50%.
+@register(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+      CASE o_orderstatus WHEN 'F' THEN '0ccd' WHEN 'O' THEN '3333'
+                         WHEN 'P' THEN '8000' ELSE '0000' END
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import stratified_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        o, "o_orderkey", "o_orderstatus", {"F": 0.05, "O": 0.2, "P": 0.5}
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# Reproducible train/holdout split: the SAME salted-hash predicate,
+# negated, so a row can never be in both sides regardless of cluster
+# layout; one scan, flag column, group — not two passes.
+@register(
+    "train_holdout_split",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             substr(md5('split' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a' AS hold
+      FROM orders)
+    SELECT CASE WHEN hold THEN 'holdout' ELSE 'train' END AS side,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM t GROUP BY 1
+    """,
+)
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import keep_fraction
+
+    o = _t(spark, sf_dir, "orders")
+    hold = keep_fraction(F.col("o_orderkey"), 0.1, salt="split")
+    return (
+        o.withColumn("side", F.when(hold, "holdout").otherwise("train"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# Benchmark decontamination: training docs sharing a distinct word
+# 4-gram with the "benchmark" slice (doc_id % 97 == 0 stands in for an
+# eval set). Benchmark gram hashes broadcast (eval sets are tiny), so
+# the corpus side is one scan + broadcast-semi-join; only matched
+# (doc_id, gram) pairs shuffle for the per-doc count.
+@register(
+    "benchmark_decontam",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 16) AS gram_hash
+      FROM d, LATERAL (SELECT unnest(range(1, len(w)-2)) AS i)
+    ),
+    b AS (SELECT DISTINCT gram_hash FROM g WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, gram_hash FROM g WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM c JOIN b USING (gram_hash) GROUP BY c.doc_id
+    """,
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.decontam import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination(corpus, bench, n=4).select("doc_id", "n_overlap")
+
+
+# Intra-document repetition (Gopher-style quality rule): duplicate
+# 2-gram fraction + top-gram share, in exact integer basis points.
+# One narrow array projection per row — no explode, no shuffle; the
+# oracle recomputes via explode + window because DuckDB lacks the HOF
+# fold, proving the fold against relational semantics.
+@register(
+    "doc_repetition_profile",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+          FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+    r AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist, max(c) AS top
+      FROM (SELECT doc_id, gram,
+                   count(*) OVER (PARTITION BY doc_id, gram) AS c FROM g)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(total, 0) AS BIGINT) AS rep_total_ngrams,
+           CAST(coalesce(dist, 0) AS BIGINT) AS rep_distinct_ngrams,
+           CAST(coalesce(floor((total - dist) * 10000 / total), 0) AS BIGINT) AS rep_ratio_bp,
+           CAST(coalesce(floor(top * 10000 / total), 0) AS BIGINT) AS rep_top_share_bp
+    FROM d LEFT JOIN r USING (doc_id)
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, n=2).select(
+        "doc_id", "rep_total_ngrams", "rep_distinct_ngrams",
+        "rep_ratio_bp", "rep_top_share_bp",
+    )
+
+
+# Corpus vocabulary profile: top-50 terms by frequency (count desc,
+# then term, so the LIMIT frontier is deterministic). Classic corpus
+# statistics pass: explode + partial-agg — the map-side combine keeps
+# shuffle volume at |vocab|, not |tokens|.
+@register(
+    "vocab_top_terms",
+    """
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY cnt DESC, term LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import words
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(50)
+    )

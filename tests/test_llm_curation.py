@@ -1,0 +1,164 @@
+"""Unit tests for the training-data curation ops added in round 2:
+PII scrub, deterministic sampling, benchmark decontamination,
+intra-document repetition stats."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops import decontam, pii, sampling
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestPii:
+    def test_counts_and_redaction_all_types(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a.b+c@x-mail.co and b@y.org, call 555-123-4567 or 555.987.6543, "
+                 "ip 192.168.0.1, ssn 123-45-6789, card 4111 1111 1111 1234")],
+        )
+        row = pii.scrub(df).first()
+        assert row.pii_n_email == 2
+        assert row.pii_n_phone == 2
+        assert row.pii_n_ipv4 == 1
+        assert row.pii_n_ssn == 1
+        assert row.pii_n_credit_card == 1
+        assert row.pii_n_total == 7
+        red = row.text_redacted
+        for tok in ("<EMAIL>", "<PHONE>", "<IPV4>", "<SSN>", "<CREDIT_CARD>"):
+            assert tok in red
+        # no raw digits of the scrubbed identifiers survive
+        assert "4567" not in red and "6789" not in red and "1234" not in red
+
+    def test_clean_and_null_text(self, spark):
+        df = _docs(spark, [(1, "nothing sensitive here"), (2, None), (3, "")])
+        out = {r.doc_id: r for r in pii.scrub(df).collect()}
+        assert out[1].pii_n_total == 0
+        assert out[1].text_redacted == "nothing sensitive here"
+        assert out[2].pii_n_total is None and out[2].text_redacted is None
+        assert out[3].pii_n_total == 0
+
+    def test_types_subset_redacts_only_requested(self, spark):
+        df = _docs(spark, [(1, "a@b.co and 555-123-4567")])
+        row = pii.redact_pii(df, types=["email"]).first()
+        assert "<EMAIL>" in row.text_redacted
+        assert "555-123-4567" in row.text_redacted
+
+    def test_ssn_phone_card_do_not_cross_match(self, spark):
+        # 3-2-4 (ssn), 3-3-4 (phone), 4-4-4-4 (card) group shapes are
+        # mutually exclusive — each pattern fires exactly once.
+        df = _docs(spark, [(1, "123-45-6789 555-123-4567 4111-1111-1111-1234")])
+        row = pii.pii_counts(df).first()
+        assert (row.pii_n_ssn, row.pii_n_phone, row.pii_n_credit_card) == (1, 1, 1)
+
+
+class TestSampling:
+    def test_deterministic_across_partitioning(self, spark):
+        df = spark.range(0, 5000).withColumnRenamed("id", "k")
+        a = sorted(r.k for r in sampling.sample_fraction(df, "k", 0.2).collect())
+        b = sorted(
+            r.k
+            for r in sampling.sample_fraction(df.repartition(17), "k", 0.2).collect()
+        )
+        assert a == b and 0 < len(a) < 5000
+
+    def test_fraction_bounds(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        assert sampling.sample_fraction(df, "k", 0.0).count() == 0
+        assert sampling.sample_fraction(df, "k", 1.0).count() == 500
+
+    def test_salt_changes_membership(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in sampling.sample_fraction(df, "k", 0.3, salt="a").collect()}
+        b = {r.k for r in sampling.sample_fraction(df, "k", 0.3, salt="b").collect()}
+        assert a != b
+
+    def test_train_holdout_disjoint_and_complete(self, spark):
+        df = spark.range(0, 3000).withColumnRenamed("id", "k")
+        tr, ho = sampling.split_train_holdout(df, "k", 0.1)
+        t = {r.k for r in tr.collect()}
+        h = {r.k for r in ho.collect()}
+        assert t.isdisjoint(h)
+        assert len(t) + len(h) == 3000
+        assert 100 < len(h) < 500  # ~10% of 3000
+
+    def test_stratified_matches_direct_predicate(self, spark):
+        df = spark.createDataFrame(
+            [(i, "AB"[i % 2]) for i in range(2000)], "k long, s string"
+        )
+        got = {
+            (r.k, r.s)
+            for r in sampling.stratified_sample(
+                df, "k", "s", {"A": 0.5, "B": 0.1}
+            ).collect()
+        }
+        thr_a = sampling.fraction_threshold(0.5)
+        thr_b = sampling.fraction_threshold(0.1)
+        want = {
+            (r.k, r.s)
+            for r in df.filter(
+                F.substring(F.md5(F.col("k").cast("string")), 1, 4)
+                < F.when(F.col("s") == "A", thr_a).otherwise(thr_b)
+            ).collect()
+        }
+        assert got == want and got
+
+
+class TestDecontam:
+    def test_planted_contamination_found(self, spark):
+        bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+        corpus = _docs(
+            spark,
+            [
+                (1, "totally unrelated words about spark partitions and shuffles"),
+                (2, "prefix text then the quick brown fox jumps over something"),
+                (3, "short"),
+                (4, None),
+            ],
+        )
+        out = {r.doc_id: r.n_overlap for r in decontam.contamination(corpus, bench).collect()}
+        # doc 2 shares the 4-grams inside "the quick brown fox jumps over"
+        assert out == {2: 3}
+
+    def test_decontaminate_drops_flagged_only(self, spark):
+        bench = _docs(spark, [(100, "one two three four five six")])
+        corpus = _docs(
+            spark,
+            [(1, "one two three four different tail"), (2, "clean document with words")],
+        )
+        kept = sorted(r.doc_id for r in decontam.decontaminate(corpus, bench).collect())
+        assert kept == [2]
+
+    def test_min_overlap_threshold(self, spark):
+        bench = _docs(spark, [(100, "a b c d e f g h")])
+        corpus = _docs(spark, [(1, "a b c d x y z w"), (2, "a b c d e f x y")])
+        out = decontam.contamination(corpus, bench, min_overlap=2)
+        assert [r.doc_id for r in out.collect()] == [2]
+
+
+class TestRepetition:
+    def test_known_values(self, spark):
+        df = _docs(spark, [(1, "a b a b a b"), (2, "w x y z"), (3, "solo"), (4, None)])
+        out = {r.doc_id: r for r in repetition_stats(df).collect()}
+        # "a b a b a b": 2-grams [ab, ba, ab, ba, ab] -> 5 total, 2 distinct
+        assert (out[1].rep_total_ngrams, out[1].rep_distinct_ngrams) == (5, 2)
+        assert out[1].rep_ratio_bp == 6000  # (5-2)/5
+        assert out[1].rep_top_share_bp == 6000  # "a b" x3 of 5
+        assert (out[2].rep_total_ngrams, out[2].rep_ratio_bp) == (3, 0)
+        assert out[3].rep_total_ngrams == 0 and out[3].rep_top_share_bp == 0
+        assert out[4].rep_total_ngrams == 0
+
+    def test_filterable_quality_rule(self, spark):
+        df = _docs(
+            spark,
+            [(1, "spam spam spam spam spam spam"), (2, "a genuinely varied sentence here")],
+        )
+        kept = [
+            r.doc_id
+            for r in repetition_stats(df).filter(F.col("rep_ratio_bp") < 5000).collect()
+        ]
+        assert kept == [2]
