@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import widen
 from .text_stats import shingles
 
 
@@ -36,10 +37,14 @@ def ngram_hash_set(
 
     Distinct-per-doc before any join so a gram repeated inside one doc
     counts once (overlap counts are set semantics, like the published
-    filters)."""
+    filters). The input is widened first: gram hashing is shuffle-free
+    and would otherwise inherit a small scan's 1-2 splits and pin the
+    whole corpus to 1-2 cores (no-op when the scan already has
+    cluster-wide splits)."""
     grams = F.array_distinct(shingles(F.col(text_col), n))
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        widen(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .select(id_col, F.substring(F.md5(F.col("gram")), 1, 16).alias("gram_hash"))
     )
 

@@ -78,6 +78,11 @@ def _widen(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# Public alias: other llm_ops modules (decontam, query-site widening of
+# projection-only ops) need the same scan-parallelism guard.
+widen = _widen
+
+
 def _with_min_words(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Drop docs with fewer than ``n`` words before signature-based
     pair-finding: their shingle set is EMPTY, so their Jaccard with

@@ -3031,9 +3031,12 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import widen
     from .llm_ops.text_stats import repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    # widen: the per-row sort+fold is CPU-bound and shuffle-free — a
+    # 1-2-split scan would pin it to 1-2 cores (no-op at real scale).
+    d = widen(_t(spark, sf_dir, "documents"))
     return repetition_stats(d, n=2).select(
         "doc_id", "rep_total_ngrams", "rep_distinct_ngrams",
         "rep_ratio_bp", "rep_top_share_bp",
@@ -3053,9 +3056,10 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import widen
     from .llm_ops.text_stats import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = widen(_t(spark, sf_dir, "documents").select("text"))
     return (
         d.select(F.explode(words(F.col("text"))).alias("term"))
         .groupBy("term")

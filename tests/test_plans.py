@@ -207,3 +207,48 @@ def test_supplier_part_star_broadcasts_all_dims(spark):
     # shuffles exactly once — for the final aggregation.
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_ops_no_python_udfs_no_shuffle(spark):
+    # PII scrub, sampling, and repetition stats are narrow per-row
+    # projections/filters: any Exchange or Python-eval node in their
+    # plans is a scale regression.
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.pii import scrub
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+        stratified_sample,
+    )
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    for df in (
+        scrub(docs),
+        repetition_stats(docs),
+        stratified_sample(orders, "o_orderkey", "o_orderstatus", {"F": 0.1}),
+    ):
+        plan = plan_text(df)
+        assert "Exchange" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, plan
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    # The benchmark gram set must broadcast: the corpus scan may not
+    # shuffle for the semi-join (only the matched pairs shuffle for
+    # the per-doc count).
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.decontam import (
+        contamination,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = contamination(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=4
+    )
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan
+    # bounded shuffles: one for the benchmark-side DISTINCT (small
+    # side), one for the groupBy(doc_id) count over matched pairs —
+    # the full corpus gram stream itself must NOT hash-partition.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
