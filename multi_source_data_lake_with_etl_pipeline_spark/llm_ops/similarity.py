@@ -321,3 +321,112 @@ def ann_lsh_multitable(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped blocked pairwise cosine: all pairs WITHIN a
+    block (coarse cluster id, shard, language...), never across.
+
+    The block key turns the quadratic all-pairs into Σ|block|² work
+    and an equality join Catalyst executes as a hash join on the block
+    key — the standard way semantic dedup scales: cluster first
+    (``kmeans``), then pairwise only inside clusters. Threshold is
+    applied to the UNROUNDED cosine (round is output formatting only),
+    so an external engine reproduces the pair set exactly.
+    """
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_1"),
+        F.col(vec_col).alias("_v1"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_2"),
+        F.col(vec_col).alias("_v2"),
+    )
+    cs = cosine(F.col("_v1"), F.col("_v2"))
+    return (
+        a.join(b, "_blk")
+        .filter((F.col("id_1") < F.col("id_2")) & (cs >= threshold))
+        .select("id_1", "id_2", F.round(cs, 4).alias("cos_sim"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Drop every vector that has a LOWER-id neighbor with cosine ≥
+    threshold in its block (the SemDeDup keep-one-per-near-dup-set
+    rule with min-id as the canonical survivor).
+
+    Survivor-set semantics (chain-safe): a row is dropped iff a
+    smaller-id near neighbor exists — so of {1,2,3} pairwise-similar,
+    only 1 survives; of a chain 1~2, 2~3 (1!~3), {1,3} survive. The
+    drop set is the distinct id_2 side of the pair table (tiny
+    relative to the corpus), broadcast into a left-anti join.
+    """
+    losers = (
+        blocked_neardup_pairs(df, block_col, threshold, vec_col, id_col)
+        .select(F.col("id_2").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Spherical k-means (Lloyd's): returns (centroids, df + ``_centroid``).
+
+    The clustering pass that feeds IVF indexing and SemDeDup blocking.
+    Fully deterministic: init = the k vectors with smallest
+    ``(md5(id), id)`` (an unbiased engine-independent hash sample);
+    assignment = max-cosine (``ivf_assign``, scale-invariant so mean
+    centroids need no renormalization); ties break to the first
+    centroid.
+
+    Scale shape per iteration: centroids broadcast as literals (k×dim
+    doubles on the driver — the standard Lloyd's pattern, same as
+    Spark MLlib KMeans); assignment is a narrow map; the centroid
+    update is ONE shuffle of (cluster, dim_pos, value) with map-side
+    partial aggregation, k×dim rows collected. Driver state stays
+    k×dim floats regardless of corpus size.
+    """
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        means = (
+            assigned.select("_centroid", F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+            .groupBy("_centroid", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["_centroid"], {})[r["_p"]] = float(r["_m"])
+        # empty clusters keep their previous centroid
+        centroids = [
+            (cid, [by_c[cid][p] for p in range(len(by_c[cid]))] if cid in by_c else vec)
+            for cid, vec in centroids
+        ]
+    return centroids, ivf_assign(df, centroids, vec_col)

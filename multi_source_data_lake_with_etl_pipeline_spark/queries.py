@@ -3067,3 +3067,108 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "term")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup + clustering
+# ---------------------------------------------------------------------------
+
+
+# Blocked pairwise cosine near-dups: all pairs WITHIN a block (here the
+# label column stands in for a coarse cluster id), never across — the
+# SemDeDup scale shape: Σ|block|² work via a hash join on the block
+# key, not |N|² . Threshold on the unrounded cosine in both engines.
+@register(
+    "embedding_neardup_blocked",
+    """
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           round(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding)
+          / (sqrt(list_dot_product(a.embedding, a.embedding))
+             * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.35
+    """,
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import blocked_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return blocked_neardup_pairs(emb, block_col="label", threshold=0.35)
+
+
+# Semantic dedup survivors: drop every vector with a LOWER-id neighbor
+# at cosine ≥ 0.35 inside its block; min-id is the canonical survivor.
+# Spark = left-anti against the broadcast loser set; oracle = NOT
+# EXISTS — independent formulations of the same keep rule.
+@register(
+    "semantic_dedup_survivors",
+    """
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings o
+      WHERE o.label = e.label AND o.vec_id < e.vec_id
+        AND list_dot_product(o.embedding, e.embedding)
+            / (sqrt(list_dot_product(o.embedding, o.embedding))
+               * sqrt(list_dot_product(e.embedding, e.embedding))) >= 0.35)
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, block_col="label", threshold=0.35).select(
+        "vec_id", "label"
+    )
+
+
+# Spherical k-means cluster profile (rows-only: Lloyd's is iterative —
+# not SQL-expressible; the assignment argmax property is hash-checked
+# by kmeans_assign_invariant below, and monotone-inertia is unit-tested).
+@register("kmeans_cluster_profile", None)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import _lit_vec, cosine, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans(emb, k=8, iters=3)
+    sims = F.array(*[cosine(F.col("embedding"), _lit_vec(c)) for _, c in cents])
+    ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    own = F.element_at(
+        sims, F.array_position(ids, F.col("_centroid")).cast("int")
+    )
+    return (
+        assigned.groupBy(F.col("_centroid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(own), 4).alias("avg_cos_to_centroid"),
+        )
+    )
+
+
+# Invariant: every vector's assigned centroid achieves the maximum
+# cosine over ALL centroids (argmax property of the final assignment),
+# verified with an independent element_at/array_max expression.
+# violations must be exactly 0 — a hash-checkable row for the
+# otherwise non-SQL-expressible iterative operator.
+@register(
+    "kmeans_assign_invariant",
+    "SELECT CAST(0 AS BIGINT) AS violations",
+)
+def kmeans_assign_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import _lit_vec, cosine, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans(emb, k=8, iters=3)
+    sims = F.array(*[cosine(F.col("embedding"), _lit_vec(c)) for _, c in cents])
+    ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    own = F.element_at(
+        sims, F.array_position(ids, F.col("_centroid")).cast("int")
+    )
+    return assigned.agg(
+        F.sum(F.when(own < F.array_max(sims), 1).otherwise(0))
+        .cast("long")
+        .alias("violations")
+    )

@@ -162,3 +162,84 @@ class TestRepetition:
             for r in repetition_stats(df).filter(F.col("rep_ratio_bp") < 5000).collect()
         ]
         assert kept == [2]
+
+
+class TestSemantic:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_blocked_pairs_stay_within_block(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            blocked_neardup_pairs,
+        )
+
+        df = self._emb(
+            spark,
+            [
+                (1, 0, [1.0, 0.0]),
+                (2, 0, [0.99, 0.05]),   # ~same direction as 1, same block
+                (3, 1, [1.0, 0.0]),     # identical to 1 but different block
+                (4, 0, [0.0, 1.0]),     # orthogonal
+            ],
+        )
+        pairs = {(r.id_1, r.id_2) for r in
+                 blocked_neardup_pairs(df, threshold=0.9).collect()}
+        assert pairs == {(1, 2)}
+
+    def test_semantic_dedup_chain_keeps_min_id_per_edge(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            semantic_dedup,
+        )
+
+        # chain: 1~2 and 2~3 but NOT 1~3 — survivor rule drops any row
+        # with a smaller-id neighbor, so 2 and 3 both drop (3 via 2).
+        df = self._emb(
+            spark,
+            [
+                (1, 0, [1.0, 0.0]),
+                (2, 0, [0.96, 0.28]),   # cos(1,2) ≈ 0.96
+                (3, 0, [0.83, 0.55]),   # cos(2,3) ≈ 0.95, cos(1,3) ≈ 0.83
+                (4, 0, [0.0, 1.0]),     # unrelated survivor
+            ],
+        )
+        kept = sorted(
+            r.vec_id for r in semantic_dedup(df, threshold=0.9).collect()
+        )
+        assert kept == [1, 4]
+
+    def test_kmeans_deterministic_and_improving(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            _lit_vec,
+            cosine,
+            kmeans,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+        def mean_own_cos(iters):
+            cents, assigned = kmeans(emb, k=4, iters=iters)
+            sims = F.array(*[cosine(F.col("embedding"), _lit_vec(c)) for _, c in cents])
+            ids = F.array(*[F.lit(cid) for cid, _ in cents])
+            own = F.element_at(sims, F.array_position(ids, F.col("_centroid")).cast("int"))
+            return assigned.agg(F.avg(own)).first()[0], {
+                r.vec_id: r._centroid for r in assigned.select("vec_id", "_centroid").collect()
+            }
+
+        cos1, asg_a = mean_own_cos(1)
+        cos3, _ = mean_own_cos(3)
+        _, asg_b = mean_own_cos(1)
+        assert asg_a == asg_b  # deterministic rerun
+        assert cos3 >= cos1 - 1e-9  # Lloyd's never degrades the objective
+
+    def test_kmeans_partitions_all_rows(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            kmeans,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents, assigned = kmeans(emb, k=4, iters=2)
+        assert len(cents) == 4
+        per = assigned.groupBy("_centroid").count().collect()
+        assert sum(r["count"] for r in per) == emb.count()
