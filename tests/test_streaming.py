@@ -199,3 +199,81 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hour0 = [r for r in out2 if r["window_start"].hour == 0]
     assert len(hour0) == 1 and hour0[0]["value_sum"] == 1.0
     assert all(r["value_sum"] < 100.0 for r in out2)
+
+
+def test_stream_merge_upsert_incremental_runs(spark, tmp_path):
+    """Two availableNow runs over a growing source dir, one checkpoint:
+    run 2 reads ONLY the new file (checkpoint-driven incremental) and
+    MERGEs it — updated keys overwritten, untouched rows intact."""
+    from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+        stream_merge_upsert,
+    )
+
+    src = tmp_path / "src"
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long"
+
+    # initial table
+    spark.createDataFrame(
+        [(1, "init1", 0), (2, "init2", 0)], schema
+    ).write.parquet(tbl)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src))
+        )
+        stream_merge_upsert(stream, tbl, key="k", checkpoint=ckpt, order_col="seq")
+
+    src.mkdir()
+    # batch 1: update k=2 (two competing rows — seq 2 must win), insert k=3
+    spark.createDataFrame(
+        [(2, "old", 1), (2, "new", 2), (3, "ins", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: "init1", 2: "new", 3: "ins"}
+
+    # batch 2 (same checkpoint): only the new file is processed
+    spark.createDataFrame([(3, "upd", 3), (4, "ins4", 1)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run()
+    got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: "init1", 2: "new", 3: "upd", 4: "ins4"}
+
+
+def test_incremental_read_watermark_advances(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.incremental import (
+        commit_watermark,
+        incremental_read,
+        read_watermark,
+    )
+
+    tbl = str(tmp_path / "t")
+    state = str(tmp_path / "wm.json")
+    spark.sql(
+        "SELECT * FROM VALUES (1, timestamp'2024-01-01 10:00:00'),"
+        " (2, timestamp'2024-01-01 11:00:00') AS t(id, ts)"
+    ).write.parquet(tbl)
+
+    # run 1: everything
+    batch1 = incremental_read(spark.read.parquet(tbl), "ts", state)
+    assert {r.id for r in batch1.collect()} == {1, 2}
+    assert commit_watermark(batch1, "ts", state) == "2024-01-01 11:00:00"
+
+    # append newer + older-duplicate rows; run 2 sees ONLY strictly-newer
+    spark.sql(
+        "SELECT * FROM VALUES (3, timestamp'2024-01-01 12:00:00'),"
+        " (4, timestamp'2024-01-01 10:30:00') AS t(id, ts)"
+    ).write.mode("append").parquet(tbl)
+    batch2 = incremental_read(spark.read.parquet(tbl), "ts", state)
+    assert {r.id for r in batch2.collect()} == {3}
+    commit_watermark(batch2, "ts", state)
+    assert read_watermark(state) == "2024-01-01 12:00:00"
+
+    # empty batch: watermark unchanged, commit is a no-op
+    batch3 = incremental_read(spark.read.parquet(tbl), "ts", state)
+    assert batch3.count() == 0
+    assert commit_watermark(batch3, "ts", state) is None
+    assert read_watermark(state) == "2024-01-01 12:00:00"
