@@ -124,3 +124,84 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").groupBy("k", "label").count()
     salted = salted_join(fact, dim, "k").groupBy("k", "label").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# --- curation ops -----------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=60),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pii_redaction_idempotent_and_total_consistent(spark, vals):
+    """Redacting twice == redacting once (tokens contain no PII shapes),
+    and pii_n_total always equals the sum of the per-type counts."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops import pii
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "doc_id int, text string")
+    once = pii.scrub(df)
+    twice = pii.redact_pii(once, text_col="text_redacted", out_col="re2")
+    for r in twice.collect():
+        assert r.re2 == r.text_redacted
+        total = sum(r[f"pii_n_{t}"] for t in pii.PII_PATTERNS)
+        assert r.pii_n_total == total
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_fraction_threshold_monotone(spark, f):
+    """Thresholds order like their fractions, and endpoints are exact —
+    monotonicity is what makes nested samples (0.01 ⊂ 0.1 ⊂ 1.0) true."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+        fraction_threshold,
+    )
+
+    t = fraction_threshold(f)
+    assert fraction_threshold(0.0) <= t <= fraction_threshold(1.0)
+    for g in (0.0, 0.25, 0.5, 0.75, 1.0):
+        if f <= g:
+            assert t <= fraction_threshold(g)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=3))
+def test_nested_samples_are_subsets(spark, seed):
+    """A smaller deterministic sample is a strict subset of a larger one
+    with the same salt (hex-prefix predicate is threshold-monotone)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+        sample_fraction,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    salt = f"s{seed}"
+    small = {r.k for r in sample_fraction(df, "k", 0.05, salt).collect()}
+    big = {r.k for r in sample_fraction(df, "k", 0.3, salt).collect()}
+    assert small <= big
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab "), max_size=30),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_repetition_bounds(spark, texts):
+    """0 ≤ ratio/top-share ≤ 10000; distinct ≤ total; zero-gram docs
+    report all-zero."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    for r in repetition_stats(df).collect():
+        assert 0 <= r.rep_ratio_bp <= 10000
+        assert 0 <= r.rep_top_share_bp <= 10000
+        assert r.rep_distinct_ngrams <= r.rep_total_ngrams
+        if r.rep_total_ngrams == 0:
+            assert r.rep_ratio_bp == 0 and r.rep_top_share_bp == 0
