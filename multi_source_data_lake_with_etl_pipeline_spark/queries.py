@@ -3172,3 +3172,46 @@ def kmeans_assign_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("violations")
     )
+
+
+# Stream-stream interval join: purchases joined to same-user clicks in
+# the following 30 minutes, both sides of ONE watermarked file stream
+# (self-join). Inner-join output of an availableNow drain over a fixed
+# lake dir is COMPLETE (no withheld tail — only stateful aggs withhold),
+# so the batch SQL is an exact oracle: full stream/batch parity,
+# hash-checked. The watermark + closed bound keep join state finite on
+# unbounded streams (see streaming/ingest.stream_interval_join).
+@register(
+    "stream_interval_join_clicks",
+    """
+    SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import streamable_path
+    from .streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_interval_join,
+    )
+
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        clicks = stream.filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases, clicks, key="user_id",
+            upper_bound="30 minutes", prefixes=("p_", "c_"),
+        )
+        out = joined.select(
+            F.col("p_event_id").alias("purchase_event_id"),
+            F.col("c_event_id").alias("click_event_id"),
+        )
+        run_to_memory_sink(out, "stream_interval_join_q", state_partitions=4)
+
+    return _drain_cached(spark, "stream_interval_join_q", sf_dir, _build)

@@ -275,3 +275,42 @@ def stream_merge_upsert(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lower_bound: str = "0 seconds",
+    upper_bound: str = "30 minutes",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Stream-stream INNER join on ``key`` with the right event inside
+    ``[left_ts + lower_bound, left_ts + upper_bound]`` — the streaming
+    analog of the batch range join (operators/joins.range_join).
+
+    The watermark plus the closed time bound are what make this run
+    forever on unbounded streams: Spark can discard buffered left rows
+    once watermark passes ``left_ts + upper_bound`` (no right match can
+    arrive anymore) and symmetrically for the right — state is bounded
+    by watermark horizon × arrival rate, independent of stream length.
+    Columns are prefix-renamed BEFORE the watermark so a self-join of
+    one source stream is unambiguous.
+    """
+    lp, rp = prefixes
+    l = left.select(
+        [F.col(c).alias(lp + c) for c in left.columns]
+    ).withWatermark(lp + left_ts, watermark)
+    r = right.select(
+        [F.col(c).alias(rp + c) for c in right.columns]
+    ).withWatermark(rp + right_ts, watermark)
+    lt, rt = F.col(lp + left_ts), F.col(rp + right_ts)
+    cond = (
+        (F.col(lp + key) == F.col(rp + key))
+        & (rt >= lt + F.expr(f"INTERVAL {lower_bound}"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper_bound}"))
+    )
+    return l.join(r, cond, "inner")

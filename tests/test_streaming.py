@@ -277,3 +277,48 @@ def test_incremental_read_watermark_advances(spark, tmp_path):
     assert batch3.count() == 0
     assert commit_watermark(batch3, "ts", state) is None
     assert read_watermark(state) == "2024-01-01 12:00:00"
+
+
+def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Purchases arrive in file 1, their clicks in file 2; with
+    maxFilesPerTrigger=1 the match spans two micro-batches — buffered
+    join state (bounded by watermark + interval) must produce it."""
+    from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_interval_join,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    raw = "event_id long, user_id long, event_type string, ts_s string"
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, raw)
+            .select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+
+    write([(1, 7, "purchase", "2024-01-01 10:00:00")])
+    write(
+        [
+            (2, 7, "click", "2024-01-01 10:10:00"),   # in window
+            (3, 7, "click", "2024-01-01 11:10:00"),   # outside 30 min
+            (4, 8, "click", "2024-01-01 10:05:00"),   # other user
+        ]
+    )
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    joined = stream_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        key="user_id",
+        upper_bound="30 minutes",
+        prefixes=("p_", "c_"),
+    ).select("p_event_id", "c_event_id")
+    run_to_memory_sink(joined, "xbatch_join_q", state_partitions=2)
+    rows = {(r.p_event_id, r.c_event_id) for r in spark.table("xbatch_join_q").collect()}
+    assert rows == {(1, 2)}
