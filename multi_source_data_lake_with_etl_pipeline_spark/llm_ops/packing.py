@@ -139,3 +139,52 @@ def pack_greedy(
 
     out = src.groupBy(gcol).applyInPandas(walk, schema=schema)
     return out if group_col is not None else out.drop(gcol)
+
+
+def chunk_words(
+    df: DataFrame,
+    chunk_size: int = 100,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into word windows
+    of ``chunk_size`` with ``overlap`` words shared between neighbors
+    (stride = chunk_size - overlap) — the F18 chunking slot done as a
+    real operator (reference chunks record BATCHES for transport,
+    ``common_utils.py``; a training pipeline chunks TEXT for the model
+    context window).
+
+    Emits (id, chunk_id, chunk_text, n_chunk_words); every doc yields
+    ≥ 1 chunk (short docs → one whole-doc chunk); a NULL text yields
+    none. All JVM expressions — per-row sequence/slice + posexplode,
+    no shuffle, no Python; output row count is Σ ceil(words/stride),
+    so the op streams at scan speed on any corpus size.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    from .text_stats import words
+
+    stride = chunk_size - overlap
+    w = words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = (
+        F.lit(1) + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, i * stride + 1, chunk_size),
+    )
+    # NULL text → NO chunks (posexplode of NULL emits nothing). Without
+    # the guard, greatest(NULL, 0) = 0 (Spark greatest skips NULLs)
+    # silently fabricates one empty chunk per NULL doc.
+    chunks = F.when(F.col(text_col).isNotNull(), chunks)
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_cw"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.col("_cw")).alias("chunk_text"),
+            F.size(F.col("_cw")).cast("long").alias("n_chunk_words"),
+        )
+    )

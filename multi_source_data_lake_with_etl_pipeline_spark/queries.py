@@ -3215,3 +3215,26 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_sink(out, "stream_interval_join_q", state_partitions=4)
 
     return _drain_cached(spark, "stream_interval_join_q", sf_dir, _build)
+
+
+# Context-window chunking (F18 as a real operator): 40-word windows,
+# 8-word overlap (stride 32). Per-row sequence/slice/posexplode — no
+# shuffle; the oracle rebuilds the identical windows with DuckDB's
+# 1-based inclusive list slicing (w[s : s+len-1] == Spark slice).
+@register(
+    "chunk_documents",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS nw FROM d)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(w[i*32+1 : i*32+40], ' ') AS chunk_text,
+           CAST(len(w[i*32+1 : i*32+40]) AS BIGINT) AS n_chunk_words
+    FROM n, LATERAL (
+      SELECT unnest(range(0, 1 + CAST(ceil(greatest(nw - 40, 0) / 32.0) AS INT))) AS i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.packing import chunk_words
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_words(d, chunk_size=40, overlap=8)

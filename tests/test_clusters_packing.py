@@ -136,3 +136,52 @@ def test_pack_streaming_token_conservation(spark, sf_dir):
         F.sum("n_tokens").alias("total"),
     )
     assert last.filter(F.col("reconstructed") != F.col("total")).count() == 0
+
+
+class TestChunking:
+    def test_windows_overlap_and_reconstruct(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.packing import (
+            chunk_words,
+        )
+
+        text = " ".join(f"w{i}" for i in range(25))
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        rows = sorted(
+            chunk_words(df, chunk_size=10, overlap=3).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # 25 words, stride 7: 1 + ceil(15/7) = 4 chunks
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+        chunks = [r.chunk_text.split(" ") for r in rows]
+        assert all(len(c) <= 10 for c in chunks)
+        # consecutive chunks share exactly `overlap` words
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-3:] == b[:3]
+        # stitching chunks (dropping each successor's overlap) rebuilds the doc
+        rebuilt = chunks[0] + [w for c in chunks[1:] for w in c[3:]]
+        assert rebuilt == text.split(" ")
+
+    def test_short_and_null_docs(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.packing import (
+            chunk_words,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "just three words"), (2, None)], "doc_id int, text string"
+        )
+        rows = chunk_words(df, chunk_size=10, overlap=3).collect()
+        assert len(rows) == 1
+        assert rows[0].doc_id == 1 and rows[0].chunk_id == 0
+        assert rows[0].chunk_text == "just three words"
+        assert rows[0].n_chunk_words == 3
+
+    def test_rejects_bad_overlap(self, spark):
+        import pytest as _pytest
+
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.packing import (
+            chunk_words,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with _pytest.raises(ValueError):
+            chunk_words(df, chunk_size=10, overlap=10)
