@@ -3238,3 +3238,79 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return chunk_words(d, chunk_size=40, overlap=8)
+
+
+# Numeric histogram: fixed-width value buckets + count — the profile
+# op behind data-distribution dashboards. Pure floor-division
+# bucketing (identical arithmetic both engines); one partial/final agg,
+# shuffle carries ≤ n_buckets rows per map partition.
+@register(
+    "totalprice_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders GROUP BY 1
+    """,
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+# Key-skew diagnosis: the pre-flight check before any big join/agg on
+# a key — max/mean group size ratio says whether salting or AQE skew
+# handling is needed. Two tiny aggs (group counts, then one row);
+# nothing leaves the executors but per-key counts.
+@register(
+    "orders_key_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_count,
+           round(avg(n), 2) AS avg_count,
+           round(max(n) / avg(n), 2) AS skew_ratio
+    FROM c
+    """,
+)
+def orders_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_count"),
+        F.round(F.avg("n"), 2).alias("avg_count"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+    )
+
+
+# Per-source corpus report: the single-pass observability rollup a
+# corpus owner reads daily — volume, size, language mix per source.
+@register(
+    "corpus_source_report",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
