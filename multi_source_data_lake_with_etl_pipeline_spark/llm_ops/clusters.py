@@ -60,7 +60,9 @@ def connected_components(
         sym.select("u").distinct().withColumn("label", F.col("u"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         # Edge step: label(u) <- min(label(u), min_{v in N(u)} label(v)).
         nbr = (
             sym.join(
@@ -76,10 +78,15 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("_old"),
             )
         )
         # Pointer jump: label(u) <- label(label(u)) — collapses label
-        # chains so long paths converge in logarithmic rounds.
+        # chains so long paths converge in logarithmic rounds. The
+        # convergence metric rides the SAME job via observe(): the
+        # checkpoint materialization also tallies changed labels, so
+        # each round is ONE job, not materialize + a count job.
+        obs = Observation(f"cc_changed_{it}")
         jumped = (
             stepped.alias("a")
             .join(
@@ -92,17 +99,17 @@ def connected_components(
             .select(
                 F.col("a.u").alias("u"),
                 F.coalesce(F.col("_ll"), F.col("a.label")).alias("label"),
+                F.col("a._old").alias("_old"),
             )
-        ).localCheckpoint(eager=True)
-
-        changed = (
-            labels.select("u", F.col("label").alias("_old"))
-            .join(jumped, "u")
-            .filter(F.col("_old") != F.col("label"))
-            .count()
+            .observe(
+                obs,
+                F.sum((F.col("_old") != F.col("label")).cast("long")).alias("changed"),
+            )
+            .drop("_old")
+            .localCheckpoint(eager=True)
         )
         labels = jumped
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
 
     sym.unpersist()

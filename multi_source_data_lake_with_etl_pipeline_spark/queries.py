@@ -3130,27 +3130,29 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by kmeans_assign_invariant below, and monotone-inertia is unit-tested).
 @register("kmeans_cluster_profile", None)
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops.similarity import _lit_vec, cosine, kmeans
+    from .llm_ops.similarity import ivf_assign_arrow, kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
     cents, assigned = kmeans(emb, k=8, iters=3)
-    sims = F.array(*[cosine(F.col("embedding"), _lit_vec(c)) for _, c in cents])
-    ids = F.array(*[F.lit(cid) for cid, _ in cents])
-    own = F.element_at(
-        sims, F.array_position(ids, F.col("_centroid")).cast("int")
-    )
+    # Re-assign with with_sim to carry each vector's own-centroid
+    # cosine out of the Arrow batch (same matmul, no second pass of
+    # interpreted per-row HOF folds).
+    scored = ivf_assign_arrow(assigned.drop("_centroid"), cents, with_sim=True)
     return (
-        assigned.groupBy(F.col("_centroid").alias("cluster"))
+        scored.groupBy(F.col("_centroid").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg(own), 4).alias("avg_cos_to_centroid"),
+            F.round(F.avg("_centroid_sim"), 4).alias("avg_cos_to_centroid"),
         )
     )
 
 
 # Invariant: every vector's assigned centroid achieves the maximum
 # cosine over ALL centroids (argmax property of the final assignment),
-# verified with an independent element_at/array_max expression.
+# verified with an independent JVM element_at/array_max expression
+# against the Arrow-batch assignment — two compute paths, so the
+# compare carries a 1e-9 tolerance (numpy vs HOF-fold summation order
+# differs at ~1e-16; real centroid separations are orders larger).
 # violations must be exactly 0 — a hash-checkable row for the
 # otherwise non-SQL-expressible iterative operator.
 @register(
@@ -3168,7 +3170,7 @@ def kmeans_assign_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims, F.array_position(ids, F.col("_centroid")).cast("int")
     )
     return assigned.agg(
-        F.sum(F.when(own < F.array_max(sims), 1).otherwise(0))
+        F.sum(F.when(own < F.array_max(sims) - F.lit(1e-9), 1).otherwise(0))
         .cast("long")
         .alias("violations")
     )
