@@ -263,8 +263,11 @@ def ann_ivf(
         cid for cid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:nprobe]
     ]
     q = _lit_vec(query_vec)
+    # Arrow assignment (see ivf_assign_arrow): scoring stays JVM-side
+    # so emitted cos_sim values are bit-identical with the exact/brute
+    # paths — probing only changes WHICH rows are scored.
     return (
-        ivf_assign(df, centroids, vec_col)
+        ivf_assign_arrow(df, centroids, vec_col)
         .filter(F.col("_centroid").isin(probe_ids))
         .select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -283,7 +286,7 @@ def ivf_build(
     own partition directory. At 100 TB this is the amortized one-time
     build; every search afterward reads only ``nprobe`` partitions
     (static partition pruning — no scan of the other lists)."""
-    ivf_assign(df, centroids, vec_col).write.partitionBy("_centroid").mode(
+    ivf_assign_arrow(df, centroids, vec_col).write.partitionBy("_centroid").mode(
         "overwrite"
     ).parquet(path)
     return path
