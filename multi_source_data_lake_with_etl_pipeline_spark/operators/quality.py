@@ -179,3 +179,45 @@ def observed(df: DataFrame, name: str = "etl_stats", *metrics: Column):
         metrics = tuple(ms)
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column — the standard drift alarm between a reference window and a
+    new window of the same feed (PSI < 0.1 stable, > 0.25 shifted).
+
+    Fixed-width bucketing (top bucket clamps the tail) so the bucket
+    map is identical on both sides and across engines; PSI terms are
+    computed only for buckets populated on BOTH sides (the usual
+    epsilon fudge is engine-dependent; dropping empty buckets is
+    deterministic). Each side is one partial/final agg over its scan —
+    the join afterwards touches n_buckets rows.
+
+    Returns one row: (psi, n_buckets_compared).
+    """
+    top = n_buckets - 1
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(F.floor(F.col(value_col) / bucket_width), F.lit(top)).cast("long")
+        out = df.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("_n"))
+        total = out.agg(F.sum("_n").alias("_t")).select("_t")
+        return (
+            out.crossJoin(F.broadcast(total))
+            .select("bucket", (F.col("_n") / F.col("_t")).alias(name))
+        )
+
+    a = dist(df_a, "p")
+    b = dist(df_b, "q")
+    terms = a.join(b, "bucket").select(
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("_term")
+    )
+    return terms.agg(
+        F.round(F.sum("_term"), 4).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets_compared"),
+    )

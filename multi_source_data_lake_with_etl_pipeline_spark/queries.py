@@ -3316,3 +3316,66 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# Distribution drift (PSI) between order cohorts before/after 1995 —
+# the drift alarm between a reference window and a fresh window of the
+# same feed. Fixed-width buckets (identical map both engines), PSI
+# terms only for buckets populated on both sides. One agg per side.
+@register(
+    "orders_price_drift_psi",
+    """
+    WITH a AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+             count(*) / CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) < 1995) AS DOUBLE) AS p
+      FROM orders WHERE year(o_orderdate) < 1995 GROUP BY 1),
+    b AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+             count(*) / CAST((SELECT count(*) FROM orders WHERE year(o_orderdate) >= 1995) AS DOUBLE) AS q
+      FROM orders WHERE year(o_orderdate) >= 1995 GROUP BY 1)
+    SELECT round(sum((p - q) * ln(p / q)), 4) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets_compared
+    FROM a JOIN b USING (bucket)
+    """,
+)
+def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.year("o_orderdate") < 1995)
+    after = o.filter(F.year("o_orderdate") >= 1995)
+    return psi_drift(before, after, "o_totalprice", bucket_width=50000, n_buckets=10)
+
+
+# Window-function superset: ntile deciles of customer balance with
+# per-decile stats — percentile banding without a full sort shuffle of
+# the fact table (window sort only carries custkey + balance).
+@register(
+    "customer_balance_deciles",
+    """
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM d GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )

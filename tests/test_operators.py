@@ -189,3 +189,18 @@ def test_nan_to_null(spark):
     df = spark.createDataFrame([(float("nan"),), (1.5,)], "v double")
     got = [r[0] for r in cleaning.nan_to_null(df).collect()]
     assert got == [None, 1.5]
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        psi_drift,
+    )
+
+    a = spark.range(0, 1000).select((F.col("id") % 100 * 10.0).alias("v"))
+    same = psi_drift(a, a, "v", bucket_width=100, n_buckets=10).first()
+    assert same.psi == 0.0 and same.n_buckets_compared == 10
+    shifted = spark.range(0, 1000).select(
+        ((F.col("id") % 100) * 10.0 + 300).alias("v")
+    )
+    drift = psi_drift(a, shifted, "v", bucket_width=100, n_buckets=10).first()
+    assert drift.psi > 0.1
