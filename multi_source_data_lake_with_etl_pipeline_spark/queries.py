@@ -3379,3 +3379,30 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
     )
+
+
+# Bivariate statistics profile: correlation, covariance, regression
+# slope, stddev per returnflag — single partial/final agg pass (all
+# four are decomposable moment aggregates: the shuffle carries
+# constant-size moment partials per group, never rows).
+@register(
+    "lineitem_stats_profile",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_pop(l_discount, l_extendedprice), 2) AS covar_disc_price,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_per_qty,
+           round(stddev_pop(l_extendedprice), 2) AS stddev_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_discount", "l_extendedprice"), 2).alias("covar_disc_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope_price_per_qty"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("stddev_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
