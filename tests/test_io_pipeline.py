@@ -392,3 +392,64 @@ def test_yaml_write_read_roundtrip(spark, tmp_path):
     write_file(spark.createDataFrame([(3, "c", 3.5)], "id long, name string, v double"),
                path, file_format="yaml", mode="append")
     assert read_file(spark, path, file_format="yaml").count() == 3
+
+
+class TestMaintenance:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.maintenance import (
+            compact_table,
+        )
+
+        tbl = str(tmp_path / "t")
+        # 40 tiny files
+        spark.range(0, 4000).repartition(40).write.parquet(tbl)
+        before = spark.read.parquet(tbl).count()
+        stats = compact_table(spark, tbl, target_file_mb=1024)
+        assert stats["files_before"] == 40
+        assert stats["files_after"] == 1
+        assert spark.read.parquet(tbl).count() == before
+
+    def test_cluster_table_tightens_file_ranges(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.maintenance import (
+            _parquet_files,
+            cluster_table,
+        )
+
+        tbl = str(tmp_path / "t")
+        # value scattered across files: every file spans ~the full range
+        spark.range(0, 10000).select(
+            (F.col("id") * 7919 % 10000).alias("k"), F.col("id").alias("v")
+        ).repartition(8).write.parquet(tbl)
+        cluster_table(spark, tbl, ["k"], n_files=8)
+        ranges = []
+        for f in _parquet_files(tbl):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        # after clustering, file ranges are non-overlapping (range
+        # partitioner bounds) — the property min/max skipping needs
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+        assert spark.read.parquet(tbl).count() == 10000
+
+    def test_vacuum_removes_debris_only(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.maintenance import (
+            vacuum_table,
+        )
+
+        tbl = str(tmp_path / "t")
+        spark.range(0, 10).write.parquet(tbl)
+        (tmp_path / "t.old").mkdir()
+        (tmp_path / "merge_abc").mkdir()
+        (tmp_path / "unrelated").mkdir()
+        removed = {p.split("/")[-1] for p in vacuum_table(tbl)}
+        assert removed == {"t.old", "merge_abc"}
+        assert (tmp_path / "unrelated").exists()
+        assert spark.read.parquet(tbl).count() == 10
