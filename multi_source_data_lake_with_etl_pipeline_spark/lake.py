@@ -1,0 +1,428 @@
+"""Versioned lake table: an ACID-ish table format over parquet with a
+transaction log — the from-scratch equivalent of the Delta/Iceberg
+layer the reference's stated architecture assumes (BASELINE.json
+"DataFrame transformations over Delta/Iceberg tables"; reference
+upsert/delete semantics per ``base_loaders.py:149-181``,
+``mongo_connector.py:152-161``). No Delta/Iceberg package exists in
+this environment, so the table format itself is implemented here from
+the public protocol ideas (Delta transaction log / Iceberg snapshots):
+
+Layout::
+
+    <path>/data/<uuid>.parquet          immutable data files
+    <path>/_log/<020d-version>.json     one commit per version
+    <path>/_log/_checkpoint.<version>.json  full state every N commits
+
+Each commit records ``add`` entries (relative path, row count, bytes,
+per-column min/max footer stats) and ``remove``d paths, plus the table
+schema. The active snapshot at version V = replay of commits ≤ V from
+the nearest checkpoint. This gives, at 100 TB scale:
+
+- **O(changed-files) writes**: MERGE/DELETE locate touched files with
+  an ``input_file_name()`` scan (predicate-pushed, row-group pruned)
+  and rewrite ONLY those files; a 50-row upsert into a 100 TB table
+  rewrites one file, and every other file is byte-identical (asserted
+  in tests). No whole-table or even whole-partition copy-on-write.
+- **Snapshot isolation**: a reader resolves its file list once; later
+  commits add/remove *other* files, never mutate existing ones, so an
+  in-flight query is unaffected. Time travel = read at an older version
+  or timestamp.
+- **File-level data skipping**: commit-time footer min/max stats prune
+  files before Spark ever lists them (the driver-side analogue of
+  row-group pruning, one level up).
+- **Optimistic concurrency**: commits are O_EXCL-created version
+  files; a lost race surfaces as ``CommitConflict`` and append-only
+  commits auto-retry (blind appends commute).
+
+The log is JSON on the driver — fine up to ~1e6 files per table; past
+that, checkpoints keep replay O(files), matching Delta's design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG = "_log"
+_DATA = "data"
+_CHECKPOINT_EVERY = 10
+# Footer stats only for types whose min/max compare unambiguously
+# across engines (skip strings: parquet truncates binary stats).
+_STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "date")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first."""
+
+
+def _ver_name(v: int) -> str:
+    return f"{v:020d}.json"
+
+
+def _file_stats(abs_path: str) -> tuple[int, dict[str, list]]:
+    """Row count + per-column [min, max] from parquet footers (no data
+    scan — pyarrow reads only metadata)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):  # binary/string stats: unreliable
+                continue
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    stats = {c: [_json_safe(mins[c]), _json_safe(maxs[c])] for c in mins if c in maxs}
+    return md.num_rows, stats
+
+
+def _json_safe(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+class LakeTable:
+    """Handle to a versioned lake table at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log_dir = os.path.join(path, _LOG)
+        self._data_dir = os.path.join(path, _DATA)
+
+    # ---------------------------------------------------------- creation
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t._log_dir, exist_ok=False)
+        os.makedirs(t._data_dir, exist_ok=True)
+        adds = t._write_files(df)
+        t._commit(0, "create", adds, [], df.schema)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if not os.path.isdir(t._log_dir):
+            raise FileNotFoundError(f"not a lake table: {path}")
+        return t
+
+    # ---------------------------------------------------------- log I/O
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self._log_dir)
+            if f.endswith(".json") and not f.startswith("_")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"empty log: {self._log_dir}")
+        return vs[-1]
+
+    def _read_commit(self, v: int) -> dict:
+        with open(os.path.join(self._log_dir, _ver_name(v))) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit metadata, newest first (op, version, ts, file deltas)."""
+        out = []
+        for v in reversed(self._versions()):
+            c = self._read_commit(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": c["op"],
+                    "ts": c["ts"],
+                    "added_files": len(c["add"]),
+                    "removed_files": len(c["remove"]),
+                }
+            )
+        return out
+
+    def _checkpoint_at_or_before(self, v: int) -> tuple[int, list[dict]] | None:
+        best = None
+        for f in os.listdir(self._log_dir):
+            if f.startswith("_checkpoint.") and f.endswith(".json"):
+                cv = int(f.split(".")[1])
+                if cv <= v and (best is None or cv > best):
+                    best = cv
+        if best is None:
+            return None
+        with open(os.path.join(self._log_dir, f"_checkpoint.{best}.json")) as f:
+            return best, json.load(f)["active"]
+
+    def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], StructType]:
+        """(version, active add-entries, schema) at ``version`` (default
+        latest). Replays from the nearest checkpoint — O(files), not
+        O(history)."""
+        v = self.latest_version() if version is None else version
+        start = 0
+        active: dict[str, dict] = {}
+        ckpt = self._checkpoint_at_or_before(v)
+        if ckpt is not None:
+            start = ckpt[0] + 1
+            active = {a["path"]: a for a in ckpt[1]}
+        schema_json = None
+        for cv in range(start, v + 1):
+            try:
+                c = self._read_commit(cv)
+            except FileNotFoundError:
+                continue
+            for r in c["remove"]:
+                active.pop(r, None)
+            for a in c["add"]:
+                active[a["path"]] = a
+            schema_json = c["schema"]
+        if schema_json is None:  # checkpoint covered everything
+            schema_json = self._read_commit(v)["schema"]
+        schema = StructType.fromJson(json.loads(schema_json))
+        return v, list(active.values()), schema
+
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        adds: list[dict],
+        removes: list[str],
+        schema: StructType,
+        retries: int = 0,
+    ) -> int:
+        rec = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "add": adds,
+            "remove": removes,
+            "schema": json.dumps(schema.jsonValue()),
+        }
+        target = os.path.join(self._log_dir, _ver_name(version))
+        while True:
+            try:
+                with open(target, "x") as f:
+                    json.dump(rec, f)
+                break
+            except FileExistsError:
+                if retries <= 0:
+                    raise CommitConflict(
+                        f"version {version} already committed by another writer"
+                    ) from None
+                retries -= 1
+                version += 1
+                rec["version"] = version
+                target = os.path.join(self._log_dir, _ver_name(version))
+        if version % _CHECKPOINT_EVERY == 0 and version > 0:
+            _, active, _ = self._snapshot(version)
+            with open(
+                os.path.join(self._log_dir, f"_checkpoint.{version}.json"), "w"
+            ) as f:
+                json.dump({"version": version, "active": active}, f)
+        return version
+
+    # ---------------------------------------------------------- data I/O
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Materialize ``df`` as immutable data files; returns their add
+        entries (with footer stats). Files land under data/ with UUID
+        names so concurrent writers can never collide."""
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        adds = []
+        for fname in sorted(os.listdir(tmp)):
+            if not fname.endswith(".parquet"):
+                continue
+            new = f"{uuid.uuid4().hex}.parquet"
+            abs_new = os.path.join(self._data_dir, new)
+            os.rename(os.path.join(tmp, fname), abs_new)
+            rows, stats = _file_stats(abs_new)
+            if rows == 0:  # empty split — schema lives in the log, skip
+                os.remove(abs_new)
+                continue
+            adds.append(
+                {
+                    "path": f"{_DATA}/{new}",
+                    "rows": rows,
+                    "bytes": os.path.getsize(abs_new),
+                    "stats": stats,
+                }
+            )
+        shutil.rmtree(tmp)
+        return adds
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    # ---------------------------------------------------------- reads
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read. The file list is resolved NOW — later commits
+        never affect this DataFrame (snapshot isolation)."""
+        _, active, schema = self._snapshot(version)
+        paths = [self._abs(a["path"]) for a in active]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def version_at(self, ts: float) -> int:
+        """Time travel: largest version committed at or before ``ts``."""
+        best = None
+        for v in self._versions():
+            if self._read_commit(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no commit at or before {ts}")
+        return best
+
+    def files_overlapping(self, col: str, lo, hi) -> list[str]:
+        """File-level data skipping: relative paths of active files
+        whose footer [min,max] for ``col`` intersects [lo, hi]. Files
+        without stats for the column are conservatively kept."""
+        _, active, _ = self._snapshot()
+        out = []
+        for a in active:
+            st = a.get("stats", {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                out.append(a["path"])
+        return out
+
+    def read_pruned(self, col: str, lo, hi) -> DataFrame:
+        """Range read using file skipping + the residual filter. Same
+        result as ``read().filter(between)`` but lists only overlapping
+        files — at 100 TB on a clustered column this is the difference
+        between touching 3 files and 30 000."""
+        _, active, schema = self._snapshot()
+        paths = [self._abs(p) for p in self.files_overlapping(col, lo, hi)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter(F.col(col).between(lo, hi))
+        )
+
+    # ---------------------------------------------------------- writes
+    def append(self, df: DataFrame) -> int:
+        """Blind append (commutes with concurrent appends → auto-retry
+        on version conflict)."""
+        v = self.latest_version()
+        adds = self._write_files(df)
+        return self._commit(v + 1, "append", adds, [], df.schema, retries=20)
+
+    def overwrite(self, df: DataFrame) -> int:
+        v, active, _ = self._snapshot()
+        adds = self._write_files(df)
+        return self._commit(
+            v + 1, "overwrite", adds, [a["path"] for a in active], df.schema
+        )
+
+    def _touched_files(self, marker: DataFrame) -> list[str]:
+        """Relative paths of files containing ≥1 marker row. ``marker``
+        must carry a ``_f`` column captured with input_file_name() AT
+        SCAN TIME (the expression is thread-local to the scan and
+        evaluates to '' after any exchange, so it cannot be added after
+        a join/shuffle)."""
+        rows = marker.select("_f").distinct().collect()
+        prefix = _DATA + "/"
+        out = []
+        for r in rows:
+            p = r["_f"]
+            if prefix in p:
+                out.append(prefix + p.split(prefix, 1)[1])
+        return sorted(set(out))
+
+    def merge(self, source: DataFrame, key: str) -> dict:
+        """MERGE (upsert) by ``key``: rewrite ONLY files containing a
+        matched key; unmatched source rows become inserts in new files.
+        Returns {inserted, updated, rewritten_files}. Reference
+        semantics: base_loaders.py:149-181; NULL-key source rows are
+        inserts (see sinks/merge.merge_upsert_df)."""
+        from .sinks.merge import merge_upsert_df
+
+        v, active, schema = self._snapshot()
+        cur_f = self.read(v).withColumn("_f", F.input_file_name())
+        src = source.persist()
+        src_keys = src.select(key).distinct()
+        touched = self._touched_files(cur_f.join(src_keys, key, "left_semi"))
+        touched_abs = [self._abs(p) for p in touched]
+        if touched_abs:
+            affected = self.spark.read.schema(schema).parquet(*touched_abs)
+        else:
+            affected = self.spark.createDataFrame([], schema)
+        updated = src.join(affected.select(key).distinct(), key, "left_semi").count()
+        inserted = src.count() - updated
+        merged = merge_upsert_df(affected, src, key)
+        adds = self._write_files(merged)
+        new_v = self._commit(v + 1, "merge", adds, touched, schema)
+        src.unpersist()
+        return {
+            "inserted": inserted,
+            "updated": updated,
+            "rewritten_files": len(touched),
+            "version": new_v,
+        }
+
+    def delete(self, predicate: str) -> dict:
+        """DELETE WHERE predicate: rewrite only files containing a
+        pred=TRUE row. NULL-predicate rows are KEPT (SQL semantics)."""
+        v, _, schema = self._snapshot()
+        cur_f = self.read(v).withColumn("_f", F.input_file_name())
+        cond = F.expr(f"coalesce(({predicate}), false)")
+        touched = self._touched_files(cur_f.filter(cond))
+        if not touched:
+            return {"deleted": 0, "rewritten_files": 0, "version": v}
+        affected = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in touched]
+        )
+        keep = affected.filter(~cond)
+        deleted = affected.count() - keep.count()
+        adds = self._write_files(keep) if keep.limit(1).count() else []
+        new_v = self._commit(v + 1, "delete", adds, touched, schema)
+        return {"deleted": deleted, "rewritten_files": len(touched), "version": new_v}
+
+    # ---------------------------------------------------------- upkeep
+    def compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE: coalesce the active file set into ``target_files``
+        files (small-file compaction; old files stay for time travel
+        until vacuumed)."""
+        v, active, schema = self._snapshot()
+        df = self.read(v).coalesce(target_files)
+        adds = self._write_files(df)
+        return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Drop data files unreferenced by the snapshots of the last
+        ``keep_versions`` + current versions. Time travel older than the
+        horizon stops working (as with Delta VACUUM). Returns count of
+        deleted files."""
+        latest = self.latest_version()
+        horizon = max(0, latest - keep_versions)
+        keep: set[str] = set()
+        for v in range(horizon, latest + 1):
+            _, active, _ = self._snapshot(v)
+            keep.update(a["path"] for a in active)
+        removed = 0
+        for fname in os.listdir(self._data_dir):
+            rel = f"{_DATA}/{fname}"
+            if rel not in keep:
+                os.remove(os.path.join(self._data_dir, fname))
+                removed += 1
+        return removed

@@ -3406,3 +3406,47 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("l_extendedprice"), 2).alias("stddev_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# Versioned lake table (lake.py): create → append → DELETE → read both
+# the current snapshot AND the pre-delete version via time travel, from
+# one transaction log. The oracle reconstructs each snapshot
+# relationally. Integer aggregates only (sum of custkeys) so the hash
+# is exact across engines.
+@register(
+    "lake_time_travel_orders",
+    """
+    SELECT 'v1' AS snapshot, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'current', o_orderstatus,
+           CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def lake_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    # tmpdir is intentionally left for the OS: the returned DataFrame
+    # lazily re-reads these files when the driver materializes it.
+    root = tempfile.mkdtemp(prefix="lake_q_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1000"))
+    t.append(o.filter("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    v1 = t.latest_version()
+    t.delete("o_orderstatus = 'F'")
+
+    def snap(df, tag):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    return snap(t.read(v1), "v1").unionByName(snap(t.read(), "current"))

@@ -1,0 +1,190 @@
+"""Versioned lake table (transaction log over parquet): snapshot
+isolation, time travel, O(changed-files) MERGE/DELETE, file skipping,
+optimistic concurrency, compaction + vacuum."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.lake import (
+    CommitConflict,
+    LakeTable,
+)
+
+
+def _mk(spark, tmp_path, rows=100, files=4):
+    df = (
+        spark.range(0, rows, 1, files)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", (F.col("id") * 10).cast("long"))
+        .drop("id")
+    )
+    return LakeTable.create(spark, str(tmp_path / "t"), df)
+
+
+def _file_md5s(t: LakeTable) -> dict[str, str]:
+    out = {}
+    for f in os.listdir(t._data_dir):
+        with open(os.path.join(t._data_dir, f), "rb") as fh:
+            out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+class TestLakeBasics:
+    def test_create_read_roundtrip(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        assert t.read().count() == 100
+        assert t.latest_version() == 0
+        got = {(r.k, r.v) for r in t.read().collect()}
+        assert got == {(i, i * 10) for i in range(100)}
+
+    def test_append_and_history(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        assert t.read().count() == 101
+        ops = [h["op"] for h in t.history()]
+        assert ops == ["append", "create"]
+
+    def test_snapshot_isolation(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        old = t.read()  # resolves the v0 file list now
+        t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        t.delete("k < 50")
+        assert old.count() == 100  # untouched by later commits
+        assert t.read().count() == 51
+
+    def test_time_travel_by_version(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        t.overwrite(spark.createDataFrame([(0, 0)], "k long, v long"))
+        assert t.read(0).count() == 100
+        assert t.read(1).count() == 101
+        assert t.read(2).count() == 1
+
+    def test_time_travel_by_timestamp(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        ts_after_create = t._read_commit(0)["ts"]
+        t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        assert t.version_at(ts_after_create) == 0
+        assert t.read(t.version_at(ts_after_create)).count() == 100
+
+    def test_empty_after_delete_all_keeps_schema(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        t.delete("k >= 0")
+        got = t.read()
+        assert got.count() == 0
+        assert got.columns == ["k", "v"]
+
+
+class TestLakeMergeDelete:
+    def test_merge_rewrites_only_touched_files(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=100, files=4)  # k ranges per file: 0-24,25-49,...
+        before = _file_md5s(t)
+        src = spark.createDataFrame([(3, 999), (200, 5)], "k long, v long")
+        res = t.merge(src, "k")
+        assert res == {
+            "inserted": 1,
+            "updated": 1,
+            "rewritten_files": 1,
+            "version": 1,
+        }
+        after = _file_md5s(t)
+        # every pre-existing file is still byte-identical (immutable);
+        # the rewrite only ADDED files and delisted one from the log
+        assert all(after[f] == h for f, h in before.items())
+        cur = t.read()
+        assert cur.count() == 101
+        assert cur.filter("k = 3").collect()[0].v == 999
+        assert cur.filter("k = 200").collect()[0].v == 5
+
+    def test_merge_matches_sql_semantics(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(i, -1) for i in range(40, 60)] + [(500, 7)], "k long, v long"
+        )
+        t.merge(src, "k")
+        got = {(r.k, r.v) for r in t.read().collect()}
+        want = {(i, -1 if 40 <= i < 60 else i * 10) for i in range(100)}
+        want |= {(500, 7)}
+        assert got == want
+
+    def test_delete_null_pred_rows_kept(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k long, v long"
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df)
+        res = t.delete("v > 15")
+        assert res["deleted"] == 1  # only v=30; v=NULL row KEPT
+        assert {r.k for r in t.read().collect()} == {1, 2}
+
+    def test_delete_prunes_untouched_files(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=100, files=4)
+        before = _file_md5s(t)
+        res = t.delete("k = 10")  # lives in exactly one file
+        assert res["deleted"] == 1
+        assert res["rewritten_files"] == 1
+        after = _file_md5s(t)
+        assert all(after[f] == h for f, h in before.items())
+        assert t.read().count() == 99
+
+
+class TestLakeScale:
+    def test_file_skipping_prunes_reads(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=100, files=4)
+        # range partitions → k is clustered per file; [10,20] hits 1 file
+        hit = t.files_overlapping("k", 10, 20)
+        assert len(hit) == 1
+        pruned = t.read_pruned("k", 10, 20)
+        assert pruned.count() == 11
+        full = t.read().filter(F.col("k").between(10, 20))
+        assert {tuple(r) for r in pruned.collect()} == {
+            tuple(r) for r in full.collect()
+        }
+
+    def test_commit_conflict_and_append_retry(self, spark, tmp_path):
+        import json as _json
+
+        t = _mk(spark, tmp_path)
+        # simulate a racing writer landing version 1 first
+        racer = {
+            "version": 1,
+            "op": "append",
+            "ts": 0,
+            "add": [],
+            "remove": [],
+            "schema": t._read_commit(0)["schema"],
+        }
+        with open(os.path.join(t._log_dir, f"{1:020d}.json"), "x") as f:
+            _json.dump(racer, f)
+        # append auto-retries to version 2
+        v = t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        assert v == 2
+        assert t.read().count() == 101
+        # non-commuting ops (retries=0) surface the lost race instead
+        with pytest.raises(CommitConflict):
+            t._commit(2, "overwrite", [], [], t.read().schema)
+
+    def test_compact_then_vacuum(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=100, files=8)
+        t.compact(target_files=1)
+        assert t.read().count() == 100
+        n_files = len(os.listdir(t._data_dir))
+        assert n_files >= 9  # old 8 + new 1 still on disk (time travel)
+        removed = t.vacuum(keep_versions=0)
+        assert removed == 8
+        assert t.read().count() == 100  # current snapshot intact
+        assert t.read(1).count() == 100  # compacted version still readable
+
+    def test_checkpoint_replay(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        for i in range(12):  # crosses the every-10 checkpoint boundary
+            t.append(spark.createDataFrame([(100 + i, i)], "k long, v long"))
+        assert any(
+            f.startswith("_checkpoint.") for f in os.listdir(t._log_dir)
+        )
+        assert t.read().count() == 22
+        assert t.read(5).count() == 15
