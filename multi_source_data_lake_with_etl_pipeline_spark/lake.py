@@ -52,6 +52,7 @@ from pyspark.sql.types import StructType
 
 _LOG = "_log"
 _DATA = "data"
+_CDF = "_cdf"
 _CHECKPOINT_EVERY = 10
 # Footer stats only for types whose min/max compare unambiguously
 # across engines (skip strings: parquet truncates binary stats).
@@ -372,6 +373,19 @@ class LakeTable:
         merged = merge_upsert_df(affected, src, key)
         adds = self._write_files(merged)
         new_v = self._commit(v + 1, "merge", adds, touched, schema)
+        # CDF capture: O(source rows), written after the commit wins its
+        # version (a conflict raises above, so no stray change files).
+        affected_keys = affected.select(key).distinct()
+        self._write_cdf(
+            new_v,
+            src.join(affected_keys, key, "left_semi")
+            .withColumn("_change_type", F.lit("update_postimage"))
+            .unionByName(
+                src.join(affected_keys, key, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            ),
+        )
         src.unpersist()
         return {
             "inserted": inserted,
@@ -396,15 +410,88 @@ class LakeTable:
         deleted = affected.count() - keep.count()
         adds = self._write_files(keep) if keep.limit(1).count() else []
         new_v = self._commit(v + 1, "delete", adds, touched, schema)
+        self._write_cdf(
+            new_v, affected.filter(cond).withColumn("_change_type", F.lit("delete"))
+        )
         return {"deleted": deleted, "rewritten_files": len(touched), "version": new_v}
 
+    # ---------------------------------------------------------- CDF
+    def _write_cdf(self, version: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, _CDF, f"{version:020d}")
+        )
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed: row-level changes committed in
+        ``(from_version, to_version]`` with ``_change_type``
+        (insert / update_postimage / delete) and ``_commit_version``
+        columns — the incremental-ETL contract (downstream consumers
+        re-derive their state from changes instead of re-scanning the
+        table; pairs with sources/incremental high-watermark extraction).
+
+        create/append commits derive inserts from their immutable add
+        files (zero write-time overhead); merge/delete commits read the
+        change file captured at write time (O(changed rows), like Delta
+        CDF). compact is logically a no-op; overwrite derives
+        delete+insert from the removed/added file sets. Vacuuming past a
+        version drops its derivable changes — read the feed first."""
+        _, _, schema = self._snapshot()
+        hi = self.latest_version() if to_version is None else to_version
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, hi + 1):
+            c = self._read_commit(v)
+            op = c["op"]
+            tagged: list[tuple[list[str], str]] = []
+            if op in ("create", "append"):
+                tagged = [([a["path"] for a in c["add"]], "insert")]
+            elif op == "overwrite":
+                tagged = [(c["remove"], "delete"), ([a["path"] for a in c["add"]], "insert")]
+            elif op in ("merge", "delete"):
+                cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
+                if os.path.isdir(cdf_dir):
+                    parts.append(
+                        self.spark.read.parquet(cdf_dir).withColumn(
+                            "_commit_version", F.lit(v).cast("long")
+                        )
+                    )
+                continue
+            else:  # compact: physical rearrangement, no logical change
+                continue
+            for paths, typ in tagged:
+                if not paths:
+                    continue
+                parts.append(
+                    self.spark.read.schema(schema)
+                    .parquet(*[self._abs(p) for p in paths])
+                    .withColumn("_change_type", F.lit(typ))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        if not parts:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("_change_type", F.lit("")).withColumn(
+                "_commit_version", F.lit(0).cast("long")
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------------------------------------------------------- upkeep
-    def compact(self, target_files: int = 1) -> int:
-        """OPTIMIZE: coalesce the active file set into ``target_files``
+    def compact(self, target_files: int = 1, cluster_by: str | None = None) -> int:
+        """OPTIMIZE: rewrite the active file set into ``target_files``
         files (small-file compaction; old files stay for time travel
-        until vacuumed)."""
+        until vacuumed). With ``cluster_by``, range-repartition + sort
+        on that column so per-file footer [min,max] ranges are DISJOINT
+        — after which ``read_pruned``/``files_overlapping`` skip all but
+        the hit files (the Z-ORDER-for-one-dimension play)."""
         v, active, schema = self._snapshot()
-        df = self.read(v).coalesce(target_files)
+        df = self.read(v)
+        if cluster_by is not None:
+            df = df.repartitionByRange(target_files, F.col(cluster_by)).sortWithinPartitions(
+                cluster_by
+            )
+        else:
+            df = df.coalesce(target_files)
         adds = self._write_files(df)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 

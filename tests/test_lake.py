@@ -188,3 +188,59 @@ class TestLakeScale:
         )
         assert t.read().count() == 22
         assert t.read(5).count() == 15
+
+
+class TestLakeCDF:
+    def test_change_feed_across_ops(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=20, files=2)
+        t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"))
+        t.merge(spark.createDataFrame([(5, -5), (500, 9)], "k long, v long"), "k")
+        t.delete("k = 101")
+        ch = t.changes(0)  # everything after create
+        rows = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+        assert (100, "insert", 1) in rows and (101, "insert", 1) in rows
+        assert (5, "update_postimage", 2) in rows
+        assert (500, "insert", 2) in rows
+        assert (101, "delete", 3) in rows
+        assert len(rows) == 5
+
+    def test_change_feed_create_and_range(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        t.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+        all_ch = t.changes(-1)  # includes the create commit
+        assert all_ch.filter("_commit_version = 0").count() == 10
+        only_new = t.changes(0, 1)
+        assert only_new.count() == 1
+
+    def test_compact_is_cdf_noop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=20, files=4)
+        t.compact(1)
+        assert t.changes(0).count() == 0
+
+    def test_overwrite_in_feed(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        t.overwrite(spark.createDataFrame([(7, 70)], "k long, v long"))
+        ch = t.changes(0)
+        assert ch.filter("_change_type = 'delete'").count() == 10
+        assert ch.filter("_change_type = 'insert'").count() == 1
+
+
+class TestLakeClustering:
+    def test_clustered_compaction_enables_skipping(self, spark, tmp_path):
+        # write k shuffled across files → every file overlaps every range
+        df = (
+            spark.range(0, 400, 1, 4)
+            .withColumn("k", (F.col("id") * 37) % 400)  # scrambles order
+            .withColumn("v", F.col("id"))
+            .drop("id")
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df)
+        assert len(t.files_overlapping("k", 10, 20)) == 4  # no skipping
+        t.compact(target_files=4, cluster_by="k")
+        hit = t.files_overlapping("k", 10, 20)
+        assert len(hit) == 1  # disjoint ranges after sort-clustering
+        pruned = t.read_pruned("k", 10, 20)
+        full = t.read().filter(F.col("k").between(10, 20))
+        assert {tuple(r) for r in pruned.collect()} == {
+            tuple(r) for r in full.collect()
+        }
