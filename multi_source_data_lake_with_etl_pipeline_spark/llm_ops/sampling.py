@@ -89,3 +89,29 @@ def split_train_holdout(
     negated — a row can never land in both, on any run)."""
     keep = keep_fraction(F.col(key_col), holdout_fraction, salt)
     return df.filter(~keep), df.filter(keep)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically: the first
+    ``cap`` rows ordered by ``order_col`` (Common-Crawl-style per-domain
+    quotas — no single boilerplate source may dominate the corpus).
+
+    One shuffle on ``group_col`` + a per-group sort. A pathological hot
+    group still sorts on one reducer; when a group can exceed executor
+    memory, pre-thin it with :func:`sample_fraction` keyed on
+    ``order_col`` (deterministic, row-local) down to ~cap×10 before the
+    exact rank — quota results are unchanged for every group under the
+    pre-thin threshold and approximate only for whales."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

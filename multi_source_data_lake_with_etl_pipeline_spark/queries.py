@@ -3450,3 +3450,80 @@ def lake_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("snapshot"), "*")
 
     return snap(t.read(v1), "v1").unionByName(snap(t.read(), "current"))
+
+
+# Per-source quota cap: at most 25 docs per source, lowest doc_id first
+# (the Common-Crawl per-domain-cap curation rule as a first-class op).
+@register(
+    "per_source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import per_group_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_group_cap(d, "source", 25, "doc_id").select("doc_id", "source")
+
+
+# End-to-end curation funnel: length gate → exact dedup → per-source
+# quota → deterministic train/holdout split, reporting the yield of
+# every stage from ONE lazy plan. Every stage is an existing operator;
+# the oracle rebuilds the same funnel as chained CTEs (md5-based split
+# reproduces bit-identically across engines — see llm_ops/sampling.py).
+@register(
+    "curation_funnel",
+    r"""
+    WITH s1 AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 10
+    ),
+    s2 AS (
+      SELECT * FROM s1 WHERE doc_id IN
+        (SELECT min(doc_id) FROM s1 GROUP BY md5(text))
+    ),
+    s3 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM s2
+      ) WHERE rn <= 25
+    )
+    SELECT 'a_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT 'b_min_length', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT 'c_exact_dedup', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 'd_source_quota', CAST(count(*) AS BIGINT) FROM s3
+    UNION ALL SELECT 'e_train', CAST(count(*) AS BIGINT) FROM s3
+      WHERE NOT substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+    UNION ALL SELECT 'f_holdout', CAST(count(*) AS BIGINT) FROM s3
+      WHERE substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import exact_dedup
+    from .llm_ops.sampling import per_group_cap, split_train_holdout
+    from .llm_ops.text_stats import words
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.filter(F.size(words(F.col("text"))) >= 10)
+    s2 = exact_dedup(s1)
+    s3 = per_group_cap(s2, "source", 25, "doc_id")
+    train, hold = split_train_holdout(s3, "doc_id", 0.05)
+
+    def stage(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(tag).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("a_total", d)
+        .unionByName(stage("b_min_length", s1))
+        .unionByName(stage("c_exact_dedup", s2))
+        .unionByName(stage("d_source_quota", s3))
+        .unionByName(stage("e_train", train))
+        .unionByName(stage("f_holdout", hold))
+    )
