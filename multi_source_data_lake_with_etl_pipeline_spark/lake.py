@@ -477,19 +477,27 @@ class LakeTable:
         return out
 
     # ---------------------------------------------------------- upkeep
-    def compact(self, target_files: int = 1, cluster_by: str | None = None) -> int:
+    def compact(
+        self, target_files: int = 1, cluster_by: str | list[str] | None = None
+    ) -> int:
         """OPTIMIZE: rewrite the active file set into ``target_files``
         files (small-file compaction; old files stay for time travel
-        until vacuumed). With ``cluster_by``, range-repartition + sort
-        on that column so per-file footer [min,max] ranges are DISJOINT
-        — after which ``read_pruned``/``files_overlapping`` skip all but
-        the hit files (the Z-ORDER-for-one-dimension play)."""
+        until vacuumed). With a single ``cluster_by`` column,
+        range-repartition + sort so per-file footer [min,max] ranges are
+        DISJOINT — ``read_pruned``/``files_overlapping`` then skip all
+        but the hit files. With a LIST of columns, Z-ORDER: interleave
+        them into a Morton key (sinks/maintenance.zorder_value) so file
+        stats stay tight on every listed column and multi-dimension
+        range predicates prune on each."""
         v, active, schema = self._snapshot()
         df = self.read(v)
-        if cluster_by is not None:
-            df = df.repartitionByRange(target_files, F.col(cluster_by)).sortWithinPartitions(
-                cluster_by
-            )
+        if isinstance(cluster_by, list) and len(cluster_by) > 1:
+            from .sinks.maintenance import zorder_by
+
+            df = zorder_by(df, cluster_by, target_files)
+        elif cluster_by:
+            col = cluster_by[0] if isinstance(cluster_by, list) else cluster_by
+            df = df.repartitionByRange(target_files, F.col(col)).sortWithinPartitions(col)
         else:
             df = df.coalesce(target_files)
         adds = self._write_files(df)

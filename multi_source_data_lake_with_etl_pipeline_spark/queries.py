@@ -3527,3 +3527,48 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("e_train", train))
         .unionByName(stage("f_holdout", hold))
     )
+
+
+# Lang-ID evaluation: confusion counts of predicted vs ground-truth
+# language (the documents table carries the true `lang`) — the eval
+# loop every curation classifier needs next to the classifier itself.
+@register(
+    "lang_id_confusion",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''), x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','that','for','it'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','las','es','un','una','para','con'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','pour','dans'], x))) AS s_fr
+      FROM w
+    ), p AS (
+      SELECT lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM s
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(d)
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang") == F.col("pred_lang")).cast("long")).alias("n_correct"),
+        )
+    )

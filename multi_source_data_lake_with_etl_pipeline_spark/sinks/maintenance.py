@@ -76,11 +76,65 @@ def compact_table(
     return {"files_before": files_before, "files_after": len(_parquet_files(table_path))}
 
 
+def linear_bucket(col: F.Column, lo: float, hi: float, bits: int = 16) -> F.Column:
+    """Map ``col`` into [0, 2^bits) by linear min-max scaling (NULL and
+    out-of-range values clamp to the edges). Linear bucketing keeps the
+    expression a pure per-row projection; under heavy value skew the
+    resolution degrades (most rows share few buckets) — swap in
+    approxQuantile boundaries + a CASE/width_bucket lookup for
+    rank-based buckets, the z-interleave below is unchanged."""
+    n = (1 << bits) - 1
+    if hi <= lo:  # constant column — single bucket
+        return F.lit(0).cast("long")
+    scaled = F.floor((col.cast("double") - F.lit(float(lo))) * n / (float(hi) - float(lo)))
+    return F.least(F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)), F.lit(n)).cast(
+        "long"
+    )
+
+
+def zorder_value(buckets: list[F.Column], bits: int = 16) -> F.Column:
+    """Interleave the bits of per-column bucket values into one Morton
+    (Z-order) key: sorting by it gives every participating column
+    locality in the file layout, so min/max stats prune on ALL of them,
+    not just the leading sort column. Pure shift/and/or expression tree
+    (bits × ncols terms) — whole-stage-codegen folds it into the scan
+    projection, no UDF, no shuffle beyond the final range exchange."""
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bk in enumerate(buckets):
+            z = z.bitwiseOR(F.shiftleft(F.shiftright(bk, b).bitwiseAND(F.lit(1)), b * k + i))
+    return z
+
+
+def zorder_by(df: DataFrame, cols: list[str], n_files: int, bits: int = 16) -> DataFrame:
+    """Z-order ``df`` across ``cols``: one tiny min/max agg (driver-side
+    scalars), a per-row Morton key, then range-repartition + sort on it.
+    Output partition i owns a contiguous z-range = a compact region of
+    the multi-dimensional space, so each file's footer [min,max] is
+    tight on EVERY cluster column."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    buckets = [
+        linear_bucket(F.col(c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
+        for c in cols
+    ]
+    return (
+        df.withColumn("_z", zorder_value(buckets, bits))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def cluster_table(
     spark: SparkSession,
     table_path: str,
     cluster_cols: list[str],
     n_files: int | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Sort-cluster the table on ``cluster_cols``: range-repartition
     (each output file owns a contiguous value range) + sort within
@@ -91,18 +145,21 @@ def cluster_table(
     exchange samples the column to build balanced bounds (Spark's
     RangePartitioner), so skew in the cluster key does not produce
     skewed files.
+
+    ``zorder=True`` interleaves all cluster columns into one Morton key
+    (see :func:`zorder_value`) so stats prune on every column, not just
+    the leading one — OPTIMIZE ZORDER without a table format.
     """
     df = spark.read.parquet(table_path)
     n_rows = df.count()
-    cols = [F.col(c) for c in cluster_cols]
     n_files = int(n_files or max(1, -(-_dir_bytes(table_path) // (128 * 1024 * 1024))))
     tmp = tempfile.mkdtemp(prefix="cluster_", dir=os.path.dirname(table_path) or ".")
-    (
-        df.repartitionByRange(n_files, *cols)
-        .sortWithinPartitions(*cols)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    if zorder and len(cluster_cols) > 1:
+        out = zorder_by(df, cluster_cols, n_files)
+    else:
+        cols = [F.col(c) for c in cluster_cols]
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(tmp)
     if spark.read.parquet(tmp).count() != n_rows:
         shutil.rmtree(tmp)
         raise RuntimeError("clustering row-count mismatch; table untouched")

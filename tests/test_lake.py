@@ -244,3 +244,48 @@ class TestLakeClustering:
         assert {tuple(r) for r in pruned.collect()} == {
             tuple(r) for r in full.collect()
         }
+
+
+class TestLakeZOrder:
+    def test_zorder_prunes_on_both_dimensions(self, spark, tmp_path):
+        # 64x64 grid scattered across files: no skipping on either dim
+        df = (
+            spark.range(0, 4096, 1, 8)
+            .withColumn("x", F.col("id") % 64)
+            .withColumn("y", (F.col("id") / 64).cast("long"))
+            .withColumn("v", F.col("id"))
+            .drop("id")
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df)
+        t.compact(target_files=16, cluster_by=["x", "y"])
+        hit_x = set(t.files_overlapping("x", 0, 15))
+        hit_y = set(t.files_overlapping("y", 0, 15))
+        both = hit_x & hit_y
+        # a 16th of the space in 16 z-ordered files → a handful of files,
+        # not all 16 (1-d clustering can never prune the second dim)
+        assert 1 <= len(both) <= 4
+        # correctness: pruned box read == full-scan box read
+        paths = [t._abs(p) for p in sorted(both)]
+        pruned = (
+            spark.read.parquet(*paths)
+            .filter(F.col("x").between(0, 15) & F.col("y").between(0, 15))
+        )
+        full = t.read().filter(F.col("x").between(0, 15) & F.col("y").between(0, 15))
+        assert pruned.count() == full.count() == 256
+
+    def test_zorder_value_is_morton(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.maintenance import (
+            zorder_value,
+        )
+
+        df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "a long, b long")
+        z = df.select(
+            "a", "b", zorder_value([F.col("a"), F.col("b")], bits=4).alias("z")
+        )
+        got = {(r.a, r.b): r.z for r in z.collect()}
+        # interleave a into even bits, b into odd bits
+        assert got[(0, 0)] == 0
+        assert got[(1, 0)] == 1
+        assert got[(0, 1)] == 2
+        assert got[(1, 1)] == 3
+        assert got[(3, 5)] == 0b100111  # a=11 -> bits0,2; b=101 -> bits1,5
