@@ -3572,3 +3572,36 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("lang") == F.col("pred_lang")).cast("long")).alias("n_correct"),
         )
     )
+
+
+# Count-min sketch one-sided-error audit: CMS estimates can NEVER be
+# below the true frequency (operators/sketches.py). Emitted as a
+# hash-checkable row: distinct vocabulary size + underestimate count
+# (provably 0), so the sketch operator gets a real oracle instead of
+# rows-only.
+@register(
+    "cms_frequency_invariant",
+    r"""
+    SELECT CAST(count(DISTINCT t.x) AS BIGINT) AS n_terms,
+           CAST(0 AS BIGINT) AS underestimates
+    FROM documents,
+         UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS t(x)
+    """,
+)
+def cms_frequency_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import words
+    from .operators.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(words(F.col("text"))).alias("term"))
+    true_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_true"))
+    true_counts = true_counts.persist()
+    true_counts.count()  # one scan feeds both the grid compare and the join
+    cms = cms_build(tok, "term")
+    est = cms_estimate(cms, true_counts.select("term"), "term")
+    return true_counts.join(est, "term").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum((F.col("cms_estimate") < F.col("n_true")).cast("long")).alias(
+            "underestimates"
+        ),
+    )

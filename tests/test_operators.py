@@ -204,3 +204,52 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
     )
     drift = psi_drift(a, shifted, "v", bucket_width=100, n_buckets=10).first()
     assert drift.psi > 0.1
+
+
+class TestCountMinSketch:
+    def test_cms_exact_when_no_collisions(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "term string"
+        )
+        cms = cms_build(df, "term", depth=4, width=4096)
+        terms = df.select("term").distinct()
+        est = {r.term: r.cms_estimate for r in cms_estimate(cms, terms, "term", width=4096).collect()}
+        # width >> distinct terms: no collisions, estimates are exact
+        assert est == {"a": 5, "b": 3, "c": 1}
+
+    def test_cms_merge_equals_union_build(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_merge,
+        )
+
+        d1 = spark.createDataFrame([("a",)] * 2 + [("b",)], "term string")
+        d2 = spark.createDataFrame([("a",)] * 3 + [("c",)], "term string")
+        merged = cms_merge(cms_build(d1, "term"), cms_build(d2, "term"))
+        direct = cms_build(d1.unionByName(d2), "term")
+        m = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+        d = {(r.row, r.bucket): r.cnt for r in direct.collect()}
+        assert m == d
+
+    def test_cms_never_underestimates(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        # tiny width forces collisions → overestimates only
+        df = spark.range(0, 500).select(
+            F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("term")
+        )
+        cms = cms_build(df, "term", depth=2, width=8)
+        true = df.groupBy("term").count()
+        est = cms_estimate(cms, true.select("term"), "term", depth=2, width=8)
+        j = true.join(est, "term")
+        assert j.filter(F.col("cms_estimate") < F.col("count")).count() == 0
+        assert j.filter(F.col("cms_estimate") > F.col("count")).count() > 0

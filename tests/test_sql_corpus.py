@@ -294,6 +294,58 @@ CORPUS: dict[str, str] = {
                             AND l3.l_discount > 0.05)
         GROUP BY s.s_name
     """,
+    "tpch_q13_custdist": """
+        -- Q13 shape: outer-join count per entity, then a distribution
+        -- of the counts (GROUP BY over an aggregate of an outer join)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) t GROUP BY c_count
+    """,
+    "tpch_q15_top_supplier": """
+        -- Q15 shape: CTE aggregate + equality against its own MAX
+        WITH supp_qty AS (
+          SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM lineitem WHERE l_returnflag = 'R'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, q.total_qty
+        FROM supplier s JOIN supp_qty q ON s.s_suppkey = q.l_suppkey
+        WHERE q.total_qty = (SELECT max(total_qty) FROM supp_qty)
+    """,
+    "tpch_q16_supplier_cnt": """
+        -- Q16 shape: DISTINCT-count per attribute with NOT IN exclusion
+        SELECT p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_size NOT IN (1, 4, 7)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_type, p.p_size
+    """,
+    "tpch_q19_disjunctive_join": """
+        -- Q19 shape: OR-of-conjunctions spanning both join sides (the
+        -- optimizer must split the common join key out of the OR)
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_size BETWEEN 6 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#1'    AND l.l_quantity >= 45)
+    """,
+    "tpch_q22_idle_rich_customers": """
+        -- Q22 shape: scalar avg subquery + NOT EXISTS anti-join, then
+        -- a per-group rollup of the survivors
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+    """,
     "nested_exists_chain": """
         -- EXISTS nested inside EXISTS, correlating two levels out
         SELECT n_nationkey, n_name FROM nation n
