@@ -110,31 +110,42 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 20,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted index.
+    """Exact n-gram-Jaccard near-dup pairs via posting lists.
 
     ``max_df`` drops shingles appearing in more than that many docs
     (they contribute candidate-pair blowup but little similarity
     signal). Returns (id_1, id_2, jaccard) with id_1 < id_2.
-    """
-    # One shingle pass, persisted: the set feeds both join sides and the
-    # size table — without the persist Spark re-parses every document
-    # three times. Collision odds ~(N²/2⁶⁴) on the 8-byte keys are
-    # negligible against the 4dp-rounded Jaccard.
-    sh = _distinct_shingles(df, text_col, id_col, n).persist()
-    sh.count()  # materialize before fan-out (see minhash_lsh_pairs)
+
+    Shape: ONE aggregation per shingle key builds the posting list;
+    pair candidates are generated by expanding each (≤ max_df-sized)
+    sorted list with array HOFs — no self-join, no persists, and the
+    single groupBy-shingle exchange is shared by the pair branch and
+    the size branch via Spark's ReusedExchange, so the whole operator
+    is one job over one scan. Work is Σ df(s)² bounded by max_df·|sh|,
+    same as the inverted-index self-join, minus one full shuffle of the
+    posting stream and two materialization barriers. Transient executor
+    memory holds one posting list per shingle (≤ max_df ids after the
+    cap; a pre-cap hot shingle's list is collected then dropped —
+    max observed df × 8 bytes, salting the groupBy if a single key
+    could exceed executor memory). Collision odds ~(N²/2⁶⁴) on the
+    8-byte keys are negligible against the 4dp-rounded Jaccard."""
+    sh = _distinct_shingles(df, text_col, id_col, n)
+    posts = sh.groupBy("_sk").agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     if max_df is not None:
-        keep = sh.groupBy("_sk").count().filter(F.col("count") <= max_df).select("_sk")
-        raw = sh
-        sh = sh.join(keep, "_sk", "left_semi").persist()
-        sh.count()  # materialize: the self-join below reads it twice
-        raw.unpersist()  # filtered copy is cached; drop the unfiltered one
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col(id_col).alias("id_1"), "_sk")
-    b = sh.select(F.col(id_col).alias("id_2"), "_sk")
+        posts = posts.filter(F.size("_ids") <= max_df)
+    sizes = (
+        posts.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_1, y AS id_2))))"
+    )
     inter = (
-        a.join(b, "_sk")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
+        posts.filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.id_1").alias("id_1"), F.col("_p.id_2").alias("id_2"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     s1 = sizes.select(F.col(id_col).alias("id_1"), F.col("_n").alias("_n1"))
