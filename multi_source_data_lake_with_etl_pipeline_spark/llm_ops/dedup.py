@@ -133,6 +133,12 @@ def ngram_jaccard_pairs(
     posts = sh.groupBy("_sk").agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     if max_df is not None:
         posts = posts.filter(F.size("_ids") <= max_df)
+    # collect_list is flagged non-deterministic, which blocks exchange
+    # reuse — without the persist the scan+group subtree would run once
+    # per consumer branch. One eager materialization of the (small,
+    # capped) posting table; caller/bench clearCache() releases it.
+    posts = posts.persist()
+    posts.count()
     sizes = (
         posts.select(F.explode("_ids").alias(id_col))
         .groupBy(id_col)
