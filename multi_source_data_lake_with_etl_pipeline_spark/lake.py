@@ -209,6 +209,7 @@ class LakeTable:
         removes: list[str],
         schema: StructType,
         retries: int = 0,
+        txn: dict | None = None,
     ) -> int:
         rec = {
             "version": version,
@@ -218,6 +219,8 @@ class LakeTable:
             "remove": removes,
             "schema": json.dumps(schema.jsonValue()),
         }
+        if txn is not None:
+            rec["txn"] = txn
         target = os.path.join(self._log_dir, _ver_name(version))
         while True:
             try:
@@ -327,6 +330,44 @@ class LakeTable:
         v = self.latest_version()
         adds = self._write_files(df)
         return self._commit(v + 1, "append", adds, [], df.schema, retries=20)
+
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Highest streaming batch id committed by ``app_id`` (scans
+        the commit log's txn markers; the log is O(commits) small and
+        checkpoint-compatible since markers ride the commits)."""
+        best = None
+        for v in self._versions():
+            txn = self._read_commit(v).get("txn")
+            if txn and txn.get("app") == app_id:
+                if best is None or txn["batch"] > best:
+                    best = txn["batch"]
+        return best
+
+    def append_stream_batch(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent streaming append (the Delta ``txnAppId`` pattern):
+        each commit records (app_id, batch_id); a replayed foreachBatch
+        micro-batch — Structured Streaming is at-least-once after
+        restarts — sees its batch id already in the log and becomes a
+        no-op, upgrading the sink to exactly-once. Returns the commit
+        version, or None if the batch was already applied."""
+        last = self.last_committed_batch(app_id)
+        if last is not None and batch_id <= last:
+            return None
+        v = self.latest_version()
+        adds = self._write_files(df)
+        # The txn marker rides the commit record itself, so a crash can
+        # never separate "data visible" from "batch recorded" — replay
+        # after any crash point is correct (either the commit exists
+        # with its marker, or neither does and the batch re-applies).
+        return self._commit(
+            v + 1,
+            "append",
+            adds,
+            [],
+            df.schema,
+            retries=20,
+            txn={"app": app_id, "batch": int(batch_id)},
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         v, active, _ = self._snapshot()

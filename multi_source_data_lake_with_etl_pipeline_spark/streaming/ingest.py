@@ -314,3 +314,39 @@ def stream_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {upper_bound}"))
     )
     return l.join(r, cond, "inner")
+
+
+def stream_append_lake(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = "stream",
+    timeout_s: int = 300,
+) -> None:
+    """Exactly-once streaming append into a versioned lake table
+    (streaming analog of T2/T3 over ``lake.LakeTable``).
+
+    foreachBatch is at-least-once after restarts; the lake commit
+    carries an (app_id, batch_id) txn marker atomically with the data
+    file list, so a replayed micro-batch is detected in the log and
+    skipped — the Delta ``txnAppId``/``txnVersion`` idempotent-sink
+    pattern, here on the from-scratch transaction log. The target
+    table must exist (LakeTable.create first)."""
+    from ..lake import LakeTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        LakeTable.load(batch_df.sparkSession, table_path).append_stream_batch(
+            batch_df, app_id, batch_id
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

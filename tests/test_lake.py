@@ -289,3 +289,44 @@ class TestLakeZOrder:
         assert got[(0, 1)] == 2
         assert got[(1, 1)] == 3
         assert got[(3, 5)] == 0b100111  # a=11 -> bits0,2; b=101 -> bits1,5
+
+
+class TestLakeStreaming:
+    def test_stream_append_exactly_once(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+            stream_append_lake,
+        )
+
+        src = tmp_path / "src"
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(
+            str(src)
+        )
+        base = spark.createDataFrame([], "k long, v long")
+        t = LakeTable.create(spark, str(tmp_path / "t"), base)
+        stream = spark.readStream.schema("k long, v long").parquet(str(src))
+        stream_append_lake(stream, str(tmp_path / "t"), str(tmp_path / "ckpt"), "app1")
+        assert t.read().count() == 50
+        # restart with the SAME checkpoint: nothing new → no extra rows
+        stream2 = spark.readStream.schema("k long, v long").parquet(str(src))
+        stream_append_lake(stream2, str(tmp_path / "t"), str(tmp_path / "ckpt"), "app1")
+        assert t.read().count() == 50
+        # simulate a replayed micro-batch (fresh checkpoint, same app):
+        # batch 0 is already in the log → idempotent no-op
+        stream3 = spark.readStream.schema("k long, v long").parquet(str(src))
+        stream_append_lake(stream3, str(tmp_path / "t"), str(tmp_path / "ckpt2"), "app1")
+        assert t.read().count() == 50
+        # a different app id is a genuinely new writer → rows append
+        stream4 = spark.readStream.schema("k long, v long").parquet(str(src))
+        stream_append_lake(stream4, str(tmp_path / "t"), str(tmp_path / "ckpt3"), "app2")
+        assert t.read().count() == 100
+
+    def test_append_stream_batch_direct_replay(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        b = spark.createDataFrame([(100, 1)], "k long, v long")
+        v1 = t.append_stream_batch(b, "etl", 0)
+        assert v1 == 1
+        assert t.append_stream_batch(b, "etl", 0) is None  # replay skipped
+        assert t.read().count() == 11
+        v2 = t.append_stream_batch(b, "etl", 1)
+        assert v2 == 2
+        assert t.last_committed_batch("etl") == 1
