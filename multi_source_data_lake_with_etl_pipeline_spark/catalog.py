@@ -168,3 +168,18 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     ``postgres_connector.py:87-97``) — here Catalyst parses, optimizes
     and executes instead of forwarding a string to an external engine."""
     return spark.sql(query)
+
+
+def register_lake_table(
+    spark: SparkSession, path: str, view_name: str, version: int | None = None
+) -> DataFrame:
+    """Expose a versioned ``lake.LakeTable`` snapshot to the SQL
+    surface (S7): the snapshot's file list is resolved once at
+    registration, so SQL readers get the same isolation guarantee as
+    ``LakeTable.read`` — concurrent commits never shift a registered
+    view. Re-register to advance to a newer version."""
+    from .lake import LakeTable
+
+    df = LakeTable.load(spark, path).read(version)
+    df.createOrReplaceTempView(view_name)
+    return df

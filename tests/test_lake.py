@@ -330,3 +330,21 @@ class TestLakeStreaming:
         v2 = t.append_stream_batch(b, "etl", 1)
         assert v2 == 2
         assert t.last_committed_batch("etl") == 1
+
+
+class TestLakeCatalog:
+    def test_sql_over_lake_snapshot(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.catalog import (
+            register_lake_table,
+        )
+
+        t = _mk(spark, tmp_path, rows=30, files=2)
+        register_lake_table(spark, t.path, "lake_t")
+        assert spark.sql("SELECT count(*) AS n FROM lake_t").collect()[0].n == 30
+        t.delete("k < 10")
+        # registered view still shows the snapshot it was bound to
+        assert spark.sql("SELECT count(*) AS n FROM lake_t").collect()[0].n == 30
+        register_lake_table(spark, t.path, "lake_t")
+        assert spark.sql("SELECT count(*) AS n FROM lake_t").collect()[0].n == 20
+        register_lake_table(spark, t.path, "lake_t0", version=0)
+        assert spark.sql("SELECT count(*) AS n FROM lake_t0").collect()[0].n == 30
