@@ -66,3 +66,45 @@ def commit_watermark(extracted: DataFrame, ts_col: str, state_path: str) -> str 
         json.dump({"watermark": wm, "ts_col": ts_col}, f)
     os.replace(tmp, state_path)
     return wm
+
+
+def read_version_cursor(state_path: str) -> int:
+    """Last lake-table version already consumed (-1 = nothing yet)."""
+    if not os.path.exists(state_path):
+        return -1
+    with open(state_path, encoding="utf-8") as f:
+        return json.load(f)["version"]
+
+
+def incremental_lake_changes(
+    spark, table_path: str, state_path: str
+) -> tuple[DataFrame, int]:
+    """Incremental extraction from a versioned lake table's change feed
+    (``lake.LakeTable.changes``): returns (changes_df, cursor) where the
+    df holds every row-level change committed after the stored cursor,
+    with ``_change_type``/``_commit_version`` columns intact.
+
+    This is the CDF consumer half of the high-watermark protocol: the
+    watermark is the COMMIT VERSION (exact, no timestamp skew), the
+    read costs O(changed rows) regardless of table size, and the same
+    commit-after-write rule applies — call :func:`commit_version_cursor`
+    with the returned cursor only after the downstream write succeeds.
+    A crash re-reads the same version window (at-least-once), which an
+    idempotent sink (MERGE by key / txn-marked append) upgrades to
+    effectively-once."""
+    from ..lake import LakeTable
+
+    t = LakeTable.load(spark, table_path)
+    since = read_version_cursor(state_path)
+    latest = t.latest_version()
+    return t.changes(since, latest), latest
+
+
+def commit_version_cursor(state_path: str, version: int) -> None:
+    """Persist the consumed lake version (atomic rename, like
+    :func:`commit_watermark`)."""
+    d = os.path.dirname(state_path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump({"version": int(version)}, f)
+    os.replace(tmp, state_path)

@@ -348,3 +348,34 @@ class TestLakeCatalog:
         assert spark.sql("SELECT count(*) AS n FROM lake_t").collect()[0].n == 20
         register_lake_table(spark, t.path, "lake_t0", version=0)
         assert spark.sql("SELECT count(*) AS n FROM lake_t0").collect()[0].n == 30
+
+
+class TestLakeIncrementalExtract:
+    def test_cdf_cursor_protocol(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.sources.incremental import (
+            commit_version_cursor,
+            incremental_lake_changes,
+        )
+
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        state = str(tmp_path / "cursor.json")
+        # first run: sees the create commit's inserts
+        ch, cur = incremental_lake_changes(spark, t.path, state)
+        assert ch.count() == 10 and cur == 0
+        commit_version_cursor(state, cur)
+        # nothing new → empty window
+        ch2, cur2 = incremental_lake_changes(spark, t.path, state)
+        assert ch2.count() == 0 and cur2 == 0
+        # new commits surface only their own changes
+        t.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+        t.delete("k = 3")
+        ch3, cur3 = incremental_lake_changes(spark, t.path, state)
+        rows = {(r.k, r._change_type) for r in ch3.collect()}
+        assert rows == {(100, "insert"), (3, "delete")}
+        assert cur3 == 2
+        # crash before commit → same window re-read (at-least-once)
+        ch4, _ = incremental_lake_changes(spark, t.path, state)
+        assert ch4.count() == 2
+        commit_version_cursor(state, cur3)
+        ch5, _ = incremental_lake_changes(spark, t.path, state)
+        assert ch5.count() == 0
