@@ -561,4 +561,9 @@ class LakeTable:
             if rel not in keep:
                 os.remove(os.path.join(self._data_dir, fname))
                 removed += 1
+        # crash debris: a writer that died mid-_write_files leaves a
+        # _tmp_* staging dir; nothing references it, safe to drop here
+        for d in os.listdir(self.path):
+            if d.startswith("_tmp_"):
+                shutil.rmtree(os.path.join(self.path, d))
         return removed

@@ -3605,3 +3605,88 @@ def cms_frequency_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "underestimates"
         ),
     )
+
+
+_LAKE_INGESTED: dict[tuple[int, str], str] = {}
+
+
+# Streaming ingestion INTO the versioned lake table, then a batch
+# aggregate over the committed snapshot: the T2/T3 micro-batch path
+# with the exactly-once txn-marked sink, driver-checked against the
+# batch source of truth. The drain is memoized per (session, sf_dir)
+# like the other availableNow streams (_drain_cached): re-ingesting an
+# identical fixed directory cannot change the table.
+@register(
+    "stream_lake_ingest_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_lake_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .catalog import streamable_path
+    from .lake import LakeTable
+    from .streaming.ingest import read_events_stream, stream_append_lake
+
+    key = (id(spark), sf_dir)
+    path = _LAKE_INGESTED.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="lake_stream_")
+        path = root + "/events"
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        LakeTable.create(spark, path, spark.createDataFrame([], stream.schema))
+        stream_append_lake(stream, path, root + "/ckpt", app_id="ingest")
+        _LAKE_INGESTED[key] = path
+    return (
+        LakeTable.load(spark, path)
+        .read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# Product quantization ADC audit: the JVM LUT-expression distances of
+# the top-50 must equal an independent numpy recomputation from the
+# same codes+codebooks (two scoring implementations, one answer), and
+# the list must be ascending. Train+encode+score all execute inside
+# this one plan, so the whole PQ pipeline is driver-checked.
+@register("pq_adc_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def pq_adc_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .llm_ops.similarity import pq_adc_lut, pq_adc_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # one Lloyd iteration: the audit checks the ADC identity, which
+    # holds for ANY codebooks — converged training adds bench cost only
+    books = pq_train(emb, m=8, k=16, iters=1)
+    enc = pq_encode(emb, books).persist()
+    enc.count()  # encode once; feeds both the topk scan and the audit join
+    top = pq_adc_topk(enc, books, qvec, topk=50)
+    got = top.collect()
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in enc.join(top.select("vec_id"), "vec_id", "left_semi").collect()
+    }
+    lut = np.asarray(pq_adc_lut(books, qvec))  # (m, k)
+    expected = [
+        (vid, round(float(sum(lut[s][c] for s, c in enumerate(codes[vid]))), 6))
+        for vid, _ in [(r["vec_id"], r["pq_dist"]) for r in got]
+    ]
+    exp_df = spark.createDataFrame(expected, "vec_id long, exp_dist double")
+    ordered = all(got[i]["pq_dist"] <= got[i + 1]["pq_dist"] for i in range(len(got) - 1))
+    mismatches = (
+        top.join(exp_df, "vec_id")
+        .filter(F.abs(F.col("pq_dist") - F.col("exp_dist")) > 1e-9)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(mismatches) + (0 if ordered else 1),)], "violations long"
+    )

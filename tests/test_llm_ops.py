@@ -217,3 +217,34 @@ def test_short_and_empty_docs_do_not_crash_shingle_ops(spark):
 
     stats = {r["doc_id"]: r for r in ts.text_stats(df).collect()}
     assert stats[3]["stat_n_words"] == 0 and stats[1]["stat_n_words"] == 1
+
+
+class TestProductQuantization:
+    def test_encode_deterministic_and_shaped(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            pq_encode, pq_train,
+        )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = pq_train(emb, m=8, k=4, iters=1)
+        assert len(books) == 8 and len(books[0]) == 4 and len(books[0][0]) == 8
+        e1 = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, books).collect()}
+        e2 = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, books).collect()}
+        assert e1 == e2
+        assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in e1.values())
+
+    def test_adc_recall_on_planted_clusters(self, spark):
+        import numpy as np
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+            pq_adc_topk, pq_encode, pq_train,
+        )
+        rng = np.random.RandomState(7)
+        a = rng.normal(0, 0.05, (40, 16)) + np.r_[np.ones(8), np.zeros(8)]
+        b = rng.normal(0, 0.05, (40, 16)) - np.r_[np.zeros(8), np.ones(8)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = pq_train(df, m=4, k=8, iters=3)
+        enc = pq_encode(df, books)
+        top = pq_adc_topk(enc, books, rows[0][1], topk=10)
+        ids = [r.vec_id for r in top.collect()]
+        assert all(i < 40 for i in ids)  # all neighbours from cluster A
+        assert ids[0] == 0  # the query itself is its own nearest code
