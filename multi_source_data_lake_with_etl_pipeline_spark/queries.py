@@ -3690,3 +3690,37 @@ def pq_adc_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(mismatches) + (0 if ordered else 1),)], "violations long"
     )
+
+
+# Hashed-feature linear classifier inference (llm_ops/scoring.py):
+# score every document with W[h(token) mod 256] folded at scan speed.
+# The oracle recomputes the same margin with per-hex-digit strpos
+# arithmetic and the inline weight formula — bit-exact integer math on
+# both engines.
+@register(
+    "hashed_linear_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(toks, tk ->
+             ((((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)
+               * 2654435761) % 2001) - 1000)), 0) AS BIGINT) AS margin,
+           CAST(CASE WHEN len(toks) > 0
+                THEN floor(list_sum(list_transform(toks, tk ->
+                  ((((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)
+                    * 2654435761) % 2001) - 1000)) * 10000 / len(toks))
+                ELSE 0 END AS BIGINT) AS score_bp
+    FROM t
+    """,
+)
+def hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.scoring import hashed_linear_margin
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_linear_margin(d).select("doc_id", "margin", "score_bp")

@@ -248,3 +248,44 @@ class TestProductQuantization:
         ids = [r.vec_id for r in top.collect()]
         assert all(i < 40 for i in ids)  # all neighbours from cluster A
         assert ids[0] == 0  # the query itself is its own nearest code
+
+
+class TestHashedLinearScoring:
+    def test_margin_matches_python_reference(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.scoring import (
+            demo_weights, hashed_linear_margin,
+        )
+        import hashlib
+
+        w = demo_weights()
+        docs = [(1, "the quick brown fox"), (2, "hola que tal"), (3, "x")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.margin, r.score_bp) for r in hashed_linear_margin(df).collect()}
+        for i, text in docs:
+            toks = text.split()
+            m = sum(w[int(hashlib.md5(t.encode()).hexdigest()[:2], 16)] for t in toks)
+            bp = (m * 10000) // len(toks) if toks else 0
+            import math
+            bp = math.floor(m * 10000 / len(toks)) if toks else 0
+            assert got[i] == (m, bp), (i, got[i], (m, bp))
+
+    def test_empty_doc_scores_zero(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.scoring import (
+            hashed_linear_margin,
+        )
+        df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        got = {r.doc_id: (r.margin, r.score_bp) for r in hashed_linear_margin(df).collect()}
+        assert got == {1: (0, 0), 2: (0, 0)}
+
+    def test_custom_weights_plumb_through(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.scoring import (
+            feature_bucket, hashed_linear_margin,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, "alpha alpha")], "doc_id long, text string")
+        b = df.select(feature_bucket(F.lit("alpha")).alias("b")).collect()[0].b
+        w = [0] * 256
+        w[b] = 7
+        got = hashed_linear_margin(df, weights=w).collect()[0]
+        assert got.margin == 14 and got.score_bp == 70000
