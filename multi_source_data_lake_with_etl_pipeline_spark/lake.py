@@ -279,7 +279,12 @@ class LakeTable:
     # ---------------------------------------------------------- reads
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read. The file list is resolved NOW — later commits
-        never affect this DataFrame (snapshot isolation)."""
+        never affect this DataFrame (snapshot isolation).
+
+        Schema = the snapshot version's committed schema (additive
+        evolution: appending a wider frame advances it; files written
+        before the new column existed read as NULL, and time travel to
+        an older version reads with that version's narrower schema)."""
         _, active, schema = self._snapshot(version)
         paths = [self._abs(a["path"]) for a in active]
         if not paths:

@@ -379,3 +379,20 @@ class TestLakeIncrementalExtract:
         commit_version_cursor(state, cur3)
         ch5, _ = incremental_lake_changes(spark, t.path, state)
         assert ch5.count() == 0
+
+
+class TestLakeSchemaEvolution:
+    def test_append_with_new_column(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        t.append(
+            spark.createDataFrame([(100, 1, "web")], "k long, v long, src string")
+        )
+        got = t.read()
+        # snapshot schema = latest commit's schema; old files yield NULL
+        # for the added column (parquet reader fills missing columns)
+        assert got.columns == ["k", "v", "src"]
+        assert got.count() == 11
+        assert got.filter("src IS NULL").count() == 10
+        assert got.filter("src = 'web'").count() == 1
+        # time travel still shows the ORIGINAL schema at v0
+        assert t.read(0).columns == ["k", "v"]
