@@ -575,6 +575,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     _keep_vec: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors to ``pq_code`` array<int> (length m): per
     subspace, the L2-nearest codebook entry. Arrow-batched matmul per
@@ -601,6 +602,7 @@ def pq_encode(
         return pd.Series(list(codes))
 
     cols = [id_col, vec_col] if _keep_vec else [id_col]
+    cols += extra_cols or []
     return df.select(*cols, _enc(F.col(vec_col)).alias("pq_code"))
 
 
@@ -648,4 +650,71 @@ def pq_adc_topk(
         encoded.select(id_col, F.round(dist, 6).alias("pq_dist"))
         .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
         .limit(topk)
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the IVF+PQ index — the canonical billion-vector ANN
+    layout: rows carry ONLY (id, pq_code), partitioned by coarse
+    centroid. A probe reads nprobe partition dirs (static pruning) of
+    the 16x-compressed representation; the float vectors never travel.
+    Build = one Arrow assignment pass + one Arrow encode pass, then a
+    partitioned write (the amortized one-time cost)."""
+    assigned = ivf_assign_arrow(df, centroids, vec_col)
+    coded = pq_encode(assigned, codebooks, vec_col, id_col, extra_cols=["_centroid"])
+    coded.select(id_col, "pq_code", "_centroid").write.partitionBy("_centroid").mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def ann_ivfpq_probe(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search the IVF+PQ index: rank coarse centroids driver-side,
+    read only nprobe partitions, score codes with the ADC lookup-table
+    expression (JVM, no UDF), TakeOrdered the top-k. Returns
+    (id, pq_dist) ascending — approximate L2 over compressed codes."""
+    import numpy as np
+
+    qv = np.array(query_vec, dtype="float64")
+
+    def cos_np(c):
+        c = np.array(c, dtype="float64")
+        return float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12))
+
+    probe_ids = [
+        cid for cid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:nprobe]
+    ]
+    lut = pq_adc_lut(codebooks, query_vec)
+    m, kk = len(lut), len(lut[0])
+    lut_col = F.array(*[F.lit(float(x)) for sub in lut for x in sub])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            lut_col, (s * kk + F.element_at(F.col("pq_code"), s + 1) + 1).cast("int")
+        ),
+    )
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_centroid").isin(probe_ids))
+        .select(id_col, F.round(dist, 6).alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

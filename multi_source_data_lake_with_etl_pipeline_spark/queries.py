@@ -3724,3 +3724,32 @@ def hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return hashed_linear_margin(d).select("doc_id", "margin", "score_bp")
+
+
+# IVF+PQ: coarse partition pruning over the 16x-compressed codes, ADC
+# scoring in pure JVM. Approximate by construction → rows-only here;
+# the ADC arithmetic itself is driver-checked by pq_adc_invariant and
+# partition pruning by tests/test_plans.py.
+@register("ann_ivfpq_topk", None)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .catalog import SILVER_DIR, table_path
+    from .llm_ops.similarity import ann_ivfpq_probe, ivfpq_build, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").between(0, 15))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    books = pq_train(emb, m=8, k=16, iters=1)
+    src = table_path(sf_dir, "embeddings")
+    st = os.stat(src)
+    index_path = os.path.join(SILVER_DIR, f"ivfpq16-{st.st_size}-{int(st.st_mtime)}")
+    if not os.path.exists(index_path):
+        ivfpq_build(emb, centroids, books, index_path)
+    return ann_ivfpq_probe(
+        spark, index_path, centroids[0][1], centroids, books, k=10, nprobe=2
+    )

@@ -252,3 +252,26 @@ def test_decontam_broadcasts_benchmark_side(spark):
     # side), one for the groupBy(doc_id) count over matched pairs —
     # the full corpus gram stream itself must NOT hash-partition.
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        ann_ivfpq_probe,
+        ivfpq_build,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    books = pq_train(emb, m=8, k=8, iters=1)
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_build(emb, centroids, books, path)
+    probe = ann_ivfpq_probe(spark, path, centroids[0][1], centroids, books, k=5, nprobe=2)
+    plan = plan_text(probe)
+    pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "_centroid" in pf_line and " in (" in pf_line.lower()
+    # the scan reads only the compressed representation, never vectors
+    rs_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "pq_code" in rs_line and "embedding" not in rs_line
+    assert probe.count() == 5
