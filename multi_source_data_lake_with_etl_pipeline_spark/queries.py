@@ -3753,3 +3753,52 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_probe(
         spark, index_path, centroids[0][1], centroids, books, k=10, nprobe=2
     )
+
+
+# BM25 corpus retrieval (llm_ops/retrieval.py): two-pass plan — one
+# stats aggregation (N, integer total length, per-term df), one
+# literal-folded scoring scan. Oracle mirrors the arithmetic term by
+# term (same association order, ln on the same exact rational inputs),
+# so the 4dp scores hash-match.
+@register(
+    "bm25_search",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'hash')) > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'filter')) > 0 THEN 1 ELSE 0 END) AS df3
+      FROM d
+    ), scored AS (
+      SELECT doc_id,
+             round(
+               0.0
+               + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                 * len(list_filter(toks, x -> x = 'hash')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'hash'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+               + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                 * len(list_filter(toks, x -> x = 'join')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'join'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+               + ln(1 + (s.n - s.df3 + 0.5) / (s.df3 + 0.5))
+                 * len(list_filter(toks, x -> x = 'filter')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'filter'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+             , 4) AS bm25
+      FROM d, s
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["hash", "join", "filter"], k=10)

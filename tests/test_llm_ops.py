@@ -289,3 +289,48 @@ class TestHashedLinearScoring:
         w[b] = 7
         got = hashed_linear_margin(df, weights=w).collect()[0]
         assert got.margin == 14 and got.score_bp == 70000
+
+
+class TestBM25:
+    def test_score_matches_python_reference(self, spark):
+        import math
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.retrieval import (
+            bm25_score, bm25_stats,
+        )
+
+        docs = [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        terms = ["apple", "cherry"]
+        st = bm25_stats(df, terms)
+        assert st["N"] == 3 and st["df"] == {"apple": 1, "cherry": 2}
+        assert st["avgdl"] == 9 / 3
+        got = {r.doc_id: r.bm25 for r in bm25_score(df, terms).collect()}
+
+        def ref(text):
+            toks = text.split()
+            s = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                idf = math.log(1 + (3 - st["df"][t] + 0.5) / (st["df"][t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / 3.0))
+            return round(s, 4)
+
+        for i, text in docs:
+            assert got[i] == ref(text), (i, got[i], ref(text))
+
+    def test_topk_ranks_matching_docs_first(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.retrieval import (
+            bm25_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "filler words only") for i in range(20)]
+            + [(100, "needle needle in text"), (101, "one needle here")],
+            "doc_id long, text string",
+        )
+        top = bm25_topk(df, ["needle"], k=2)
+        assert [r.doc_id for r in top.collect()] == [100, 101]
