@@ -396,3 +396,30 @@ class TestLakeSchemaEvolution:
         assert got.filter("src = 'web'").count() == 1
         # time travel still shows the ORIGINAL schema at v0
         assert t.read(0).columns == ["k", "v"]
+
+
+class TestLakeStreamMerge:
+    def test_cdc_stream_merge_file_granular(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+            stream_merge_lake,
+        )
+
+        t = _mk(spark, tmp_path, rows=100, files=4)
+        before = _file_md5s(t)
+        src = tmp_path / "cdc"
+        # two change rows for k=7 (seq decides), one insert
+        spark.createDataFrame(
+            [(7, -1, 1), (7, -2, 2), (500, 9, 1)], "k long, v long, seq long"
+        ).coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema("k long, v long, seq long").parquet(str(src))
+        stream_merge_lake(
+            stream, str(tmp_path / "t"), "k", str(tmp_path / "ck"), order_col="seq"
+        )
+        cur = t.read()
+        assert cur.count() == 101
+        assert cur.filter("k = 7").collect()[0].v == -2  # max-seq row won
+        assert cur.filter("k = 500").collect()[0].v == 9
+        # file-granular: every pre-existing file is still byte-identical
+        after = _file_md5s(t)
+        assert all(after[f] == h for f, h in before.items())
+        assert t.read(0).count() == 100  # pre-merge version intact
