@@ -423,3 +423,48 @@ class TestLakeStreamMerge:
         after = _file_md5s(t)
         assert all(after[f] == h for f, h in before.items())
         assert t.read(0).count() == 100  # pre-merge version intact
+
+
+class TestLakeModelProperty:
+    def test_random_op_sequences_match_model(self, spark, tmp_path):
+        """Apply a randomized (fixed-seed) sequence of lake operations
+        and after EVERY commit compare the table against a plain dict
+        model — state-machine testing of the transaction log."""
+        import random
+
+        rng = random.Random(42)
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / "t"),
+            spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long"),
+        )
+        model = {i: i * 10 for i in range(20)}
+        ver_model = {0: dict(model)}
+        next_key = 100
+        for step in range(12):
+            op = rng.choice(["append", "merge", "delete", "compact"])
+            if op == "append":
+                rows = [(next_key + j, rng.randrange(1000)) for j in range(rng.randrange(1, 4))]
+                next_key += len(rows)
+                t.append(spark.createDataFrame(rows, "k long, v long"))
+                model.update(dict(rows))
+            elif op == "merge":
+                keys = rng.sample(sorted(model), min(3, len(model))) + [next_key]
+                next_key += 1
+                rows = [(k, rng.randrange(1000)) for k in keys]
+                t.merge(spark.createDataFrame(rows, "k long, v long"), "k")
+                model.update(dict(rows))
+            elif op == "delete":
+                cut = rng.randrange(0, 1000)
+                t.delete(f"v < {cut}")
+                model = {k: v for k, v in model.items() if not v < cut}
+            else:
+                t.compact(target_files=rng.randrange(1, 4))
+            # a no-op delete commits nothing: key by actual version
+            ver_model[t.latest_version()] = dict(model)
+            got = {r.k: r.v for r in t.read().collect()}
+            assert got == model, f"step {step} op {op}"
+        # time travel: every historical version still reproduces its model
+        for v, m in ver_model.items():
+            got = {r.k: r.v for r in t.read(v).collect()}
+            assert got == m, f"version {v}"
