@@ -468,3 +468,24 @@ class TestLakeModelProperty:
         for v, m in ver_model.items():
             got = {r.k: r.v for r in t.read(v).collect()}
             assert got == m, f"version {v}"
+
+
+class TestLakeConcurrency:
+    def test_parallel_appends_all_land(self, spark, tmp_path):
+        """8 threads blind-append concurrently; O_EXCL commit + retry
+        must serialize them into 8 distinct versions with no lost rows."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        t = _mk(spark, tmp_path, rows=10, files=1)
+
+        def add(i):
+            return t.append(
+                spark.createDataFrame([(1000 + i, i)], "k long, v long")
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            versions = list(ex.map(add, range(8)))
+        assert sorted(versions) == list(range(1, 9))  # distinct, gapless
+        got = {r.k for r in t.read().filter("k >= 1000").collect()}
+        assert got == {1000 + i for i in range(8)}
+        assert t.read().count() == 18
