@@ -118,3 +118,53 @@ def sessionize(
         F.col("session_window.end").alias("session_end"),
         *[c for c in out.columns if c != "session_window"],
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid with forward
+    fill — the timeseries-database RESAMPLE/LOCF the reference's Influx
+    tier implies but never implements: per key, one slot per ``step``
+    between the key's first and last observation; a slot's value is the
+    max observation inside it, empty slots carry the last seen value.
+
+    Scale shape: bounds = one map-side-combined agg (a key's grid is
+    generated from two scalars, not by scanning its rows); the grid
+    explode is a narrow Generate; the observed values join on
+    (key, slot) — co-partitioned with the fill window's shuffle, so the
+    whole thing is two exchanges end to end. Output columns:
+    (key, slot, value_filled)."""
+    slot = F.date_trunc(unit, F.col(ts_col))
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("slot"),
+    )
+    obs = (
+        df.select(key_col, slot.alias("slot"), F.col(value_col).alias("_v"))
+        .groupBy(key_col, "slot")
+        .agg(F.max("_v").alias("_v"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "slot"], "left")
+        .withColumn("value_filled", F.last("_v", ignorenulls=True).over(w))
+        .drop("_v")
+    )

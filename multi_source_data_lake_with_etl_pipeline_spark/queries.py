@@ -3805,3 +3805,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bm25_topk(d, ["hash", "join", "filter"], k=10)
+
+
+# Grid resample + LOCF forward fill over the events series (T-family
+# superset: the Influx-style RESAMPLE the reference's timeseries tier
+# implies). Oracle: generate_series grid + IGNORE-NULLS window fill.
+@register(
+    "events_resample_ffill",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE user_id <= 40 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+      FROM b
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot, max(value) AS v
+      FROM events WHERE user_id <= 40 GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.slot,
+           round(last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    out = resample_ffill(ev, "ts", "user_id", "value")
+    return out.withColumn("value_filled", F.round("value_filled", 2))

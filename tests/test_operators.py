@@ -253,3 +253,32 @@ class TestCountMinSketch:
         j = true.join(est, "term")
         assert j.filter(F.col("cms_estimate") < F.col("count")).count() == 0
         assert j.filter(F.col("cms_estimate") > F.col("count")).count() > 0
+
+
+class TestResampleFfill:
+    def test_gaps_filled_with_last_seen(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.timeseries import (
+            resample_ffill,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:10:00", 5.0),
+                (1, "2024-01-01 00:50:00", 7.0),   # same hour → max wins
+                (1, "2024-01-01 03:20:00", 9.0),   # 2-hour gap
+                (2, "2024-01-01 01:00:00", 1.0),
+            ],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.user_id, str(r.slot)): r.value_filled
+            for r in resample_ffill(df, "ts", "user_id", "value").collect()
+        }
+        assert out == {
+            (1, "2024-01-01 00:00:00"): 7.0,
+            (1, "2024-01-01 01:00:00"): 7.0,  # gap → last seen
+            (1, "2024-01-01 02:00:00"): 7.0,
+            (1, "2024-01-01 03:00:00"): 9.0,
+            (2, "2024-01-01 01:00:00"): 1.0,
+        }
