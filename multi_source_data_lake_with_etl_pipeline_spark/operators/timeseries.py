@@ -168,3 +168,54 @@ def resample_ffill(
         .withColumn("value_filled", F.last("_v", ignorenulls=True).over(w))
         .drop("_v")
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Grid resample with LINEAR interpolation: empty slots take the
+    time-weighted blend of the surrounding observations
+    (prev + (next-prev)·Δt_frac); leading/trailing gaps fall back to
+    the one-sided neighbour. Same two-exchange shape as
+    :func:`resample_ffill` plus one more window pass (both direction
+    windows share the (key, slot) sort)."""
+    from pyspark.sql import Window
+
+    base = resample_ffill(df, ts_col, key_col, value_col, step, unit)
+    # re-derive the raw slot observations to know WHERE the anchors are
+    slot = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        df.select(key_col, slot.alias("slot"), F.col(value_col).alias("_obs"))
+        .groupBy(key_col, "slot")
+        .agg(F.max("_obs").alias("_obs"))
+    )
+    g = base.drop("value_filled").join(obs, [key_col, "slot"], "left")
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ep = F.unix_timestamp("slot").cast("double")
+    anchor_ep = F.when(F.col("_obs").isNotNull(), ep)
+    prev_v = F.last("_obs", ignorenulls=True).over(fwd)
+    next_v = F.first("_obs", ignorenulls=True).over(bwd)
+    prev_t = F.last(anchor_ep, ignorenulls=True).over(fwd)
+    next_t = F.first(anchor_ep, ignorenulls=True).over(bwd)
+    frac = (ep - prev_t) / (next_t - prev_t)
+    value = (
+        F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return g.withColumn("value_interp", value).drop("_obs")

@@ -3839,3 +3839,64 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
     out = resample_ffill(ev, "ts", "user_id", "value")
     return out.withColumn("value_filled", F.round("value_filled", 2))
+
+
+# Linear interpolation over the resample grid — oracle mirrors the
+# anchor-window arithmetic (IGNORE-NULLS windows both directions,
+# epoch-second lerp) with identical association order.
+@register(
+    "events_resample_interpolate",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE user_id <= 25 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+      FROM b
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot, max(value) AS v
+      FROM events WHERE user_id <= 25 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.user_id, g.slot, o.v,
+             CAST(epoch(g.slot) AS DOUBLE) AS ep,
+             CASE WHEN o.v IS NOT NULL THEN CAST(epoch(g.slot) AS DOUBLE) END AS aep
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot
+    ),
+    w AS (
+      SELECT user_id, slot, v, ep,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(aep IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(aep IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, slot,
+           CAST(floor(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((ep - pt) / (nt - pt)) END * 100)
+             AS BIGINT) AS value_interp_c
+    FROM w
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 25)
+    out = resample_interpolate(ev, "ts", "user_id", "value")
+    # integer cents via floor, NOT round-2dp: midpoint lerps of 2dp
+    # inputs are exact decimal halves, and Spark (exact-binary
+    # BigDecimal) and DuckDB (shortest-repr decimal) round those
+    # differently; floor of the bit-identical double is engine-exact.
+    return out.select(
+        "user_id", "slot",
+        F.floor(F.col("value_interp") * 100).cast("long").alias("value_interp_c"),
+    )

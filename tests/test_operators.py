@@ -282,3 +282,29 @@ class TestResampleFfill:
             (1, "2024-01-01 03:00:00"): 9.0,
             (2, "2024-01-01 01:00:00"): 1.0,
         }
+
+
+class TestResampleInterpolate:
+    def test_linear_blend_and_edges(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.timeseries import (
+            resample_interpolate,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 01:00:00", 10.0),
+                (1, "2024-01-01 04:00:00", 40.0),  # 2 empty slots between
+            ],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            str(r.slot): r.value_interp
+            for r in resample_interpolate(df, "ts", "user_id", "value").collect()
+        }
+        assert out == {
+            "2024-01-01 01:00:00": 10.0,
+            "2024-01-01 02:00:00": 20.0,
+            "2024-01-01 03:00:00": 30.0,
+            "2024-01-01 04:00:00": 40.0,
+        }
