@@ -275,3 +275,28 @@ def test_ivfpq_probe_prunes_partitions_and_reads_codes_only(spark, tmp_path):
     rs_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
     assert "pq_code" in rs_line and "embedding" not in rs_line
     assert probe.count() == 5
+
+
+def test_hashed_linear_scoring_is_pure_projection(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.scoring import (
+        hashed_linear_margin,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_text(hashed_linear_margin(d).select("doc_id", "score_bp"))
+    assert "Exchange" not in plan  # zero shuffles: scoring is a narrow map
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_bm25_scoring_scan_has_no_joins_or_udfs(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.retrieval import (
+        bm25_score, bm25_stats,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    st = bm25_stats(d, ["hash", "join"])  # stats pass collected separately
+    plan = plan_text(bm25_score(d, ["hash", "join"], stats=st).select("doc_id", "bm25"))
+    assert "Join" not in plan  # stats folded in as literals
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
