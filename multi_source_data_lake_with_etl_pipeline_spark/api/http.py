@@ -118,6 +118,18 @@ class _Handler(BaseHTTPRequestHandler):
         }
         if url.path in routes:
             return self._dispatch(routes[url.path])
+        if url.path == "/api/v1/lake/history":
+            return self._dispatch(lambda: svc.lake_history(_q(p, "path", required=True)))
+        if url.path == "/api/v1/lake/query":
+            v = _q(p, "version")
+            return self._dispatch(
+                lambda: svc.lake_query(
+                    path=_q(p, "path", required=True),
+                    version=int(v) if v is not None else None,
+                    limit=int(_q(p, "limit", 100)),
+                    where=_q(p, "where"),
+                )
+            )
         if url.path in ("/api/v1/query/postgres", "/api/v1/query/table"):
             return self._dispatch(
                 lambda: svc.query_table(

@@ -333,3 +333,36 @@ class DataLakeService:
             "statistics": self.loaders.get_stats(),
             "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
+
+    # -- lake endpoints (engine superset: versioned lake tables) --------
+
+    def lake_history(self, path: str) -> dict:
+        """Commit log of a versioned lake table (op/version/ts/file
+        deltas, newest first)."""
+        from ..lake import LakeTable
+
+        t = LakeTable.load(self.spark, path)
+        return {"status": "success", "path": path, "history": t.history()}
+
+    def lake_query(
+        self,
+        path: str,
+        version: int | None = None,
+        limit: int = 100,
+        where: str | None = None,
+    ) -> dict:
+        """Snapshot (or time-travel) read of a lake table with the same
+        bounded limit-before-collect discipline as every read path."""
+        from ..lake import LakeTable
+
+        df = LakeTable.load(self.spark, path).read(version)
+        if where:
+            df = df.filter(F.expr(where))
+        data = rows_to_records(df, limit)
+        return {
+            "status": "success",
+            "data": data,
+            "count": len(data),
+            "path": path,
+            "version": version,
+        }

@@ -177,3 +177,30 @@ def test_error_envelopes(api):
     assert status == 404
     status, body = _post(api, "/api/v1/etl/run", {"source_type": "bogus"})
     assert status == 500 and "bogus" in body["detail"]
+
+
+def test_lake_endpoints(api, spark, tmp_path_factory):
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+    base = api
+    root = tmp_path_factory.mktemp("lake_api")
+    t = LakeTable.create(
+        spark, str(root / "t"),
+        spark.createDataFrame([(i, i * 2) for i in range(30)], "k long, v long"),
+    )
+    t.delete("k < 10")
+    import urllib.parse
+
+    def lake_get(route, **params):
+        return _get(base, route + "?" + urllib.parse.urlencode(params))
+
+    code, body = lake_get("/api/v1/lake/history", path=t.path)
+    assert code == 200 and [h["op"] for h in body["history"]] == ["delete", "create"]
+    code, body = lake_get("/api/v1/lake/query", path=t.path, limit=100)
+    assert code == 200 and body["count"] == 20
+    code, body = lake_get("/api/v1/lake/query", path=t.path, version=0, limit=100)
+    assert body["count"] == 30  # time travel over HTTP
+    code, body = lake_get("/api/v1/lake/query", path=t.path, where="k >= 25", limit=100)
+    assert body["count"] == 5
+    code, body = lake_get("/api/v1/lake/history", path="/nonexistent")
+    assert code in (404, 500)
