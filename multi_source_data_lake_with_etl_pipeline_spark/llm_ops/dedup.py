@@ -250,27 +250,39 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = _distinct_shingles(df, text_col, id_col, n).persist()
-    sh.count()  # materialize before the three readers below fan out
-    s1 = sh.select(F.col(id_col).alias("id_1"), "_sk")
-    s2 = sh.select(F.col(id_col).alias("id_2"), "_sk")
-    inter = (
-        cand.join(s1, "id_1")
-        .join(s2, ["id_2", "_sk"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    # Verification touches only pair PARTICIPANTS (≤ 2·|candidates|
+    # docs): semi-join the corpus down BEFORE the CPU-heavy shingle
+    # re-parse, then score each pair with one array_intersect over the
+    # per-doc shingle-hash sets — O(candidates · doclen), independent
+    # of corpus size. (Shingling all N docs here cost more than the
+    # whole LSH stage at bench scale.)
+    ids = (
+        cand.select(F.col("id_1").alias(id_col))
+        .union(cand.select(F.col("id_2").alias(id_col)))
+        .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_1"), F.col("_n").alias("_n1")), "id_1")
-        .join(sizes.select(F.col(id_col).alias("id_2"), F.col("_n").alias("_n2")), "id_2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter")), 4),
+    sets = (
+        df.join(ids, id_col, "left_semi")
+        .select(id_col, _shingle_hash_set(text_col, n).alias("_sh"))
+        .persist()
+    )
+    sets.count()  # materialize before the two broadcast builds below
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
+    out = (
+        cand.join(
+            F.broadcast(sets.select(F.col(id_col).alias("id_1"), F.col("_sh").alias("_a"))),
+            "id_1",
         )
+        .join(
+            F.broadcast(sets.select(F.col(id_col).alias("id_2"), F.col("_sh").alias("_b"))),
+            "id_2",
+        )
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
+    return out
 
 
 def simhash_signatures(
