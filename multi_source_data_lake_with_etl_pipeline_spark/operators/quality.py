@@ -221,3 +221,21 @@ def psi_drift(
         F.round(F.sum("_term"), 4).alias("psi"),
         F.count(F.lit(1)).alias("n_buckets_compared"),
     )
+
+
+def k_anonymity_profile(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Privacy-release audit: a dataset is k-anonymous over a set of
+    quasi-identifier columns when every combination of their values
+    covers at least k rows. Returns ONE row: number of violating
+    groups, rows at risk, and the minimum group size observed (= the
+    actual k the data achieves). One map-side-combined aggregation —
+    the audit costs a single shuffle of group keys at any scale."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return groups.agg(
+        F.sum((F.col("_n") < k).cast("long")).alias("n_groups_lt_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).cast("long").alias("n_rows_at_risk"),
+        F.min("_n").cast("long").alias("min_group_size"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )

@@ -3900,3 +3900,26 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "slot",
         F.floor(F.col("value_interp") * 100).cast("long").alias("value_interp_c"),
     )
+
+
+# k-anonymity audit over quasi-identifiers (release gate for curated
+# data): violating-group count, rows at risk, achieved k.
+@register(
+    "k_anonymity_customer",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_lt_k,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM g
+    """,
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import k_anonymity_profile
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_profile(c, ["c_nationkey", "c_mktsegment"], k=5)
