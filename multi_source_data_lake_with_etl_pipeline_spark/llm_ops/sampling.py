@@ -115,3 +115,45 @@ def per_group_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mix_to_budget(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, int],
+    total_target: int,
+    default_weight: int = 1,
+    salt: str = "mix",
+) -> DataFrame:
+    """Data mixing: deterministically sample each stratum so the output
+    approaches ``total_target`` rows split ∝ integer ``weights`` (the
+    upweight-wiki / downweight-crawl step of corpus assembly), capped
+    by each stratum's availability.
+
+    One count aggregation collects per-stratum sizes (driver scalars);
+    per-stratum thresholds use EXACT integer arithmetic —
+    ``min(65536, (65536·total·w) // (Σw·n))`` — so any engine
+    reproduces the same membership set from the same md5 draw. The
+    filter itself is the usual row-local hash predicate: scan-pushed,
+    zero shuffles, stable under repartitioning."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sum_w = sum(weights.get(s, default_weight) for s in counts)
+    thresholds = {
+        s: min(
+            _SPACE,
+            (_SPACE * total_target * weights.get(s, default_weight)) // (sum_w * n),
+        )
+        for s, n in counts.items()
+    }
+    thr: Column = F.lit("0000")
+    keep_all: Column = F.lit(False)
+    for s, t in sorted(thresholds.items()):
+        if t >= _SPACE:
+            keep_all = F.when(F.col(strata_col) == s, F.lit(True)).otherwise(keep_all)
+        else:
+            thr = F.when(F.col(strata_col) == s, F.lit(format(t, "04x"))).otherwise(thr)
+    return df.filter(keep_all | (hash_bucket(F.col(key_col), salt) < thr))

@@ -3923,3 +3923,40 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     return k_anonymity_profile(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+# Data mixing to a row budget: per-source targets ∝ weights, exact
+# integer thresholds, deterministic md5 membership — the oracle
+# reproduces the identical sample set and reports per-source yields.
+@register(
+    "mix_sources_to_budget",
+    """
+    WITH w AS (
+      SELECT source, count(*) AS n,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 4
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+                  ELSE 1 END AS wt
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, n, wt,
+             least(65536, (65536 * 200 * wt) // ((SELECT sum(wt) FROM w) * n)) AS thr
+      FROM w
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN t ON d.source = t.source
+      WHERE t.thr >= 65536
+         OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+            < printf('%04x', CAST(t.thr AS INT))
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def mix_sources_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import mix_to_budget
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": 4 for i in range(5)} | {f"src{i}": 2 for i in range(5, 10)}
+    mixed = mix_to_budget(d, "source", "doc_id", weights, total_target=200)
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

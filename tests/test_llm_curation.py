@@ -243,3 +243,39 @@ class TestSemantic:
         assert len(cents) == 4
         per = assigned.groupBy("_centroid").count().collect()
         assert sum(r["count"] for r in per) == emb.count()
+
+
+class TestMixToBudget:
+    def test_weighted_shares_and_determinism(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+            mix_to_budget,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(i, "heavy" if i < 4000 else "light") for i in range(8000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mix_to_budget(df, "source", "doc_id", {"heavy": 3, "light": 1}, 1000)
+        counts = {r.source: r.n for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        # ~750 heavy / ~250 light (hash sampling: binomial jitter)
+        assert 650 < counts["heavy"] < 850
+        assert 180 < counts["light"] < 320
+        # deterministic: identical set on re-run and under repartitioning
+        again = mix_to_budget(
+            df.repartition(17), "source", "doc_id", {"heavy": 3, "light": 1}, 1000
+        )
+        assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+    def test_availability_cap_keeps_all(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+            mix_to_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "rare" if i < 10 else "bulk") for i in range(1000)],
+            "doc_id long, source string",
+        )
+        # rare's target (half the budget) exceeds its 10 rows → keep all
+        out = mix_to_budget(df, "source", "doc_id", {"rare": 1, "bulk": 1}, 400)
+        kept_rare = out.filter("source = 'rare'").count()
+        assert kept_rare == 10
