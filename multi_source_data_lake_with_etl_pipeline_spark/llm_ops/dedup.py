@@ -199,6 +199,72 @@ def minhash_signatures(
     return _widen(df).select(id_col, sig.alias("sig"))
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, band_hash) LSH keys: MinHash signature folded per row,
+    then one band hash per ``bands`` slice — a narrow map ×bands
+    explode, no shuffle. This IS the persistable dedup index row."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def verify_pairs_exact(
+    docs: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_1, id_2) pairs:
+    semi-join ``docs`` down to pair participants, build per-doc
+    shingle-hash SETS once, score each pair with one array_intersect —
+    O(candidates · doclen), independent of corpus size."""
+    ids = (
+        cand.select(F.col("id_1").alias(id_col))
+        .union(cand.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        docs.join(ids, id_col, "left_semi")
+        .select(id_col, _shingle_hash_set(text_col, n).alias("_sh"))
+        .persist()
+    )
+    sets.count()  # materialize before the two broadcast builds below
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
+    return (
+        cand.join(
+            F.broadcast(sets.select(F.col(id_col).alias("id_1"), F.col("_sh").alias("_a"))),
+            "id_1",
+        )
+        .join(
+            F.broadcast(sets.select(F.col(id_col).alias("id_2"), F.col("_sh").alias("_b"))),
+            "id_2",
+        )
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -220,26 +286,14 @@ def minhash_lsh_pairs(
     count, is the recall lever.)
     """
     df = _with_min_words(df, text_col, n)
-    r = num_hashes // bands
     # Persist + eager count: the banding self-join reads the signature
     # table twice, and AQE launches both join-side stages concurrently —
     # against a lazily-persisted table the two stages RACE to compute
     # the uncached fold (each task pair duplicates the work). One count
     # materializes the cache before fan-out. Signatures are tiny
     # (id + k longs ≈ 0.3 KB/doc).
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
-    sig.count()
-    banded = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = banded_signatures(df, text_col, id_col, n, num_hashes, bands).persist()
+    banded.count()
     a = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b_ = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     cand = (
@@ -250,39 +304,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # Verification touches only pair PARTICIPANTS (≤ 2·|candidates|
-    # docs): semi-join the corpus down BEFORE the CPU-heavy shingle
-    # re-parse, then score each pair with one array_intersect over the
-    # per-doc shingle-hash sets — O(candidates · doclen), independent
-    # of corpus size. (Shingling all N docs here cost more than the
-    # whole LSH stage at bench scale.)
-    ids = (
-        cand.select(F.col("id_1").alias(id_col))
-        .union(cand.select(F.col("id_2").alias(id_col)))
-        .distinct()
-    )
-    sets = (
-        df.join(ids, id_col, "left_semi")
-        .select(id_col, _shingle_hash_set(text_col, n).alias("_sh"))
-        .persist()
-    )
-    sets.count()  # materialize before the two broadcast builds below
-    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
-    union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
-    out = (
-        cand.join(
-            F.broadcast(sets.select(F.col(id_col).alias("id_1"), F.col("_sh").alias("_a"))),
-            "id_1",
-        )
-        .join(
-            F.broadcast(sets.select(F.col(id_col).alias("id_2"), F.col("_sh").alias("_b"))),
-            "id_2",
-        )
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    )
-    return out
+    return verify_pairs_exact(df, cand, text_col, id_col, n, threshold)
 
 
 def simhash_signatures(
@@ -394,3 +416,74 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> str:
+    """Materialize the LSH dedup index: the (id, band, band_hash) key
+    stream as parquet. At 100 TB this is the amortized artifact that
+    makes CONTINUOUS dedup cheap — each ingestion batch joins its own
+    keys against the index instead of re-signing the whole corpus."""
+    banded_signatures(
+        _with_min_words(df, text_col, n), text_col, id_col, n, num_hashes, bands
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Incremental near-dup: all verified pairs INVOLVING the new batch
+    — new×index candidates plus new×new — without touching the signed
+    corpus (``base_docs`` is read only for the few pair PARTICIPANTS'
+    exact verification). With ``append``, the batch's keys join the
+    index afterwards, keeping it current for the next batch.
+
+    Batch parity (audited by ``minhash_incremental_invariant``):
+    pairs(base ∪ new) = pairs(base) ∪ incremental(new | index(base)) —
+    same signatures, same banding, same verification, split by which
+    side of the batch boundary each pair straddles."""
+    spark = new_docs.sparkSession
+    new_docs = _with_min_words(new_docs, text_col, n)
+    nb = banded_signatures(new_docs, text_col, id_col, n, num_hashes, bands).persist()
+    nb.count()
+    idx = spark.read.parquet(index_path)
+    a = nb.select(F.col(id_col).alias("id_1"), "band", "band_hash")
+    cross = (
+        a.join(idx.select(F.col(id_col).alias("id_2"), "band", "band_hash"),
+               ["band", "band_hash"])
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select(F.least("id_1", "id_2").alias("id_1"),
+                F.greatest("id_1", "id_2").alias("id_2"))
+    )
+    within = (
+        a.join(nb.select(F.col(id_col).alias("id_2"), "band", "band_hash"),
+               ["band", "band_hash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+    cand = cross.union(within).distinct()
+    docs = base_docs.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    out = verify_pairs_exact(docs, cand, text_col, id_col, n, threshold)
+    if append:
+        out = out.localCheckpoint(eager=True)  # materialize before the index grows
+        nb.write.mode("append").parquet(index_path)
+    return out

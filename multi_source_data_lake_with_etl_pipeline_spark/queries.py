@@ -3960,3 +3960,41 @@ def mix_sources_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = {f"src{i}": 4 for i in range(5)} | {f"src{i}": 2 for i in range(5, 10)}
     mixed = mix_to_budget(d, "source", "doc_id", weights, total_target=200)
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# Incremental-dedup batch parity: pairs(base ∪ delta) must equal
+# pairs(base) ∪ incremental(delta | index(base)) EXACTLY (ids and
+# verified jaccard) — the audit that licenses running continuous
+# ingestion dedup against the materialized index instead of re-signing
+# the corpus. Emitted as a symmetric-difference count (SELECT-0).
+@register("minhash_incremental_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .llm_ops.dedup import (
+        minhash_index_build,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    # The audit runs THREE full LSH pipelines; sample the corpus to
+    # bound bench cost (covers the whole table at the driver's sf0.01
+    # scale — 500 docs — so the correctness gate sees it uncapped; the
+    # operator itself has no cap).
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    base = d.filter(F.col("doc_id") < 250)
+    delta = d.filter(F.col("doc_id") >= 250)
+    idx = tempfile.mkdtemp(prefix="mh_idx_") + "/index"
+    minhash_index_build(base, idx)
+    inc = minhash_lsh_incremental(delta, base, idx, append=False).persist()
+    inc.count()
+    # Signatures are row-local, so pairs(base) ≡ batch pairs with BOTH
+    # ids under the boundary — no third pipeline run needed; parity
+    # reduces to: incremental == batch pairs straddling-or-inside delta
+    # (id_1 < id_2 makes that exactly id_2 >= boundary).
+    batch_delta = minhash_lsh_pairs(d).filter(F.col("id_2") >= 250).persist()
+    batch_delta.count()
+    keys = ["id_1", "id_2", "jaccard"]
+    missing = batch_delta.join(inc, keys, "left_anti").count()
+    extra = inc.join(batch_delta, keys, "left_anti").count()
+    return spark.createDataFrame([(missing + extra,)], "violations long")

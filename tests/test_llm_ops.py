@@ -334,3 +334,30 @@ class TestBM25:
         )
         top = bm25_topk(df, ["needle"], k=2)
         assert [r.doc_id for r in top.collect()] == [100, 101]
+
+
+class TestIncrementalLSH:
+    def test_cross_boundary_pairs_found_and_index_grows(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.dedup import (
+            minhash_index_build,
+            minhash_lsh_incremental,
+        )
+
+        base_txt = "the quick brown fox jumps over the lazy dog again and again today"
+        rows_base = [(1, base_txt), (2, "совершенно другой текст не похожий ни на что here")]
+        # new batch: a near-dup of doc 1 (one word changed) + a unique doc
+        rows_new = [
+            (10, base_txt.replace("lazy", "sleepy")),
+            (11, "unrelated fresh content with many novel words in this row"),
+        ]
+        base = spark.createDataFrame(rows_base, "doc_id long, text string")
+        new = spark.createDataFrame(rows_new, "doc_id long, text string")
+        idx = str(tmp_path / "idx")
+        minhash_index_build(base, idx)
+        n_keys_before = spark.read.parquet(idx).count()
+        pairs = minhash_lsh_incremental(new, base, idx, threshold=0.3)
+        got = {(r.id_1, r.id_2) for r in pairs.collect()}
+        assert (1, 10) in got  # cross-boundary near-dup found via index
+        assert all(11 not in p for p in got)
+        # append=True grew the index by the new batch's keys
+        assert spark.read.parquet(idx).count() == n_keys_before + 2 * 16
