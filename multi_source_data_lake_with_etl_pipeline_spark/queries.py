@@ -3998,3 +3998,140 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     missing = batch_delta.join(inc, keys, "left_anti").count()
     extra = inc.join(batch_delta, keys, "left_anti").count()
     return spark.createDataFrame([(missing + extra,)], "violations long")
+
+
+# --- Heuristic corpus-quality filters (C4 / Gopher rule families) ----
+# Public rule sets (Raffel et al. 2020 §2.2; Rae et al. 2021 App. A)
+# re-expressed as integer-exact column expressions; the reference's
+# config-driven record validators (src/transformers/validators.py) are
+# the analogous flag-don't-drop surface for relational rows.
+
+
+@register(
+    "gopher_quality_flags",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS ls,
+             text
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS nw,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS wc,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                  st -> list_contains(list_transform(ws, x -> lower(x)), st))) AS BIGINT) AS n_stop
+      FROM w
+    )
+    SELECT doc_id,
+           (nw >= 50 AND nw <= 100000) AS gopher_word_count_ok,
+           (nw > 0 AND wc >= 3 * nw AND wc <= 10 * nw) AS gopher_mean_word_len_ok,
+           (nw > 0 AND n_sym * 100 < nw * 10) AS gopher_symbol_ratio_ok,
+           (n_bullet * 100 <= n_lines * 90) AS gopher_bullet_ok,
+           (n_ell * 100 <= n_lines * 30) AS gopher_ellipsis_ok,
+           (nw > 0 AND n_alpha * 100 >= nw * 80) AS gopher_alpha_word_ok,
+           (n_stop >= 2) AS gopher_stopword_ok,
+           ((nw >= 50 AND nw <= 100000) AND (nw > 0 AND wc >= 3 * nw AND wc <= 10 * nw)
+            AND (nw > 0 AND n_sym * 100 < nw * 10) AND (n_bullet * 100 <= n_lines * 90)
+            AND (n_ell * 100 <= n_lines * 30) AND (nw > 0 AND n_alpha * 100 >= nw * 80)
+            AND (n_stop >= 2)) AS gopher_keep
+    FROM s
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule flags over the full documents table — one narrow
+    scan, zero shuffles (see llm_ops/filters.py)."""
+    from .llm_ops.filters import gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_flags(d).select(
+        "doc_id",
+        "gopher_word_count_ok",
+        "gopher_mean_word_len_ok",
+        "gopher_symbol_ratio_ok",
+        "gopher_bullet_ok",
+        "gopher_ellipsis_ok",
+        "gopher_alpha_word_ok",
+        "gopher_stopword_ok",
+        "gopher_keep",
+    )
+
+
+@register(
+    "c4_line_filter",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS ls
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, ls,
+             list_filter(ls, l -> regexp_matches(l, '[.!?"'']$')
+                 AND len(list_filter(string_split_regex(l, '\s+'), y -> y != '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS c4_n_lines,
+           CAST(len(kept) AS BIGINT) AS c4_n_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+           (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS c4_keep
+    FROM k
+    """,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filter + page rules over documents (llm_ops/filters.py)."""
+    from .llm_ops.filters import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_clean(d).select("doc_id", "c4_n_lines", "c4_n_kept", "c4_text", "c4_keep")
+
+
+@register(
+    "line_dedup_corpus",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS ls
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(generate_series(1, len(ls))) AS pos
+      FROM d
+    ), freq AS (
+      SELECT md5(line) AS h, count(DISTINCT doc_id) AS docs FROM ln GROUP BY 1
+    ), surv AS (
+      SELECT ln.doc_id, ln.line, ln.pos
+      FROM ln JOIN freq ON md5(ln.line) = freq.h
+      WHERE freq.docs <= 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM surv GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(rebuilt.text, '') AS text,
+           CAST(len(d.ls) AS BIGINT) AS n_lines,
+           CAST(coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_kept
+    FROM d LEFT JOIN rebuilt USING (doc_id)
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line dedup (CCNet-style boilerplate strip): lines
+    occurring in >1 distinct docs are removed, docs rebuilt in order.
+    Two shuffles total — the md5(line) frequency count and the per-doc
+    regroup (llm_ops/filters.py:dedup_lines_corpus)."""
+    from .llm_ops.filters import dedup_lines_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_lines_corpus(d, max_doc_freq=1)
