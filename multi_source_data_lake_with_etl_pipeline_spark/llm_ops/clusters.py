@@ -34,6 +34,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Below this many (symmetrized) edges the component graph is resolved
+# with union-find on the driver instead of iterative joins — the same
+# size-gated strategy switch as Spark's broadcast-join threshold. A
+# near-dup graph is orders of magnitude smaller than its corpus (only
+# docs WITH a duplicate appear), so even very large corpora often fall
+# under this; the distributed path below remains the default shape and
+# takes over automatically past the threshold.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _driver_union_find(rows: list, utype: T.DataType, spark) -> DataFrame:
+    """Min-label union-find over collected (u, v) edges. O(E α(E))
+    single-threaded — for graphs under SMALL_GRAPH_EDGES this beats
+    4-6 distributed join rounds by a wide margin and produces the
+    identical (node, min-reachable-id) labeling."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:  # root is always the component minimum
+            ru, rv = rv, ru
+        parent[rv] = ru
+    nodes = set()
+    for u, v in rows:
+        nodes.add(u)
+        nodes.add(v)
+    schema = T.StructType(
+        [T.StructField("node", utype), T.StructField("component", utype)]
+    )
+    return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], schema)
 
 
 def connected_components(
@@ -41,21 +83,33 @@ def connected_components(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Resolve ``edges`` into components; returns ``(node, component)``
     for every node that appears in at least one edge, where
     ``component`` is the MINIMUM node id reachable from ``node`` (a
     canonical, engine-independent cluster label).
 
-    Min-label propagation with pointer jumping; deterministic for any
-    edge order. ``max_iter`` is a safety rail — the loop exits on the
-    first round with zero label changes (O(log diameter) rounds).
+    Strategy is size-gated (one count on the persisted edge set, which
+    the first iteration needed anyway): graphs at or under
+    ``small_graph_edges`` are solved with driver union-find; larger
+    graphs run min-label propagation with pointer jumping —
+    deterministic for any edge order, identical labels either way.
+    ``max_iter`` is a safety rail — the loop exits on the first round
+    with zero label changes (O(log diameter) rounds).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     sym = sym.persist()
+    if sym.count() <= small_graph_edges:
+        utype = sym.schema["u"].dataType
+        out = _driver_union_find(
+            [(r["u"], r["v"]) for r in sym.collect()], utype, sym.sparkSession
+        )
+        sym.unpersist()
+        return out
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u"))
     ).localCheckpoint(eager=True)

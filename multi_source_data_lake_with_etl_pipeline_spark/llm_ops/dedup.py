@@ -236,7 +236,16 @@ def verify_pairs_exact(
     """Exact-Jaccard verification of candidate (id_1, id_2) pairs:
     semi-join ``docs`` down to pair participants, build per-doc
     shingle-hash SETS once, score each pair with one array_intersect —
-    O(candidates · doclen), independent of corpus size."""
+    O(candidates · doclen), independent of corpus size.
+
+    ``cand`` is persisted here: its DAG (typically an LSH band
+    self-join) is otherwise re-executed three times — once for the
+    participant-id derivation and once per verification join. The pair
+    set is small by construction (near-linear after banding), so the
+    cache is a few MB; callers release it via ``clearCache`` per the
+    module caching contract."""
+    cand = cand.persist()
+    cand.count()  # eager: lazy persist + fan-out consumers re-race the DAG
     ids = (
         cand.select(F.col("id_1").alias(id_col))
         .union(cand.select(F.col("id_2").alias(id_col)))

@@ -4135,3 +4135,42 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dedup_lines_corpus(d, max_doc_freq=1)
+
+
+# Cohort retention: users grouped by first-activity week; distinct
+# active users per (cohort, week-offset). Two aggregations + one join
+# on user_id — the join key equals the first groupBy key, so at scale
+# the exchange is reused (co-partitioned), and week math is integer
+# days/7 (engine-exact, no interval arithmetic).
+@register(
+    "cohort_retention_weekly",
+    r"""
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("week", "ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

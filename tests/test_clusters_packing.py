@@ -42,6 +42,22 @@ def test_cc_path_graph_converges(spark):
     assert {r["component"] for r in got} == {0}
 
 
+def test_cc_distributed_path_matches_union_find(spark):
+    # Force the distributed label-propagation path (threshold 0) and
+    # assert it labels identically to the driver union-find fast path
+    # on a graph with a bridge, a path, and singleton pairs.
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (20, 21)] + [
+        (100 + i, 101 + i) for i in range(20)
+    ]
+    e = _edges(spark, edges)
+    fast = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(e, small_graph_edges=0).collect()
+    }
+    assert fast == dist and dist[12] == 1 and dist[120] == 100
+
+
 def test_cc_transitivity_not_required_of_pairs(spark):
     # A~B, B~C with no A~C edge still forms one cluster.
     e = _edges(spark, [(5, 7), (7, 9)])
