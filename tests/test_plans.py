@@ -300,3 +300,29 @@ def test_bm25_scoring_scan_has_no_joins_or_udfs(spark):
     assert "Join" not in plan  # stats folded in as literals
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_rules_no_shuffle_line_dedup_two_exchanges(spark):
+    # Gopher/C4 rule flags are narrow per-row projections — any
+    # Exchange or Python-eval node is a scale regression. Line dedup
+    # is allowed exactly its two designed shuffles (line-frequency
+    # count + per-doc regroup); more means a lost partial aggregate
+    # or an accidental distinct.
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.filters import (
+        c4_clean,
+        dedup_lines_corpus,
+        gopher_flags,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for df in (gopher_flags(docs), c4_clean(docs)):
+        plan = plan_text(df)
+        assert "Exchange" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, plan
+    dd = plan_text(dedup_lines_corpus(docs))
+    # hashpartitioning exchanges only; counted on the physical plan:
+    # freq groupBy + rebuild groupBy + the left join's two sides may
+    # reuse — pin an upper bound of 4 hash exchanges.
+    n_ex = dd.count("hashpartitioning")
+    assert 0 < n_ex <= 4, dd
