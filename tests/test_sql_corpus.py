@@ -346,6 +346,189 @@ CORPUS: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_nationkey
     """,
+    # --- Remaining TPC-H shapes: with the 9 above (Q2/13/15/16/17/19/
+    # 20/21/22) plus these 13, all 22 TPC-H query STRUCTURES run
+    # verbatim through both engines (adapted to this schema — no
+    # partsupp/commitdate/shipmode; the plan shape is what's tested).
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q4_priority_exists": """
+        -- Q4 shape: per-priority order counts gated by correlated EXISTS
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q5_local_volume": """
+        -- Q5 shape: 6-table snowflake with the customer-nation =
+        -- supplier-nation equality closing the join cycle
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND r.r_name = 'REGION_1'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    "tpch_q6_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q7_volume_shipping": """
+        -- Q7 shape: nation-pair trade volume by ship year, with the
+        -- disjunctive symmetric pair predicate
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_market_share": """
+        -- Q8 shape: share-of-total via conditional sum over a region
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'REGION_1' AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    "tpch_q9_profit_proxy": """
+        -- Q9 shape: profit per nation-year (supplycost proxied by
+        -- retail price — partsupp is not in this lake)
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - p.p_retailprice * l.l_quantity * 0.01 AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%1%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    "tpch_q10_returned_items": """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "tpch_q11_value_share": """
+        -- Q11 shape: per-key value filtered by a scalar fraction of
+        -- the SAME aggregate over the whole table
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity) >
+               (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem)
+    """,
+    "tpch_q12_priority_class": """
+        -- Q12 shape: join + dual conditional counts per category
+        -- (shipmode proxied by linestatus)
+        SELECT l.l_linestatus,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+    """,
+    "tpch_q14_promo": """
+        SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                                       THEN l.l_extendedprice * (1 - l.l_discount)
+                                       ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    "tpch_q18_large_volume": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
     "nested_exists_chain": """
         -- EXISTS nested inside EXISTS, correlating two levels out
         SELECT n_nationkey, n_name FROM nation n
