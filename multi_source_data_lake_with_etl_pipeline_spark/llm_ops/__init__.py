@@ -22,6 +22,8 @@ LLM training-data pipeline needs, built Spark-first on the
                      train/holdout split (engine- and layout-stable).
 - ``decontam``     — benchmark decontamination via distinct word
                      n-gram overlap (broadcast benchmark gram set).
+- ``training``     — distributed classifier training (pyspark.ml
+                     hashed-BoW logistic regression, weak-label loop).
 - ``filters``      — C4 / Gopher heuristic quality rule families
                      (integer-exact flags) + cross-corpus line dedup.
 """

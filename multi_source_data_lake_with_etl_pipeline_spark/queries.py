@@ -4174,3 +4174,30 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# Distributed classifier TRAINING closes the curation loop: the rules
+# (lang_id) weak-label half the corpus, pyspark.ml fits hashed-BoW
+# logistic regression on it, and the held-out half is scored. Float
+# treeAggregate sums make coefficients partitioning-deterministic only,
+# so the query is rows-only (1 row); the accuracy bound is asserted in
+# tests/test_training.py.
+@register("quality_classifier_eval", None)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import lang_id
+    from .llm_ops.training import score_with_model, train_quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    lab = lang_id(d).withColumn("_y", (F.col("pred_lang") == "en").cast("double"))
+    lab = lab.persist()
+    train = lab.filter(F.col("doc_id") % 2 == 0)
+    test = lab.filter(F.col("doc_id") % 2 == 1)
+    model = train_quality_classifier(
+        train, "_y", num_features=1024, max_iter=10
+    )
+    scored = score_with_model(model, test)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("prediction") == F.col("_y")).cast("long")).alias("n_correct"),
+        F.sum(F.col("_y").cast("long")).alias("n_pos"),
+    )
