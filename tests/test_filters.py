@@ -4,6 +4,8 @@ so line-level behavior is pinned here with exact expected values)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -143,3 +145,59 @@ class TestLineDedup:
         assert all(r["n_kept"] == 2 for r in relaxed)
         strict = dedup_lines_corpus(df, max_doc_freq=2).collect()
         assert all(r["n_kept"] == 1 for r in strict)
+
+
+# --- property-style randomized invariants (single batch per property,
+# mirroring tests/test_properties.py conventions) ---------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+doc_texts = st.text(
+    alphabet="abcdefg THE the to of and #.…!?\n -*•'\"{}",
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(doc_texts, min_size=1, max_size=40))
+def test_gopher_flags_total_and_consistent(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    rows = gopher_flags(df).collect()
+    flag_cols = [c for c in rows[0].asDict() if c.startswith("gopher_") and c != "gopher_keep"]
+    for r in rows:
+        d = r.asDict()
+        assert all(isinstance(d[c], bool) for c in flag_cols + ["gopher_keep"]), d
+        assert d["gopher_keep"] == all(d[c] for c in flag_cols), d
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(doc_texts, min_size=1, max_size=40))
+def test_c4_kept_lines_obey_rules(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    for r in c4_clean(df).collect():
+        d = r.asDict()
+        assert 0 <= d["c4_n_kept"] <= d["c4_n_lines"]
+        kept = d["c4_text"].split("\n") if d["c4_text"] else []
+        assert len(kept) == d["c4_n_kept"]
+        for line in kept:
+            assert re.search(r"""[.!?"']$""", line), line
+            assert len(line.split()) >= 5, line
+            assert "javascript" not in line.lower()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(doc_texts, min_size=1, max_size=30))
+def test_line_dedup_conservation(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    rows = dedup_lines_corpus(df).collect()
+    assert len(rows) == len(texts)  # every doc survives (maybe empty)
+    for r in rows:
+        d = r.asDict()
+        assert 0 <= d["n_kept"] <= d["n_lines"]
+        kept = d["text"].split("\n") if d["text"] else []
+        assert len(kept) == d["n_kept"]
+        orig = [l.strip() for l in texts[d["doc_id"]].split("\n") if l.strip()]
+        # kept lines are a subsequence of the original trimmed lines
+        it = iter(orig)
+        assert all(any(o == k for o in it) for k in kept), (orig, kept)
