@@ -74,7 +74,31 @@ def train_quality_classifier(
             standardization=False,
         )
     )
-    return Pipeline(stages=stages).fit(feat)
+    model = Pipeline(stages=stages).fit(feat)
+    return _strip_training_summary(model)
+
+
+def _strip_training_summary(model):
+    """Serialization-proof the fitted pipeline via a save/load
+    round-trip (the same thing a serving deployment does). The fitted
+    LogisticRegressionModel carries a trainingSummary that captures the
+    live SparkSession; when the scoring transform ships the model to
+    executors, that reference drags the session (and its
+    ObservationManager, non-serializable once any Observation has run
+    in the session) into the task closure and the job dies with
+    NotSerializableException. Persisted models never include the
+    summary, so load() returns a clean, closure-safe model."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    path = tempfile.mkdtemp(prefix="mdl_qc_model_")
+    try:
+        model.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def score_with_model(model, df: DataFrame, text_col: str = "text") -> DataFrame:

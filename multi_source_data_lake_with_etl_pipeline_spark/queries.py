@@ -4201,3 +4201,35 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("prediction") == F.col("_y")).cast("long")).alias("n_correct"),
         F.sum(F.col("_y").cast("long")).alias("n_pos"),
     )
+
+
+# Exact interpolated quantiles per group (reference A2-A6 profile
+# family; distribution profiling a curation pipeline runs before
+# setting filter thresholds). Emitted as floor(x*100) fixed-point —
+# both engines compute (1-g)·a + g·b over the same sorted doubles, and
+# floor of the identical double is engine-exact (round() is not; see
+# the round-divergence pitfall in .claude/skills/verify). One sort-based
+# aggregate per group; at scale prefer approx_percentile (see
+# approx_events_profile) — this is the exact-oracle variant.
+@register(
+    "lineitem_quantity_quartiles",
+    r"""
+    SELECT l_returnflag,
+           CAST(floor(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS q25_c,
+           CAST(floor(quantile_cont(l_quantity, 0.50) * 100) AS BIGINT) AS q50_c,
+           CAST(floor(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q75_c,
+           CAST(floor(median(l_extendedprice) * 100) AS BIGINT) AS med_price_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.floor(q[0] * 100).cast("long").alias("q25_c"),
+        F.floor(q[1] * 100).cast("long").alias("q50_c"),
+        F.floor(q[2] * 100).cast("long").alias("q75_c"),
+        F.floor(F.percentile("l_extendedprice", F.lit(0.5)) * 100)
+        .cast("long")
+        .alias("med_price_c"),
+    )
