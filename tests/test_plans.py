@@ -326,3 +326,26 @@ def test_filter_rules_no_shuffle_line_dedup_two_exchanges(spark):
     # reuse — pin an upper bound of 4 hash exchanges.
     n_ex = dd.count("hashpartitioning")
     assert 0 < n_ex <= 4, dd
+
+
+def test_widen_noop_on_many_file_input(spark, tmp_path):
+    # The 100 TB contract of _widen: a source that already has >=
+    # defaultParallelism files is left alone — signatures inherit the
+    # scan's split parallelism with ZERO exchanges (at real scale the
+    # scan always has thousands of splits, so widening never fires).
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.dedup import (
+        minhash_signatures,
+    )
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wide_path = str(tmp_path / "docs_many_files")
+    n = spark.sparkContext.defaultParallelism
+    docs.repartition(n).write.parquet(wide_path)
+    many = spark.read.parquet(wide_path)
+    plan = plan_text(minhash_signatures(many))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    # and the narrow job actually runs with the scan's parallelism
+    assert minhash_signatures(many).rdd.getNumPartitions() >= n
