@@ -238,14 +238,15 @@ def verify_pairs_exact(
     shingle-hash SETS once, score each pair with one array_intersect —
     O(candidates · doclen), independent of corpus size.
 
-    ``cand`` is persisted here: its DAG (typically an LSH band
-    self-join) is otherwise re-executed three times — once for the
-    participant-id derivation and once per verification join. The pair
-    set is small by construction (near-linear after banding), so the
-    cache is a few MB; callers release it via ``clearCache`` per the
-    module caching contract."""
-    cand = cand.persist()
-    cand.count()  # eager: lazy persist + fan-out consumers re-race the DAG
+    ``cand`` is deliberately NOT persisted here: its DAG re-executes
+    (ids derivation + the final join), but the expensive subtree — the
+    signature table the band self-join reads — is already cached by the
+    callers, so each re-execution is a cheap join of cached data.
+    Persisting cand was A/B-measured 2-5x SLOWER end-to-end (the extra
+    materialization barrier + caching an AQE subplan cost far more than
+    the re-joins). A caller that needs candidates durable (continuous
+    dedup) materializes them as a TABLE instead — see
+    ``minhash_index_build``."""
     ids = (
         cand.select(F.col("id_1").alias(id_col))
         .union(cand.select(F.col("id_2").alias(id_col)))
