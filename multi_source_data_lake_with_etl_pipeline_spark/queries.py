@@ -4233,3 +4233,41 @@ def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("med_price_c"),
     )
+
+
+# Stream-static enrichment: the event stream joins the customer dim
+# (broadcast per micro-batch, stateless) and aggregates per segment.
+# Counts are integer-exact, so the availableNow drain must match the
+# batch oracle row-for-row; update-mode re-emissions are folded with a
+# monotone max.
+@register(
+    "stream_static_enrich_counts",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import streamable_path
+    from .streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_enrich_static,
+    )
+
+    def _build() -> None:
+        stream = read_events_stream(spark, streamable_path(spark, sf_dir, "events"))
+        dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        enriched = stream_enrich_static(
+            stream, dim, F.col("user_id") == F.col("c_custkey")
+        )
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        run_to_memory_sink(
+            agg, "stream_static_enrich_q", output_mode="update", state_partitions=4
+        )
+
+    sink = _drain_cached(spark, "stream_static_enrich_q", sf_dir, _build)
+    return sink.groupBy("c_mktsegment").agg(F.max("n_events").alias("n_events"))

@@ -395,3 +395,15 @@ def stream_merge_lake(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def stream_enrich_static(stream: DataFrame, dim: DataFrame, cond) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the CURRENT static side with a broadcast hash join — no state
+    store, no watermark (only stream-stream joins need state). This is
+    the canonical dimension-enrich shape: at scale the dim is a lake
+    table re-read per batch (picking up slowly-changing updates) and
+    broadcast once per executor."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), cond, "inner")

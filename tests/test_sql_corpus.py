@@ -529,6 +529,17 @@ CORPUS: dict[str, str] = {
                                GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
         GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
+    "nth_value_cume_dist": """
+        -- window-function tail: nth_value with explicit frame + cume_dist
+        SELECT o_custkey, o_orderkey,
+               nth_value(o_totalprice, 2) OVER wf AS second_price,
+               round(cume_dist() OVER wr, 4) AS cd
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               wr AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
     "nested_exists_chain": """
         -- EXISTS nested inside EXISTS, correlating two levels out
         SELECT n_nationkey, n_name FROM nation n
