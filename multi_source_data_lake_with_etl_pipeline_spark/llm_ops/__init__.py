@@ -26,4 +26,6 @@ LLM training-data pipeline needs, built Spark-first on the
                      hashed-BoW logistic regression, weak-label loop).
 - ``filters``      — C4 / Gopher heuristic quality rule families
                      (integer-exact flags) + cross-corpus line dedup.
+- ``vocab``        — corpus-vocabulary build + OOV-rate scoring (the
+                     integer-exact perplexity stand-in).
 """

@@ -4271,3 +4271,43 @@ def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = _drain_cached(spark, "stream_static_enrich_q", sf_dir, _build)
     return sink.groupBy("c_mktsegment").agg(F.max("n_events").alias("n_events"))
+
+
+# OOV rate vs a corpus-derived vocabulary (llm_ops/vocab.py): the
+# integer-exact perplexity stand-in. Vocabulary = tokens in >= 5
+# distinct docs; per-doc OOV tokens counted via broadcast anti-join.
+@register(
+    "oov_rate_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                                   x -> lower(x))) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+      ) t WHERE df >= 5
+    ), oov AS (
+      SELECT tok.doc_id, count(*) AS n_oov
+      FROM tok LEFT JOIN vocab USING (token)
+      WHERE vocab.token IS NULL
+      GROUP BY tok.doc_id
+    ), totals AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT totals.doc_id, totals.n_tokens,
+           CAST(coalesce(oov.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN totals.n_tokens > 0
+                     THEN floor(coalesce(oov.n_oov, 0) * 10000 / totals.n_tokens)
+                     ELSE 0 END AS BIGINT) AS oov_bp
+    FROM totals LEFT JOIN oov USING (doc_id)
+    """,
+)
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.vocab import oov_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_stats(d, min_df=5)

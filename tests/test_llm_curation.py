@@ -279,3 +279,29 @@ class TestMixToBudget:
         out = mix_to_budget(df, "source", "doc_id", {"rare": 1, "bulk": 1}, 400)
         kept_rare = out.filter("source = 'rare'").count()
         assert kept_rare == 10
+
+
+class TestVocabOOV:
+    def test_oov_counts_exact(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.vocab import (
+            build_vocab,
+            oov_stats,
+        )
+
+        # 'common' appears in 3 docs (>= min_df 2); rare tokens don't.
+        rows = [
+            (1, "common alpha common"),
+            (2, "common beta"),
+            (3, "common GAMMA gamma"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        vocab = {r["token"] for r in build_vocab(df, min_df=2).collect()}
+        # case-folded GAMMA/gamma collapse to one token in ONE doc (df=1),
+        # so only 'common' (df=3) clears min_df=2
+        assert vocab == {"common"}
+        out = {r["doc_id"]: r.asDict() for r in oov_stats(df, min_df=2).collect()}
+        assert out[1] == {"doc_id": 1, "n_tokens": 3, "n_oov": 1, "oov_bp": 3333}
+        assert out[2] == {"doc_id": 2, "n_tokens": 2, "n_oov": 1, "oov_bp": 5000}
+        assert out[3] == {"doc_id": 3, "n_tokens": 3, "n_oov": 2, "oov_bp": 6666}
+        assert out[4] == {"doc_id": 4, "n_tokens": 0, "n_oov": 0, "oov_bp": 0}
