@@ -4311,3 +4311,103 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return oov_stats(d, min_df=5)
+
+
+# Cross-source duplicate overlap: where near-dup pairs straddle source
+# boundaries (the curation question behind dedup policy — which feeds
+# re-scrape which). Pair mining reuses the posting-list operator; the
+# source lookup is a broadcast join of the tiny (doc_id, source) dim.
+@register(
+    "dup_overlap_by_source",
+    """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+    ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs2 AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    good AS (
+      SELECT id_1, id_2
+      FROM pairs2 JOIN sizes s1 ON s1.doc_id = id_1 JOIN sizes s2 ON s2.doc_id = id_2
+      WHERE inter / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
+    )
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM good
+    JOIN d d1 ON d1.doc_id = good.id_1
+    JOIN d d2 ON d2.doc_id = good.id_2
+    GROUP BY 1, 2
+    """,
+)
+def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, max_df=20)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_1"), F.col("source").alias("_s1"))),
+            "id_1",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_2"), F.col("source").alias("_s2"))),
+            "id_2",
+        )
+        .groupBy(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# Characteristic terms per source: distinct-doc frequency per (source,
+# token), top 3 by (df desc, token asc) — deterministic tie-break. One
+# dedup shuffle + one window sort per source partition.
+@register(
+    "top_terms_per_source",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                                   x -> lower(x))) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS df
+      FROM tok GROUP BY source, token
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY df DESC, token) AS rk
+      FROM cnt
+    )
+    SELECT source, token, df, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
+    """,
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .llm_ops.text_stats import words
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.transform(words(F.col("text")), lambda w: F.lower(w)))
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("source", "token", "df", "rk")
+    )
