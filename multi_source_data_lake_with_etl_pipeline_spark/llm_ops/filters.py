@@ -4,7 +4,7 @@ the publicly documented C4 (Raffel et al., JMLR 2020 §2.2) and Gopher
 deduplication (CCNet-style boilerplate removal).
 
 Reference parity: the reference flags records with config-driven
-validation rules and keeps them (``src/transformers/validators.py``);
+validation rules and keeps them (``src/validators/data_validators.py:56-109``);
 this module is the documents-table counterpart — every rule is a
 JVM-side column expression over one narrow scan (split / HOF / regexp),
 zero Python UDFs, zero shuffles for the per-doc rule sets. Only

@@ -4003,7 +4003,7 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- Heuristic corpus-quality filters (C4 / Gopher rule families) ----
 # Public rule sets (Raffel et al. 2020 §2.2; Rae et al. 2021 App. A)
 # re-expressed as integer-exact column expressions; the reference's
-# config-driven record validators (src/transformers/validators.py) are
+# config-driven record validators (src/validators/data_validators.py:56-109) are
 # the analogous flag-don't-drop surface for relational rows.
 
 
