@@ -13,13 +13,12 @@ Shape at 100 TB:
 - vocabulary build: explode distinct tokens → groupBy token with a
   partial-aggregated distinct-doc count (one shuffle carrying (token,
   doc_id) pairs) → filter df >= min_df. The vocabulary is vastly
-  smaller than the corpus (type/token ratio), so it persists/broadcasts.
-- scoring: per-doc token array joined against the broadcast vocabulary
-  INSIDE an array expression (no explode on the scoring side): tokens
-  are checked with array_contains against the broadcast list when the
-  vocab is literal-sized, or via an explode + broadcast semi-join
-  otherwise. This module uses the explode + broadcast-join form (works
-  at any vocab size); the count aggregation groups back by doc id.
+  smaller than the corpus (type/token ratio), but can still be 10^8
+  types at web scale — so nothing here FORCES a broadcast.
+- scoring: explode + anti-join on the token key, then a per-doc count.
+  AQE broadcasts the vocabulary when it is actually small; past
+  broadcast size the anti-join shuffles on the token key, which is the
+  correct degradation (both sides hash-partition on a short string).
 """
 
 from __future__ import annotations
@@ -73,8 +72,12 @@ def oov_stats(
             "token"
         ),
     )
+    # No forced broadcast: a web-scale vocabulary (10^8 types) exceeds
+    # broadcast budgets. AQE broadcasts it when it IS small; otherwise
+    # the anti-join shuffles on the 8-byte-ish token key — the correct
+    # shape either way.
     oov = (
-        toks.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        toks.join(vocab.select("token"), "token", "left_anti")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_oov"))
     )

@@ -4316,7 +4316,9 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-source duplicate overlap: where near-dup pairs straddle source
 # boundaries (the curation question behind dedup policy — which feeds
 # re-scrape which). Pair mining reuses the posting-list operator; the
-# source lookup is a broadcast join of the tiny (doc_id, source) dim.
+# source lookup broadcasts the PAIR SET (near-linear, small) against
+# the (doc_id, source) dim — at corpus scale that dim is billions of
+# rows and must stay on the probe side, never the build side.
 @register(
     "dup_overlap_by_source",
     """
@@ -4353,21 +4355,19 @@ def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.5, max_df=20)
     src = d.select("doc_id", "source")
-    return (
-        pairs.join(
-            F.broadcast(src.select(F.col("doc_id").alias("id_1"), F.col("source").alias("_s1"))),
-            "id_1",
-        )
-        .join(
-            F.broadcast(src.select(F.col("doc_id").alias("id_2"), F.col("source").alias("_s2"))),
-            "id_2",
-        )
-        .groupBy(
-            F.least("_s1", "_s2").alias("source_a"),
-            F.greatest("_s1", "_s2").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    # Two probe-side scans of the dim, each with the small pair set as
+    # the broadcast build side (dim rows never move).
+    j1 = src.join(
+        F.broadcast(pairs.select("id_1", "id_2")),
+        F.col("doc_id") == F.col("id_1"),
+    ).select("id_2", F.col("source").alias("_s1"))
+    j2 = src.join(
+        F.broadcast(j1), F.col("doc_id") == F.col("id_2")
+    ).select("_s1", F.col("source").alias("_s2"))
+    return j2.groupBy(
+        F.least("_s1", "_s2").alias("source_a"),
+        F.greatest("_s1", "_s2").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 # Characteristic terms per source: distinct-doc frequency per (source,
