@@ -428,15 +428,18 @@ def semantic_dedup(
     Survivor-set semantics (chain-safe): a row is dropped iff a
     smaller-id near neighbor exists — so of {1,2,3} pairwise-similar,
     only 1 survives; of a chain 1~2, 2~3 (1!~3), {1,3} survive. The
-    drop set is the distinct id_2 side of the pair table (tiny
-    relative to the corpus), broadcast into a left-anti join.
+    drop set is the distinct id_2 side of the pair table — usually far
+    smaller than the corpus, but on heavily-duplicated corpora it is
+    O(corpus), so the anti-join is NOT force-broadcast: the planner
+    broadcasts it while it fits and shuffles on the 8-byte id past
+    that (the correct degradation).
     """
     losers = (
         blocked_neardup_pairs(df, block_col, threshold, vec_col, id_col)
         .select(F.col("id_2").alias(id_col))
         .distinct()
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def kmeans(

@@ -1635,8 +1635,11 @@ def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
-    part = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_size") <= 15))
+    # supplier/part scale WITH the fact table (unlike nation/region):
+    # no forced broadcast — the planner broadcasts them from file stats
+    # while they fit and falls back to a shuffled join past that.
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     nat = F.broadcast(_t(spark, sf_dir, "nation"))
     return (
         li.join(sup, li.l_suppkey == sup.s_suppkey)
@@ -2444,8 +2447,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # SF-scaled dims: planner-
+        .join(s, li.l_suppkey == s.s_suppkey)    # chosen broadcast, not forced
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -2697,7 +2700,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def banded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)  # part is SF-scaled: no forced hint
     band = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
