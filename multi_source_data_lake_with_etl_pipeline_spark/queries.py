@@ -4414,3 +4414,83 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "token", "df", "rk")
     )
+
+
+# Filter-rule composition: Gopher keep-rate per language tag — the
+# cross-tab a curation run reports before committing thresholds.
+# Reuses the gopher flag expressions; still one narrow scan + one
+#2-key aggregation.
+@register(
+    "gopher_keep_by_lang",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x != '') AS ls,
+             text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS BIGINT) AS nw,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS wc,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                  st -> list_contains(list_transform(ws, x -> lower(x)), st))) AS BIGINT) AS n_stop
+      FROM w
+    )
+    SELECT lang,
+           ((nw >= 50 AND nw <= 100000) AND (nw > 0 AND wc >= 3 * nw AND wc <= 10 * nw)
+            AND (nw > 0 AND n_sym * 100 < nw * 10) AND (n_bullet * 100 <= n_lines * 90)
+            AND (n_ell * 100 <= n_lines * 30) AND (nw > 0 AND n_alpha * 100 >= nw * 80)
+            AND (n_stop >= 2)) AS gopher_keep,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def gopher_keep_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.filters import gopher_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        gopher_flags(d)
+        .groupBy("lang", "gopher_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# Activity heat grid: events per (ISO day-of-week, hour) — the seasonal
+# profile behind stream capacity planning. One scan, one aggregation;
+# isodow/hour are integer-exact in both engines.
+@register(
+    "events_activity_heat",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_activity_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("_dow_sun1"), F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        # Spark dayofweek is 1=Sunday; ISO dow is 1=Monday..7=Sunday.
+        F.when(F.col("_dow_sun1") == 1, F.lit(7))
+        .otherwise(F.col("_dow_sun1") - 1)
+        .cast("int")
+        .alias("dow"),
+        "hr",
+        "n_events",
+        "n_users",
+    )
