@@ -1,0 +1,118 @@
+"""Duplicate-span detection: maximal cross-document repeated token
+spans (the span-level third of the dedup triad — document-level
+near-dup in ``dedup.py``, line-level in ``filters.py``).
+
+Public-knowledge basis: "Deduplicating Training Data Makes Language
+Models Better" (Lee et al. 2022) — its ExactSubstr pass removes
+repeated substrings of >= 50 tokens. The suffix-array construction
+there is single-machine; the Spark-first equivalent is a k-gram
+postings index: a span of length >= k repeats across documents iff
+every one of its k-gram windows repeats, so duplicated k-gram
+POSITIONS, merged into maximal intervals, recover exactly the
+repeated spans of length >= k (cross-document; within-document
+repeats are out of scope by the distinct-doc frequency test).
+
+Shape at 100 TB:
+- postings explode: ~n_tokens rows per doc (linear, the unavoidable
+  index size), one shuffle on the gram key for document frequency,
+  one semi-join shuffle back to positions, one per-doc window. All
+  linear; no pairwise blowup (this never materializes doc pairs).
+- gram keys here are the literal k-token strings so the DuckDB oracle
+  is collision-free exact; production at 10^13 tokens would switch
+  the key to xxhash64(gram) (8 bytes vs ~50: ~6x shuffle-volume cut,
+  collision odds ~(n^2/2)/2^64 — at 10^12 distinct grams that's
+  ~2.7% chance of ONE colliding pair corpus-wide, which only ever
+  merges two unrelated grams into one false duplicated position).
+- the interval merge is gaps-and-islands over (doc, start): running
+  max-end, island break where start > previous max — one window
+  partition per document, no cross-doc state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_stats import words
+
+
+def kgram_positions(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, gram): every k-token window, 0-based token position.
+    Docs shorter than k tokens contribute nothing (guarded sequence —
+    no descending-range ANSI trap on short docs)."""
+    w = F.transform(words(F.col(text_col)), lambda t: F.lower(t))
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.struct(i.alias("pos"), F.concat_ws(" ", F.slice(w, i + 1, k)).alias("gram"))
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+
+
+def duplicated_positions(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos) of every k-gram window that also appears in ANOTHER
+    document. One df-shuffle + one semi-join; grams never leave the
+    exchange wider than (gram, id) pairs."""
+    pos = kgram_positions(df, k, text_col, id_col)
+    shared = (
+        pos.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    return pos.join(shared, "gram", "left_semi").select(id_col, "pos")
+
+
+def duplicate_span_profile(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document profile of maximal cross-doc repeated spans:
+
+      n_dup_spans   maximal merged intervals of duplicated windows
+      dup_tokens    tokens covered by those spans (union length)
+      n_tokens      document token count
+
+    Every document appears (docs with no duplicated span report 0/0) —
+    the downstream filter/trim decision needs the zeros too."""
+    dup = duplicated_positions(df, k, text_col, id_col)
+    # window [pos, pos+k-1] in token space; merge overlapping intervals
+    iv = dup.select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
+    )
+    by_start = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "new_island", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(by_start.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = iv.groupBy(id_col, "island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )

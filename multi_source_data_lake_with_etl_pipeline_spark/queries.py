@@ -4604,3 +4604,59 @@ def bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("violations")
     )
+
+
+# Span-level exact dedup (ExactSubstr shape, Lee et al. 2022): maximal
+# cross-document repeated token spans of length >= k, recovered from
+# duplicated k-gram window positions merged gaps-and-islands style.
+# Linear postings index — no doc-pair blowup; see llm_ops/spans.py for
+# the 100 TB shuffle budget.
+@register(
+    "dup_span_profile",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ), shared AS (
+      SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1) s
+      WHERE nd >= 2
+    ), dup AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM pos
+      WHERE gram IN (SELECT gram FROM shared)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ), isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl2 GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans, sum(se - ss + 1) AS dup_tokens
+      FROM spans GROUP BY 1
+    ), totals AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT totals.doc_id, totals.n_tokens,
+           CAST(coalesce(per_doc.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(per_doc.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM totals LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.spans import duplicate_span_profile
+
+    return duplicate_span_profile(_t(spark, sf_dir, "documents"), k=8)

@@ -1,0 +1,81 @@
+"""Duplicate-span detection: planted-duplicate exactness, interval
+merge semantics, short-doc safety. Oracle row covered by
+test_queries_vs_oracle parametrization."""
+
+from __future__ import annotations
+
+from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+    duplicate_span_profile,
+    duplicated_positions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_shared_span(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"unique one two three {shared} tail1 tail2"),
+        (2, f"{shared} completely different ending here now ok"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    prof = {
+        r["doc_id"]: r
+        for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
+    }
+    # doc1: span starts at token 4, 8 tokens; doc2: starts at 0
+    assert prof[1]["n_dup_spans"] == 1 and prof[1]["dup_tokens"] == 8
+    assert prof[2]["n_dup_spans"] == 1 and prof[2]["dup_tokens"] == 8
+    assert prof[3]["n_dup_spans"] == 0 and prof[3]["dup_tokens"] == 0
+    pos = {
+        (r["doc_id"], r["pos"])
+        for r in duplicated_positions(_df(spark, rows), k=8).collect()
+    }
+    assert pos == {(1, 4), (2, 0)}
+
+
+def test_longer_shared_run_merges_into_one_span(spark):
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens -> 5 windows
+    rows = [(1, f"{shared} x y z"), (2, f"p q r {shared}")]
+    prof = {
+        r["doc_id"]: r
+        for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
+    }
+    assert prof[1]["n_dup_spans"] == 1 and prof[1]["dup_tokens"] == 12
+    assert prof[2]["n_dup_spans"] == 1 and prof[2]["dup_tokens"] == 12
+
+
+def test_two_disjoint_spans(spark):
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(10))
+    rows = [(1, f"{a} {gap} {b}"), (2, f"{b} other words here {a}")]
+    prof = {
+        r["doc_id"]: r
+        for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
+    }
+    assert prof[1]["n_dup_spans"] == 2 and prof[1]["dup_tokens"] == 16
+    assert prof[2]["n_dup_spans"] == 2 and prof[2]["dup_tokens"] == 16
+
+
+def test_short_and_empty_docs_safe(spark):
+    rows = [(1, "only three words"), (2, ""), (3, "only three words")]
+    prof = {
+        r["doc_id"]: r
+        for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
+    }
+    assert len(prof) == 3
+    assert all(p["n_dup_spans"] == 0 for p in prof.values())
+    assert prof[2]["n_tokens"] == 0
+
+
+def test_within_doc_repeat_not_counted(spark):
+    s = " ".join(f"r{i}" for i in range(8))
+    rows = [(1, f"{s} middle filler words {s}"), (2, "unrelated text that goes on and on here")]
+    prof = {
+        r["doc_id"]: r
+        for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
+    }
+    assert prof[1]["n_dup_spans"] == 0  # repeats only within one doc
