@@ -349,3 +349,49 @@ def test_widen_noop_on_many_file_input(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
     # and the narrow job actually runs with the scan's parallelism
     assert minhash_signatures(many).rdd.getNumPartitions() >= n
+
+
+def test_bpe_pair_counts_single_exchange_no_udfs(spark):
+    # Pair mining per merge iteration: zip of two array slices + one
+    # hash aggregate over the word table. A second exchange (beyond
+    # word_counts' own) or any Python-eval node in the training loop
+    # is a scale regression — n_merges iterations multiply it.
+    from pyspark.sql import functions as F
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.bpe import (
+        apply_merge,
+        pair_counts,
+        to_symbols,
+        word_counts,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sym = word_counts(docs).select(
+        "word", "freq", to_symbols(F.col("word")).alias("syms")
+    )
+    plan = plan_text(pair_counts(sym))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    # word_counts shuffles once on word; pair_counts once on the pair.
+    assert 0 < plan.count("hashpartitioning") <= 2, plan
+    # merge application adds NO exchange on top of the word table
+    merged = plan_text(sym.withColumn("syms", apply_merge(F.col("syms"), "e", "r")))
+    assert merged.count("hashpartitioning") <= 1, merged
+
+
+def test_dup_spans_linear_no_pairwise_blowup(spark):
+    # The span profile must stay a linear postings pipeline: no
+    # CartesianProduct / nested-loop join (a doc-pair materialization
+    # would be quadratic), and a bounded exchange budget — gram-df
+    # aggregate, semi-join, per-doc window, final outer join.
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        duplicate_span_profile,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_text(duplicate_span_profile(docs, k=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert plan.count("hashpartitioning") <= 6, plan
