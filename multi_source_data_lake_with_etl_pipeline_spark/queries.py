@@ -4660,3 +4660,77 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.spans import duplicate_span_profile
 
     return duplicate_span_profile(_t(spark, sf_dir, "documents"), k=8)
+
+
+# Source-level duplication budget: what fraction of each source's
+# tokens sits inside cross-doc repeated spans (the "which feed do we
+# trim" decision). Integer basis points — engine-exact division.
+@register(
+    "dup_span_by_source",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ), shared AS (
+      SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1) s
+      WHERE nd >= 2
+    ), dup AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM pos
+      WHERE gram IN (SELECT gram FROM shared)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ), isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl2 GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, sum(se - ss + 1) AS dup_tokens FROM spans GROUP BY 1
+    ), totals AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(totals.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(per_doc.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN sum(totals.n_tokens) > 0
+                     THEN floor(sum(coalesce(per_doc.dup_tokens, 0)) * 10000
+                                / sum(totals.n_tokens))
+                     ELSE 0 END AS BIGINT) AS dup_bp
+    FROM totals LEFT JOIN per_doc USING (doc_id)
+    GROUP BY source
+    """,
+)
+def dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.spans import duplicate_span_profile
+
+    d = _t(spark, sf_dir, "documents")
+    prof = duplicate_span_profile(d, k=8)
+    # doc->source dim joins the per-doc profile on the doc key; at
+    # corpus scale both sides are doc-count-sized and hash-join on the
+    # same key the profile was just aggregated on.
+    j = prof.join(d.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.floor(F.sum("dup_tokens") * F.lit(10000) / F.sum("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_bp"),
+    )
