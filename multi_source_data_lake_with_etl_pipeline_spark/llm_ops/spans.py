@@ -116,3 +116,76 @@ def duplicate_span_profile(
             F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
         )
     )
+
+
+def redundant_positions(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos) of k-gram windows that are duplicated cross-doc AND
+    whose document is not the gram's keeper (min doc id): the removal
+    set under the keep-first-occurrence policy. Deterministic — the
+    keeper is a pure function of the corpus, not of scheduling."""
+    pos = kgram_positions(df, k, text_col, id_col)
+    gstat = (
+        pos.groupBy("gram")
+        .agg(
+            F.count_distinct(id_col).alias("ndocs"), F.min(id_col).alias("keeper")
+        )
+        .filter(F.col("ndocs") >= 2)
+    )
+    return (
+        pos.join(gstat, "gram", "inner")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col, "pos")
+    )
+
+
+def trim_duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rewrite each document with its redundant spans removed
+    (single-space rejoin): (id, text_trimmed, n_removed, n_tokens).
+    The keeper document of every gram keeps its copy; all other
+    occurrences of spans >= k tokens are cut — the actionable
+    ExactSubstr pass.
+
+    Spark never explodes to token granularity for the rebuild: merged
+    intervals are collected per doc (a handful of structs) and the cut
+    is a per-row indexed array filter — one narrow projection, vs the
+    oracle SQL's token-level join."""
+    red = redundant_positions(df, k, text_col, id_col)
+    iv = red.select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
+    )
+    by_start = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "new_island", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(by_start.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = iv.groupBy(id_col, "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("se")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("ss", "se")).alias("cuts"),
+        F.sum(F.col("se") - F.col("ss") + 1).alias("n_removed"),
+    )
+    # match is case-folded (kgram_positions lowercases); the rewrite
+    # keeps the original-case tokens at the kept positions.
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("w"))
+    j = base.join(per_doc, id_col, "left")
+    cuts = F.coalesce(F.col("cuts"), F.array().cast("array<struct<ss:int,se:int>>"))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            cuts, lambda c: (i >= c["ss"]) & (i <= c["se"])
+        ),
+    )
+    return j.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text_trimmed"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.size(F.col("w")).cast("long").alias("n_tokens"),
+    )

@@ -4734,3 +4734,69 @@ def dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_bp"),
     )
+
+
+# The actionable ExactSubstr pass: rewrite every document with its
+# redundant cross-doc spans removed (keep-first-occurrence — the min
+# doc id per gram keeps its copy). The oracle rebuilds at token
+# granularity (explode + interval join); the Spark side never leaves
+# row granularity for the rebuild (indexed array filter over the
+# collected cut list) — same answer, linear plan.
+@register(
+    "trim_dup_spans",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS wo,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ), gstat AS (
+      SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+      FROM pos GROUP BY 1
+    ), red AS (
+      SELECT pos.doc_id, pos.pos AS s, pos.pos + 7 AS e
+      FROM pos JOIN gstat USING (gram)
+      WHERE gstat.nd >= 2 AND pos.doc_id <> gstat.keeper
+    ), isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM red
+    ), isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl2 GROUP BY 1, 2
+    ), tok AS (
+      SELECT doc_id, j - 1 AS tpos, wo[j] AS tok
+      FROM d, unnest(range(1, len(w) + 1)) AS t(j)
+    ), kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok
+      FROM tok LEFT JOIN spans
+        ON spans.doc_id = tok.doc_id AND tok.tpos BETWEEN spans.ss AND spans.se
+      WHERE spans.doc_id IS NULL
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_trimmed
+      FROM kept GROUP BY 1
+    ), removed AS (
+      SELECT doc_id, sum(se - ss + 1) AS n_removed FROM spans GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(reb.text_trimmed, '') AS text_trimmed,
+           CAST(coalesce(removed.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(len(d.w) AS BIGINT) AS n_tokens
+    FROM d LEFT JOIN reb USING (doc_id) LEFT JOIN removed USING (doc_id)
+    """,
+)
+def trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.spans import trim_duplicate_spans
+
+    return trim_duplicate_spans(_t(spark, sf_dir, "documents"), k=8)

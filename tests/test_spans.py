@@ -79,3 +79,54 @@ def test_within_doc_repeat_not_counted(spark):
         for r in duplicate_span_profile(_df(spark, rows), k=8).collect()
     }
     assert prof[1]["n_dup_spans"] == 0  # repeats only within one doc
+
+
+def test_trim_keeps_first_occurrence(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        trim_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"keep me now please {shared}"),
+        (2, f"{shared} drop that span above"),
+        (3, "an unrelated document with enough words to stand alone"),
+    ]
+    out = {
+        r["doc_id"]: r for r in trim_duplicate_spans(_df(spark, rows), k=8).collect()
+    }
+    # doc1 is the keeper (min doc id) — untouched
+    assert out[1]["text_trimmed"] == rows[0][1] and out[1]["n_removed"] == 0
+    # doc2 loses exactly the 8 shared tokens
+    assert out[2]["text_trimmed"] == "drop that span above"
+    assert out[2]["n_removed"] == 8 and out[2]["n_tokens"] == 12
+    assert out[3]["n_removed"] == 0
+
+
+def test_trim_preserves_original_case(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        trim_duplicate_spans,
+    )
+
+    shared = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta"
+    rows = [(1, f"{shared} KEEP Tail"), (2, f"Other Words Stay {shared.lower()}")]
+    out = {
+        r["doc_id"]: r for r in trim_duplicate_spans(_df(spark, rows), k=8).collect()
+    }
+    # case-folded matching, original-case rewrite
+    assert out[1]["text_trimmed"] == f"{shared} KEEP Tail"
+    assert out[2]["text_trimmed"] == "Other Words Stay"
+
+
+def test_trim_can_empty_a_document(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        trim_duplicate_spans,
+    )
+
+    s = " ".join(f"t{i}" for i in range(8))
+    rows = [(1, s), (2, s)]
+    out = {
+        r["doc_id"]: r for r in trim_duplicate_spans(_df(spark, rows), k=8).collect()
+    }
+    assert out[1]["text_trimmed"] == s  # keeper
+    assert out[2]["text_trimmed"] == "" and out[2]["n_removed"] == 8
