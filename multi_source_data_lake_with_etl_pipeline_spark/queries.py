@@ -4800,3 +4800,40 @@ def trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.spans import trim_duplicate_spans
 
     return trim_duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+# Per-user event-transition matrix (the Markov view behind funnel and
+# journey analysis): lag over (user, time) then count ordered pairs.
+# One shuffle to cluster each user's history, integer-exact counts;
+# (ts, event_id) ordering keys make the lag deterministic under ties.
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
