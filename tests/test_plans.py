@@ -395,3 +395,20 @@ def test_dup_spans_linear_no_pairwise_blowup(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
     assert plan.count("hashpartitioning") <= 6, plan
+
+
+def test_trim_spans_no_token_explode_on_rebuild(spark):
+    # The rebuild side must stay row-granular. The plan's two Generate
+    # nodes are both the POSTINGS explode (gram-stats branch + join-back
+    # branch of the same derived table); a third would mean the rebuild
+    # fell to token granularity, multiplying shuffle volume by average
+    # document length — the oracle SQL's shape, deliberately avoided.
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_text(trim_duplicate_spans(docs, k=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate explode") == 2, plan
