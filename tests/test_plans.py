@@ -408,7 +408,7 @@ def test_trim_spans_no_token_explode_on_rebuild(spark):
     )
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    plan = plan_text(trim_duplicate_spans(docs, k=8))
+    plan = plan_text(trim_duplicate_spans(docs, k=8), mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Generate explode") == 2, plan
