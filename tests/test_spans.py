@@ -130,3 +130,50 @@ def test_trim_can_empty_a_document(spark):
     }
     assert out[1]["text_trimmed"] == s  # keeper
     assert out[2]["text_trimmed"] == "" and out[2]["n_removed"] == 8
+
+
+# --- randomized cross-check vs a brute-force Python reference -------------
+
+
+def _brute_profile(rows: list[tuple[int, str]], k: int) -> dict[int, tuple[int, int]]:
+    """(n_dup_spans, dup_tokens) per doc by literal re-derivation:
+    every k-window string, shared across docs, merged as intervals."""
+    toks = {d: [t.lower() for t in text.split() if t] for d, text in rows}
+    grams: dict[str, set[int]] = {}
+    for d, w in toks.items():
+        for i in range(len(w) - k + 1):
+            grams.setdefault(" ".join(w[i : i + k]), set()).add(d)
+    out = {}
+    for d, w in toks.items():
+        ivs = [
+            (i, i + k - 1)
+            for i in range(len(w) - k + 1)
+            if len(grams[" ".join(w[i : i + k])]) >= 2
+        ]
+        merged = []
+        for s, e in ivs:  # starts ascending; merge overlapping only
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out[d] = (len(merged), sum(e - s + 1 for s, e in merged))
+    return out
+
+
+def test_random_corpora_match_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    for trial in range(6):
+        k = rng.choice([2, 3, 4])
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24))))
+            for d in range(8)
+        ]
+        got = {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicate_span_profile(_df(spark, rows), k=k).collect()
+        }
+        expected = _brute_profile(rows, k)
+        assert got == expected, (trial, k, rows)
