@@ -85,7 +85,15 @@ def duplicate_span_profile(
     Every document appears (docs with no duplicated span report 0/0) —
     the downstream filter/trim decision needs the zeros too."""
     dup = duplicated_positions(df, k, text_col, id_col)
-    # window [pos, pos+k-1] in token space; merge overlapping intervals
+    return _profile_from_positions(df, dup, k, text_col, id_col)
+
+
+def _profile_from_positions(
+    df: DataFrame, dup: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared tail of the span profiles: merge (id, pos) windows into
+    maximal intervals (gaps-and-islands) and report per-doc span count,
+    covered tokens, and totals — zeros included."""
     iv = dup.select(
         id_col, F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
     )
@@ -116,6 +124,58 @@ def duplicate_span_profile(
             F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
         )
     )
+
+
+def gram_index_build(
+    df: DataFrame, path: str, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Materialize the corpus k-gram postings (id, pos, gram) as
+    parquet — the amortized artifact for CONTINUOUS span dedup: each
+    ingestion batch joins its own grams against the index instead of
+    re-mining the whole corpus (same discipline as
+    ``dedup.minhash_index_build``)."""
+    kgram_positions(df, k, text_col, id_col).write.mode("overwrite").parquet(path)
+    return path
+
+
+def incremental_span_profile(
+    new_docs: DataFrame,
+    index_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
+    """Span profile of a NEW batch against an indexed corpus: a window
+    is duplicated iff its gram exists in the index (any base doc) or in
+    another document of the batch. With base/new doc ids disjoint this
+    EQUALS duplicate_span_profile(base ∪ new) restricted to the batch
+    (audited by ``span_incremental_invariant``) — while touching only
+    index GRAM KEYS, never base text. With ``append``, the batch's
+    postings join the index for the next batch."""
+    spark = new_docs.sparkSession
+    pos = kgram_positions(new_docs, k, text_col, id_col)
+    idx_grams = spark.read.parquet(index_path).select("gram").distinct()
+    vs_index = pos.join(idx_grams, "gram", "left_semi")
+    batch_shared = (
+        pos.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    vs_batch = pos.join(batch_shared, "gram", "left_semi")
+    dup = (
+        vs_index.select(id_col, "pos")
+        .union(vs_batch.select(id_col, "pos"))
+        .distinct()
+    )
+    out = _profile_from_positions(new_docs, dup, k, text_col, id_col)
+    if append:
+        out = out.localCheckpoint(eager=True)  # materialize before the index grows
+        pos.write.mode("append").parquet(index_path)
+    return out
 
 
 def redundant_positions(

@@ -4837,3 +4837,31 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# Continuous-ingestion span dedup: batch-vs-materialized-index profile
+# must exactly equal the full-corpus profile restricted to the batch
+# (disjoint ids make the dup conditions identical — proof in the
+# docstring). The hash-checked guarantee that the amortized index path
+# never drifts from the from-scratch recompute.
+@register("span_incremental_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.spans import (
+        duplicate_span_profile,
+        gram_index_build,
+        incremental_span_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/mdl_spanidx_{tag}"
+    gram_index_build(base, path, k=8)
+    inc = incremental_span_profile(new, path, k=8)
+    full = duplicate_span_profile(d, k=8).join(
+        new.select("doc_id"), "doc_id", "left_semi"
+    )
+    missing = full.join(inc, list(full.columns), "left_anti")
+    extra = inc.join(full, list(full.columns), "left_anti")
+    return missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))

@@ -177,3 +177,48 @@ def test_random_corpora_match_bruteforce(spark):
         }
         expected = _brute_profile(rows, k)
         assert got == expected, (trial, k, rows)
+
+
+def test_incremental_profile_matches_full(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        duplicate_span_profile,
+        gram_index_build,
+        incremental_span_profile,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    base_rows = [(1, f"base doc one {shared}"), (2, "base doc two nothing shared here at all")]
+    new_rows = [(10, f"{shared} fresh tail words"), (11, "a brand new unique document entirely")]
+    base, new = _df(spark, base_rows), _df(spark, new_rows)
+    idx = str(tmp_path / "gram_idx")
+    gram_index_build(base, idx, k=8)
+    inc = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in incremental_span_profile(new, idx, k=8).collect()
+    }
+    assert inc[10] == (1, 8) and inc[11] == (0, 0)
+    full = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_profile(base.unionByName(new), k=8).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == full
+
+
+def test_incremental_append_grows_index(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.spans import (
+        gram_index_build,
+        incremental_span_profile,
+    )
+
+    s1 = " ".join(f"x{i}" for i in range(8))
+    idx = str(tmp_path / "gram_idx")
+    gram_index_build(_df(spark, [(1, s1)]), idx, k=8)
+    # batch A shares nothing; appended to index
+    a = _df(spark, [(2, " ".join(f"y{i}" for i in range(8)))])
+    out = {r["doc_id"]: r["dup_tokens"] for r in incremental_span_profile(a, idx, k=8, append=True).collect()}
+    assert out[2] == 0
+    # batch B duplicates batch A's text -> found only if the append landed
+    b = _df(spark, [(3, " ".join(f"y{i}" for i in range(8)))])
+    out = {r["doc_id"]: r["dup_tokens"] for r in incremental_span_profile(b, idx, k=8).collect()}
+    assert out[3] == 8
