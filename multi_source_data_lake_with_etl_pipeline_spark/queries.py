@@ -4865,3 +4865,53 @@ def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = full.join(inc, list(full.columns), "left_anti")
     extra = inc.join(full, list(full.columns), "left_anti")
     return missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))
+
+
+# Customer reorder cadence: integer day gaps between consecutive orders
+# (lag over the per-customer history — the retention/cadence signal).
+# One shuffle clustering each customer's orders; day arithmetic is
+# integer-exact in both engines.
+@register(
+    "customer_reorder_cadence",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING count(gap_days) > 0
+    """,
+)
+def customer_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
