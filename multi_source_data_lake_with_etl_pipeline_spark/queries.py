@@ -4915,3 +4915,48 @@ def customer_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+# Lexical-diversity profile per source: type/token ratio and hapax
+# share — the corpus-statistics screen for template spam (low TTR) vs
+# OCR noise (hapax-heavy). Two-level aggregate: (source, token) counts
+# with map-side combine, then a source rollup — one token-key shuffle
+# plus a source-count-sized one; integer basis points.
+@register(
+    "corpus_ttr_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                                   x -> lower(x))) AS token
+      FROM documents
+    ), tc AS (
+      SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(floor(count(*) * 10000 / sum(cnt)) AS BIGINT) AS ttr_bp
+    FROM tc GROUP BY source
+    """,
+)
+def corpus_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import words
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.transform(words(F.col("text")), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    tc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return tc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+        F.floor(F.count(F.lit(1)) * F.lit(10000) / F.sum("cnt"))
+        .cast("bigint")
+        .alias("ttr_bp"),
+    )
