@@ -4960,3 +4960,35 @@ def corpus_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ttr_bp"),
     )
+
+
+# Skew-proof aggregation: the two-stage salted shape for hot grouping
+# keys (events has only 5 event_type values — at corpus scale every
+# reducer key is hot). Stage 1 aggregates (key, salt-of-user) partials
+# across 16-way fanout; stage 2 folds partials per key. The oracle is
+# the PLAIN aggregate — salting must be invisible in the answer.
+@register(
+    "salted_event_type_totals",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("_salt")
+    # per-row integer cents BEFORE any sum: integer addition is
+    # associative, so the salted two-stage fold is bit-identical to the
+    # plain aggregate (a double sum would drift with addition order).
+    cents = F.floor(F.col("value") * F.lit(100)).cast("bigint").alias("_cents")
+    partial = (
+        e.select("event_type", cents, salt)
+        .groupBy("event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_cents").alias("_v"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.sum("_v").cast("bigint").alias("value_cents"),
+    )
