@@ -85,8 +85,17 @@ def _file_stats(abs_path: str) -> tuple[int, dict[str, list]]:
             name = col.path_in_schema
             if "." in name:  # nested — skip
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except NotImplementedError:
+                # pyarrow can't decode stats for every logical type —
+                # skip the column; skipping is only an optimization.
+                continue
             if isinstance(mn, bytes):  # binary/string stats: unreliable
+                continue
+            if type(mn).__name__ == "Decimal":
+                # decimal stats: not JSON-round-trippable without
+                # precision games — conservatively keep (no skipping).
                 continue
             if name not in mins or mn < mins[name]:
                 mins[name] = mn
@@ -427,6 +436,14 @@ class LakeTable:
             src.join(affected_keys, key, "left_semi")
             .withColumn("_change_type", F.lit("update_postimage"))
             .unionByName(
+                # Preimage (the OLD row values) — Delta-CDF parity, and
+                # what lets downstream incremental aggregates SUBTRACT
+                # the replaced contribution (operators/materialized).
+                affected.join(src_keys, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            .unionByName(
                 src.join(affected_keys, key, "left_anti").withColumn(
                     "_change_type", F.lit("insert")
                 )
@@ -470,10 +487,14 @@ class LakeTable:
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: row-level changes committed in
         ``(from_version, to_version]`` with ``_change_type``
-        (insert / update_postimage / delete) and ``_commit_version``
-        columns — the incremental-ETL contract (downstream consumers
-        re-derive their state from changes instead of re-scanning the
-        table; pairs with sources/incremental high-watermark extraction).
+        (insert / update_preimage / update_postimage / delete) and
+        ``_commit_version`` columns — the incremental-ETL contract
+        (downstream consumers re-derive their state from changes
+        instead of re-scanning the table; pairs with
+        sources/incremental high-watermark extraction). Updates carry
+        BOTH images (Delta CDF shape), so additive consumers can
+        subtract the old contribution and add the new one
+        (operators/materialized incremental aggregates).
 
         create/append commits derive inserts from their immutable add
         files (zero write-time overhead); merge/delete commits read the

@@ -1064,6 +1064,38 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.5, max_df=20)
 
 
+# Prefix-filtered EXACT Jaccard pairs (AllPairs/PPJoin pruning): same
+# semantics as near_dup_pairs_jaccard but with NO max_df cap — the
+# oracle is the uncapped pair join, so this query proves the engine
+# can do complete exact near-dup (the capped variant trades recall
+# for bounded candidates; prefix filtering gets both).
+@register(
+    "near_dup_pairs_prefix",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(inter / CAST(s1.n + s2.n - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id_1 JOIN sizes s2 ON s2.doc_id = id_2
+    WHERE inter / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.5
+    """,
+)
+def near_dup_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, threshold=0.5)
+
+
 # MinHash+LSH near-dup (banded candidates + exact-Jaccard verify).
 # No oracle: LSH recall < 1 by construction; CORRECTNESS records a
 # rows-only check, tests assert recall against the exact pairs.
@@ -3456,6 +3488,55 @@ def lake_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("snapshot"), "*")
 
     return snap(t.read(v1), "v1").unionByName(snap(t.read(), "current"))
+
+
+# Incremental materialized-aggregate maintenance: a sum/count view
+# over a lake table is kept current purely from the change data feed
+# (O(changed rows) per refresh — never a table rescan), across
+# append + MERGE (update with preimage subtraction + insert) + DELETE.
+# Invariant: maintained view == full recompute of the final snapshot,
+# bit-exact (decimal measures make addition order-independent).
+@register("mv_incremental_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def mv_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+    from .operators.materialized import aggregate_snapshot, maintain_aggregate
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="mv_q_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1000"))
+    keys, sums = ["o_orderstatus"], ["o_totalprice"]
+    view = aggregate_snapshot(t.read(), keys, sums).localCheckpoint(eager=True)
+    base_version = t.latest_version()
+    # Batch 1: append new rows. Batch 2: MERGE — reprice some existing
+    # orders (update pre/postimage) and insert brand-new keys. Batch 3:
+    # DELETE a slice.
+    t.append(o.filter("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    t.merge(
+        o.filter("o_orderkey <= 300").withColumn(
+            # decimal addition widens precision (18,2)+(1,0)→(19,2);
+            # cast back so the merged files keep the table's physical
+            # type (the lake's schema contract is exact).
+            "o_totalprice", (F.col("o_totalprice") + F.lit(7)).cast("decimal(18,2)")
+        ).unionByName(
+            o.filter("o_orderkey > 2000 AND o_orderkey <= 2200").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(9_000_000)
+            )
+        ),
+        "o_orderkey",
+    )
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    maintained = maintain_aggregate(view, t.changes(base_version), keys, sums)
+    recomputed = aggregate_snapshot(t.read(), keys, sums)
+    cols = [*keys, "o_totalprice_sum", "_record_count"]
+    missing = recomputed.join(maintained, cols, "left_anti").count()
+    extra = maintained.join(recomputed, cols, "left_anti").count()
+    return spark.createDataFrame([(missing + extra,)], "violations long")
 
 
 # Per-source quota cap: at most 25 docs per source, lowest doc_id first

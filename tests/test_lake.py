@@ -200,9 +200,14 @@ class TestLakeCDF:
         rows = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
         assert (100, "insert", 1) in rows and (101, "insert", 1) in rows
         assert (5, "update_postimage", 2) in rows
+        assert (5, "update_preimage", 2) in rows  # old image (Delta CDF shape)
         assert (500, "insert", 2) in rows
         assert (101, "delete", 3) in rows
-        assert len(rows) == 5
+        assert len(rows) == 6
+        # Preimage carries the OLD value, postimage the NEW one.
+        pre = ch.filter("_change_type = 'update_preimage'").collect()[0]
+        post = ch.filter("_change_type = 'update_postimage'").collect()[0]
+        assert pre.v == 50 and post.v == -5
 
     def test_change_feed_create_and_range(self, spark, tmp_path):
         t = _mk(spark, tmp_path, rows=10, files=1)
@@ -223,6 +228,84 @@ class TestLakeCDF:
         ch = t.changes(0)
         assert ch.filter("_change_type = 'delete'").count() == 10
         assert ch.filter("_change_type = 'insert'").count() == 1
+
+
+class TestMaterializedAgg:
+    """Incremental view maintenance from the change feed must equal a
+    full recompute — across append, merge (update+insert), delete."""
+
+    def _recompute(self, t):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.materialized import (
+            aggregate_snapshot,
+        )
+
+        return aggregate_snapshot(t.read(), ["g"], ["v"])
+
+    def _mk_grouped(self, spark, tmp_path, rows=40):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        df = (
+            spark.range(0, rows, 1, 2)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).alias("g"),
+                (F.col("id") * 10).alias("v"),
+            )
+        )
+        return LakeTable.create(spark, str(tmp_path / "mv"), df)
+
+    def test_maintained_equals_recompute(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.materialized import (
+            aggregate_snapshot,
+            maintain_aggregate,
+        )
+
+        t = self._mk_grouped(spark, tmp_path)
+        view = aggregate_snapshot(t.read(), ["g"], ["v"]).localCheckpoint(eager=True)
+        v0 = t.latest_version()
+        t.append(spark.createDataFrame([(100, 5, 7), (101, 5, 8)], "k long, g long, v long"))
+        # merge: reprice k<5 (updates) + one brand-new key (insert)
+        t.merge(
+            spark.createDataFrame(
+                [(0, 0, 999), (4, 0, 999), (200, 6, 1)], "k long, g long, v long"
+            ),
+            "k",
+        )
+        t.delete("g = 1")
+        maintained = maintain_aggregate(view, t.changes(v0), ["g"], ["v"])
+        expect = self._recompute(t)
+        cols = ["g", "v_sum", "_record_count"]
+        assert maintained.join(expect, cols, "left_anti").count() == 0
+        assert expect.join(maintained, cols, "left_anti").count() == 0
+
+    def test_drained_group_disappears_and_new_appears(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.materialized import (
+            aggregate_snapshot,
+            maintain_aggregate,
+        )
+
+        t = self._mk_grouped(spark, tmp_path, rows=8)  # groups 0..3, 2 rows each
+        view = aggregate_snapshot(t.read(), ["g"], ["v"]).localCheckpoint(eager=True)
+        v0 = t.latest_version()
+        t.delete("g = 3")  # drain group 3 entirely
+        t.append(spark.createDataFrame([(300, 9, 1)], "k long, g long, v long"))
+        maintained = maintain_aggregate(view, t.changes(v0), ["g"], ["v"])
+        groups = {r.g for r in maintained.collect()}
+        assert groups == {0, 1, 2, 9}
+
+    def test_update_is_net_zero_on_count(self, spark, tmp_path):
+        """An in-place update (same group) changes sums, never counts —
+        the preimage/postimage pair cancels in the count delta."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.materialized import (
+            aggregate_delta,
+        )
+
+        t = self._mk_grouped(spark, tmp_path, rows=8)
+        v0 = t.latest_version()
+        t.merge(spark.createDataFrame([(0, 0, 5)], "k long, g long, v long"), "k")
+        delta = aggregate_delta(t.changes(v0), ["g"], ["v"]).collect()
+        assert len(delta) == 1
+        assert delta[0]["_d_count"] == 0 and delta[0]["_d_v"] == 5 - 0
 
 
 class TestLakeClustering:
