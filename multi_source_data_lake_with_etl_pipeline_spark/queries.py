@@ -4920,6 +4920,47 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD Type-2 dimension build: per-user event_type history collapsed
+# into validity intervals (consecutive identical states merge; one
+# key-partitioned window pass + one lead) — the warehouse dimension-
+# history operator the reference's Type-1 upsert loader
+# (base_loaders.py:149-181) discards. Exact oracle: same run-length
+# collapse in window SQL.
+@register(
+    "scd2_user_state",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER w = 1
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM m
+    ),
+    pv AS (
+      SELECT user_id, ver, event_type, min(ts) AS valid_from
+      FROM v GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM pv
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_build
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_build(e, "user_id", "ts", ["event_type"], tiebreak="event_id")
+
+
 # Continuous-ingestion span dedup: batch-vs-materialized-index profile
 # must exactly equal the full-corpus profile restricted to the batch
 # (disjoint ids make the dup conditions identical — proof in the

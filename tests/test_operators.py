@@ -308,3 +308,63 @@ class TestResampleInterpolate:
             "2024-01-01 03:00:00": 30.0,
             "2024-01-01 04:00:00": 40.0,
         }
+
+
+class TestSCD2:
+    """scd2_build run-length collapse + scd2_apply batch merge; applying
+    snapshots sequentially must equal building from the whole history."""
+
+    def _hist(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            # key, ts, state
+            ("A", 1, "x"), ("A", 2, "x"), ("A", 3, "y"),
+            ("B", 1, "p"), ("B", 2, "q"), ("B", 3, "q"),
+            ("C", 2, "m"), ("C", 3, "m"),
+        ]
+        return spark.createDataFrame(rows, "k string, ts long, state string")
+
+    def test_build_collapses_runs(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.scd import scd2_build
+
+        out = scd2_build(self._hist(spark), "k", "ts", ["state"]).collect()
+        got = {(r.k, r.state, r.valid_from, r.valid_to, r.is_current) for r in out}
+        assert got == {
+            ("A", "x", 1, 3, False),
+            ("A", "y", 3, None, True),
+            ("B", "p", 1, 2, False),
+            ("B", "q", 2, None, True),
+            ("C", "m", 2, None, True),
+        }
+
+    def test_apply_equals_build(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.scd import (
+            scd2_apply,
+            scd2_build,
+        )
+
+        hist = self._hist(spark)
+        dim = scd2_build(hist.filter("ts = 1"), "k", "ts", ["state"])
+        for t in (2, 3):
+            dim = scd2_apply(
+                dim, hist.filter(f"ts = {t}"), "k", "ts", ["state"]
+            ).localCheckpoint(eager=True)
+        expect = scd2_build(hist, "k", "ts", ["state"])
+        cols = ["k", "state", "valid_from", "valid_to", "is_current"]
+        assert sorted(map(tuple, dim.select(cols).collect())) == sorted(
+            map(tuple, expect.select(cols).collect())
+        )
+
+    def test_apply_null_attr_no_phantom_version(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.scd import (
+            scd2_apply,
+            scd2_build,
+        )
+
+        h = spark.createDataFrame(
+            [("A", 1, None), ("A", 2, None)], "k string, ts long, state string"
+        )
+        dim = scd2_build(h.filter("ts = 1"), "k", "ts", ["state"])
+        dim = scd2_apply(dim, h.filter("ts = 2"), "k", "ts", ["state"])
+        assert dim.count() == 1  # NULL == NULL: no new version
