@@ -41,10 +41,18 @@ def ngram_hash_set(
     and would otherwise inherit a small scan's 1-2 splits and pin the
     whole corpus to 1-2 cores (no-op when the scan already has
     cluster-wide splits)."""
-    grams = F.array_distinct(shingles(F.col(text_col), n))
+    from .text_stats import shingles_of_words, words
+
+    # Token array bound behind its own projection: the shingle
+    # transform references it per element_at, and Catalyst re-inlines
+    # a single-Project expression once per reference (see
+    # dedup._shingle_set_table — measured multi-x win).
+    w = widen(df.select(id_col, text_col)).select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    )
+    grams = F.array_distinct(shingles_of_words(F.col("_w"), n))
     return (
-        widen(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        w.select(F.col(id_col), F.explode(grams).alias("gram"))
         .select(id_col, F.substring(F.md5(F.col("gram")), 1, 16).alias("gram_hash"))
     )
 

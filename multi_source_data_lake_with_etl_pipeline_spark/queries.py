@@ -2184,7 +2184,7 @@ def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 # is approximate.
 @register("minhash_lsh_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
 def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops.dedup import _shingle_hash_set, minhash_lsh_pairs
+    from .llm_ops.dedup import _shingle_set_table, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
     # Persist + eagerly materialize the (small) pair set: the two
@@ -2200,11 +2200,9 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = lsh.select(F.col("id_1").alias("doc_id")).union(
         lsh.select(F.col("id_2").alias("doc_id"))
     ).distinct()
-    docs = (
-        d.join(ids, "doc_id", "left_semi")
-        .select("doc_id", _shingle_hash_set("text", 3).alias("_sh"))
-        .persist()
-    )
+    docs = _shingle_set_table(
+        d.join(ids, "doc_id", "left_semi"), "text", "doc_id", 3
+    ).persist()
     docs.count()
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
@@ -3537,6 +3535,103 @@ def mv_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = recomputed.join(maintained, cols, "left_anti").count()
     extra = maintained.join(recomputed, cols, "left_anti").count()
     return spark.createDataFrame([(missing + extra,)], "violations long")
+
+
+# Blocked fuzzy string join (entity resolution): same-nation customer
+# pairs whose names are within edit distance 1. Hash join on the block
+# key + length-band prefilter keeps comparisons at Σ block², never N².
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+           a.c_nationkey AS nation,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+     AND abs(len(a.c_name) - len(b.c_name)) <= 1
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_1"),
+        F.col("c_name").alias("_n1"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_2"),
+        F.col("c_name").alias("_n2"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    return (
+        fuzzy_join(a, b, "nation", "_n1", "_n2", max_dist=1)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "nation", "edit_dist")
+    )
+
+
+# Corpus-trained bigram LM self-scoring (the KenLM-perplexity quality
+# filter shape): 3 keyed shuffles — bigram counts, unigram counts,
+# score join — then one per-doc aggregation. Laplace smoothing;
+# natural-log average rounded 4dp (both engines' ln() within 1 ulp).
+@register(
+    "bigram_lm_scores",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != ''), x -> lower(x)) AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    tok AS (
+      SELECT ws[i] AS w1
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+    ),
+    uc AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w1) AS vs FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c2 + 1) / (c1 + vs))), 4) AS avg_logprob
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.ngram_lm import score_corpus_self
+
+    return score_corpus_self(_t(spark, sf_dir, "documents"))
+
+
+# Bloom-index point lookup: per-file Bloom sidecar built in one pass,
+# equality probe reads only candidate files (min/max stats can't prune
+# an unclustered high-cardinality key; Bloom can — no false negatives,
+# so the result is exactly the full-scan filter). Pruning effectiveness
+# is pinned in tests/test_lake.py; the oracle checks exactness.
+@register(
+    "bloom_point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 33",
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+    from .sinks.bloom_index import build_bloom_index, point_read
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="bloom_q_")
+    t = LakeTable.create(spark, root + "/orders", o.repartition(8, "o_orderkey"))
+    build_bloom_index(t, "o_orderkey", bits=1 << 17, hashes=3)
+    return point_read(t, "o_orderkey", 33)
 
 
 # Per-source quota cap: at most 25 docs per source, lowest doc_id first

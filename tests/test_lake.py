@@ -308,6 +308,68 @@ class TestMaterializedAgg:
         assert delta[0]["_d_count"] == 0 and delta[0]["_d_v"] == 5 - 0
 
 
+class TestBloomIndex:
+    """Per-file Bloom point-lookup index: exact results, real pruning,
+    stale-index safety."""
+
+    def _mk_wide(self, spark, tmp_path, rows=4000, files=8):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        df = (
+            spark.range(0, rows)
+            .repartition(files, "id")
+            .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        )
+        return LakeTable.create(spark, str(tmp_path / "bt"), df)
+
+    def test_point_read_exact_and_pruned(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.bloom_index import (
+            bloom_prune_files,
+            build_bloom_index,
+            point_read,
+        )
+
+        t = self._mk_wide(spark, tmp_path)
+        build_bloom_index(t, "k", bits=1 << 15, hashes=4)
+        got = point_read(t, "k", 1234).collect()
+        assert [(r.k, r.v) for r in got] == [(1234, 3702)]
+        # the key lives in exactly one file; Bloom must prune most of
+        # the other 7 (fpp ~ (500*4/32768-load)^4 — comfortably < 1)
+        n_active = len(t._snapshot()[1])
+        assert len(bloom_prune_files(t, "k", 1234)) < n_active
+
+    def test_absent_key_returns_empty(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.bloom_index import (
+            build_bloom_index,
+            point_read,
+        )
+
+        t = self._mk_wide(spark, tmp_path)
+        build_bloom_index(t, "k", bits=1 << 15, hashes=4)
+        assert point_read(t, "k", 999_999).count() == 0
+
+    def test_stale_index_stays_exact(self, spark, tmp_path):
+        """Appends after the build are conservatively read; files
+        removed by later commits are dropped from the candidate set."""
+        from multi_source_data_lake_with_etl_pipeline_spark.sinks.bloom_index import (
+            bloom_prune_files,
+            build_bloom_index,
+            point_read,
+        )
+
+        t = self._mk_wide(spark, tmp_path, rows=100, files=2)
+        build_bloom_index(t, "k", bits=1 << 12, hashes=4)
+        t.append(spark.createDataFrame([(7777, 1)], "k long, v long"))
+        got = point_read(t, "k", 7777).collect()
+        assert [(r.k, r.v) for r in got] == [(7777, 1)]
+        t.delete("k < 50")  # rewrites a file the index knew about
+        assert point_read(t, "k", 10).count() == 0
+        assert point_read(t, "k", 77).count() == 1
+        # pruned list only references currently-active files
+        active = {a["path"] for a in t._snapshot()[1]}
+        assert set(bloom_prune_files(t, "k", 77)) <= active
+
+
 class TestLakeClustering:
     def test_clustered_compaction_enables_skipping(self, spark, tmp_path):
         # write k shuffled across files → every file overlaps every range

@@ -361,3 +361,40 @@ class TestIncrementalLSH:
         assert all(11 not in p for p in got)
         # append=True grew the index by the new batch's keys
         assert spark.read.parquet(idx).count() == n_keys_before + 2 * 16
+
+
+class TestBigramLM:
+    def test_self_score_exact(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.ngram_lm import (
+            score_corpus_self,
+        )
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "x")],  # doc 3: no bigrams
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in score_corpus_self(docs).collect()}
+        # counts: ab=3, ba=1; unigrams a=3 b=3 x=1; V=3
+        lp_ab = math.log((3 + 1) / (3 + 3))
+        lp_ba = math.log((1 + 1) / (3 + 3))
+        assert out[2] == (1, round(lp_ab, 4))
+        assert out[1] == (3, round((2 * lp_ab + lp_ba) / 3, 4))
+        assert 3 not in out
+
+    def test_unseen_bigram_smooths(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.ngram_lm import (
+            bigram_lm_score,
+            train_bigram_lm,
+        )
+        import math
+
+        train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        test = spark.createDataFrame([(9, "b a"), (10, "z q")], "doc_id long, text string")
+        bigrams, unigrams, v = train_bigram_lm(train)
+        out = {r.doc_id: r.avg_logprob for r in
+               bigram_lm_score(test, bigrams, unigrams, v).collect()}
+        # "b a": unseen bigram, seen head b (c1=1): ln(1/(1+2))
+        assert out[9] == round(math.log(1 / 3), 4)
+        # "z q": unseen head: ln(1/(0+2))
+        assert out[10] == round(math.log(1 / 2), 4)

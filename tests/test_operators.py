@@ -368,3 +368,24 @@ class TestSCD2:
         dim = scd2_build(h.filter("ts = 1"), "k", "ts", ["state"])
         dim = scd2_apply(dim, h.filter("ts = 2"), "k", "ts", ["state"])
         assert dim.count() == 1  # NULL == NULL: no new version
+
+
+class TestFuzzyJoin:
+    def test_blocked_levenshtein(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import fuzzy_join
+        from pyspark.sql import functions as F
+
+        a = spark.createDataFrame(
+            [(1, "smith", "uk"), (2, "smyth", "uk"), (3, "smith", "fr")],
+            "id_1 long, n1 string, blk string",
+        )
+        b = spark.createDataFrame(
+            [(11, "smith", "uk"), (12, "smithers", "uk"), (13, "smith", "fr")],
+            "id_2 long, n2 string, blk string",
+        )
+        got = {
+            (r.id_1, r.id_2, r.edit_dist)
+            for r in fuzzy_join(a, b, "blk", "n1", "n2", max_dist=1).collect()
+        }
+        # cross-block (3,11) never pairs; "smithers" fails the length band
+        assert got == {(1, 11, 0), (2, 11, 1), (3, 13, 0)}
