@@ -65,8 +65,12 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     array projection — a narrow map over the corpus.
     """
     t = F.col(text_col)
-    w = words(t)
-    ln = _lines(t)
+    # Bind the token/line arrays behind their own projection: the
+    # rules below reference them ~10×, and a same-Project alias
+    # re-inlines (re-splits) per reference.
+    df = df.withColumns({"_gw": words(t), "_gln": _lines(t)})
+    w = F.col("_gw")
+    ln = F.col("_gln")
     nw = F.size(w).cast("long")
     n_lines = F.size(ln).cast("long")
     word_chars = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
@@ -100,7 +104,7 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "gopher_alpha_word_ok": (nw > 0) & (n_alpha * 100 >= nw * GOPHER_MIN_ALPHA_WORD_PCT),
         "gopher_stopword_ok": n_stop >= GOPHER_MIN_STOPWORD_HITS,
     }
-    out = df.withColumns(flags)
+    out = df.withColumns(flags).drop("_gw", "_gln")
     keep = None
     for name in flags:
         keep = F.col(name) if keep is None else keep & F.col(name)
@@ -118,13 +122,19 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
       c4_keep      page rule: ≥ 3 kept lines, no 'lorem ipsum', no '{'
     """
     t = F.col(text_col)
-    ln = _lines(t)
-    kept = F.filter(
-        ln,
-        lambda l: l.rlike(_TERMINAL_RE)
-        & (F.size(words(l)) >= C4_MIN_LINE_WORDS)
-        & ~F.lower(l).contains("javascript"),
+    # Lines and the kept-line array bound once each (the kept filter
+    # tokenizes every line — re-inlining it per reference would run
+    # that per OUTPUT COLUMN).
+    df = df.withColumn("_c4ln", _lines(t)).withColumn(
+        "_c4kept",
+        F.filter(
+            F.col("_c4ln"),
+            lambda l: l.rlike(_TERMINAL_RE)
+            & (F.size(words(l)) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(l).contains("javascript"),
+        ),
     )
+    ln, kept = F.col("_c4ln"), F.col("_c4kept")
     return df.withColumns(
         {
             "c4_n_lines": F.size(ln).cast("long"),
@@ -134,7 +144,7 @@ def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
             & ~F.lower(t).contains("lorem ipsum")
             & ~t.contains("{"),
         }
-    )
+    ).drop("_c4ln", "_c4kept")
 
 
 def dedup_lines_corpus(

@@ -35,8 +35,11 @@ def _tokens(text_col: str):
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) — one row per adjacent token pair, built from two
-    array slices zipped per row (narrow; the explode is the only fan-out)."""
-    ws = _tokens(text_col)
+    array slices zipped per row (narrow; the explode is the only
+    fan-out). Token array bound behind its own projection (4 references
+    below; a same-Project inline expression re-splits per reference)."""
+    df = df.select(F.col(id_col), _tokens(text_col).alias("_ws"))
+    ws = F.col("_ws")
     pairs = F.zip_with(
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
         F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),

@@ -166,7 +166,13 @@ def chunk_words(
     from .text_stats import words
 
     stride = chunk_size - overlap
-    w = words(F.col(text_col))
+    # Token array bound behind its own projection — the chunk transform
+    # slices it once per chunk, and a same-Project alias re-inlines
+    # (re-splits) per reference.
+    base = df.select(
+        F.col(id_col), F.col(text_col), words(F.col(text_col)).alias("_w")
+    )
+    w = F.col("_w")
     n = F.size(w)
     n_chunks = (
         F.lit(1) + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(float(stride)))
@@ -180,7 +186,7 @@ def chunk_words(
     # silently fabricates one empty chunk per NULL doc.
     chunks = F.when(F.col(text_col).isNotNull(), chunks)
     return (
-        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_cw"))
+        base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_cw"))
         .select(
             id_col,
             F.col("chunk_id").cast("long").alias("chunk_id"),

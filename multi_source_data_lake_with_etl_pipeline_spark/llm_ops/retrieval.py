@@ -36,7 +36,11 @@ def _tf(tok_col: Column, term: str) -> Column:
 
 def bm25_stats(df: DataFrame, terms: list[str], text_col: str = "text") -> dict:
     """One aggregation pass → {N, avgdl, df: {term: doc_freq}}."""
-    toks = words(F.col(text_col))
+    # Token array bound once per row (one projection) — the per-term
+    # document-frequency aggregates each reference it, and a same-
+    # Project inline expression re-splits per reference.
+    tokd = df.select(words(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     # total length as an exact integer sum (a float avg's value depends
     # on partial-sum order; int-total / N is the same double everywhere)
     aggs = [
@@ -46,7 +50,7 @@ def bm25_stats(df: DataFrame, terms: list[str], text_col: str = "text") -> dict:
         F.sum((_tf(toks, t) > 0).cast("long")).alias(f"_df_{i}")
         for i, t in enumerate(terms)
     ]
-    row = df.agg(*aggs).collect()[0]
+    row = tokd.agg(*aggs).collect()[0]
     return {
         "N": int(row["_n"]),
         "avgdl": float(row["_dl_total"]) / float(row["_n"]),
@@ -67,7 +71,8 @@ def bm25_score(
     expression folds N/avgdl/idf in as LITERALS, so the scan is a pure
     narrow projection."""
     st = stats or bm25_stats(df, terms, text_col)
-    toks = words(F.col(text_col))
+    df = df.withColumn("_toks", words(F.col(text_col)))  # bound once
+    toks = F.col("_toks")
     dl = F.size(toks).cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(st["avgdl"]))
     score: Column = F.lit(0.0)
@@ -75,7 +80,7 @@ def bm25_score(
         idf = math.log(1.0 + (st["N"] - st["df"][t] + 0.5) / (st["df"][t] + 0.5))
         tf = _tf(toks, t).cast("double")
         score = score + F.lit(idf) * tf * (k1 + 1.0) / (tf + norm)
-    return df.withColumn("bm25", F.round(score, 4))
+    return df.withColumn("bm25", F.round(score, 4)).drop("_toks")
 
 
 def bm25_topk(

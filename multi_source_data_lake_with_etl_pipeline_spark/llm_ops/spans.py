@@ -41,8 +41,17 @@ def kgram_positions(
 ) -> DataFrame:
     """(id, pos, gram): every k-token window, 0-based token position.
     Docs shorter than k tokens contribute nothing (guarded sequence —
-    no descending-range ANSI trap on short docs)."""
-    w = F.transform(words(F.col(text_col)), lambda t: F.lower(t))
+    no descending-range ANSI trap on short docs).
+
+    The lowercased token array is bound behind its own projection:
+    inlined, the split/lower expression would re-evaluate inside EVERY
+    window's slice() — O(n_tokens × split cost) per doc (the
+    same-Project alias re-inlining trap, see dedup._shingle_set_table)."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(words(F.col(text_col)), lambda t: F.lower(t)).alias("_w"),
+    )
+    w = F.col("_w")
     n = F.size(w)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -50,7 +59,7 @@ def kgram_positions(
     grams = F.transform(
         idx, lambda i: F.struct(i.alias("pos"), F.concat_ws(" ", F.slice(w, i + 1, k)).alias("gram"))
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+    return base.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
     )
 
