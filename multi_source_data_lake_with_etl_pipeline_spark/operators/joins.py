@@ -193,3 +193,55 @@ def fuzzy_join(
         .withColumn(dist_name, F.levenshtein(lc, rc))
         .filter(F.col(dist_name) <= max_dist)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key: str | Column,
+    window: int = 3,
+    partition_by: str | Sequence[str] | None = None,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the other classic ER candidate
+    scheme next to hash blocking / ``fuzzy_join``): order records by a
+    blocking key and pair each record with its next ``window - 1``
+    neighbors — O(N·w) candidates total, independent of block-size
+    skew (a hash block with one hot key degenerates to block²; a sort
+    window never exceeds N·w).
+
+    Implemented as ``window - 1`` lead() taps over one ordered window —
+    a single sort shuffle. ``partition_by`` bounds the sort per
+    partition (windows never cross partitions), which is also the
+    scale requirement: with no partitioning Spark must sort globally
+    in ONE task, so at 100 TB always pass a coarse partition key
+    (sliding multi-pass over boundary rows if cross-partition pairs
+    matter). ``carry`` columns are emitted for both sides as
+    ``<c>_1`` / ``<c>_2``.
+    """
+    parts = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
+    w = (
+        Window.partitionBy(*parts).orderBy(sort_key)
+        if parts
+        else Window.orderBy(sort_key)
+    )
+    carried = list(carry)
+    # _p flag marks a real neighbor: lead() past the partition end
+    # yields a NULL struct, and flag-based presence stays correct even
+    # when carried values are themselves NULL.
+    me = F.struct(F.lit(True).alias("_p"), *[F.col(c) for c in carried])
+    out = None
+    for off in range(1, window):
+        nbr = F.lead(me, off).over(w)
+        pair = (
+            df.select(*parts, me.alias("_a"), nbr.alias("_b"))
+            .filter(F.col("_b._p").isNotNull())
+            .select(
+                *parts,
+                *[F.col(f"_a.{c}").alias(f"{c}_1") for c in carried],
+                *[F.col(f"_b.{c}").alias(f"{c}_2") for c in carried],
+            )
+        )
+        out = pair if out is None else out.unionByName(pair)
+    return out
