@@ -87,17 +87,47 @@ def main() -> None:
             timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if failures:
-        payload["failed_queries"] = failures
-    print(json.dumps(payload))
+        full["failed_queries"] = failures
+    # Full per-query detail goes to a side file (the harness that
+    # records this run keeps only the last ~2000 chars of stdout, so a
+    # >2000-char JSON line is unparseable there). Stdout gets ONE short
+    # line: summary + the slowest queries, trimmed to fit that window.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    while True:
+        payload = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "n_failed": len(failures),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf_val,
+        }
+        line = json.dumps(payload)
+        if len(line) <= 1800 or not slowest:
+            break
+        slowest.pop(next(reversed(slowest)))  # drop the fastest inline entry
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

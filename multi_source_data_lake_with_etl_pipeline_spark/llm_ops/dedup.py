@@ -32,6 +32,8 @@ should ``spark.catalog.clearCache()`` between them (bench.py does).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -243,7 +245,20 @@ def prefix_filter_pairs(
     # documents are huge and candidates few.
     full = F.transform(F.col("_o"), lambda s: s["_h"])
     nn = F.size("_o")
-    plen = (nn - F.ceil(nn * F.lit(threshold)) + 1).cast("int")
+    # Exact integer ceilings: double-precision ceil(n*t) can round a
+    # hair ABOVE an exactly-integer product (shrinking the prefix /
+    # inflating alpha and silently dropping true pairs). Treat the
+    # threshold as the rational the caller wrote (0.5 -> 1/2) and
+    # compute ceil(x*a/b) = (x*a + b - 1) div b in exact long math.
+    ta, tb = (
+        Fraction(threshold).limit_denominator(1_000_000).as_integer_ratio()
+    )
+
+    def ceil_frac(x, a: int, b: int):
+        num = x.cast("long") * F.lit(a) + F.lit(b - 1)
+        return ((num - num % F.lit(b)) / F.lit(b)).cast("long")
+
+    plen = (nn - ceil_frac(nn, ta, tb) + 1).cast("int")
     pre = ordered.select(
         id_col,
         nn.alias("_n"),
@@ -264,7 +279,9 @@ def prefix_filter_pairs(
     # cannot reach the required overlap ceil(t/(1+t)·(n1+n2)) are
     # pruned BEFORE the set intersection — cheap integer math killing
     # most late-position random collisions.
-    alpha = F.ceil(t / (1 + t) * (F.col("_n1") + F.col("_n2")))
+    # alpha = ceil(t/(1+t) * (n1+n2)) = ceil(a*(n1+n2) / (a+b)),
+    # computed in exact integer arithmetic like the prefix length.
+    alpha = ceil_frac(F.col("_n1") + F.col("_n2"), ta, ta + tb)
     ubound = 1 + F.least(
         F.col("_n1") - F.col("_p1") - 1, F.col("_n2") - F.col("_p2") - 1
     )

@@ -44,9 +44,13 @@ def aggregate_snapshot(
 ) -> DataFrame:
     """Full (re)compute of the view: keys..., {c}_sum..., _record_count.
     Run once at view creation; afterwards ``maintain_aggregate`` keeps
-    it current from the change feed alone."""
+    it current from the change feed alone.
+
+    NULL measure values contribute 0 (sums are coalesced), so a group
+    whose measures are all NULL snapshots to 0 — the same value the
+    incremental path maintains; keeps maintained == recompute exact."""
     return df.groupBy(*keys).agg(
-        *[F.sum(c).alias(f"{c}_sum") for c in sum_cols],
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(f"{c}_sum") for c in sum_cols],
         F.count(F.lit(1)).alias("_record_count"),
     )
 
@@ -78,14 +82,32 @@ def aggregate_delta(
 def apply_aggregate_delta(
     view: DataFrame, delta: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame:
-    """Merge per-group deltas into the view (full-outer on keys: new
-    groups appear, drained groups — count reaching 0 — disappear).
+    """Merge per-group deltas into the view (new groups appear,
+    drained groups — count reaching 0 — disappear).
 
-    The delta side is one row per CHANGED group; hint it broadcast so
-    the view never shuffles for a small maintenance batch. (AQE would
-    usually pick this anyway; the hint makes the 100 TB plan stable.)"""
+    A full-outer join cannot use a broadcast build side (Spark ignores
+    the hint and falls back to sort-merge, shuffling the WHOLE view
+    for a small maintenance batch), so the merge is split into legs
+    where broadcast IS legal: (1) view LEFT-join broadcast(delta) —
+    updates existing groups, zero view shuffle; (2) a broadcast
+    semi-probe of the view for delta keys already present, whose
+    (small, ≤|delta|) result drives an anti-join producing brand-new
+    groups. Two broadcast-side scans of the view replace one full
+    shuffle of it — the trade that wins at 100 TB."""
     keys = list(keys)
-    merged = view.join(F.broadcast(delta), keys, "full_outer")
+    upd = view.join(F.broadcast(delta), keys, "left")
+    present = view.select(*keys).join(
+        F.broadcast(delta.select(*keys)), keys, "left_semi"
+    )
+    ins = delta.join(F.broadcast(present), keys, "left_anti")
+    for c in sum_cols:
+        ins = ins.withColumn(
+            f"{c}_sum", F.lit(None).cast(view.schema[f"{c}_sum"].dataType)
+        )
+    ins = ins.withColumn(
+        "_record_count", F.lit(None).cast(view.schema["_record_count"].dataType)
+    )
+    merged = upd.unionByName(ins.select(*upd.columns))
     new_count = F.coalesce(F.col("_record_count"), F.lit(0)) + F.coalesce(
         F.col("_d_count"), F.lit(0)
     )

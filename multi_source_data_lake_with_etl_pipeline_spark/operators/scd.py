@@ -46,15 +46,23 @@ def scd2_build(
     ``valid_from`` is the version's first timestamp, ``valid_to`` the
     next version's start (NULL for the current version). Null-safe
     attribute comparison: a NULL attr equals NULL (no phantom
-    versions from missing data)."""
+    versions from missing data).
+
+    ``(ts_col, tiebreak)`` must uniquely order rows within a key:
+    with duplicate order keys lag() over peer rows is nondeterministic
+    and version numbering unstable. The running version count uses an
+    explicit ROWS frame — the default RANGE frame would make peer rows
+    share a frame, breaking the count even for unique keys expressed
+    as ties."""
     attrs = list(attrs)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cur = F.struct(*[F.col(a) for a in attrs])
     prev = F.lag(cur).over(w)
     is_new = F.when(prev.isNull() | ~prev.eqNullSafe(cur), 1).otherwise(0)
     versioned = df.select(
-        key, ts_col, *attrs, F.sum(is_new).over(w).alias("_ver")
+        key, ts_col, *attrs, F.sum(is_new).over(wrows).alias("_ver")
     )
     per_ver = versioned.groupBy(key, "_ver", *attrs).agg(
         F.min(ts_col).alias("valid_from")

@@ -4532,12 +4532,18 @@ def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, max_df=20)
+    # The pair pipeline feeds two broadcast build sides below; without
+    # an eager persist each broadcast exchange would re-run the whole
+    # posting-list job (measured 3x the query cost). The pair set is
+    # tiny (near-dup survivors), so one materialization is cheap.
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, max_df=20).select("id_1", "id_2")
+    pairs = pairs.persist()
+    pairs.count()
     src = d.select("doc_id", "source")
     # Two probe-side scans of the dim, each with the small pair set as
     # the broadcast build side (dim rows never move).
     j1 = src.join(
-        F.broadcast(pairs.select("id_1", "id_2")),
+        F.broadcast(pairs),
         F.col("doc_id") == F.col("id_1"),
     ).select("id_2", F.col("source").alias("_s1"))
     j2 = src.join(

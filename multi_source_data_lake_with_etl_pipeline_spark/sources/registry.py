@@ -4,9 +4,11 @@
 
 An extractor is any ``(spark, **config) -> DataFrame`` callable keyed
 by source type. Built-ins: file, parquet_table, sql, rest_api,
-rest_api_parallel (S6 scale path), jdbc (S1 federation — Mongo/Influx
-would register the same way via their DSv2 connectors; live servers
-are out of scope for the parquet-lake test harness, SURVEY.md §4.3.4).
+rest_api_parallel (S6 scale path), jdbc (S1 federation), mongodb
+(S2/S8 federation via the DSv2 connector's option surface — Influx has
+no public Spark connector, so its time-range scan stays the lake-table
+path; live servers are out of scope for the parquet-lake test harness,
+SURVEY.md §4.3.4).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import load_table
 from .files import read_file
 from .jdbc import jdbc_extract
+from .mongo import mongo_extract
 from .rest import rest_api_parallel
 
 
@@ -33,6 +36,7 @@ class ExtractorRegistry:
         self.register("rest_api", _rest_api_extract)
         self.register("rest_api_parallel", rest_api_parallel)
         self.register("jdbc", jdbc_extract)
+        self.register("mongodb", mongo_extract)
 
     def register(self, source_type: str, fn: Callable[..., DataFrame]) -> None:
         self._extractors[source_type] = fn

@@ -293,6 +293,32 @@ class TestMaterializedAgg:
         groups = {r.g for r in maintained.collect()}
         assert groups == {0, 1, 2, 9}
 
+    def test_all_null_measure_group_symmetry(self, spark, tmp_path):
+        """A group whose measures are all NULL must agree between full
+        recompute (sums coalesced to 0) and the maintained view."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.materialized import (
+            aggregate_snapshot,
+            maintain_aggregate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, None), (2, 0, None), (3, 1, 5)], "k long, g long, v long"
+        )
+        t = LakeTable.create(spark, str(tmp_path / "mv_null"), df)
+        view = aggregate_snapshot(t.read(), ["g"], ["v"]).localCheckpoint(eager=True)
+        assert {(r.g, r.v_sum) for r in view.collect()} == {(0, 0), (1, 5)}
+        v0 = t.latest_version()
+        # another NULL row into group 0, plus a brand-new all-NULL group
+        t.append(
+            spark.createDataFrame([(4, 0, None), (5, 2, None)], "k long, g long, v long")
+        )
+        maintained = maintain_aggregate(view, t.changes(v0), ["g"], ["v"])
+        expect = aggregate_snapshot(t.read(), ["g"], ["v"])
+        cols = ["g", "v_sum", "_record_count"]
+        assert maintained.join(expect, cols, "left_anti").count() == 0
+        assert expect.join(maintained, cols, "left_anti").count() == 0
+
     def test_update_is_net_zero_on_count(self, spark, tmp_path):
         """An in-place update (same group) changes sums, never counts —
         the preimage/postimage pair cancels in the count delta."""

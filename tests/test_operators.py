@@ -389,3 +389,89 @@ class TestFuzzyJoin:
         }
         # cross-block (3,11) never pairs; "smithers" fails the length band
         assert got == {(1, 11, 0), (2, 11, 1), (3, 13, 0)}
+
+    def test_neighborhood_equals_block(self, spark):
+        """FastSS deletion-neighborhood path must equal the exhaustive
+        blocked path — same pairs, same distances — across insert /
+        delete / substitute / identical / unrelated cases."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import fuzzy_join
+
+        names = [
+            "customer_017",   # base
+            "customer_917",   # substitution (dist 1)
+            "custmer_017",    # deletion (dist 1)
+            "customer_0017",  # insertion (dist 1)
+            "customer_017",   # identical (dist 0)
+            "customer_998",   # dist 2 from base — must NOT pair with it
+            "totally_other",  # unrelated
+            "",               # empty string edge case
+            "x",              # dist 1 from "" via one insert
+        ]
+        a = spark.createDataFrame(
+            [(i, s, "blk") for i, s in enumerate(names)],
+            "id_1 long, n1 string, blk string",
+        )
+        b = spark.createDataFrame(
+            [(100 + i, s, "blk") for i, s in enumerate(names)],
+            "id_2 long, n2 string, blk string",
+        )
+
+        def run(method):
+            return {
+                (r.id_1, r.id_2, r.edit_dist)
+                for r in fuzzy_join(
+                    a, b, "blk", "n1", "n2", max_dist=1, method=method
+                ).collect()
+            }
+
+        fast, exhaustive = run("neighborhood"), run("block")
+        assert fast == exhaustive
+        assert (0, 101, 1) in fast and (0, 105, 1) not in fast
+        assert (7, 108, 1) in fast  # "" vs "x"
+
+
+class TestSortedNeighborhood:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(i, chr(ord("a") + i)) for i in range(5)], "id long, k string"
+        ).select("id", "k", (F.col("id") % 2).alias("p"))
+
+    def test_window_pairs(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        got = {
+            (r.id_1, r.id_2)
+            for r in sorted_neighborhood_pairs(
+                self._df(spark), "k", window=3, carry=["id"]
+            ).collect()
+        }
+        assert got == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+    def test_partitioned_windows_never_cross(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        got = {
+            (r.id_1, r.id_2)
+            for r in sorted_neighborhood_pairs(
+                self._df(spark), "k", window=2, partition_by="p", carry=["id"]
+            ).collect()
+        }
+        assert got == {(0, 2), (2, 4), (1, 3)}  # evens chain, odds chain
+
+    def test_window_leq_one_is_empty_with_schema(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import (
+            sorted_neighborhood_pairs,
+        )
+
+        out = sorted_neighborhood_pairs(
+            self._df(spark), "k", window=1, carry=["id"]
+        )
+        assert out is not None
+        assert out.columns == ["id_1", "id_2"]
+        assert out.count() == 0
