@@ -89,3 +89,41 @@ def cms_estimate(
     return joined.groupBy(term_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+# --- HyperLogLog distinct sketches (Apache DataSketches via Spark's
+# native hll_* aggregates) -------------------------------------------
+#
+# The non-additive twin of the CMS story: COUNT(DISTINCT x) does not
+# pre-aggregate — a daily rollup cube can sum counts but not distincts,
+# so at 100 TB the only viable shape is a MERGEABLE sketch per cell
+# (per partition / day / source), unioned at query time. Spark ships
+# the DataSketches HLL aggregates natively (hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate, JVM-side, map-side combinable),
+# so the whole pattern stays whole-stage-codegen with zero Python.
+# Merge is exact: union of per-cell sketches is bit-identical to the
+# sketch of the unioned input (same lgConfigK), which the
+# `hll_distinct_invariant` query checks, alongside the estimate's
+# documented ~1.6%/sqrt(2^lgK) error envelope vs exact distincts.
+
+
+def hll_profile(
+    df: DataFrame, group_cols: list[str], value_col: str, lgk: int = 14
+) -> DataFrame:
+    """Per-group distinct sketch: (group_cols..., hll binary). One
+    map-side-combinable aggregation; sketch size ≤ 2^lgk bytes-ish per
+    group regardless of cardinality."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_rollup(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll sketches up to a coarser grouping (e.g. day→month, or []
+    for the global sketch) by HLL union — no rescan of the base data."""
+    return df.groupBy(*group_cols).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimates(df: DataFrame, est_name: str = "approx_distinct") -> DataFrame:
+    """Materialize estimates from a sketch table's ``hll`` column."""
+    return df.withColumn(est_name, F.hll_sketch_estimate("hll")).drop("hll")

@@ -430,6 +430,32 @@ def test_rest_api_parallel_fetch(spark, http_json_server):
     assert inferred.filter(F.col("id").isNotNull()).count() == 6
 
 
+def test_restapi_python_datasource(spark, http_json_server):
+    """S6 as a Spark Python DataSource: format('restapi') scan with one
+    InputPartition per URL; error-as-row; typed parse via from_json."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.pyds import (
+        parsed_records,
+        register_rest_datasource,
+    )
+
+    register_rest_datasource(spark)
+    urls = [f"{http_json_server}/page/{i}" for i in range(3)] + [
+        f"{http_json_server}/boom"
+    ]
+    raw = (
+        spark.read.format("restapi")
+        .option("urls", ",".join(urls))
+        .option("timeout", "10")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 4  # one partition per URL
+    typed = parsed_records(raw, "id long, name string")
+    good = typed.filter(F.col("_fetch_error").isNull())
+    assert good.count() == 9
+    assert {r.id for r in good.collect()} == {p * 10 + i for p in range(3) for i in range(3)}
+    assert typed.filter(F.col("_fetch_error").isNotNull()).count() == 1
+
+
 def test_yaml_write_read_roundtrip(spark, tmp_path):
     """L6 YAML parity (reference common_utils.py:141-171)."""
     df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double")

@@ -255,6 +255,46 @@ class TestCountMinSketch:
         assert j.filter(F.col("cms_estimate") > F.col("count")).count() > 0
 
 
+class TestHllSketch:
+    def test_rollup_estimate_equals_direct(self, spark):
+        """Union of per-group sketches must estimate exactly like one
+        sketch over the whole input (mergeability — the property that
+        makes distinct-count cubes possible)."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            hll_estimates,
+            hll_profile,
+            hll_rollup,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 4).alias("g"), (F.col("id") % 700).alias("v")
+        )
+        per = hll_profile(df, ["g"], "v")
+        merged = hll_estimates(hll_rollup(per, []), "est").first().est
+        direct = hll_estimates(
+            df.groupBy().agg(F.hll_sketch_agg("v", F.lit(14)).alias("hll")), "est"
+        ).first().est
+        assert merged == direct
+
+    def test_estimates_near_exact(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            hll_estimates,
+            hll_profile,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+        )
+        got = {
+            r.g: r.approx_distinct
+            for r in hll_estimates(hll_profile(df, ["g"], "v")).collect()
+        }
+        for g, exact in [(0, 1500), (1, 1500)]:
+            assert abs(got[g] - exact) <= 0.05 * exact
+
+
 class TestResampleFfill:
     def test_gaps_filled_with_last_seen(self, spark):
         from multi_source_data_lake_with_etl_pipeline_spark.operators.timeseries import (
