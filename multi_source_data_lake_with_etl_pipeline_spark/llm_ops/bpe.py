@@ -51,12 +51,16 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq): lowercased whitespace tokens. The one corpus-wide
     shuffle; partial aggregation collapses each partition's Zipf head
     before the exchange."""
+    # explode_outer + null filter, not inner explode: the optimizer
+    # would infer a pre-Generate filter that inlines the whole
+    # split/transform (2x the tokenize cost; see dedup._distinct_shingles).
     return (
         df.select(
-            F.explode(
+            F.explode_outer(
                 F.transform(words(F.col(text_col)), lambda w: F.lower(w))
             ).alias("word")
         )
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -80,8 +84,8 @@ def pair_counts(sym_df: DataFrame, syms_col: str = "syms", freq_col: str = "freq
     """Frequency-weighted adjacent-pair counts over the symbol table.
     One shuffle on (left_sym, right_sym)."""
     pairs = sym_df.select(
-        F.explode(_adjacent_pairs(F.col(syms_col))).alias("p"), F.col(freq_col)
-    )
+        F.explode_outer(_adjacent_pairs(F.col(syms_col))).alias("p"), F.col(freq_col)
+    ).filter(F.col("p").isNotNull())
     return (
         pairs.groupBy(
             F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")

@@ -51,8 +51,12 @@ def ngram_hash_set(
         F.col(id_col), words(F.col(text_col)).alias("_w")
     )
     grams = F.array_distinct(shingles_of_words(F.col("_w"), n))
+    # explode_outer + null filter: inner explode's inferred pre-Generate
+    # filter would inline the whole shingle expression (2x cost; see
+    # dedup._distinct_shingles).
     return (
-        w.select(F.col(id_col), F.explode(grams).alias("gram"))
+        w.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .select(id_col, F.substring(F.md5(F.col("gram")), 1, 16).alias("gram_hash"))
     )
 

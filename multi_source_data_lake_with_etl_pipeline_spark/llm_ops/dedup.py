@@ -119,9 +119,21 @@ def _with_min_words(df: DataFrame, text_col: str, n: int) -> DataFrame:
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Inverted-index stream (id, _sk). Distinct by construction
     (array_distinct before explode) — no extra shuffle, and the join
-    key is an 8-byte long, not the shingle text."""
-    return _shingle_set_table(df, text_col, id_col, n).select(
-        id_col, F.explode("_sh").alias("_sk")
+    key is an 8-byte long, not the shingle text.
+
+    ``explode_outer`` + post-explode null filter, NOT plain
+    ``explode``: the optimizer infers a ``size(e)>0 AND isnotnull(e)``
+    pre-Generate filter for inner explode, INLINING the whole shingle
+    expression into the condition and pushing it below the widening
+    exchange — the entire corpus got shingled twice, once of that
+    single-threaded (measured 10x the query cost). The outer variant
+    infers nothing; empty/null shingle sets become one null row,
+    dropped by a filter on the GENERATED column (which can never sink
+    below the Generate)."""
+    return (
+        _shingle_set_table(df, text_col, id_col, n)
+        .select(id_col, F.explode_outer("_sh").alias("_sk"))
+        .filter(F.col("_sk").isNotNull())
     )
 
 
@@ -171,9 +183,13 @@ def ngram_jaccard_pairs(
         "flatten(transform(_ids, (x, i) -> "
         "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_1, y AS id_2))))"
     )
+    # explode_outer + null filter: inner explode would re-inline the
+    # pair-expansion HOF into an inferred pre-Generate filter,
+    # doubling the candidate-generation cost (see _distinct_shingles).
     inter = (
         posts.filter(F.size("_ids") >= 2)
-        .select(F.explode(pair_expr).alias("_p"))
+        .select(F.explode_outer(pair_expr).alias("_p"))
+        .filter(F.col("_p").isNotNull())
         .groupBy(F.col("_p.id_1").alias("id_1"), F.col("_p.id_2").alias("id_2"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -259,12 +275,15 @@ def prefix_filter_pairs(
         return ((num - num % F.lit(b)) / F.lit(b)).cast("long")
 
     plen = (nn - ceil_frac(nn, ta, tb) + 1).cast("int")
+    # posexplode_outer + null filter: the inner variant's inferred
+    # pre-Generate filter would inline the prefix slice/transform twice
+    # (see _distinct_shingles).
     pre = ordered.select(
         id_col,
         nn.alias("_n"),
         full.alias("_s"),
-        F.posexplode(F.slice(full, F.lit(1), plen)).alias("_p", "_h"),
-    )
+        F.posexplode_outer(F.slice(full, F.lit(1), plen)).alias("_p", "_h"),
+    ).filter(F.col("_p").isNotNull())
     a = pre.select(
         F.col(id_col).alias("id_1"), F.col("_n").alias("_n1"),
         F.col("_s").alias("_a"), F.col("_p").alias("_p1"), "_h",

@@ -170,10 +170,17 @@ def dedup_lines_corpus(
     aggregate absorbs them map-side, and they are DROPPED before the
     regroup shuffle, so skew decreases downstream.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(_lines(F.col(text_col))).alias("_pos", "_line"),
-    ).withColumn("_h", F.md5(F.col("_line")))
+    # posexplode_outer + null filter: the inner variant's inferred
+    # pre-Generate filter inlines the line-splitting expression twice
+    # (see dedup._distinct_shingles).
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(_lines(F.col(text_col))).alias("_pos", "_line"),
+        )
+        .filter(F.col("_pos").isNotNull())
+        .withColumn("_h", F.md5(F.col("_line")))
+    )
     freq = lines.groupBy("_h").agg(
         F.count_distinct(id_col).alias("_docs")
     )

@@ -45,8 +45,13 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return df.select(id_col, F.explode(pairs).alias("_bg")).select(
-        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    # explode_outer + null filter: inner explode's inferred filter
+    # would inline the zip_with/slice pair expression twice (see
+    # dedup._distinct_shingles).
+    return (
+        df.select(id_col, F.explode_outer(pairs).alias("_bg"))
+        .filter(F.col("_bg").isNotNull())
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     )
 
 
@@ -57,7 +62,9 @@ def train_bigram_lm(
     unigram_counts(w1, c1), vocab_size)."""
     bg = _doc_bigrams(corpus, text_col, id_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    toks = corpus.select(F.explode(_tokens(text_col)).alias("w1"))
+    toks = corpus.select(F.explode_outer(_tokens(text_col)).alias("w1")).filter(
+        F.col("w1").isNotNull()
+    )
     unigrams = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = toks.select(F.countDistinct("w1")).collect()[0][0]
     return bigrams, unigrams, int(vocab)

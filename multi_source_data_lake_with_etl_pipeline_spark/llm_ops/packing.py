@@ -181,12 +181,16 @@ def chunk_words(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(w, i * stride + 1, chunk_size),
     )
-    # NULL text → NO chunks (posexplode of NULL emits nothing). Without
-    # the guard, greatest(NULL, 0) = 0 (Spark greatest skips NULLs)
-    # silently fabricates one empty chunk per NULL doc.
+    # NULL text → NO chunks. Without the guard, greatest(NULL, 0) = 0
+    # (Spark greatest skips NULLs) silently fabricates one empty chunk
+    # per NULL doc. posexplode_outer + post-Generate null filter drops
+    # the NULL-array rows while avoiding the inner variant's inferred
+    # pre-Generate filter, which would inline the whole chunk HOF twice
+    # (see dedup._distinct_shingles).
     chunks = F.when(F.col(text_col).isNotNull(), chunks)
     return (
-        base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_cw"))
+        base.select(F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "_cw"))
+        .filter(F.col("chunk_id").isNotNull())
         .select(
             id_col,
             F.col("chunk_id").cast("long").alias("chunk_id"),

@@ -59,8 +59,13 @@ def kgram_positions(
     grams = F.transform(
         idx, lambda i: F.struct(i.alias("pos"), F.concat_ws(" ", F.slice(w, i + 1, k)).alias("gram"))
     )
-    return base.select(F.col(id_col), F.explode(grams).alias("g")).select(
-        id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    # explode_outer + null filter: inner explode's inferred filter
+    # would inline the whole windowed-gram transform twice (see
+    # dedup._distinct_shingles).
+    return (
+        base.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
 
 

@@ -36,11 +36,20 @@ def build_vocab(
     """(token, df) vocabulary: lowercased whitespace tokens appearing
     in at least ``min_df`` distinct documents. Distinct-per-doc before
     the explode, so the shuffle stream is born deduplicated."""
-    toks = widen(df).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.transform(words(F.col(text_col)), lambda w: F.lower(w)))
-        ).alias("token"),
+    # explode_outer + null filter at every tokenize-explode below: the
+    # inferred pre-Generate filter of inner explode inlines the whole
+    # split/transform (2x cost; see dedup._distinct_shingles).
+    toks = (
+        widen(df)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
     )
     return (
         toks.groupBy("token")
@@ -66,11 +75,15 @@ def oov_stats(
     Integer basis points — engine-exact, no float division."""
     if vocab is None:
         vocab = build_vocab(df, text_col, id_col, min_df)
-    toks = widen(df).select(
-        F.col(id_col),
-        F.explode(F.transform(words(F.col(text_col)), lambda w: F.lower(w))).alias(
-            "token"
-        ),
+    toks = (
+        widen(df)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
     )
     # No forced broadcast: a web-scale vocabulary (10^8 types) exceeds
     # broadcast budgets. AQE broadcasts it when it IS small; otherwise

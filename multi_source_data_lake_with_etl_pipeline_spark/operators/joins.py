@@ -233,12 +233,16 @@ def fuzzy_join(
     if method == "neighborhood":
         if max_dist != 1:
             raise ValueError("neighborhood method implements max_dist=1 only")
+        # explode_outer + null filter: inner explode's inferred filter
+        # would inline the whole neighborhood expression twice (see
+        # llm_ops.dedup._distinct_shingles). The neighborhood is never
+        # empty for non-null input, so no rows are lost.
         lv = left.filter(lc.isNotNull()).withColumn(
-            "_fv", F.explode(_deletion_neighborhood(lc))
-        )
+            "_fv", F.explode_outer(_deletion_neighborhood(lc))
+        ).filter(F.col("_fv").isNotNull())
         rv = right.filter(rc.isNotNull()).withColumn(
-            "_fv", F.explode(_deletion_neighborhood(rc))
-        )
+            "_fv", F.explode_outer(_deletion_neighborhood(rc))
+        ).filter(F.col("_fv").isNotNull())
         cand = lv.join(rv, [*blocks, "_fv"]).drop("_fv").dropDuplicates()
         return cand.withColumn(dist_name, F.levenshtein(lc, rc)).filter(
             F.col(dist_name) <= max_dist

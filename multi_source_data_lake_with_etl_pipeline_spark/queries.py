@@ -3136,7 +3136,8 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = widen(_t(spark, sf_dir, "documents").select("text"))
     return (
-        d.select(F.explode(words(F.col("text"))).alias("term"))
+        d.select(F.explode_outer(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "term")
@@ -3817,7 +3818,9 @@ def cms_frequency_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import cms_build, cms_estimate
 
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(F.explode(words(F.col("text"))).alias("term"))
+    tok = d.select(F.explode_outer(words(F.col("text"))).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     true_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_true"))
     true_counts = true_counts.persist()
     true_counts.count()  # one scan feeds both the grid compare and the join
@@ -4683,10 +4686,10 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "source",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.transform(words(F.col("text")), lambda w: F.lower(w)))
         ).alias("token"),
-    )
+    ).filter(F.col("token").isNotNull())
     cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("token"))
     return (
@@ -5268,10 +5271,10 @@ def corpus_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "source",
-        F.explode(
+        F.explode_outer(
             F.transform(words(F.col("text")), lambda w: F.lower(w))
         ).alias("token"),
-    )
+    ).filter(F.col("token").isNotNull())
     tc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
     return tc.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
