@@ -138,6 +138,52 @@ def test_stream_running_totals_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_transform_with_state_matches_legacy_stateful(spark, events_dir):
+    """The Spark 4 transformWithState formulation must produce the
+    same per-user totals as applyInPandasWithState and the batch
+    aggregate (RocksDB state store, as required by the new API).
+
+    transformWithState's Python state server speaks protobuf; skipped
+    where protobuf isn't installed (this container — the operator is
+    still import-clean and plan-buildable)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state server needs protobuf"
+    )
+    from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_running_totals_tws,
+        use_rocksdb_state,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        stream = read_events_stream(spark, events_dir)
+        totals = stream_running_totals_tws(stream)
+        run_to_memory_sink(totals, "running_totals_tws_q", output_mode="update")
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("running_totals_tws_q").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data handling: after a checkpointed run advances the
     watermark, a later run sees an event older than the watermark and
