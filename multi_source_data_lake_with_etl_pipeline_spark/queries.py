@@ -5316,3 +5316,102 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").cast("bigint").alias("n_events"),
         F.sum("_v").cast("bigint").alias("value_cents"),
     )
+
+
+# Sorted-neighborhood ER candidates (operators/joins.py): order
+# customers by (acctbal, custkey) within nation, pair each with its
+# next neighbor — O(N·w) candidates immune to block-size skew. The
+# oracle is the equivalent lead() window, so the operator's pairing is
+# value-hash-checked, not just unit-tested.
+@register(
+    "snm_adjacent_balance",
+    """
+    WITH s AS (
+      SELECT c_nationkey AS nation, c_custkey AS id,
+             lead(c_custkey) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             ) AS next_id
+      FROM customer
+    )
+    SELECT nation, id AS id_1, next_id AS id_2
+    FROM s WHERE next_id IS NOT NULL
+    """,
+)
+def snm_adjacent_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import sorted_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("id"),
+        "c_acctbal",
+    )
+    return sorted_neighborhood_pairs(
+        c,
+        F.struct("c_acctbal", "id"),
+        window=2,
+        partition_by="nation",
+        carry=["id"],
+    ).select("nation", "id_1", "id_2")
+
+
+# End-to-end entity resolution: FastSS fuzzy pairing (edit distance
+# <= 1 within nation) -> connected components -> one golden row per
+# multi-record entity. The oracle rebuilds the same graph with
+# DuckDB's levenshtein and resolves it with a recursive min-label CTE
+# — the full match->cluster->survivorship pipeline is value-hashed,
+# not just its pairing stage.
+@register(
+    "er_golden_customers",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.c_custkey AS id_1, b.c_custkey AS id_2
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT id_1 AS u, id_2 AS v FROM pairs
+              UNION ALL SELECT id_2, id_1 FROM pairs),
+    reach AS (
+      SELECT u, u AS r FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    lab AS (SELECT u AS id, min(r) AS entity_id FROM reach GROUP BY u)
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT c.c_name) AS BIGINT) AS n_names,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM lab JOIN customer c ON c.c_custkey = lab.id
+    GROUP BY entity_id
+    """,
+)
+def er_golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.clusters import connected_components
+    from .operators.joins import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_1"),
+        F.col("c_name").alias("_n1"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_2"),
+        F.col("c_name").alias("_n2"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    pairs = (
+        fuzzy_join(a, b, "nation", "_n1", "_n2", max_dist=1)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+    comp = connected_components(pairs)
+    j = comp.join(
+        c.select(F.col("c_custkey").alias("node"), "c_name", "c_acctbal"), "node"
+    )
+    return j.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("c_name").alias("n_names"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
