@@ -22,7 +22,7 @@ sampling, which it lacks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SPACE = 1 << 16  # 4 hex chars
@@ -157,3 +157,49 @@ def mix_to_budget(
         else:
             thr = F.when(F.col(strata_col) == s, F.lit(format(t, "04x"))).otherwise(thr)
     return df.filter(keep_all | (hash_bucket(F.col(key_col), salt) < thr))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group
+    (Efraimidis–Spirakis A-ES): rank rows by u^(1/w) — equivalently
+    ln(u)/w — and keep the top k. Heavier rows win proportionally more
+    often, no row repeats, and the whole draw is one window shuffle.
+
+    Deterministic end-to-end: the uniform u in (0, 1] is the first 12
+    hex digits of md5(salt || id) decoded with plain string functions
+    (md5/substring/instr — identical semantics in Spark SQL and SQL
+    oracles), +1, divided by 16^12; the divisor is a power of two so u
+    is EXACT in IEEE double on any engine, leaving only ulp-level ln()
+    drift, absorbed by the id tie-break. Resamples are reproducible
+    and the draw is value-hash checkable against an external SQL
+    oracle. Rows with weight <= 0 are excluded (their A-ES key is
+    undefined).
+
+    100 TB shape: one hash-partition sort per group — same cost as any
+    per-group top-k; no driver state, no rejection loops. For global
+    (ungrouped) sampling pass group_cols=[] — Spark plans a single
+    total-ordering window, so at scale prefer a coarse group key."""
+    h12 = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12)
+    # BIGINT literal suffix: under ANSI mode an INT*INT term overflows
+    # at 16^8 before widening.
+    terms = "+".join(
+        f"(instr('0123456789abcdef', substring(_h12, {i}, 1)) - 1)"
+        f" * {16 ** (12 - i)}L"
+        for i in range(1, 13)
+    )
+    bound = df.filter(F.col(weight_col) > 0).withColumn("_h12", h12)
+    u = (F.expr(terms).cast("double") + F.lit(1.0)) / F.lit(float(16**12))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(key.desc(), F.col(id_col))
+    return (
+        bound.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_h12")
+    )

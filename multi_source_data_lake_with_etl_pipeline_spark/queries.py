@@ -5415,3 +5415,60 @@ def er_golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_name").alias("n_names"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
     )
+
+
+# Weighted sampling without replacement (A-ES): 20 docs per source,
+# token count as weight — the "sample long documents proportionally
+# more" draw a data-mixing pipeline needs, reproducible and
+# value-hash-checked because the uniform is md5-derived and exact in
+# double (power-of-two divisor; see llm_ops/sampling.py).
+@register(
+    "weighted_doc_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS n_tokens,
+             substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 12) AS h
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, source, n_tokens,
+             ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416
+            + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776
+            + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736
+            + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296
+            + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456
+            + (instr('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216
+            + (instr('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576
+            + (instr('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536
+            + (instr('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substring(h, 10, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substring(h, 11, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substring(h, 12, 1)) - 1)
+            + 1.0) / 281474976710656.0 AS uu
+      FROM t WHERE n_tokens > 0
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source ORDER BY ln(uu) / n_tokens DESC, doc_id
+             ) AS rk
+      FROM u
+    )
+    SELECT source, doc_id, n_tokens, CAST(rk AS INT) AS sample_rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.packing import with_token_counts
+    from .llm_ops.sampling import weighted_sample_per_group
+
+    d = with_token_counts(_t(spark, sf_dir, "documents"))
+    return weighted_sample_per_group(
+        d.select("doc_id", "source", "n_tokens"),
+        ["source"],
+        "doc_id",
+        "n_tokens",
+        k=20,
+    ).select("source", "doc_id", "n_tokens", "sample_rank")

@@ -107,6 +107,35 @@ class TestSampling:
         }
         assert got == want and got
 
+    def test_weighted_sample_without_replacement(self, spark):
+        """A-ES draw: exact k per group (no repeats), weight>0 only,
+        and heavy rows overrepresented vs their population share."""
+        rows = [(i, "AB"[i % 2], 100 if i % 10 < 2 else 1) for i in range(2000)]
+        rows.append((9999, "A", 0))  # weight 0 never sampled
+        df = spark.createDataFrame(rows, "id long, g string, w long")
+        got = sampling.weighted_sample_per_group(df, ["g"], "id", "w", k=50).collect()
+        by_g = {}
+        for r in got:
+            by_g.setdefault(r.g, []).append(r)
+        assert set(by_g) == {"A", "B"}
+        for g, rs in by_g.items():
+            assert len(rs) == 50
+            assert len({r.id for r in rs}) == 50  # without replacement
+            assert sorted(r.sample_rank for r in rs) == list(range(1, 51))
+        assert all(r.id != 9999 for r in got)
+        # heavy rows are 10% of each group but weigh 100x; true A-ES
+        # puts ~96% heavies in a 50-of-1000 draw (simulated 47.9/50)
+        heavy = sum(1 for r in got if r.w == 100)
+        assert heavy / len(got) > 0.8
+
+    def test_weighted_sample_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x", i % 7 + 1) for i in range(500)], "id long, g string, w long"
+        )
+        a = {r.id for r in sampling.weighted_sample_per_group(df, ["g"], "id", "w", 20).collect()}
+        b = {r.id for r in sampling.weighted_sample_per_group(df.repartition(13), ["g"], "id", "w", 20).collect()}
+        assert a == b and len(a) == 20
+
 
 class TestDecontam:
     def test_planted_contamination_found(self, spark):
