@@ -131,3 +131,150 @@ def test_rest_api_extract_envelope_unwrap(spark):
         assert rows == {1: "a", 2: "b"}  # S6 envelope unwrap (results key)
     finally:
         server.shutdown()
+
+
+class TestDagScheduler:
+    """plans/scheduler.py vs the reference DAG's lifecycle semantics
+    (airflow/dags/multi_source_ingestion_dag.py:29-397)."""
+
+    def _mk(self, tid, log, fn=None, **kw):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import Task
+
+        def body(results):
+            log.append(tid)
+            return fn(results) if fn else tid
+
+        return Task(tid, body, **kw)
+
+    def test_topological_order_and_xcom_passing(self):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import run_dag
+
+        log = []
+        tasks = [
+            self._mk("load", log, lambda r: r["transform"] + "+loaded",
+                     upstream=("transform",)),
+            self._mk("extract_a", log),
+            self._mk("extract_b", log),
+            self._mk("transform", log,
+                     lambda r: r["extract_a"] + "|" + r["extract_b"],
+                     upstream=("extract_a", "extract_b")),
+        ]
+        run = run_dag(tasks)
+        assert run.ok
+        assert log.index("transform") > max(log.index("extract_a"), log.index("extract_b"))
+        assert log.index("load") > log.index("transform")
+        assert run.results["load"] == "extract_a|extract_b+loaded"
+
+    def test_retries_then_success_with_delay(self):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import (
+            Task,
+            run_dag,
+        )
+
+        calls, delays = [], []
+
+        def flaky(results):
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        run = run_dag(
+            [Task("flaky", flaky, retries=3, retry_delay_s=5.0)],
+            sleep=delays.append,
+        )
+        assert run.ok and run.attempts["flaky"] == 3 and delays == [5.0, 5.0]
+
+    def test_failure_marks_downstream_and_spares_siblings(self):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import (
+            Task,
+            run_dag,
+        )
+
+        def boom(results):
+            raise ValueError("no source")
+
+        log = []
+        run = run_dag(
+            [
+                Task("bad", boom, retries=1),
+                self._mk("good", log),
+                self._mk("joined", log, upstream=("bad", "good")),
+                self._mk("tail", log, upstream=("joined",)),
+            ]
+        )
+        assert run.states == {
+            "bad": "failed",
+            "good": "success",
+            "joined": "upstream_failed",
+            "tail": "upstream_failed",
+        }
+        assert run.attempts["bad"] == 2 and "ValueError" in run.errors["bad"]
+        assert not run.ok
+
+    def test_cycle_and_unknown_upstream_rejected(self):
+        import pytest
+
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import (
+            Task,
+            topological_order,
+        )
+
+        a = Task("a", lambda r: 1, upstream=("b",))
+        b = Task("b", lambda r: 1, upstream=("a",))
+        with pytest.raises(ValueError, match="cycle"):
+            topological_order([a, b])
+        with pytest.raises(ValueError, match="unknown task"):
+            topological_order([Task("x", lambda r: 1, upstream=("ghost",))])
+
+    def test_reference_shaped_dag_on_dataframes(self, spark, tmp_path):
+        """extracts -> transform_validate -> load -> quality_report as
+        ONE lazy composite plan; only load/report materialize."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+            FieldRule,
+            validate,
+        )
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.scheduler import (
+            Task,
+            run_dag,
+        )
+
+        out = str(tmp_path / "lake_out")
+
+        def ex_a(r):
+            return spark.range(0, 50).select(
+                F.col("id"), F.lit("pg").alias("src")
+            )
+
+        def ex_b(r):
+            return spark.range(50, 80).select(
+                F.col("id"), F.lit("mongo").alias("src")
+            )
+
+        def transform(r):
+            df = r["extract_pg"].unionByName(r["extract_mongo"])
+            return validate(df, [FieldRule("id", required=True, min=0)])
+
+        def load(r):
+            r["transform_validate"].write.mode("overwrite").parquet(out)
+            return out
+
+        def report(r):
+            df = spark.read.parquet(r["load"])
+            return df.groupBy("src").count().collect()
+
+        run = run_dag(
+            [
+                Task("extract_pg", ex_a),
+                Task("extract_mongo", ex_b),
+                Task("transform_validate", transform,
+                     upstream=("extract_pg", "extract_mongo")),
+                Task("load", load, upstream=("transform_validate",), retries=1),
+                Task("quality_report", report, upstream=("load",)),
+            ]
+        )
+        assert run.ok
+        assert {r["src"]: r["count"] for r in run.results["quality_report"]} == {
+            "pg": 50,
+            "mongo": 30,
+        }
