@@ -98,6 +98,11 @@ def connected_components(
     ``max_iter`` is a safety rail — the loop exits on the first round
     with zero label changes (O(log diameter) rounds).
     """
+    # Persist the INPUT before symmetrizing: the union's two branches
+    # are two consumers of the edge DAG, and when edges is itself an
+    # expensive pipeline (a fuzzy join, a similarity join) both
+    # branches would re-execute it (measured 2x the whole query).
+    edges = edges.persist()
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -109,6 +114,7 @@ def connected_components(
             [(r["u"], r["v"]) for r in sym.collect()], utype, sym.sparkSession
         )
         sym.unpersist()
+        edges.unpersist()
         return out
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u"))
@@ -167,6 +173,7 @@ def connected_components(
             break
 
     sym.unpersist()
+    edges.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 
