@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -238,4 +238,58 @@ def k_anonymity_profile(df: DataFrame, quasi_cols: list[str], k: int = 5) -> Dat
         ).cast("long").alias("n_rows_at_risk"),
         F.min("_n").cast("long").alias("min_group_size"),
         F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    slices of a numeric column: KS = max_x |F_a(x) - F_b(x)|.
+
+    Computed in INTEGER space: at each observed value v the empirical
+    CDFs are cum_a/n_a and cum_b/n_b, so the scaled difference
+    |cum_a·n_b - cum_b·n_a| is exact in BIGINT and the statistic is a
+    single exact ratio — engine-independent, value-hash checkable (no
+    float accumulation). Ties are handled by the window's default
+    RANGE frame, which includes peer rows — exactly "all rows <= v".
+
+    Returns one row: (n_a, n_b, ks_scaled, ks) where
+    ks = ks_scaled / (n_a·n_b), rounded 6dp.
+
+    Scale note: the CDF needs ONE global ordering of both samples —
+    a single-task sort at the limit. This is the exact small/medium-
+    sample audit (drift investigations, CI gates on holdout slices);
+    for always-on 100 TB monitoring use `psi_drift`, whose fixed
+    buckets keep everything partial-aggregatable."""
+    u = df_a.select(
+        F.col(value_col).alias("_v"), F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionAll(
+        df_b.select(
+            F.col(value_col).alias("_v"), F.lit(0).alias("_a"), F.lit(1).alias("_b")
+        )
+    )
+    w = Window.orderBy("_v")  # default RANGE frame: peers included
+    cum = u.select(
+        F.sum("_a").over(w).alias("_ca"), F.sum("_b").over(w).alias("_cb")
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                u.agg(
+                    F.sum("_a").cast("long").alias("n_a"),
+                    F.sum("_b").cast("long").alias("n_b"),
+                )
+            )
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a"))
+            ).cast("long").alias("ks_scaled")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_scaled",
+            F.round(F.col("ks_scaled") / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
+        )
     )

@@ -5472,3 +5472,40 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         k=20,
     ).select("source", "doc_id", "n_tokens", "sample_rank")
+
+
+# Exact two-sample KS drift between finished and open orders' price
+# distributions (operators/quality.ks_drift). Integer-scaled CDF
+# difference — hash-exact; PSI (orders_price_drift_psi) is the binned
+# always-on variant, this is the exact audit.
+@register(
+    "orders_price_ks_drift",
+    """
+    WITH u AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    c AS (
+      SELECT sum(a) OVER (ORDER BY v) AS ca,
+             sum(b) OVER (ORDER BY v) AS cb
+      FROM u
+    ),
+    t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM u)
+    SELECT n_a, n_b,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_scaled,
+           round(max(abs(ca * n_b - cb * n_a)) / (n_a * n_b), 6) AS ks
+    FROM c CROSS JOIN t
+    GROUP BY n_a, n_b
+    """,
+)
+def orders_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import ks_drift
+
+    o = _t(spark, sf_dir, "orders")
+    return ks_drift(
+        o.filter(F.col("o_orderstatus") == "F").select("o_totalprice"),
+        o.filter(F.col("o_orderstatus") == "O").select("o_totalprice"),
+        "o_totalprice",
+    )

@@ -515,3 +515,24 @@ class TestSortedNeighborhood:
         assert out is not None
         assert out.columns == ["id_1", "id_2"]
         assert out.count() == 0
+
+
+class TestKsDrift:
+    def test_separated_and_identical(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import ks_drift
+
+        a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+        b = spark.createDataFrame([(4.0,), (5.0,), (6.0,)], "v double")
+        r = ks_drift(a, b, "v").first()
+        assert (r.n_a, r.n_b, r.ks_scaled, r.ks) == (3, 3, 9, 1.0)
+        same = ks_drift(a, a, "v").first()
+        assert same.ks_scaled == 0 and same.ks == 0.0
+
+    def test_ties_use_inclusive_cdf(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import ks_drift
+
+        # a = {1,1,2}, b = {1,2,2}: at v=1, F_a=2/3, F_b=1/3 -> KS=1/3
+        a = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+        b = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+        r = ks_drift(a, b, "v").first()
+        assert r.ks_scaled == 3 and abs(r.ks - 1 / 3) < 1e-6
