@@ -5509,3 +5509,75 @@ def orders_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderstatus") == "O").select("o_totalprice"),
         "o_totalprice",
     )
+
+
+# Market-basket co-occurrence: part pairs bought together in >= 3
+# orders, strongest first. DISTINCT per order first (a part twice in
+# one order is one basket membership), then an order-key equi-join
+# bounded by per-basket width — the exact frequent-itemset shape that
+# scales (Σ basket² per order, never corpus²).
+@register(
+    "market_basket_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_1, part_2, support FROM p
+    ORDER BY support DESC, part_1, part_2 LIMIT 50
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.desc("support"), "part_1", "part_2")
+        .limit(50)
+    )
+
+
+# Approximate-quantile audit, completing the mergeable-sketch family
+# (CMS one-sided error, HLL merge identity, and now the KLL-style
+# percentile_approx rank guarantee): each approx decile's TRUE rank
+# must sit within n/accuracy of the requested rank. Emitted
+# hash-checkable (violations provably 0 per the sketch contract).
+@register("approx_quantile_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
+def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    acc = 1000
+    qs = [i / 10 for i in range(1, 10)]
+    vals = (
+        li.agg(F.percentile_approx("l_quantity", qs, acc).alias("_vs"))
+        .select(F.posexplode("_vs").alias("_i", "_v"))
+        .select((F.col("_i") + 1).alias("_d"), "_v")
+    )
+    n = F.sum(F.lit(1))
+    checked = (
+        li.crossJoin(F.broadcast(vals))
+        .groupBy("_d", "_v")
+        .agg(
+            n.alias("_n"),
+            F.sum((F.col("l_quantity") < F.col("_v")).cast("long")).alias("_lt"),
+            F.sum((F.col("l_quantity") <= F.col("_v")).cast("long")).alias("_le"),
+        )
+    )
+    qcol = F.col("_d") / 10.0
+    eps = F.col("_n") / acc
+    bad = (F.col("_lt") > qcol * F.col("_n") + eps) | (
+        F.col("_le") < qcol * F.col("_n") - eps
+    )
+    return checked.agg(F.sum(bad.cast("long")).alias("violations"))
