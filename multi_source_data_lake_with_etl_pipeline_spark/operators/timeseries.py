@@ -145,12 +145,15 @@ def resample_ffill(
         F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
         F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
     )
+    # explode_outer + null filter: inner explode's inferred filter
+    # would generate the (possibly long) slot sequence twice per key
+    # (see llm_ops.dedup._distinct_shingles).
     grid = bounds.select(
         key_col,
-        F.explode(
+        F.explode_outer(
             F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
         ).alias("slot"),
-    )
+    ).filter(F.col("slot").isNotNull())
     obs = (
         df.select(key_col, slot.alias("slot"), F.col(value_col).alias("_v"))
         .groupBy(key_col, "slot")
