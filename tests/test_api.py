@@ -204,3 +204,20 @@ def test_lake_endpoints(api, spark, tmp_path_factory):
     assert body["count"] == 5
     code, body = lake_get("/api/v1/lake/history", path="/nonexistent")
     assert code in (404, 500)
+
+
+def test_sql_callable_udtf_lateral(spark):
+    """SURVEY §2.11: table-function extension surface — per-row LATERAL
+    expansion from plain SQL."""
+    from multi_source_data_lake_with_etl_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs_v")
+    rows = spark.sql(
+        "SELECT d.doc_id, g.pos, g.gram "
+        "FROM udtf_docs_v d, LATERAL ngram_windows(d.text, 3) g "
+        "ORDER BY doc_id, pos"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 0, "a b c"), (1, 1, "b c d")]
