@@ -201,3 +201,29 @@ class TestChunking:
         df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
         with _pytest.raises(ValueError):
             chunk_words(df, chunk_size=10, overlap=10)
+
+
+def test_cc_distributed_large_path_graphs(spark):
+    """Distributed label propagation at real volume: 10 disjoint path
+    graphs of 1,000 nodes each (diameter 999 — the worst case for
+    label propagation; pointer jumping must converge in ~log2 rounds,
+    not 999). Forces the distributed path and checks every component
+    label."""
+    from pyspark.sql import functions as F
+
+    # edges (i, i+10): the residue classes mod 10 form 10 disjoint
+    # 1000-node paths over nodes 0..9999
+    e = spark.range(0, 9990).select(
+        F.col("id").alias("id_1"), (F.col("id") + 10).alias("id_2")
+    )
+    out = connected_components(e, small_graph_edges=0)
+    agg = (
+        out.groupBy("component")
+        .count()
+        .orderBy("component")
+        .collect()
+    )
+    # components are labeled by their minimum node: 0..9, 1000 each
+    assert [(r["component"], r["count"]) for r in agg] == [
+        (i, 1000) for i in range(10)
+    ]
