@@ -162,25 +162,58 @@ def salted_join(
     return out.drop("_salt")
 
 
-def _deletion_neighborhood(c: Column) -> Column:
-    """FastSS/SymSpell 1-deletion neighborhood as 8-byte hashes: the
-    string itself plus every string formed by deleting one character.
-    Two strings are within edit distance 1 (insert/delete/substitute)
-    iff their neighborhoods intersect — substitution at i ⇒ both
-    i-deletions agree; insertion ⇒ one side's deletion equals the
-    other string itself. Hashing (xxhash64) keeps the exploded join
-    key at 8 bytes instead of a near-copy of the string; hash false
-    positives are removed by the exact levenshtein verify."""
-    full = F.array(F.xxhash64(c))
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.xxhash64(
-            F.concat(c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c)))
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.length(c) > 0, F.concat(full, dels)).otherwise(full)
-    )
+def _deletion_neighborhood(c: Column, max_dist: int = 1) -> Column:
+    """FastSS/SymSpell deletion neighborhood as 8-byte hashes: the
+    string itself plus every string formed by deleting up to
+    ``max_dist`` characters. For any edit script of ≤ k operations
+    there exist ≤ k deletions on EACH side reaching a common string
+    (substitution at i ⇒ both i-deletions agree; an insertion ⇒ one
+    side deletes it), so neighborhood intersection is a COMPLETE
+    candidate rule for edit distance ≤ k; it over-generates (deleting
+    k from both sides can bridge up to 2k), which the exact
+    levenshtein verify removes. Hashing (xxhash64) keeps the exploded
+    join key at 8 bytes instead of a near-copy of the string; hash
+    false positives die in the same verify. Sizes per string of
+    length n: 1 + n (k=1), + n(n-1)/2 (k=2)."""
+    if max_dist not in (1, 2):
+        raise ValueError("deletion neighborhood supports max_dist 1 or 2")
+    n = F.length(c)
+    empty = F.array().cast("array<bigint>")
+
+    def del1(i: Column) -> Column:
+        return F.concat(c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), n))
+
+    parts = [
+        F.array(F.xxhash64(c)),
+        F.when(
+            n > 0,
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(del1(i))),
+        ).otherwise(empty),
+    ]
+    if max_dist >= 2:
+
+        def del2(i: Column, j: Column) -> Column:
+            return F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), j - i - F.lit(1)),
+                c.substr(j + F.lit(1), n),
+            )
+
+        parts.append(
+            F.when(
+                n >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + F.lit(1), n),
+                            lambda j: F.xxhash64(del2(i, j)),
+                        ),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    return F.array_distinct(F.concat(*parts))
 
 
 def fuzzy_join(
@@ -209,19 +242,20 @@ def fuzzy_join(
 
     ``method``:
 
-    - ``"neighborhood"`` (the ``"auto"`` pick for ``max_dist == 1``):
+    - ``"neighborhood"`` (the ``"auto"`` pick for ``max_dist <= 2``):
       FastSS deletion-neighborhood join. Each side explodes to
-      ``len+1`` 8-byte hashes; candidates are equality matches on
-      ``(block_on…, variant)`` — O(N·len) exploded rows and only
-      near-identical strings ever meet, instead of the block-quadratic
-      compare-everything of the blocked path. This is the shape that
-      survives a hot block (a 1M-row block is 1M·len variants, not
-      10¹² comparisons). Exact: candidate recall is total for
-      edit distance ≤ 1, and an exact levenshtein verify removes hash
-      false positives. Candidate pairs are deduplicated over ALL
-      output columns (identical strings collide on every variant), so
-      duplicate input ROWS collapse to one pair — make rows unique
-      (e.g. carry an id) if bag semantics matter.
+      ``len+1`` (k=1) or ``O(len²/2)`` (k=2) 8-byte hashes; candidates
+      are equality matches on ``(block_on…, variant)`` — O(N·lenᵏ)
+      exploded rows and only near-identical strings ever meet, instead
+      of the block-quadratic compare-everything of the blocked path.
+      This is the shape that survives a hot block (a 1M-row block is
+      1M·len variants, not 10¹² comparisons). Exact: candidate recall
+      is total for edit distance ≤ k, and an exact levenshtein verify
+      removes over-generation and hash false positives. Candidate
+      pairs are deduplicated over ALL output columns (identical
+      strings collide on every variant), so duplicate input ROWS
+      collapse to one pair — make rows unique (e.g. carry an id) if
+      bag semantics matter.
     - ``"block"``: join on ``block_on`` alone, length-band pre-filter,
       exact levenshtein on every surviving in-block pair. Correct for
       any ``max_dist``; quadratic in block size.
@@ -229,19 +263,19 @@ def fuzzy_join(
     blocks = [block_on] if isinstance(block_on, str) else list(block_on)
     lc, rc = F.col(left_col), F.col(right_col)
     if method == "auto":
-        method = "neighborhood" if max_dist == 1 else "block"
+        method = "neighborhood" if max_dist in (1, 2) else "block"
     if method == "neighborhood":
-        if max_dist != 1:
-            raise ValueError("neighborhood method implements max_dist=1 only")
+        if max_dist not in (1, 2):
+            raise ValueError("neighborhood method implements max_dist 1 or 2")
         # explode_outer + null filter: inner explode's inferred filter
         # would inline the whole neighborhood expression twice (see
         # llm_ops.dedup._distinct_shingles). The neighborhood is never
         # empty for non-null input, so no rows are lost.
         lv = left.filter(lc.isNotNull()).withColumn(
-            "_fv", F.explode_outer(_deletion_neighborhood(lc))
+            "_fv", F.explode_outer(_deletion_neighborhood(lc, max_dist))
         ).filter(F.col("_fv").isNotNull())
         rv = right.filter(rc.isNotNull()).withColumn(
-            "_fv", F.explode_outer(_deletion_neighborhood(rc))
+            "_fv", F.explode_outer(_deletion_neighborhood(rc, max_dist))
         ).filter(F.col("_fv").isNotNull())
         cand = lv.join(rv, [*blocks, "_fv"]).drop("_fv").dropDuplicates()
         return cand.withColumn(dist_name, F.levenshtein(lc, rc)).filter(

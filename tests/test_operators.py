@@ -536,3 +536,46 @@ class TestKsDrift:
         b = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
         r = ks_drift(a, b, "v").first()
         assert r.ks_scaled == 3 and abs(r.ks - 1 / 3) < 1e-6
+
+
+class TestFuzzyJoinDist2:
+    def test_neighborhood_k2_equals_block(self, spark):
+        """k=2 deletion-neighborhood candidates must reproduce the
+        exhaustive blocked join exactly across two-substitution,
+        insert+delete, double-insert, and double-delete cases."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import fuzzy_join
+
+        names = [
+            "customer_017",
+            "customer_997",    # two substitutions (dist 2)
+            "custmer_17",      # two deletions (dist 2)
+            "customer_x017y",  # two insertions (dist 2)
+            "custmer_917",     # one deletion + one substitution (dist 2)
+            "customer_017__",  # two appended chars (dist 2)
+            "cXstomer_01Z",    # dist 2
+            "cXsYomer_01Z",    # dist 3 from base — must NOT pair with it
+            "zz",              # unrelated
+            "",                # empty
+            "ab",              # dist 2 from "" (two inserts)
+        ]
+        a = spark.createDataFrame(
+            [(i, s, "blk") for i, s in enumerate(names)],
+            "id_1 long, n1 string, blk string",
+        )
+        b = spark.createDataFrame(
+            [(100 + i, s, "blk") for i, s in enumerate(names)],
+            "id_2 long, n2 string, blk string",
+        )
+
+        def run(method):
+            return {
+                (r.id_1, r.id_2, r.edit_dist)
+                for r in fuzzy_join(
+                    a, b, "blk", "n1", "n2", max_dist=2, method=method
+                ).collect()
+            }
+
+        fast, exhaustive = run("neighborhood"), run("block")
+        assert fast == exhaustive
+        assert (0, 101, 2) in fast and (0, 107, 2) not in fast
+        assert (9, 110, 2) in fast  # "" vs "ab"
