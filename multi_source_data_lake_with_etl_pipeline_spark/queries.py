@@ -5594,3 +5594,85 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_le") < qcol * F.col("_n") - eps
     )
     return checked.agg(F.sum(bad.cast("long")).alias("violations"))
+
+
+# kNN label-propagation evaluation over the embedding space: a held-
+# out query slice (vec_id % 25 == 0) is classified by majority vote of
+# its 5 nearest references (cosine, 4dp rank key + id tie-break —
+# deterministic cross-engine ranking), scored against the true label.
+# The weak-supervision quality-label bootstrap in one oracled query.
+@register(
+    "knn_label_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    r AS (
+      SELECT vec_id AS rid, embedding AS rv, label AS rlabel
+      FROM embeddings WHERE vec_id % 25 <> 0
+    ),
+    scored AS (
+      SELECT qid, qlabel, rid, rlabel,
+             round(list_dot_product(qv, rv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(rv, rv))), 4) AS cos_sim
+      FROM q CROSS JOIN r
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos_sim DESC, rid) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT qid, qlabel, rlabel, count(*) AS n
+      FROM top GROUP BY qid, qlabel, rlabel
+    ),
+    pred AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY n DESC, rlabel) AS pk
+        FROM votes
+      ) WHERE pk = 1
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM pred GROUP BY qlabel
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .llm_ops.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    r = e.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("rv"),
+        F.col("label").alias("rlabel"),
+    )
+    scored = q.crossJoin(r).select(
+        "qid",
+        "qlabel",
+        "rid",
+        "rlabel",
+        F.round(cosine(F.col("qv"), F.col("rv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "rid")
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    votes = top.groupBy("qid", "qlabel", "rlabel").agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("n"), "rlabel")
+    pred = votes.withColumn("pk", F.row_number().over(w2)).filter(F.col("pk") == 1)
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("rlabel") == F.col("qlabel")).cast("long")).alias("n_correct"),
+    )
