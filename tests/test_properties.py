@@ -205,3 +205,60 @@ def test_repetition_bounds(spark, texts):
         assert r.rep_distinct_ngrams <= r.rep_total_ngrams
         if r.rep_total_ngrams == 0:
             assert r.rep_ratio_bp == 0 and r.rep_top_share_bp == 0
+
+
+def test_fuzzy_neighborhood_randomized_vs_block(spark):
+    """Randomized cross-check: deletion-neighborhood candidates (k=1
+    and k=2) must reproduce the exhaustive blocked join on a corpus of
+    random strings with planted random edits (substitute / insert /
+    delete chains), including cross-block isolation."""
+    import random
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(42)
+    alphabet = "abcdefg"
+
+    def mutate(s: str) -> str:
+        ops = ["sub", "ins", "del"] if s else ["ins"]
+        op = rng.choice(ops)
+        i = rng.randrange(len(s) + (op == "ins"))
+        if op == "sub":
+            return s[:i] + rng.choice(alphabet) + s[i + 1 :]
+        if op == "ins":
+            return s[:i] + rng.choice(alphabet) + s[i:]
+        return s[:i] + s[i + 1 :]
+
+    names = []
+    for b in range(3):  # three blocks
+        for _ in range(12):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 10)))
+            names.append((s, f"blk{b}"))
+            m = s
+            for _ in range(rng.randrange(0, 3)):  # 0-2 planted edits
+                m = mutate(m)
+            names.append((m, f"blk{b}"))
+
+    a = spark.createDataFrame(
+        [(i, s, blk) for i, (s, blk) in enumerate(names)],
+        "id_1 long, n1 string, blk string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, s, blk) for i, (s, blk) in enumerate(names)],
+        "id_2 long, n2 string, blk string",
+    )
+    for k in (1, 2):
+        fast = {
+            (r.id_1, r.id_2, r.edit_dist)
+            for r in fuzzy_join(
+                a, b, "blk", "n1", "n2", max_dist=k, method="neighborhood"
+            ).collect()
+        }
+        exhaustive = {
+            (r.id_1, r.id_2, r.edit_dist)
+            for r in fuzzy_join(
+                a, b, "blk", "n1", "n2", max_dist=k, method="block"
+            ).collect()
+        }
+        assert fast == exhaustive, f"k={k} mismatch"
+        assert fast  # planted edits guarantee matches
