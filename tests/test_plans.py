@@ -432,3 +432,71 @@ def test_shingle_explode_no_inferred_filter_tax(spark):
     for line in final.splitlines():
         if "Condition" in line:  # the only Filter is on the generated key
             assert "split(" not in line and "xxhash64" not in line
+
+
+class TestPlanLint:
+    """plans/lint.py: the generic screen for 100 TB anti-patterns."""
+
+    def test_cartesian_flagged_broadcast_not(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 1000).select(F.col("id").alias("x"))
+        b = spark.range(0, 1000).select(F.col("id").alias("y"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            codes = [f.code for f in lint_plan(a.crossJoin(b))]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "cartesian" in codes
+        # broadcast cross join is the sanctioned shape — clean
+        assert [f.code for f in lint_plan(a.crossJoin(F.broadcast(b)))] == []
+
+    def test_python_udf_flagged_arrow_not(self, spark):
+        from pyspark.sql.functions import pandas_udf, udf
+
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 100).select(F.col("id").alias("x"))
+        slow = udf(lambda x: x + 1, "long")
+        assert [f.code for f in lint_plan(a.select(slow("x")))] == ["python-udf"]
+
+        @pandas_udf("long")
+        def fast(s):
+            return s + 1
+
+        assert [f.code for f in lint_plan(a.select(fast("x")))] == []
+
+    def test_global_window_flagged_partitioned_not(self, spark):
+        from pyspark.sql import Window
+
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 100).select(F.col("id").alias("x"), (F.col("id") % 5).alias("g"))
+        bad = a.select(F.row_number().over(Window.orderBy("x")).alias("r"))
+        assert [f.code for f in lint_plan(bad)] == ["global-window"]
+        ok = a.select(F.row_number().over(Window.partitionBy("g").orderBy("x")).alias("r"))
+        assert [f.code for f in lint_plan(ok)] == []
+
+    def test_mega_filter_flagged_and_fixed_shape_clean(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.dedup import (
+            _distinct_shingles,
+            _shingle_set_table,
+        )
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        d = load_table(spark, SF_SMOKE, "documents")
+        # the pre-round-3 shape: inner explode of the shingle HOF
+        bad = _shingle_set_table(d, "text", "doc_id", 3).select(
+            "doc_id", F.explode("_sh").alias("_sk")
+        )
+        assert "mega-filter" in [f.code for f in lint_plan(bad)]
+        # the shipped shape is clean
+        assert [f.code for f in lint_plan(_distinct_shingles(d, "text", "doc_id", 3))] == []
+
+    def test_registered_flagship_queries_clean(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        for name in ["pricing_summary", "regional_revenue", "near_dup_pairs_jaccard"]:
+            df = q.spark_queries()[name](spark, SF_SMOKE)
+            assert [f.code for f in lint_plan(df)] == [], name
