@@ -5660,7 +5660,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("rv"),
         F.col("label").alias("rlabel"),
     )
-    scored = q.crossJoin(r).select(
+    # The query slice is tiny and the reference side is the corpus:
+    # broadcast the queries so scoring is one shuffle-free scan of r.
+    scored = F.broadcast(q).crossJoin(r).select(
         "qid",
         "qlabel",
         "rid",
