@@ -5678,3 +5678,37 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum((F.col("rlabel") == F.col("qlabel")).cast("long")).alias("n_correct"),
     )
+
+
+# TPC-H Q16-shaped: distinct supplier counts per part (brand, type,
+# size) over observed shipments, excluding a supplier denylist via
+# NOT IN (anti-join). partsupp doesn't exist in this lake; lineitem's
+# (partkey, suppkey) pairs are the observed relation.
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 7, 14, 23)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 7, 14, 23))
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
