@@ -500,3 +500,41 @@ class TestPlanLint:
         for name in ["pricing_summary", "regional_revenue", "near_dup_pairs_jaccard"]:
             df = q.spark_queries()[name](spark, SF_SMOKE)
             assert [f.code for f in lint_plan(df)] == [], name
+
+
+def test_weighted_sample_single_window_exchange(spark):
+    """A-ES draw = one hash-partition exchange for the per-group
+    window; the md5-uniform decode stays a pure projection."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.packing import with_token_counts
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = with_token_counts(load_table(spark, SF_SMOKE, "documents"))
+    out = weighted_sample_per_group(
+        d.select("doc_id", "source", "n_tokens"), ["source"], "doc_id", "n_tokens", 5
+    )
+    txt = plan_text(out).split("== Initial Plan ==")[0]
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", txt)) == 1
+    # map-side top-k pushdown: partial WindowGroupLimit BELOW the
+    # exchange prunes each partition to k rows before shuffling
+    assert "WindowGroupLimit" in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_ks_drift_single_global_sort(spark):
+    """Exact KS needs exactly one global ordering (documented as the
+    small-sample audit; PSI is the scale path) — and nothing else."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import ks_drift
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    out = ks_drift(
+        o.filter("o_orderstatus = 'F'").select("o_totalprice"),
+        o.filter("o_orderstatus = 'O'").select("o_totalprice"),
+        "o_totalprice",
+    )
+    txt = plan_text(out).split("== Initial Plan ==")[0]
+    assert txt.count("Exchange SinglePartition") <= 2  # window + final agg
+    assert "SortMergeJoin" not in txt and "BatchEvalPython" not in txt
