@@ -5712,3 +5712,50 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# Winsorized robust aggregation: clip per-group at the exact
+# interpolated [p05, p95] then aggregate — the outlier-insensitive
+# rollup a metrics pipeline uses when raw sums are hostage to tails.
+# Two passes (bounds, then clipped agg with the bounds broadcast);
+# per-row floor-to-cents before summing keeps the result integer-exact
+# across engines (double sums are addition-order-dependent).
+@register(
+    "winsorized_price_rollup",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(sum(CAST(floor(least(greatest(l_extendedprice, p05), p95) * 100)
+                         AS BIGINT)) AS BIGINT) AS win_sum_cents
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorized_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clip = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("p05")).cast("long")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("l_extendedprice") > F.col("p95")).cast("long")).alias(
+            "n_clipped_high"
+        ),
+        F.sum(F.floor(clip * 100).cast("long")).alias("win_sum_cents"),
+    )
