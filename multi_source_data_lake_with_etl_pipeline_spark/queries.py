@@ -5597,7 +5597,7 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # kNN label-propagation evaluation over the embedding space: a held-
-# out query slice (vec_id % 25 == 0) is classified by majority vote of
+# out query slice (vec_id % 50 == 0) is classified by majority vote of
 # its 5 nearest references (cosine, 4dp rank key + id tie-break —
 # deterministic cross-engine ranking), scored against the true label.
 # The weak-supervision quality-label bootstrap in one oracled query.
@@ -5606,11 +5606,11 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-      FROM embeddings WHERE vec_id % 25 = 0
+      FROM embeddings WHERE vec_id % 50 = 0
     ),
     r AS (
       SELECT vec_id AS rid, embedding AS rv, label AS rlabel
-      FROM embeddings WHERE vec_id % 25 <> 0
+      FROM embeddings WHERE vec_id % 50 <> 0
     ),
     scored AS (
       SELECT qid, qlabel, rid, rlabel,
@@ -5650,12 +5650,12 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.similarity import cosine
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 25 == 0).select(
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
     )
-    r = e.filter(F.col("vec_id") % 25 != 0).select(
+    r = e.filter(F.col("vec_id") % 50 != 0).select(
         F.col("vec_id").alias("rid"),
         F.col("embedding").alias("rv"),
         F.col("label").alias("rlabel"),
