@@ -57,27 +57,48 @@ def register(name: str, oracle: str | None):
 # the same harness at sf0.001 in CI).
 
 
-def _driver_checked() -> set[str]:
+def _driver_checked() -> tuple[set[str], set[str]]:
+    """Names the external harness has recorded, split into (passed,
+    failed). A query counts as *passed* only if its LATEST recorded row
+    has rows/schema/hash all true, or is a by-design ``no_oracle``
+    rows-only row; anything with an explicit false stays *failed* so
+    the rotation re-serves it after a fix (otherwise a red row would be
+    pushed out of the 50-entry window forever and never re-verified)."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                for name, row in json.load(fh).items():
+                    latest[name] = row if isinstance(row, dict) else {}
         except Exception:  # unreadable snapshot — skip, never break queries()
             pass
-    return seen
+    passed: set[str] = set()
+    failed: set[str] = set()
+    for name, row in latest.items():
+        matches = [row.get("rows_match"), row.get("schema_match"), row.get("hash_match")]
+        if any(m is False for m in matches):
+            failed.add(name)
+        else:  # all-true green row, or no_oracle rows-only row
+            passed.add(name)
+    return passed, failed
 
 
 def _ordered_names() -> list[str]:
-    seen = _driver_checked()
+    passed, failed = _driver_checked()
+    seen = passed | failed
+    # Window priority: previously-FAILED oracled queries first (so the
+    # external harness re-verifies fixes), then never-checked oracled
+    # queries in registration order, then everything already green.
+    refresh = [n for n in _REGISTRY if n in failed and _REGISTRY[n][1] is not None]
     fresh = [n for n in _REGISTRY if n not in seen and _REGISTRY[n][1] is not None]
-    rest = [n for n in _REGISTRY if n not in set(fresh)]
-    return fresh + rest
+    head = refresh + fresh
+    rest = [n for n in _REGISTRY if n not in set(head)]
+    return head + rest
 
 
 def spark_queries() -> dict[str, QueryFn]:
@@ -2860,8 +2881,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     )
     SELECT doc_id, source, n_tokens,
-           s // 2048 AS seq_id,
-           s % 2048 AS seq_offset,
+           CAST(s // 2048 AS BIGINT) AS seq_id,
+           CAST(s % 2048 AS BIGINT) AS seq_offset,
            (s % 2048) + n_tokens > 2048 AS spans_cut
     FROM c
     """,

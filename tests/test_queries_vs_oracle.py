@@ -27,10 +27,11 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 def test_driver_window_rotation_contract():
     """The external correctness harness snapshots the FIRST 50 registry
-    entries; the rotation must fill that window with oracled queries
-    that no committed CORRECTNESS_r*.json has seen yet (while any
-    remain), so each round contributes 50 fresh externally-checked
-    rows."""
+    entries; the rotation must fill that window with (a) oracled
+    queries whose LATEST committed CORRECTNESS_r*.json row FAILED (so
+    fixes get re-verified externally), then (b) oracled queries no
+    snapshot has seen yet — so each round contributes 50 externally
+    meaningful rows."""
     import glob
     import json
     import os
@@ -38,12 +39,27 @@ def test_driver_window_rotation_contract():
     names = list(q.spark_queries())
     oracled = set(q.oracle_queries())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        seen |= set(json.load(open(p)))
-    fresh_available = [n for n in names if n in oracled and n not in seen]
-    window = names[: min(50, len(fresh_available))]
+    latest: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(p)).items():
+            latest[name] = row if isinstance(row, dict) else {}
+    failed = {
+        n
+        for n, row in latest.items()
+        if any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    }
+    refresh = [n for n in names if n in failed and n in oracled]
+    fresh = [n for n in names if n in oracled and n not in latest]
+    head_available = refresh + fresh
+    window = names[: min(50, len(head_available))]
     assert all(n in oracled for n in window)
-    assert all(n not in seen for n in window)
+    # failed queries lead the window; the rest of the window is unseen
+    assert window[: len([n for n in window if n in failed])] == [
+        n for n in window if n in failed
+    ]
+    assert all(n in failed or n not in latest for n in window)
     # and nothing is lost: the full registry is still served
     assert set(names) == set(q.spark_queries())
