@@ -105,11 +105,23 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    detail_ref: str | None = "BENCH_DETAIL.json"
     try:
         with open(detail_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    except OSError as exc:
+        # Never advertise a detail file that wasn't written — a stale
+        # side file silently misrepresenting the run is worse than none.
+        detail_ref = None
+        full_err = f"{type(exc).__name__}: {exc}"[:120]
+        print(f"bench: BENCH_DETAIL write failed: {full_err}", file=sys.stderr)
+    # Invariant/audit queries deliberately run an operator TWICE
+    # (operator + independent verification); their cost is audit
+    # overhead, not engine throughput. Split it out so round-over-round
+    # comparisons can separate workload changes from engine changes.
+    audit_sec = round(
+        sum(t for n, t in timings.items() if n.endswith("_invariant")), 4
+    )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     while True:
         payload = {
@@ -119,9 +131,12 @@ def main() -> None:
             "queries": slowest,
             "n_queries": len(timings),
             "n_failed": len(failures),
-            "detail": "BENCH_DETAIL.json",
+            "audit_sec": audit_sec,
+            "detail": detail_ref,
             "sf": sf_val,
         }
+        if failures:  # few and critical — names belong on stdout
+            payload["failed"] = sorted(failures)[:10]
         line = json.dumps(payload)
         if len(line) <= 1800 or not slowest:
             break

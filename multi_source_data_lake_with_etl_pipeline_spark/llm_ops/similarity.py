@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -720,4 +720,73 @@ def ann_ivfpq_probe(
         .select(id_col, F.round(dist, 6).alias("pq_dist"))
         .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    q_vec: str = "qv",
+    c_vec: str = "rv",
+    q_id: str = "qid",
+    c_id: str = "rid",
+) -> DataFrame:
+    """Batch ANN kNN join: every query row gets its top-``k`` corpus
+    neighbors WITHOUT a query×corpus cross join.
+
+    IVF shape: corpus rows are assigned to their nearest centroid,
+    each query probes its ``nprobe`` nearest centroids, and candidates
+    meet on an EQUALITY join over the centroid id — per-query work is
+    the probed posting lists (~nprobe/m of the corpus), not the corpus.
+    An exact cosine re-rank of the candidates picks the final top-k
+    (4-decimal rank key + id tiebreak — deterministic cross-engine).
+
+    Everything is JVM column expressions (the HOF cosine fold), so
+    emitted similarities are bit-comparable with a SQL replay of the
+    same plan — this is the oracle-exact batch path; single-query
+    probes over a materialized index use `ann_ivf_probe`
+    (partition-pruned) and the Arrow assignment (`ivf_assign_arrow`)
+    is the throughput variant when 1e-16 summation drift is acceptable.
+
+    At 100 TB: m grows ~√N (train with `kmeans`), the corpus
+    assignment is written once via `ivf_build` (partitionBy centroid →
+    probing = partition pruning), and this join's shuffle moves only
+    (centroid, vector) pairs — the candidate join is the only wide op.
+    Recall is the nprobe/m lever; precision of the emitted ranks is
+    exact over the probed set. Ascending-cid centroid order is the
+    documented tie-break (rounded similarity ties pick the lowest id).
+    """
+    cents = sorted(centroids)
+    sims_of = lambda col: [  # noqa: E731 — tiny local alias
+        F.struct(
+            F.round(cosine(F.col(col), _lit_vec(v)), 4).alias("c"),
+            F.lit(-cid).alias("n"),
+        )
+        for cid, v in cents
+    ]
+    # sort_array desc over (sim, -cid): highest sim first, then lowest
+    # cid — mirrors SQL `ORDER BY sim DESC, cid ASC`.
+    best = lambda col, take: F.slice(  # noqa: E731
+        F.sort_array(F.array(*sims_of(col)), asc=False), 1, take
+    )
+    corp = corpus.withColumn(
+        "_cid", -F.element_at(best(c_vec, 1), 1)["n"]
+    )
+    probes = queries.withColumn(
+        "_p", F.explode(best(q_vec, nprobe))
+    ).withColumn("_cid", -F.col("_p.n")).drop("_p")
+    cand = probes.join(corp, "_cid").drop("_cid")
+    w = Window.partitionBy(q_id).orderBy(
+        F.desc("cos_sim"), F.asc(c_id)
+    )
+    return (
+        cand.withColumn(
+            "cos_sim", F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop(q_vec, c_vec)
     )

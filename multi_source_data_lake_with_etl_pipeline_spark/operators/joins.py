@@ -251,11 +251,13 @@ def fuzzy_join(
       This is the shape that survives a hot block (a 1M-row block is
       1M·len variants, not 10¹² comparisons). Exact: candidate recall
       is total for edit distance ≤ k, and an exact levenshtein verify
-      removes over-generation and hash false positives. Candidate
-      pairs are deduplicated over ALL output columns (identical
-      strings collide on every variant), so duplicate input ROWS
-      collapse to one pair — make rows unique (e.g. carry an id) if
-      bag semantics matter.
+      removes over-generation and hash false positives. A candidate
+      pair is identified by synthetic per-side row ids assigned BEFORE
+      the variant explode, so a pair that collides on several shared
+      variants still emits once per (left row, right row) — exact bag
+      semantics, identical to the ``"block"`` path even when input
+      rows are fully duplicated, and the dedup keys are plain longs so
+      carried columns may be any type (maps included).
     - ``"block"``: join on ``block_on`` alone, length-band pre-filter,
       exact levenshtein on every surviving in-block pair. Correct for
       any ``max_dist``; quadratic in block size.
@@ -271,13 +273,29 @@ def fuzzy_join(
         # would inline the whole neighborhood expression twice (see
         # llm_ops.dedup._distinct_shingles). The neighborhood is never
         # empty for non-null input, so no rows are lost.
-        lv = left.filter(lc.isNotNull()).withColumn(
-            "_fv", F.explode_outer(_deletion_neighborhood(lc, max_dist))
-        ).filter(F.col("_fv").isNotNull())
-        rv = right.filter(rc.isNotNull()).withColumn(
-            "_fv", F.explode_outer(_deletion_neighborhood(rc, max_dist))
-        ).filter(F.col("_fv").isNotNull())
-        cand = lv.join(rv, [*blocks, "_fv"]).drop("_fv").dropDuplicates()
+        # Row ids are assigned before the explode so every variant of a
+        # row carries the same id; dedup on (left id, right id) emits
+        # each candidate ROW pair exactly once (bag semantics) no
+        # matter how many deletion variants it collided on, and keeps
+        # the dedup keys orderable regardless of carried column types.
+        lv = (
+            left.filter(lc.isNotNull())
+            .withColumn("_lid", F.monotonically_increasing_id())
+            .withColumn("_fv", F.explode_outer(_deletion_neighborhood(lc, max_dist)))
+            .filter(F.col("_fv").isNotNull())
+        )
+        rv = (
+            right.filter(rc.isNotNull())
+            .withColumn("_rid", F.monotonically_increasing_id())
+            .withColumn("_fv", F.explode_outer(_deletion_neighborhood(rc, max_dist)))
+            .filter(F.col("_fv").isNotNull())
+        )
+        cand = (
+            lv.join(rv, [*blocks, "_fv"])
+            .drop("_fv")
+            .dropDuplicates(["_lid", "_rid"])
+            .drop("_lid", "_rid")
+        )
         return cand.withColumn(dist_name, F.levenshtein(lc, rc)).filter(
             F.col(dist_name) <= max_dist
         )

@@ -259,11 +259,16 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str) -> DataFrame:
     a single-task sort at the limit. This is the exact small/medium-
     sample audit (drift investigations, CI gates on holdout slices);
     for always-on 100 TB monitoring use `psi_drift`, whose fixed
-    buckets keep everything partial-aggregatable."""
-    u = df_a.select(
+    buckets keep everything partial-aggregatable.
+
+    NULLs carry no distribution information and are dropped from both
+    samples (they would otherwise sort first in the window and inflate
+    every subsequent cumulative count, skewing both the statistic and
+    n_a/n_b)."""
+    u = df_a.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("_v"), F.lit(1).alias("_a"), F.lit(0).alias("_b")
     ).unionAll(
-        df_b.select(
+        df_b.filter(F.col(value_col).isNotNull()).select(
             F.col(value_col).alias("_v"), F.lit(0).alias("_a"), F.lit(1).alias("_b")
         )
     )

@@ -2247,10 +2247,11 @@ def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.dedup import _shingle_set_table, minhash_lsh_pairs
 
-    # Audit slice (full coverage at the external check's sf0.01 scale):
-    # the parity claim is algorithmic, not corpus-sized — the uncapped
+    # Audit slice: a fixed 30% FRACTION of the corpus (doc_id % 10 < 3)
+    # so the parity claim scales with sf instead of silently shrinking
+    # to a constant-size sample at larger corpora — the uncapped
     # pipeline is benched separately as minhash_lsh_neardup.
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
     # Persist + eagerly materialize the (small) pair set: the two
     # verification joins below otherwise re-execute the entire LSH
     # DAG once per broadcast build.
@@ -2313,9 +2314,10 @@ def ann_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.dedup import simhash_pairs, simhash_signatures
 
-    # Audit slice — see minhash_lsh_invariant; simhash_neardup benches
-    # the uncapped pipeline.
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    # Audit slice — fixed 30% fraction, scales with sf (see
+    # minhash_lsh_invariant); simhash_neardup benches the uncapped
+    # pipeline.
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
     pairs = simhash_pairs(d, max_hamming=3).persist()
     pairs.count()
     # Recompute signatures only for pair participants (semi-join
@@ -4281,22 +4283,25 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
         minhash_lsh_pairs,
     )
 
-    # The audit runs THREE full LSH pipelines; sample the corpus to
-    # bound bench cost (covers the whole table at the driver's sf0.01
-    # scale — 500 docs — so the correctness gate sees it uncapped; the
-    # operator itself has no cap).
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    base = d.filter(F.col("doc_id") < 250)
-    delta = d.filter(F.col("doc_id") >= 250)
+    # The audit runs THREE full LSH pipelines; take a fixed 20%
+    # FRACTION of the corpus (scales with sf, never a constant-size
+    # sample) split 50/50 into base and delta. The operator itself has
+    # no cap.
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 2)
+    base = d.filter(F.col("doc_id") % 10 == 0)
+    delta = d.filter(F.col("doc_id") % 10 == 1)
     idx = tempfile.mkdtemp(prefix="mh_idx_") + "/index"
     minhash_index_build(base, idx)
     inc = minhash_lsh_incremental(delta, base, idx, append=False).persist()
     inc.count()
     # Signatures are row-local, so pairs(base) ≡ batch pairs with BOTH
-    # ids under the boundary — no third pipeline run needed; parity
-    # reduces to: incremental == batch pairs straddling-or-inside delta
-    # (id_1 < id_2 makes that exactly id_2 >= boundary).
-    batch_delta = minhash_lsh_pairs(d).filter(F.col("id_2") >= 250).persist()
+    # ids in base — no third pipeline run needed; parity reduces to:
+    # incremental == batch pairs with at least one delta-side id.
+    batch_delta = (
+        minhash_lsh_pairs(d)
+        .filter((F.col("id_1") % 10 == 1) | (F.col("id_2") % 10 == 1))
+        .persist()
+    )
     batch_delta.count()
     keys = ["id_1", "id_2", "jaccard"]
     missing = batch_delta.join(inc, keys, "left_anti").count()
@@ -5200,11 +5205,10 @@ def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_span_profile,
     )
 
-    # Audit corpus capped like minhash_incremental_invariant: the
-    # driver's sf0.01 scale (500 docs) is fully covered, while the
-    # bench pays for the THREE span pipelines the parity check needs
-    # on a bounded slice rather than the whole sf0.1 corpus.
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    # Audit corpus: fixed 30% fraction so the parity check scales with
+    # sf (the bench pays for the THREE span pipelines the check needs
+    # on that fraction rather than the whole corpus).
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
     new = d.filter(F.col("doc_id") % 5 == 0)
     base = d.filter(F.col("doc_id") % 5 != 0)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -5519,7 +5523,8 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice AS v,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
              CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b
-      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL
     ),
     c AS (
       SELECT sum(a) OVER (ORDER BY v) AS ca,
@@ -5618,14 +5623,27 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # kNN label-propagation evaluation over the embedding space: a held-
-# out query slice (vec_id % 50 == 0) is classified by majority vote of
-# its 5 nearest references (cosine, 4dp rank key + id tie-break —
-# deterministic cross-engine ranking), scored against the true label.
-# The weak-supervision quality-label bootstrap in one oracled query.
+# out query slice (vec_id % 50 == 0, a fixed 2% fraction at any sf) is
+# classified by majority vote of its 5 nearest IVF-probed references
+# (cosine, 4dp rank key + id tie-break — deterministic cross-engine
+# ranking), scored against the true label. The neighbor search is the
+# batch `ivf_knn_join`: corpus rows assign to their nearest of 8 fixed
+# centroids (reference vectors 1..8 — deterministic, so the oracle can
+# replay them), each query probes its 2 nearest centroids, candidates
+# meet on a centroid-id EQUALITY join — never a query×corpus cross
+# join (the r3 plan scored |q|·|r| ≈ N²/50 cosines; this one scores
+# ~nprobe/m of that). The IVF probe IS the query's semantics, so the
+# oracle replays the same assignment + probe + re-rank exactly and the
+# result stays hash-checked. At 100 TB: m grows ~√N via kmeans and the
+# assignment is a written partitionBy(_centroid) index (ivf_build).
 @register(
     "knn_label_eval",
     """
-    WITH q AS (
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    q AS (
       SELECT vec_id AS qid, embedding AS qv, label AS qlabel
       FROM embeddings WHERE vec_id % 50 = 0
     ),
@@ -5633,12 +5651,29 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS rid, embedding AS rv, label AS rlabel
       FROM embeddings WHERE vec_id % 50 <> 0
     ),
+    rassign AS (
+      SELECT rid, rv, rlabel, cid, row_number() OVER (
+        PARTITION BY rid ORDER BY
+          round(list_dot_product(rv, cv)
+                / (sqrt(list_dot_product(rv, rv))
+                   * sqrt(list_dot_product(cv, cv))), 4) DESC, cid) AS rn
+      FROM r CROSS JOIN cent
+    ),
+    qprobe AS (
+      SELECT qid, qv, qlabel, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY
+          round(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv))), 4) DESC, cid) AS rn
+      FROM q CROSS JOIN cent
+    ),
     scored AS (
       SELECT qid, qlabel, rid, rlabel,
              round(list_dot_product(qv, rv)
                    / (sqrt(list_dot_product(qv, qv))
                       * sqrt(list_dot_product(rv, rv))), 4) AS cos_sim
-      FROM q CROSS JOIN r
+      FROM (SELECT * FROM qprobe WHERE rn <= 2) qp
+      JOIN (SELECT * FROM rassign WHERE rn = 1) ra USING (cid)
     ),
     top AS (
       SELECT * FROM (
@@ -5668,7 +5703,7 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .llm_ops.similarity import cosine
+    from .llm_ops.similarity import ivf_knn_join
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(
@@ -5681,17 +5716,17 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("rv"),
         F.col("label").alias("rlabel"),
     )
-    # The query slice is tiny and the reference side is the corpus:
-    # broadcast the queries so scoring is one shuffle-free scan of r.
-    scored = F.broadcast(q).crossJoin(r).select(
-        "qid",
-        "qlabel",
-        "rid",
-        "rlabel",
-        F.round(cosine(F.col("qv"), F.col("rv")), 4).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "rid")
-    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    # Fixed seed centroids (reference vectors 1..8) — bounded driver
+    # collect, replayable by the SQL oracle. Real deployments train
+    # them with `kmeans`; centroid QUALITY moves recall, never the
+    # exactness of the probe-set ranking.
+    cents = [
+        (row[0], row[1])
+        for row in e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    top = ivf_knn_join(q, r, cents, k=5, nprobe=2)
     votes = top.groupBy("qid", "qlabel", "rlabel").agg(F.count(F.lit(1)).alias("n"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("n"), "rlabel")
     pred = votes.withColumn("pk", F.row_number().over(w2)).filter(F.col("pk") == 1)
@@ -5764,9 +5799,59 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorized_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    # Exact interpolated percentiles WITHOUT Spark's exact `percentile`
+    # aggregate, whose buffer holds every group value (3 groups at
+    # 100 TB = an unbounded single-buffer sort → OOM). Instead: a
+    # value-histogram aggregation (bounded by DISTINCT prices, map-side
+    # combinable), a per-group cumulative count over the histogram (the
+    # window sorts distinct values, not rows), then the two order
+    # statistics each percentile interpolates between are picked with
+    # conditional aggregates. The interpolation reproduces Spark's
+    # Percentile.getPercentile formula bit-exactly
+    # (pos = (n-1)·p; lower·(1-rate) + higher·rate), so results are
+    # unchanged vs F.percentile — only the plan scales.
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wg = Window.partitionBy("l_returnflag")
+    wcum = wg.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+
+    def _stat(p: float, which: str):
+        # 0-based rank the percentile interpolates from (`lo`) / to
+        # (`hi`); histogram row (value v, count c, cumulative m) covers
+        # ranks [m-c, m-1], so exactly one row matches each rank.
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        k = F.floor(pos).cast("long") if which == "lo" else F.ceil(pos).cast("long")
+        hit = (F.col("_cum") - F.col("_c") <= k) & (k < F.col("_cum"))
+        return F.max(F.when(hit, F.col("l_extendedprice")))
+
+    def _interp(p: float, lo_col: str, hi_col: str):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        rate = pos - F.floor(pos).cast("double")
+        return F.col(lo_col) * (F.lit(1.0) - rate) + F.col(hi_col) * rate
+
+    bounds = (
+        cum.groupBy("l_returnflag", "_n")
+        .agg(
+            _stat(0.05, "lo").alias("_v05l"),
+            _stat(0.05, "hi").alias("_v05h"),
+            _stat(0.95, "lo").alias("_v95l"),
+            _stat(0.95, "hi").alias("_v95h"),
+        )
+        .select(
+            "l_returnflag",
+            _interp(0.05, "_v05l", "_v05h").alias("p05"),
+            _interp(0.95, "_v95l", "_v95h").alias("p95"),
+        )
     )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     clip = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))

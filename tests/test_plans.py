@@ -538,3 +538,30 @@ def test_ks_drift_single_global_sort(spark):
     txt = plan_text(out).split("== Initial Plan ==")[0]
     assert txt.count("Exchange SinglePartition") <= 2  # window + final agg
     assert "SortMergeJoin" not in txt and "BatchEvalPython" not in txt
+
+
+def test_winsorized_rollup_no_exact_percentile_buffer(spark):
+    """winsorized_price_rollup must compute its p05/p95 bounds from the
+    value-histogram + cumulative-count order statistics, never Spark's
+    exact `percentile` aggregate, whose buffer holds EVERY group value
+    (3 return flags at 100 TB = an unbounded single-buffer sort)."""
+    import multi_source_data_lake_with_etl_pipeline_spark.queries as q
+
+    out = q.spark_queries()["winsorized_price_rollup"](spark, SF_SMOKE)
+    txt = plan_text(out, "extended")
+    assert "percentile(" not in txt  # exact Percentile aggregate banned
+    # the scale path: histogram partial-aggregates before any shuffle
+    assert "partial_count" in txt or "HashAggregate" in plan_text(out)
+
+
+def test_knn_label_eval_no_corpus_crossjoin(spark):
+    """The batch kNN eval must candidate via the IVF centroid-id
+    EQUALITY join — the r3 plan broadcast the query slice into a
+    query×corpus cross join (N²/50 cosines, a 100× scale-killer)."""
+    import multi_source_data_lake_with_etl_pipeline_spark.queries as q
+
+    out = q.spark_queries()["knn_label_eval"](spark, SF_SMOKE)
+    txt = plan_text(out)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BatchEvalPython" not in txt  # HOF cosine stays JVM-side
