@@ -5865,3 +5865,184 @@ def winsorized_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.floor(clip * 100).cast("long")).alias("win_sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions (registered at the END — registration order is the
+# driver-rotation state; these serve after the round-3 backlog).
+# ---------------------------------------------------------------------------
+
+
+# Write-path round trip under the external correctness signal for the
+# first time (VERDICT r3 "What's missing" #2): an orders slice routes
+# through the L9 content rules (route_by_content: "orders"→structured,
+# "events"→semi_structured, + archive) and the L8 LoaderManager
+# (reference base_loaders.py:395-451) into parquet(partitioned) /
+# jsonl / csv (L6, base_loaders.py:281-315), is READ BACK from each
+# zone, and emits per-route aggregates. The oracle replays the same
+# slice once per route — so any row lost, duplicated, or type-mangled
+# by write→read (JSON/CSV round-tripping is where engines rot) breaks
+# the hash. Aggregates come from the READ-BACK data, never the input.
+@register(
+    "loader_roundtrip_routing",
+    """
+    WITH s AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      FROM s
+    )
+    SELECT 'structured' AS route, n_rows, sum_cents, n_cust FROM a
+    UNION ALL
+    SELECT 'semi_structured' AS route, n_rows, sum_cents, n_cust FROM a
+    UNION ALL
+    SELECT 'archive' AS route, n_rows, sum_cents, n_cust FROM a
+    """,
+)
+def loader_roundtrip_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .sinks.routing import LoaderManager, route_by_content
+
+    slice_df = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    zones = route_by_content("orders_events_feed")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"/tmp/mdl_loader_rt_{tag}"
+    zone_fmt = {
+        "structured": ("parquet", {"partition_by": ["o_orderstatus"]}),
+        "semi_structured": ("jsonl", {}),
+        "archive": ("csv", {}),
+    }
+    cfg = {
+        z: {
+            "type": "file",
+            "params": {
+                "path": f"{base}/{z}",
+                "file_format": zone_fmt[z][0],
+                "mode": "overwrite",
+                **zone_fmt[z][1],
+            },
+        }
+        for z in zones
+    }
+    res = LoaderManager().route_and_load(slice_df, cfg)
+    bad = {z: r for z, r in res.items() if r["status"] != "success"}
+    if bad:  # never hash a stale zone directory from a prior run
+        raise RuntimeError(f"loader routes failed: {bad}")
+    readers = {
+        "structured": lambda p: spark.read.parquet(p),
+        "semi_structured": lambda p: spark.read.json(p),
+        "archive": lambda p: spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(p),
+    }
+    outs = []
+    for z in zones:
+        back = readers[z](f"{base}/{z}")
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice").cast("double") * 100).cast("long")
+                ).alias("sum_cents"),
+                F.count_distinct(F.col("o_custkey").cast("long")).alias("n_cust"),
+            ).select(F.lit(z).alias("route"), "n_rows", "sum_cents", "n_cust")
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+# DAG-runner end-to-end under the external signal (VERDICT r3 missing
+# #3): the reference's 4-stage Airflow graph ([extract_postgres,
+# extract_mongodb] >> transform_validate >> load >> quality_report,
+# multi_source_ingestion_dag.py:396-397) runs through plans/scheduler
+# .run_dag — two extract branches, a validate-and-join transform, a
+# parquet load, and a report computed from the LOADED zone (so the
+# write leg is inside the hash too). The oracle replays the same
+# pipeline in SQL. Task passing is lazy DataFrames (xcom equivalent),
+# so the whole graph compiles to ONE Spark plan per action — driver
+# bookkeeping is O(#tasks), nothing row-shaped touches the scheduler.
+@register(
+    "dag_pipeline_quality_report",
+    """
+    WITH t AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus,
+             c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 0 AND o.o_orderdate IS NOT NULL
+        AND c.c_mktsegment IS NOT NULL
+    )
+    SELECT 'total_records' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+    UNION ALL
+    SELECT 'distinct_orderkeys', CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'n_segments', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'sum_cents',
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM t
+    """,
+)
+def dag_pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.scheduler import Task, run_dag
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/mdl_dag_quality_{tag}"
+
+    def transform(res):
+        o, c = res["extract_orders"], res["extract_customer"]
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .filter(
+                (F.col("o_totalprice") > 0)
+                & F.col("o_orderdate").isNotNull()
+                & F.col("c_mktsegment").isNotNull()
+            )
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                "c_mktsegment",
+            )
+        )
+
+    def load(res):
+        res["transform_validate"].write.mode("overwrite").parquet(path)
+        return path
+
+    def report(res):
+        back = spark.read.parquet(res["load"])
+        agg = back.agg(
+            F.count(F.lit(1)).alias("total_records"),
+            F.count_distinct("o_orderkey").alias("distinct_orderkeys"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        m = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"), F.col(c).cast("long").alias("value")
+                    )
+                    for c in agg.columns
+                ]
+            )
+        )
+        return agg.select(m.alias("_m")).select("_m.metric", "_m.value")
+
+    run = run_dag(
+        [
+            Task("extract_orders", lambda r: _t(spark, sf_dir, "orders")),
+            Task("extract_customer", lambda r: _t(spark, sf_dir, "customer")),
+            Task(
+                "transform_validate",
+                transform,
+                upstream=("extract_orders", "extract_customer"),
+            ),
+            Task("load", load, upstream=("transform_validate",), retries=1),
+            Task("quality_report", report, upstream=("load",)),
+        ]
+    )
+    if not run.ok:  # surface graph failures, never hash a stale zone
+        raise RuntimeError(f"dag failed: states={run.states} errors={run.errors}")
+    return run.results["quality_report"]

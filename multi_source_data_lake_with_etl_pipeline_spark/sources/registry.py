@@ -5,10 +5,12 @@
 An extractor is any ``(spark, **config) -> DataFrame`` callable keyed
 by source type. Built-ins: file, parquet_table, sql, rest_api,
 rest_api_parallel (S6 scale path), jdbc (S1 federation), mongodb
-(S2/S8 federation via the DSv2 connector's option surface — Influx has
-no public Spark connector, so its time-range scan stays the lake-table
-path; live servers are out of scope for the parquet-lake test harness,
-SURVEY.md §4.3.4).
+(S2/S8 federation via the DSv2 connector's option surface), influx
+(S3 federation via the Flux query builder + injectable reader — no
+public Spark connector exists, so live reads go through the client
+shim while lake-side range scans use influx_lake_scan / the
+timeseries operators; live servers are out of scope for the
+parquet-lake test harness, SURVEY.md §4.3.4).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from .files import read_file
+from .influx import influx_extract
 from .jdbc import jdbc_extract
 from .mongo import mongo_extract
 from .rest import rest_api_parallel
@@ -37,6 +40,7 @@ class ExtractorRegistry:
         self.register("rest_api_parallel", rest_api_parallel)
         self.register("jdbc", jdbc_extract)
         self.register("mongodb", mongo_extract)
+        self.register("influx", influx_extract)
 
     def register(self, source_type: str, fn: Callable[..., DataFrame]) -> None:
         self._extractors[source_type] = fn
