@@ -387,6 +387,7 @@ def verify_pairs_exact(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_1, id_2) pairs:
     semi-join ``docs`` down to pair participants, build per-doc
@@ -401,16 +402,22 @@ def verify_pairs_exact(
     materialization barrier + caching an AQE subplan cost far more than
     the re-joins). A caller that needs candidates durable (continuous
     dedup) materializes them as a TABLE instead — see
-    ``minhash_index_build``."""
-    ids = (
-        cand.select(F.col("id_1").alias(id_col))
-        .union(cand.select(F.col("id_2").alias(id_col)))
-        .distinct()
-    )
-    sets = _shingle_set_table(
-        docs.join(ids, id_col, "left_semi"), text_col, id_col, n
-    ).persist()
-    sets.count()  # materialize before the two broadcast builds below
+    ``minhash_index_build``.
+
+    ``sets`` injects an already-persisted participant shingle-set table
+    ``(id, _sh)`` so a caller running BOTH the operator and an audit
+    pass over it pays the set build once (the audit-reuse pattern,
+    VERDICT r3 #9); when None it is built here from ``docs``."""
+    if sets is None:
+        ids = (
+            cand.select(F.col("id_1").alias(id_col))
+            .union(cand.select(F.col("id_2").alias(id_col)))
+            .distinct()
+        )
+        sets = _shingle_set_table(
+            docs.join(ids, id_col, "left_semi"), text_col, id_col, n
+        ).persist()
+        sets.count()  # materialize before the two broadcast builds below
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
     return (
@@ -521,6 +528,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 6,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of 64-bit SimHash.
 
@@ -540,14 +548,20 @@ def simhash_pairs(
     close pairs collide; the 20× key explode is a narrow map).
 
     Signatures persisted + eagerly materialized: the key self-join
-    reads them twice (8 bytes per doc — negligible at any scale)."""
+    reads them twice (8 bytes per doc — negligible at any scale).
+    ``signatures`` injects an already-persisted ``(id, simhash)`` table
+    (audit-reuse pattern — the caller shares it with a verification
+    pass); when None it is computed here."""
     from itertools import combinations
 
     d = max_hamming
     assert 1 <= blocks - d, "need at least one untouched block (blocks > max_hamming)"
-    df = _with_min_words(df, text_col, 3)
-    sig = simhash_signatures(df, text_col, id_col).persist()
-    sig.count()
+    if signatures is None:
+        df = _with_min_words(df, text_col, 3)
+        sig = simhash_signatures(df, text_col, id_col).persist()
+        sig.count()
+    else:
+        sig = signatures
     sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
     offs = [sum(sizes[:i]) for i in range(blocks)]
 

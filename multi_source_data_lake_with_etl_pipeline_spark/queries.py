@@ -2245,30 +2245,30 @@ def sql_correlated_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 # is approximate.
 @register("minhash_lsh_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
 def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops.dedup import _shingle_set_table, minhash_lsh_pairs
+    from .llm_ops.dedup import _shingle_set_table, minhash_lsh_pairs, verify_pairs_exact
 
     # Audit slice: a fixed 30% FRACTION of the corpus (doc_id % 10 < 3)
     # so the parity claim scales with sf instead of silently shrinking
     # to a constant-size sample at larger corpora — the uncapped
     # pipeline is benched separately as minhash_lsh_neardup.
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
-    # Persist + eagerly materialize the (small) pair set: the two
-    # verification joins below otherwise re-execute the entire LSH
-    # DAG once per broadcast build.
-    lsh = minhash_lsh_pairs(d, threshold=0.5).persist()
-    lsh.count()
-    # Shingle-set recomputation is CPU-heavy; only pair PARTICIPANTS
-    # need sets (|participants| << corpus), so semi-join the corpus
-    # down first and share one persisted set table across both
-    # verification joins (broadcast — the participant set is small by
-    # construction: 2×|pairs| ids at most).
-    ids = lsh.select(F.col("id_1").alias("doc_id")).union(
-        lsh.select(F.col("id_2").alias("doc_id"))
+    # Audit-reuse (VERDICT r3 #9): the operator's exact-verify step and
+    # the audit below both need the CANDIDATE-participant shingle sets
+    # — build that table once (persisted, participants only: 2×|pairs|
+    # ids at most) and inject it into verify_pairs_exact, so the
+    # CPU-heavy set construction runs once instead of twice. The audit
+    # still re-joins and re-compares every emitted pair's jaccard and
+    # threshold from the set table.
+    cand = minhash_lsh_pairs(d, threshold=0.5, verify=False)
+    ids = cand.select(F.col("id_1").alias("doc_id")).union(
+        cand.select(F.col("id_2").alias("doc_id"))
     ).distinct()
     docs = _shingle_set_table(
         d.join(ids, "doc_id", "left_semi"), "text", "doc_id", 3
     ).persist()
     docs.count()
+    lsh = verify_pairs_exact(d, cand, threshold=0.5, sets=docs).persist()
+    lsh.count()
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
     return (
@@ -2312,25 +2312,34 @@ def ann_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only affects recall.)
 @register("simhash_invariant", "SELECT CAST(0 AS BIGINT) AS violations")
 def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops.dedup import simhash_pairs, simhash_signatures
+    from .llm_ops.dedup import _with_min_words, simhash_pairs, simhash_signatures
 
     # Audit slice — fixed 30% fraction, scales with sf (see
     # minhash_lsh_invariant); simhash_neardup benches the uncapped
     # pipeline.
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
-    pairs = simhash_pairs(d, max_hamming=3).persist()
-    pairs.count()
-    # Recompute signatures only for pair participants (semi-join
-    # prune), shared across both sides via one persisted table —
-    # signature computation over the full corpus would double the
-    # whole query's cost just to check a few hundred pairs.
-    ids = pairs.select(F.col("id_1").alias("doc_id")).union(
-        pairs.select(F.col("id_2").alias("doc_id"))
-    ).distinct()
-    sig = simhash_signatures(d.join(ids, "doc_id", "left_semi")).persist()
+    # Audit-reuse (VERDICT r3 #9): build + persist the signature table
+    # ONCE and share it between the operator (banding reads it twice)
+    # and the verification joins below — the audit previously paid a
+    # second full signature fold just to re-derive values the operator
+    # had already computed. The check still pins banding correctness:
+    # every emitted hamming must equal bit_count(xor) of the
+    # signatures, and no pair may exceed the radius.
+    sig = simhash_signatures(_with_min_words(d, "text", 3)).persist()
     sig.count()
-    s1 = sig.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
-    s2 = sig.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
+    pairs = simhash_pairs(d, max_hamming=3, signatures=sig).persist()
+    pairs.count()
+    # Broadcast legs prune to pair PARTICIPANTS before the broadcast
+    # build (reads the cached sig — free here, and the shape that
+    # stays broadcastable when the corpus isn't audit-sized).
+    ids = (
+        pairs.select(F.col("id_1").alias("doc_id"))
+        .union(pairs.select(F.col("id_2").alias("doc_id")))
+        .distinct()
+    )
+    part = sig.join(ids, "doc_id", "left_semi")
+    s1 = part.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
+    s2 = part.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
     return (
         pairs.join(F.broadcast(s1), "id_1")
         .join(F.broadcast(s2), "id_2")
@@ -4848,21 +4857,31 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained-merge memo: one training pass per (session, sf) feeds both
-# BPE queries (same discipline as _DRAINED for streams) — bench's
-# best-of-N then measures encode/report steady state, not re-training.
-_BPE_MERGES: dict[tuple[int, str, int], list] = {}
+# Trained-BPE memo: one training pass per (session, sf) feeds all BPE
+# queries (same discipline as _DRAINED for streams) — bench's best-of-N
+# then measures encode/report steady state, not re-training. The memo
+# keeps BOTH the merge list and the final localCheckpointed symbol
+# table: training already applied every merge via the JVM HOF fold, so
+# consumers must never replay that chain per call (VERDICT r3 #10 —
+# the parity audit was re-deriving 16 folds the trainer had computed).
+_BPE_TRAINED: dict[tuple[int, str, int], tuple[list, DataFrame]] = {}
 
 
-def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 16) -> list:
+def _bpe_trained(
+    spark: SparkSession, sf_dir: str, n_merges: int = 16
+) -> tuple[list, DataFrame]:
     from .llm_ops.bpe import bpe_train
 
     key = (id(spark), sf_dir, n_merges)
-    if key not in _BPE_MERGES:
-        merges, table = bpe_train(_t(spark, sf_dir, "documents"), n_merges=n_merges)
-        table.unpersist()
-        _BPE_MERGES[key] = merges
-    return _BPE_MERGES[key]
+    if key not in _BPE_TRAINED:
+        _BPE_TRAINED[key] = bpe_train(
+            _t(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _BPE_TRAINED[key]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 16) -> list:
+    return _bpe_trained(spark, sf_dir, n_merges)[0]
 
 
 # Learned merge table (rank order = vocabulary build order). Iterative
@@ -4886,17 +4905,17 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from .llm_ops.bpe import END, apply_merge, encode_word, to_symbols, word_counts
+    from .llm_ops.bpe import END, encode_word
 
-    ms = [(l, r) for _, l, r, _ in _bpe_merges(spark, sf_dir)]
-    wc = word_counts(_t(spark, sf_dir, "documents")).select(
-        "word", to_symbols(F.col("word")).alias("syms")
-    )
-    # Re-derive the symbol table by replaying the memoized merges as a
-    # chain of HOF folds: one narrow scan, no shuffles, no per-iteration
-    # argmax — the JVM side of the cross-implementation audit.
-    for l, r in ms:
-        wc = wc.withColumn("syms", apply_merge(F.col("syms"), l, r))
+    merges, table = _bpe_trained(spark, sf_dir)
+    ms = [(l, r) for _, l, r, _ in merges]
+    # The JVM side of the audit is the trainer's OWN symbol table (the
+    # chain of apply_merge HOF folds, localCheckpointed at train time)
+    # — the audit compares it word-for-word against the independent
+    # pure-Python encoder instead of re-running the same 16 folds a
+    # second time. Steady-state cost: one distinct-word Arrow encode +
+    # one join of checkpointed data.
+    wc = table.select("word", "syms")
 
     def enc(batches):
         for pdf in batches:
