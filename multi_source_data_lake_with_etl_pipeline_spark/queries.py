@@ -6065,3 +6065,135 @@ def dag_pipeline_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not run.ok:  # surface graph failures, never hash a stale zone
         raise RuntimeError(f"dag failed: states={run.states} errors={run.errors}")
     return run.results["quality_report"]
+
+
+# Seasonal-baseline anomaly detection on the event stream: hourly
+# volumes vs a per-hour-of-day median ± 3·MAD robust envelope (the
+# ops-monitoring shape — means/stddevs are hostage to the very spikes
+# being hunted; median/MAD are not). Two aggregations and a broadcast
+# join; the exact medians run over the BUCKET table (24 hod groups ×
+# #days rows — bounded by the time range, never by event volume), so
+# the exact-percentile buffer stays O(days) at any corpus size.
+# Integer counts make every median/MAD value a multiple of 0.25 —
+# exactly representable, engine-exact with no rounding games.
+@register(
+    "hourly_event_anomalies",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT bucket, CAST(extract(hour FROM bucket) AS INTEGER) AS hod, cnt
+      FROM b
+    ),
+    m AS (SELECT hod, CAST(median(cnt) AS DOUBLE) AS med FROM h GROUP BY hod),
+    d AS (
+      SELECT h.bucket, h.hod, h.cnt, m.med, abs(h.cnt - m.med) AS adev
+      FROM h JOIN m USING (hod)
+    ),
+    s AS (
+      SELECT hod, med, CAST(median(adev) AS DOUBLE) AS mad
+      FROM d GROUP BY hod, med
+    )
+    SELECT h.bucket, h.hod, h.cnt, s.med, s.mad
+    FROM h JOIN s USING (hod)
+    WHERE h.cnt > s.med + 3 * s.mad
+    """,
+)
+def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = b.withColumn("hod", F.hour("bucket"))
+    med = h.groupBy("hod").agg(F.median("cnt").alias("med"))
+    d = h.join(F.broadcast(med), "hod").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    stats = d.groupBy("hod", "med").agg(F.median("adev").alias("mad"))
+    return (
+        h.join(F.broadcast(stats), "hod")
+        .filter(F.col("cnt") > F.col("med") + 3 * F.col("mad"))
+        .select("bucket", "hod", "cnt", "med", "mad")
+    )
+
+
+# Embedding-space decontamination: benchmark vectors sweep the corpus
+# for semantic near-matches (the paraphrase leak n-gram decontam can't
+# see). Batch ANN via ivf_knn_join — benchmark rows probe their 2
+# nearest of 8 fixed centroids and candidates meet on a centroid-id
+# equality join (never bench × corpus); emitted (qid, rid, cos_sim)
+# pairs above threshold are the contamination report. The IVF probe is
+# the query's semantics and the oracle replays it exactly, like
+# knn_label_eval.
+@register(
+    "semantic_decontam",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    r AS (
+      SELECT vec_id AS rid, embedding AS rv
+      FROM embeddings WHERE vec_id % 97 <> 0
+    ),
+    rassign AS (
+      SELECT rid, rv, cid, row_number() OVER (
+        PARTITION BY rid ORDER BY
+          round(list_dot_product(rv, cv)
+                / (sqrt(list_dot_product(rv, rv))
+                   * sqrt(list_dot_product(cv, cv))), 4) DESC, cid) AS rn
+      FROM r CROSS JOIN cent
+    ),
+    qprobe AS (
+      SELECT qid, qv, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY
+          round(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv))), 4) DESC, cid) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    scored AS (
+      SELECT qid, rid,
+             round(list_dot_product(qv, rv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(rv, rv))), 4) AS cos_sim
+      FROM (SELECT * FROM qprobe WHERE rn <= 2) qp
+      JOIN (SELECT * FROM rassign WHERE rn = 1) ra USING (cid)
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos_sim DESC, rid) AS rk
+        FROM scored
+      ) WHERE rk <= 20
+    )
+    SELECT qid, rid, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM top WHERE cos_sim >= 0.30
+    """,
+)
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    r = e.filter(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv")
+    )
+    cents = [
+        (row[0], row[1])
+        for row in e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    top = ivf_knn_join(q, r, cents, k=20, nprobe=2)
+    return top.filter(F.col("cos_sim") >= 0.30).select(
+        "qid", "rid", "cos_sim", F.col("rk").cast("int").alias("rk")
+    )

@@ -579,3 +579,46 @@ class TestFuzzyJoinDist2:
         assert fast == exhaustive
         assert (0, 101, 2) in fast and (0, 107, 2) not in fast
         assert (9, 110, 2) in fast  # "" vs "ab"
+
+
+def test_ivf_knn_join_exactness_and_shape(spark):
+    """Batch ANN kNN join: with nprobe == m (all centroids probed) the
+    result must equal brute-force top-k exactly; ranks are dense and
+    deterministically tie-broken; no query x corpus cross join."""
+    import math
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        ivf_knn_join,
+    )
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    corpus = [(i, vec(0.1 * i)) for i in range(40)]
+    queries = [(100, vec(0.05)), (101, vec(2.0))]
+    cdf = spark.createDataFrame(corpus, "rid long, rv array<double>")
+    qdf = spark.createDataFrame(queries, "qid long, qv array<double>")
+    cents = [(0, vec(0.0)), (1, vec(2.0))]
+
+    out = ivf_knn_join(qdf, cdf, cents, k=3, nprobe=2)  # nprobe == m
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {100, 101}
+    for qid, qv in queries:
+        got = sorted((r for r in rows if r["qid"] == qid), key=lambda r: r["rk"])
+        assert [r["rk"] for r in got] == [1, 2, 3]
+        # brute-force reference
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 4)
+
+        ref = sorted(
+            ((cos(qv, rv), rid) for rid, rv in corpus),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert [(r["cos_sim"], r["rid"]) for r in got] == ref
+    # plan shape: candidates meet on the centroid-id equality join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
