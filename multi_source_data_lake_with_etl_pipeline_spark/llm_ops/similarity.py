@@ -772,12 +772,25 @@ def ivf_knn_join(
     best = lambda col, take: F.slice(  # noqa: E731
         F.sort_array(F.array(*sims_of(col)), asc=False), 1, take
     )
-    corp = corpus.withColumn(
-        "_cid", -F.element_at(best(c_vec, 1), 1)["n"]
+    # Both assignment legs go through explode_outer + a null check on
+    # the GENERATED column: a plain explode (or a join-key null filter
+    # against the raw argmax expression) makes the optimizer inline
+    # the whole centroid-similarity expression into an inferred Filter
+    # — the explode-tax / mega-filter anti-pattern (PLANS.md round-3
+    # note, plans/lint.py). The slice is never empty for non-empty
+    # centroid lists, so no rows are lost.
+    corp = (
+        corpus.withColumn("_p", F.explode_outer(best(c_vec, 1)))
+        .filter(F.col("_p").isNotNull())
+        .withColumn("_cid", -F.col("_p.n"))
+        .drop("_p")
     )
-    probes = queries.withColumn(
-        "_p", F.explode(best(q_vec, nprobe))
-    ).withColumn("_cid", -F.col("_p.n")).drop("_p")
+    probes = (
+        queries.withColumn("_p", F.explode_outer(best(q_vec, nprobe)))
+        .filter(F.col("_p").isNotNull())
+        .withColumn("_cid", -F.col("_p.n"))
+        .drop("_p")
+    )
     cand = probes.join(corp, "_cid").drop("_cid")
     w = Window.partitionBy(q_id).orderBy(
         F.desc("cos_sim"), F.asc(c_id)

@@ -3462,8 +3462,17 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Window-function superset: ntile deciles of customer balance with
-# per-decile stats — percentile banding without a full sort shuffle of
-# the fact table (window sort only carries custkey + balance).
+# per-decile stats. NOT computed with a global ntile window (whole
+# table sorted in ONE task — the lint-flagged 100 TB anti-pattern):
+# the global row position decomposes into
+#   pos = (rows with smaller balance) + (rank of custkey within the
+#          equal-balance group),
+# i.e. a cumulative count over the VALUE HISTOGRAM (distinct balances,
+# bounded by the 2-decimal domain — ~1M rows in the boundary window,
+# not the corpus) plus a PARTITIONED window per balance value. The
+# ntile bucket is then pure integer arithmetic on pos (first n%10
+# buckets take the extra row, SQL-standard), reproducing ntile(10)
+# OVER (ORDER BY bal, key) exactly at any scale.
 @register(
     "customer_balance_deciles",
     """
@@ -3481,10 +3490,38 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hist = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("c_acctbal").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c_acctbal",
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_before"),
+    )
+    total = c.agg(F.count(F.lit(1)).alias("_n"))
+    wv = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    pos = (
+        c.withColumn("_r", F.row_number().over(wv))
+        .join(cum, "c_acctbal")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_pos", F.col("_before") + F.col("_r"))
+    )
+    # ntile(10): first n%10 buckets hold q+1 rows (q = n div 10);
+    # ceil(a/b) as (a + b - 1) div b, q guarded for the n < 10 edge
+    # (the otherwise-branch is unreachable there but ANSI mode
+    # evaluates the division).
+    q = F.floor(F.col("_n") / 10).cast("long")
+    r0 = F.col("_n") % 10
+    cut = r0 * (q + 1)
+    qs = F.greatest(q, F.lit(1).cast("long"))
+    decile = (
+        F.when(F.col("_pos") <= cut, F.floor((F.col("_pos") + q) / (q + 1)))
+        .otherwise(r0 + F.floor((F.col("_pos") - cut + qs - 1) / qs))
+        .cast("int")
+    )
     return (
-        c.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        pos.select(F.col("c_acctbal"), decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

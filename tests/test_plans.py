@@ -565,3 +565,31 @@ def test_knn_label_eval_no_corpus_crossjoin(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "BatchEvalPython" not in txt  # HOF cosine stays JVM-side
+
+
+def test_all_registered_queries_lint_clean(spark):
+    """Every registered query's physical plan passes the 100 TB
+    anti-pattern screen (plans/lint.lint_plan), modulo the documented
+    exemptions in scripts/lint_sweep.py — queries whose SEMANTICS
+    require a flagged shape, each with the reason recorded."""
+    import importlib.util
+    import os
+
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+    spec = importlib.util.spec_from_file_location(
+        "lint_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "lint_sweep.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    bad = []
+    for name, fn in q.spark_queries().items():
+        try:
+            findings = lint_plan(fn(spark, SF_SMOKE))
+        except Exception:  # covered by the oracle/rows tests, not here
+            continue
+        for f in findings:
+            if name not in mod.ALLOW.get(f.code, {}):
+                bad.append((name, f.code))
+    assert bad == []
