@@ -723,6 +723,102 @@ def ann_ivfpq_probe(
     )
 
 
+
+def py_norm(vec: Sequence[float]) -> float:
+    """Driver-side L2 norm that is BIT-IDENTICAL to ``norm`` (the JVM
+    fold): float64 multiply-adds accumulated left-to-right in index
+    order, then IEEE-754 sqrt. Lets constant vectors (centroids,
+    query literals) carry their norm as a literal instead of paying a
+    per-row ``dot(c, c)`` fold — same emitted doubles, 1/3 the fold
+    work."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def ivf_corpus_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    norm_col: str = "_rn",
+) -> DataFrame:
+    """EXACT (oracle-replayable) IVF assignment: adds ``_cid`` — the
+    row's top-``nprobe`` centroid ids by rounded cosine (4dp, lowest
+    cid on ties) — and ``norm_col``, the row's L2 norm, reused by the
+    downstream candidate re-rank. nprobe>1 emits one row per probed
+    centroid.
+
+    Norm factoring: cosine = dot/(norm_row · norm_cent). Centroid
+    norms are driver-side constants (``py_norm`` — bit-identical
+    float64 math); the row norm is ONE fold reused across all m
+    centroid scores. Same emitted doubles as inlining ``cosine`` m
+    times, at m+1 folds per row instead of 3m (Catalyst's
+    CollapseProject keeps the multiply-referenced non-cheap norm alias
+    in its own projection, so the fold really runs once).
+
+    This is the INDEX-BUILD cost of the IVF family — O(N·m) dots, paid
+    once and amortized over every query batch: at 100 TB the assigned
+    corpus is written ``partitionBy(_cid)`` (see ``ivf_build``) and
+    ``ivf_knn_join`` takes the pre-assigned frame. The Arrow matmul
+    variant (``ivf_assign_arrow``) is ~10x faster when 1e-16 summation
+    drift is acceptable; this one is for hash-exact oracles."""
+    cents = sorted(centroids)
+    # The centroid matrix rides in as a ONE-ROW broadcast frame
+    # (ids/vectors/norms as three array columns) and scoring is a
+    # single `transform` lambda over a constant-folded index sequence
+    # — plan size is O(1) in m and the matrix ships once per executor
+    # as a broadcast, not per-task in the serialized plan. The naive
+    # per-centroid form (m structs, each holding a `_lit_vec` of dim
+    # py4j-built literals and its own fold) costs m·dim py4j round
+    # trips just to BUILD the plan — measured 13 s of pure driver time
+    # at m=447 (and `F.lit` on a nested list decomposes into the same
+    # per-element calls, so it is no better).
+    m = len(cents)
+    cent_df = df.sparkSession.createDataFrame(
+        [
+            (
+                [int(cid) for cid, _ in cents],
+                [[float(x) for x in v] for _, v in cents],
+                [py_norm(v) for _, v in cents],
+            )
+        ],
+        "_cids array<int>, _cvecs array<array<double>>, _cnorms array<double>",
+    )
+    sims = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.struct(
+            F.round(
+                dot(F.col(vec_col), F.element_at(F.col("_cvecs"), i))
+                / (F.col(norm_col) * F.element_at(F.col("_cnorms"), i)),
+                4,
+            ).alias("c"),
+            (-F.element_at(F.col("_cids"), i)).alias("n"),
+        ),
+    )
+    # sort_array desc over (sim, -cid): highest sim first, then lowest
+    # cid — mirrors SQL `ORDER BY sim DESC, cid ASC`. The assignment
+    # goes through explode_outer + a null check on the GENERATED
+    # column: a plain explode (or a join-key null filter against the
+    # raw argmax expression) makes the optimizer inline the whole
+    # centroid-similarity expression into an inferred Filter — the
+    # explode-tax / mega-filter anti-pattern (PLANS.md round-3 note,
+    # plans/lint.py). The slice is never empty for non-empty centroid
+    # lists, so no rows are lost.
+    best = F.slice(F.sort_array(sims, asc=False), 1, nprobe)
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn(norm_col, norm(F.col(vec_col)))
+        .withColumn("_p", F.explode_outer(best))
+        .filter(F.col("_p").isNotNull())
+        .withColumn("_cid", -F.col("_p.n"))
+        .drop("_p", "_cids", "_cvecs", "_cnorms")
+    )
+
+
 def ivf_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -751,45 +847,26 @@ def ivf_knn_join(
     (partition-pruned) and the Arrow assignment (`ivf_assign_arrow`)
     is the throughput variant when 1e-16 summation drift is acceptable.
 
-    At 100 TB: m grows ~√N (train with `kmeans`), the corpus
-    assignment is written once via `ivf_build` (partitionBy centroid →
-    probing = partition pruning), and this join's shuffle moves only
-    (centroid, vector) pairs — the candidate join is the only wide op.
-    Recall is the nprobe/m lever; precision of the emitted ranks is
-    exact over the probed set. Ascending-cid centroid order is the
-    documented tie-break (rounded similarity ties pick the lowest id).
+    At 100 TB: m grows ~√N (train with `kmeans`), the O(N·m) corpus
+    assignment is the one-time index build — pass a frame already
+    carrying ``_cid``/``_rn`` (from ``ivf_corpus_assign`` or a
+    ``partitionBy(_cid)``-written `ivf_build` table) and this join
+    skips it, paying only the probes + posting-list candidates. The
+    candidate equality join is the only wide op. Recall is the
+    nprobe/m lever; precision of the emitted ranks is exact over the
+    probed set. Ascending-cid centroid order is the documented
+    tie-break (rounded similarity ties pick the lowest id).
     """
     cents = sorted(centroids)
-    sims_of = lambda col: [  # noqa: E731 — tiny local alias
-        F.struct(
-            F.round(cosine(F.col(col), _lit_vec(v)), 4).alias("c"),
-            F.lit(-cid).alias("n"),
-        )
-        for cid, v in cents
-    ]
-    # sort_array desc over (sim, -cid): highest sim first, then lowest
-    # cid — mirrors SQL `ORDER BY sim DESC, cid ASC`.
-    best = lambda col, take: F.slice(  # noqa: E731
-        F.sort_array(F.array(*sims_of(col)), asc=False), 1, take
-    )
-    # Both assignment legs go through explode_outer + a null check on
-    # the GENERATED column: a plain explode (or a join-key null filter
-    # against the raw argmax expression) makes the optimizer inline
-    # the whole centroid-similarity expression into an inferred Filter
-    # — the explode-tax / mega-filter anti-pattern (PLANS.md round-3
-    # note, plans/lint.py). The slice is never empty for non-empty
-    # centroid lists, so no rows are lost.
     corp = (
-        corpus.withColumn("_p", F.explode_outer(best(c_vec, 1)))
-        .filter(F.col("_p").isNotNull())
-        .withColumn("_cid", -F.col("_p.n"))
-        .drop("_p")
+        corpus
+        if "_cid" in corpus.columns and "_rn" in corpus.columns
+        else ivf_corpus_assign(corpus, cents, vec_col=c_vec)
     )
     probes = (
-        queries.withColumn("_p", F.explode_outer(best(q_vec, nprobe)))
-        .filter(F.col("_p").isNotNull())
-        .withColumn("_cid", -F.col("_p.n"))
-        .drop("_p")
+        ivf_corpus_assign(
+            queries, cents, vec_col=q_vec, nprobe=nprobe, norm_col="_qn"
+        )
     )
     cand = probes.join(corp, "_cid").drop("_cid")
     w = Window.partitionBy(q_id).orderBy(
@@ -797,9 +874,12 @@ def ivf_knn_join(
     )
     return (
         cand.withColumn(
-            "cos_sim", F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+            "cos_sim",
+            F.round(
+                dot(F.col(q_vec), F.col(c_vec)) / (F.col("_qn") * F.col("_rn")), 4
+            ),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .drop(q_vec, c_vec)
+        .drop(q_vec, c_vec, "_qn", "_rn")
     )

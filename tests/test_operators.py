@@ -618,7 +618,23 @@ def test_ivf_knn_join_exactness_and_shape(spark):
             key=lambda t: (-t[0], t[1]),
         )[:3]
         assert [(r["cos_sim"], r["rid"]) for r in got] == ref
-    # plan shape: candidates meet on the centroid-id equality join
+    # plan shape: candidates meet on the centroid-id equality join.
+    # The only nested-loop joins allowed are the two assignment legs'
+    # ONE-ROW broadcast of the centroid-matrix frame (_cids/_cvecs/
+    # _cnorms) — never a query×corpus cross join.
     plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the plan twice
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    chunks = plan.split("BroadcastNestedLoopJoin")[1:]
+    assert len(chunks) <= 2, plan
+    for chunk in chunks:  # build side must be the 1-row centroid frame
+        assert "_cids" in chunk[:800], plan
+    # pre-assigned corpus (the amortized index-build path) is
+    # result-identical to inline assignment
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        ivf_corpus_assign,
+    )
+
+    pre = ivf_corpus_assign(cdf, cents, vec_col="rv")
+    out2 = ivf_knn_join(qdf, pre, cents, k=3, nprobe=2)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
