@@ -656,6 +656,111 @@ def pq_adc_topk(
     )
 
 
+# ----------------------------------------------------------- scalar
+# quantization (SQ8): per-dimension min/max affine quantization to
+# 8-bit codes — the FAISS-style SQ companion to PQ: 4x smaller than
+# float32 with near-lossless recall, and (unlike PQ) no codebook
+# training pass. Part of the beyond-reference LLM-ops layer: the
+# compressed embedding representation a 100 TB lake keeps hot while
+# the float vectors stay cold.
+
+
+def sq8_bounds(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (lo, hi) over the corpus — ONE posexplode +
+    groupBy(dim) aggregation (dim keys, map-side partial combine:
+    scan-speed at any corpus size), collected driver-side (dim pairs
+    of floats — bounded state like centroid lists)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+        .collect()
+    )
+    by_d = {r["_d"]: (float(r["_lo"]), float(r["_hi"])) for r in rows}
+    return [by_d[d] for d in range(len(by_d))]
+
+
+def _sq8_scale(lo: float, hi: float) -> float:
+    return 255.0 / (hi - lo) if hi > lo else 0.0
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Affine-quantize each vector to ``array<int>`` codes:
+    ``clamp(floor((x - lo_d) * scale_d), 0, 255)`` with
+    ``scale_d = 255 / (hi_d - lo_d)`` (constant-dimension → code 0).
+    Deterministic double arithmetic — an engine replaying the same
+    expression emits identical codes (floor of identical doubles).
+    The bounds ride in as a one-row broadcast frame (the
+    ``ivf_corpus_assign`` pattern): plan size O(1) in dim, no
+    per-element py4j literals."""
+    dim = len(bounds)
+    bdf = df.sparkSession.createDataFrame(
+        [([float(lo) for lo, _ in bounds], [_sq8_scale(lo, hi) for lo, hi in bounds])],
+        "_sq_los array<double>, _sq_scales array<double>",
+    )
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (
+                        F.element_at(F.col(vec_col), i).cast("double")
+                        - F.element_at(F.col("_sq_los"), i)
+                    )
+                    * F.element_at(F.col("_sq_scales"), i)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(bdf))
+        .withColumn(out_col, code)
+        .drop("_sq_los", "_sq_scales")
+    )
+
+
+def sq8_decode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    code_col: str = "sq_code",
+    out_col: str = "sq_recon",
+) -> DataFrame:
+    """Reconstruct ``array<double>`` from codes: bin midpoint
+    ``lo_d + (code + 0.5) / scale_d`` (``lo_d`` when the dimension is
+    constant). Max reconstruction error is half a quantization step
+    per dimension."""
+    dim = len(bounds)
+    bdf = df.sparkSession.createDataFrame(
+        [([float(lo) for lo, _ in bounds], [_sq8_scale(lo, hi) for lo, hi in bounds])],
+        "_sq_los array<double>, _sq_scales array<double>",
+    )
+    recon = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.element_at(F.col("_sq_scales"), i) == 0.0,
+            F.element_at(F.col("_sq_los"), i),
+        ).otherwise(
+            F.element_at(F.col("_sq_los"), i)
+            + (F.element_at(F.col(code_col), i).cast("double") + F.lit(0.5))
+            / F.element_at(F.col("_sq_scales"), i)
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(bdf))
+        .withColumn(out_col, recon)
+        .drop("_sq_los", "_sq_scales")
+    )
+
+
 def ivfpq_build(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -298,3 +298,119 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, value_col: str) -> DataFrame:
             F.round(F.col("ks_scaled") / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
         )
     )
+
+
+def exact_corr_matrix(df: DataFrame, int_cols: dict[str, F.Column]) -> DataFrame:
+    """Pairwise Pearson correlation over EXACT-INTEGER columns, long
+    format: (var_x, var_y, n_rows, corr_ppm).
+
+    ``int_cols`` maps names to integer-valued expressions (money →
+    cents via round(x*100), counts as-is). All moments — Σx, Σx², Σxy —
+    accumulate as decimal(38,0) sums of exact per-row integer products
+    in ONE wide aggregation (single scan, map-side partials — the
+    psi/ks profiling shape), so the correlation is a deterministic
+    function of exact integers: both engines cast the same integers to
+    the same doubles and run the same formula, making the result
+    hash-exact cross-engine where a float accumulation would drift
+    with partition count. Emitted as floor(corr·1e6) — floor of
+    identical doubles is engine-exact where round() is not (DuckDB
+    rounds shortest-decimal, Spark rounds the binary expansion).
+
+    100 TB shape: one scan, dim²/2 decimal accumulators, no shuffle
+    beyond the 1-row partial-agg merge. Per-row products must fit
+    int64 (|x·y| < 9.2e18 — cents×cents is safe to ~$9.5e7 values);
+    the SUMS get 38 digits.
+    """
+    names = list(int_cols)
+    proj = df.select(
+        *[expr.cast("long").alias(n) for n, expr in int_cols.items()]
+    ).na.drop()
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for n in names:
+        aggs.append(F.sum(F.col(n).cast("decimal(38,0)")).alias(f"_s_{n}"))
+        aggs.append(
+            F.sum((F.col(n) * F.col(n)).cast("decimal(38,0)")).alias(f"_s2_{n}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"_sp_{a}_{b}")
+            )
+    row = proj.agg(*aggs)
+    nd = F.col("_n").cast("double")
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sx = F.col(f"_s_{a}").cast("double")
+            sy = F.col(f"_s_{b}").cast("double")
+            sxx = F.col(f"_s2_{a}").cast("double")
+            syy = F.col(f"_s2_{b}").cast("double")
+            sxy = F.col(f"_sp_{a}_{b}").cast("double")
+            corr = (nd * sxy - sx * sy) / (
+                F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+            )
+            # float error can push a perfect correlation a ulp past the
+            # mathematical [-1, 1] rails; clamp so floor(corr·1e6) hits
+            # exactly ±1e6 there (mirrored in the oracle SQL)
+            corr = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), corr))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("var_x"),
+                    F.lit(b).alias("var_y"),
+                    F.floor(corr * F.lit(1000000.0)).cast("long").alias("corr_ppm"),
+                )
+            )
+    return (
+        row.withColumn("_pair", F.explode_outer(F.array(*pairs)))
+        .filter(F.col("_pair").isNotNull())
+        .select(
+            F.col("_pair.var_x").alias("var_x"),
+            F.col("_pair.var_y").alias("var_y"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("_pair.corr_ppm").alias("corr_ppm"),
+        )
+    )
+
+
+def spearman_corr(
+    df: DataFrame, x: str, y: str, x_int: F.Column | None = None,
+    y_int: F.Column | None = None,
+) -> DataFrame:
+    """Spearman rank correlation with average ranks for ties —
+    WITHOUT a global sort: per-value average ranks come from a value
+    HISTOGRAM (groupBy value → count, cumulative count over the
+    ordered distinct values), and average ranks are multiples of 0.5,
+    so ``rank2 = 2·avg_rank = 2·cum_before + cnt + 1`` is an EXACT
+    integer. Pearson on the rank2 columns (scale factors cancel) via
+    the same exact-integer moment machinery as ``exact_corr_matrix``
+    → hash-exact cross-engine.
+
+    100 TB shape: two value-histogram aggregations (map-side partial,
+    #distinct-values keys), a window over the distinct values only
+    (bounded, not the corpus), two joins back on the value (broadcast
+    when the histogram is small). No corpus-wide sort, no unbounded
+    buffers. Returns one row: (n_rows, spearman_ppm).
+    """
+    xi = (x_int if x_int is not None else F.col(x)).cast("long").alias("_x")
+    yi = (y_int if y_int is not None else F.col(y)).cast("long").alias("_y")
+    base = df.select(xi, yi).na.drop()
+
+    def rank2(col: str) -> DataFrame:
+        hist = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return hist.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_c") + 1
+            ).alias(f"{col}_r2"),
+        )
+    ranked = (
+        base.join(F.broadcast(rank2("_x")), "_x")
+        .join(F.broadcast(rank2("_y")), "_y")
+    )
+    out = exact_corr_matrix(
+        ranked, {"rx": F.col("_x_r2"), "ry": F.col("_y_r2")}
+    )
+    return out.select(
+        F.col("n_rows"), F.col("corr_ppm").alias("spearman_ppm")
+    )

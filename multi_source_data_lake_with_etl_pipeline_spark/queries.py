@@ -6234,3 +6234,206 @@ def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.filter(F.col("cos_sim") >= 0.30).select(
         "qid", "rid", "cos_sim", F.col("rk").cast("int").alias("rk")
     )
+
+
+# Pairwise Pearson correlation matrix over lineitem's numeric measures
+# via EXACT integer moments (operators/quality.exact_corr_matrix):
+# money→cents, rates→basis points, all Σx/Σx²/Σxy as decimal(38,0)
+# sums of exact int64 products in ONE wide aggregation. Both engines
+# then run the identical double formula over identical integers, so
+# floor(corr·1e6) is hash-exact — where a native corr() would drift
+# with partition count (float accumulation order) and round() would
+# diverge on decimal halves (Spark rounds the binary expansion, DuckDB
+# the shortest decimal repr).
+@register(
+    "lineitem_corr_matrix",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(pc) AS DOUBLE) AS sp,
+             CAST(sum(dc) AS DOUBLE) AS sd, CAST(sum(tc) AS DOUBLE) AS st,
+             CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(pc*pc) AS DOUBLE) AS spp,
+             CAST(sum(dc*dc) AS DOUBLE) AS sdd, CAST(sum(tc*tc) AS DOUBLE) AS stt,
+             CAST(sum(q*pc) AS DOUBLE) AS sqp, CAST(sum(q*dc) AS DOUBLE) AS sqd,
+             CAST(sum(q*tc) AS DOUBLE) AS sqt, CAST(sum(pc*dc) AS DOUBLE) AS spd,
+             CAST(sum(pc*tc) AS DOUBLE) AS spt, CAST(sum(dc*tc) AS DOUBLE) AS sdt
+      FROM b
+    )
+    SELECT 'quantity' AS var_x, 'price_cents' AS var_y, n AS n_rows,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*sqp - sq*sp) / (sqrt(nd*sqq - sq*sq) * sqrt(nd*spp - sp*sp)))) * 1000000.0) AS BIGINT) AS corr_ppm
+    FROM s
+    UNION ALL
+    SELECT 'quantity', 'discount_bp', n,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*sqd - sq*sd) / (sqrt(nd*sqq - sq*sq) * sqrt(nd*sdd - sd*sd)))) * 1000000.0) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'quantity', 'tax_bp', n,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*sqt - sq*st) / (sqrt(nd*sqq - sq*sq) * sqrt(nd*stt - st*st)))) * 1000000.0) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'price_cents', 'discount_bp', n,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*spd - sp*sd) / (sqrt(nd*spp - sp*sp) * sqrt(nd*sdd - sd*sd)))) * 1000000.0) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'price_cents', 'tax_bp', n,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*spt - sp*st) / (sqrt(nd*spp - sp*sp) * sqrt(nd*stt - st*st)))) * 1000000.0) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'discount_bp', 'tax_bp', n,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*sdt - sd*st) / (sqrt(nd*sdd - sd*sd) * sqrt(nd*stt - st*st)))) * 1000000.0) AS BIGINT)
+    FROM s
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_corr_matrix(
+        li,
+        {
+            "quantity": F.col("l_quantity"),
+            "price_cents": F.round(F.col("l_extendedprice") * 100),
+            "discount_bp": F.round(F.col("l_discount") * 100),
+            "tax_bp": F.round(F.col("l_tax") * 100),
+        },
+    )
+
+
+# Spearman rank correlation (quantity vs price) with average ranks for
+# ties and NO global sort: per-value average ranks come from a value
+# histogram (cumulative count over ordered DISTINCT values only), and
+# 2·avg_rank is an exact integer, so the whole statistic reduces to
+# Pearson on exact integers (operators/quality.spearman_corr). The
+# oracle replays the identical histogram-rank construction; windowed
+# DuckDB sums are HUGEINT, hence the explicit BIGINT cast on rank2.
+@register(
+    "qty_price_spearman",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    hx AS (SELECT x, count(*) AS c FROM b GROUP BY x),
+    rx AS (
+      SELECT x, CAST(2 * COALESCE(SUM(c) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS BIGINT) AS xr2
+      FROM hx
+    ),
+    hy AS (SELECT y, count(*) AS c FROM b GROUP BY y),
+    ry AS (
+      SELECT y, CAST(2 * COALESCE(SUM(c) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS BIGINT) AS yr2
+      FROM hy
+    ),
+    j AS (SELECT xr2, yr2 FROM b JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xr2) AS DOUBLE) AS sx, CAST(sum(yr2) AS DOUBLE) AS sy,
+             CAST(sum(xr2*xr2) AS DOUBLE) AS sxx,
+             CAST(sum(yr2*yr2) AS DOUBLE) AS syy,
+             CAST(sum(xr2*yr2) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT n AS n_rows,
+           CAST(floor(GREATEST(-1.0, LEAST(1.0, (nd*sxy - sx*sy) / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)))) * 1000000.0) AS BIGINT) AS spearman_ppm
+    FROM s
+    """,
+)
+def qty_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        x_int=F.col("l_quantity"),
+        y_int=F.round(F.col("l_extendedprice") * 100),
+    )
+
+
+# SQ8 scalar quantization error profile: per-dimension min/max affine
+# 8-bit codes (llm_ops/similarity.sq8_bounds/encode/decode — the 4x
+# compressed embedding representation), scored by reconstruction error
+# IN QUANTIZATION-STEP UNITS, floored to an exact integer per element
+# before summing so the aggregate is order-independent and hash-exact
+# (summing raw double errors would drift with partition count). 64
+# rows: one per dimension, with code-utilization stats.
+@register(
+    "sq8_error_profile",
+    """
+    WITH x AS (
+      SELECT CAST(i - 1 AS BIGINT) AS d, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+    ),
+    s AS (
+      SELECT d, min(v) AS lo,
+             CASE WHEN max(v) > min(v) THEN 255.0 / (max(v) - min(v))
+                  ELSE 0.0 END AS scale
+      FROM x GROUP BY d
+    ),
+    q AS (
+      SELECT x.d, v, lo, scale,
+             GREATEST(0, LEAST(255, CAST(floor((v - lo) * scale) AS BIGINT))) AS code
+      FROM x JOIN s USING (d)
+    ),
+    r AS (
+      SELECT d, code,
+             CASE WHEN scale = 0.0 THEN lo
+                  ELSE lo + (CAST(code AS DOUBLE) + 0.5) / scale END AS recon,
+             v, scale
+      FROM q
+    )
+    SELECT d, CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(CAST(floor(abs(v - recon) * scale * 1000000.0) AS BIGINT)) AS BIGINT) AS err_steps_ppm_sum,
+           CAST(max(code) AS BIGINT) AS max_code,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+    FROM r GROUP BY d
+    """,
+)
+def sq8_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.similarity import _sq8_scale, sq8_bounds, sq8_decode, sq8_encode
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bounds = sq8_bounds(e)  # driver state: dim (lo, hi) pairs
+    dec = sq8_decode(sq8_encode(e, bounds), bounds)
+    scales = spark.createDataFrame(
+        [(d, _sq8_scale(lo, hi)) for d, (lo, hi) in enumerate(bounds)],
+        "d int, scale double",
+    )
+    z = dec.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.col("embedding").alias("v"),
+                F.col("sq_code").alias("code"),
+                F.col("sq_recon").alias("recon"),
+            )
+        ).alias("d", "_e")
+    ).join(F.broadcast(scales), "d")
+    err = F.floor(
+        F.abs(F.col("_e.v").cast("double") - F.col("_e.recon"))
+        * F.col("scale")
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        z.groupBy(F.col("d").cast("long").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(err).alias("err_steps_ppm_sum"),
+            F.max(F.col("_e.code")).cast("long").alias("max_code"),
+            F.countDistinct(F.col("_e.code")).alias("n_codes"),
+        )
+    )

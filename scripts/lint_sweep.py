@@ -25,6 +25,7 @@ ALLOW = {
         "orders_price_ks_drift": "exact KS needs ONE global CDF ordering (documented small-sample audit; psi_drift is the scale path)",
         "ann_multitable_invariant": "window input is the top-k search RESULT (<= 10 rows by construction), never the corpus",
         "customer_balance_deciles": "cumulative window runs over the VALUE HISTOGRAM (distinct 2-decimal balances, domain-bounded ~1M rows), never corpus rows — the rewrite that replaced the global ntile",
+        "qty_price_spearman": "average-rank windows run over the two VALUE HISTOGRAMS (distinct quantities / distinct price cents, domain-bounded), never corpus rows — the construction that avoids a corpus-wide rank sort",
     },
     "mega-filter": {
         "ann_lsh_invariant": "the anti-join's cosine verify IS the filter: one dim-proportional HOF evaluated once per candidate, no duplicated inline",

@@ -638,3 +638,107 @@ def test_ivf_knn_join_exactness_and_shape(spark):
     pre = ivf_corpus_assign(cdf, cents, vec_col="rv")
     out2 = ivf_knn_join(qdf, pre, cents, k=3, nprobe=2)
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+
+
+def test_exact_corr_matrix_known_values(spark):
+    """floor(corr*1e6) matches the stdlib Pearson on exact-integer
+    inputs; perfectly (anti-)correlated pairs hit the +/-1e6 rails."""
+    import math
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_corr_matrix,
+    )
+
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [2, 4, 6, 8, 10, 12]       # corr +1
+    zs = [12, 10, 8, 6, 4, 2]       # corr -1 with xs
+    ws = [5, 1, 4, 1, 5, 9]         # irregular
+    df = spark.createDataFrame(
+        list(zip(xs, ys, zs, ws)), "x long, y long, z long, w long"
+    )
+    out = {
+        (r["var_x"], r["var_y"]): r
+        for r in exact_corr_matrix(
+            df, {"x": F.col("x"), "y": F.col("y"), "z": F.col("z"), "w": F.col("w")}
+        ).collect()
+    }
+    assert len(out) == 6 and all(r["n_rows"] == 6 for r in out.values())
+    assert out[("x", "y")]["corr_ppm"] == 1_000_000
+    assert out[("x", "z")]["corr_ppm"] == -1_000_000
+
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+        den = math.sqrt(n * sum(x * x for x in a) - sa * sa) * math.sqrt(
+            n * sum(y * y for y in b) - sb * sb
+        )
+        return num / den
+
+    assert out[("x", "w")]["corr_ppm"] == math.floor(pearson(xs, ws) * 1e6)
+    assert out[("y", "w")]["corr_ppm"] == math.floor(pearson(ys, ws) * 1e6)
+
+
+def test_spearman_corr_average_ranks(spark):
+    """Histogram-rank Spearman equals Pearson on hand-computed average
+    ranks, including ties."""
+    import math
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        spearman_corr,
+    )
+
+    xs = [10, 20, 20, 30, 30, 30, 40]
+    ys = [1, 5, 4, 9, 9, 8, 2]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    row = spearman_corr(df, "x", "y").collect()[0]
+    assert row["n_rows"] == 7
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [
+            (order.index(v) + 1 + len(order) - order[::-1].index(v)) / 2
+            for v in vals
+        ]
+
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(ra)
+    sa, sb = sum(ra), sum(rb)
+    num = n * sum(a * b for a, b in zip(ra, rb)) - sa * sb
+    den = math.sqrt(n * sum(a * a for a in ra) - sa * sa) * math.sqrt(
+        n * sum(b * b for b in rb) - sb * sb
+    )
+    assert abs(row["spearman_ppm"] / 1e6 - num / den) < 2e-6
+
+
+def test_sq8_quantization_roundtrip(spark):
+    """Codes stay in [0,255]; reconstruction error is at most half a
+    quantization step per element; constant dimensions code to 0 and
+    reconstruct exactly."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.similarity import (
+        _sq8_scale,
+        sq8_bounds,
+        sq8_decode,
+        sq8_encode,
+    )
+
+    vecs = [
+        (1, [0.0, -1.0, 7.5]),
+        (2, [0.5, 1.0, 7.5]),
+        (3, [1.0, 3.0, 7.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    bounds = sq8_bounds(df)
+    assert bounds == [(0.0, 1.0), (-1.0, 3.0), (7.5, 7.5)]
+    dec = sq8_decode(sq8_encode(df, bounds), bounds).collect()
+    by_id = {r["vec_id"]: r for r in dec}
+    for vid, vec in vecs:
+        r = by_id[vid]
+        assert all(0 <= c <= 255 for c in r["sq_code"])
+        for d, (x, recon) in enumerate(zip(vec, r["sq_recon"])):
+            lo, hi = bounds[d]
+            scale = _sq8_scale(lo, hi)
+            if scale == 0.0:
+                assert r["sq_code"][d] == 0 and recon == lo
+            else:
+                assert abs(x - recon) * scale <= 0.5 + 1e-9

@@ -563,7 +563,15 @@ def test_knn_label_eval_no_corpus_crossjoin(spark):
     out = q.spark_queries()["knn_label_eval"](spark, SF_SMOKE)
     txt = plan_text(out)
     assert "CartesianProduct" not in txt
-    assert "BroadcastNestedLoopJoin" not in txt
+    # The only nested-loop joins allowed are the assignment legs'
+    # ONE-ROW broadcast of the centroid-matrix frame (_cids/_cvecs/
+    # _cnorms) — never a query×corpus cross join.
+    for chunk in txt.split("BroadcastNestedLoopJoin")[1:]:
+        # tree section: build side is the ExistingRDD one-row scan;
+        # details section: the following Project carries _cids. A real
+        # query×corpus cross join would show parquet scans on BOTH
+        # sides and match neither.
+        assert "Scan ExistingRDD" in chunk[:1200] or "_cids" in chunk[:1200], txt
     assert "BatchEvalPython" not in txt  # HOF cosine stays JVM-side
 
 
