@@ -414,3 +414,62 @@ def spearman_corr(
     return out.select(
         F.col("n_rows"), F.col("corr_ppm").alias("spearman_ppm")
     )
+
+
+def exact_linreg(
+    df: DataFrame,
+    group_cols: list[str],
+    x_int: F.Column,
+    y_int: F.Column,
+) -> DataFrame:
+    """Per-group simple linear regression (y on x) over EXACT-INTEGER
+    expressions: slope/intercept/R² from decimal(38,0) moment sums in
+    ONE grouped aggregation — the `exact_corr_matrix` machinery with a
+    GROUP BY, hash-exact cross-engine for the same reason. Groups with
+    zero x-variance are dropped (no defined slope), mirrored in the
+    oracle. Emits floor-scaled integers: slope_ppm (slope·1e6),
+    intercept_c (floor intercept), r2_ppm.
+
+    100 TB shape: one scan, map-side partial aggregation to
+    #groups·5 decimal accumulators — the classic sufficient-statistics
+    pattern (no per-group iteration, no second pass).
+    """
+    base = df.select(
+        *group_cols,
+        x_int.cast("long").alias("_x"),
+        y_int.cast("long").alias("_y"),
+    ).na.drop()
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,0)")).alias("_syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,0)")).alias("_sxy"),
+    )
+    nd = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    slope = num / den_x
+    intercept = (sy - slope * sx) / nd
+    r2 = F.when(den_y == 0.0, F.lit(1.0)).otherwise(
+        F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), (num * num) / (den_x * den_y))
+        )
+    )
+    return (
+        agg.filter(den_x > 0.0)
+        .select(
+            *group_cols,
+            F.col("_n").cast("long").alias("n_rows"),
+            F.floor(slope * F.lit(1000000.0)).cast("long").alias("slope_ppm"),
+            F.floor(intercept).cast("long").alias("intercept_c"),
+            F.floor(r2 * F.lit(1000000.0)).cast("long").alias("r2_ppm"),
+        )
+    )

@@ -6437,3 +6437,55 @@ def sq8_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("_e.code")).alias("n_codes"),
         )
     )
+
+
+# Group-wise linear regression via exact sufficient statistics:
+# price_cents ~ quantity per return flag, slope/intercept/R² from
+# decimal(38,0) moment sums in ONE grouped scan
+# (operators/quality.exact_linreg) — the sufficient-statistics pattern
+# that replaces per-group model fitting at 100 TB. Hash-exact like
+# lineitem_corr_matrix: both engines run the identical double formula
+# over identical exact integers, rails clamped, floor-scaled output.
+@register(
+    "price_qty_regression_by_flag",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS DOUBLE) AS nd, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+             CAST(sum(x*y) AS DOUBLE) AS sxy
+      FROM b GROUP BY flag
+    ),
+    f AS (
+      SELECT flag, n, nd, sx, sy, syy,
+             nd*sxx - sx*sx AS den_x, nd*syy - sy*sy AS den_y,
+             nd*sxy - sx*sy AS num
+      FROM s WHERE nd*sxx - sx*sx > 0.0
+    )
+    SELECT flag AS l_returnflag, n AS n_rows,
+           CAST(floor(num / den_x * 1000000.0) AS BIGINT) AS slope_ppm,
+           CAST(floor((sy - (num / den_x) * sx) / nd) AS BIGINT) AS intercept_c,
+           CAST(floor(CASE WHEN den_y = 0.0 THEN 1.0
+                           ELSE GREATEST(0.0, LEAST(1.0, (num * num) / (den_x * den_y)))
+                      END * 1000000.0) AS BIGINT) AS r2_ppm
+    FROM f
+    """,
+)
+def price_qty_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_linreg
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isNotNull())
+    return exact_linreg(
+        li,
+        ["l_returnflag"],
+        x_int=F.col("l_quantity"),
+        y_int=F.round(F.col("l_extendedprice") * 100),
+    )

@@ -742,3 +742,24 @@ def test_sq8_quantization_roundtrip(spark):
                 assert r["sq_code"][d] == 0 and recon == lo
             else:
                 assert abs(x - recon) * scale <= 0.5 + 1e-9
+
+
+def test_exact_linreg_known_line(spark):
+    """Exact line y=3x+7 per group: slope/intercept/R² hit the rails;
+    a zero-x-variance group is dropped."""
+    rows = [("a", x, 3 * x + 7) for x in (1, 2, 3, 4)]
+    rows += [("b", x, 100 - 2 * x) for x in (0, 5, 10)]
+    rows += [("c", 4, 9), ("c", 4, 11)]  # no x variance → dropped
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        r["g"]: r
+        for r in quality.exact_linreg(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"]["slope_ppm"] == 3_000_000
+    assert out["a"]["intercept_c"] == 7
+    assert out["a"]["r2_ppm"] == 1_000_000
+    assert out["b"]["slope_ppm"] == -2_000_000
+    assert out["b"]["intercept_c"] == 100
+    assert out["b"]["r2_ppm"] == 1_000_000
+    assert out["a"]["n_rows"] == 4 and out["b"]["n_rows"] == 3
