@@ -387,9 +387,11 @@ def spearman_corr(
 
     100 TB shape: two value-histogram aggregations (map-side partial,
     #distinct-values keys), a window over the distinct values only
-    (bounded, not the corpus), two joins back on the value (broadcast
-    when the histogram is small). No corpus-wide sort, no unbounded
-    buffers. Returns one row: (n_rows, spearman_ppm).
+    (bounded, not the corpus), two joins back on the value — hint-free
+    so AQE broadcasts a small histogram but shuffle-joins a near-unique
+    one (a forced broadcast would OOM when values are ~distinct). No
+    corpus-wide sort, no unbounded buffers. Returns one row:
+    (n_rows, spearman_ppm).
     """
     xi = (x_int if x_int is not None else F.col(x)).cast("long").alias("_x")
     yi = (y_int if y_int is not None else F.col(y)).cast("long").alias("_y")
@@ -404,10 +406,7 @@ def spearman_corr(
                 2 * F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_c") + 1
             ).alias(f"{col}_r2"),
         )
-    ranked = (
-        base.join(F.broadcast(rank2("_x")), "_x")
-        .join(F.broadcast(rank2("_y")), "_y")
-    )
+    ranked = base.join(rank2("_x"), "_x").join(rank2("_y"), "_y")
     out = exact_corr_matrix(
         ranked, {"rx": F.col("_x_r2"), "ry": F.col("_y_r2")}
     )

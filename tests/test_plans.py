@@ -601,3 +601,20 @@ def test_all_registered_queries_lint_clean(spark):
             if name not in mod.ALLOW.get(f.code, {}):
                 bad.append((name, f.code))
     assert bad == []
+
+
+def test_exact_corr_matrix_single_scan(spark):
+    """The correlation matrix is ONE wide aggregation: a single
+    parquet scan, one single-partition agg exchange, no sort, no join
+    — the sufficient-statistics shape that holds at any corpus size."""
+    import multi_source_data_lake_with_etl_pipeline_spark.queries as q
+
+    import re
+
+    out = q.spark_queries()["lineitem_corr_matrix"](spark, SF_SMOKE)
+    txt = plan_text(out).split("== Initial Plan ==")[0]
+    # formatted explain lists each node once in the tree and once in
+    # the details — one physical scan node total
+    assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) == 1, txt
+    assert "SortMergeJoin" not in txt and "Sort " not in txt, txt
+    assert "BroadcastHashJoin" not in txt, txt
