@@ -1,0 +1,83 @@
+"""Graph analytics over edge DataFrames.
+
+Companion to the dedup-cluster machinery (``llm_ops/clusters.py``:
+union-find / pointer-jumping connected components); this module holds
+the generic iterative-propagation ops. Beyond-reference capability —
+the reference has no graph layer; the 100 TB use case is entity
+importance over relationship graphs extracted from the lake (e.g.
+supplier↔part shipment bipartite graphs, near-dup similarity graphs).
+
+PageRank here is EXACT-INTEGER: ranks are scaled integers, per-edge
+contributions are floor divisions, damping is an integer multiply +
+floor divide. Every engine replaying the same integer recurrence
+emits bit-identical ranks — no float accumulation order, no libm —
+which makes an iterative distributed algorithm value-hash oracle-able
+(the same trick as the recursive-CTE connected-components oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer PageRank over a directed edge list (dedupe edges first).
+
+    Recurrence (all integer ops, deterministic):
+      r0(v)   = scale
+      contrib = r(u) div deg_out(u)            per edge u→v
+      r'(v)   = scale·(100-damping_pct) div 100
+                + (damping_pct · Σ contrib) div 100
+
+    Dangling-node mass is dropped (the standard simplification; it
+    only rescales ranks). Returns (node, rank) with rank as long.
+
+    100 TB shape: per iteration ONE edges⋈ranks join (ranks and
+    degrees are node-sized — broadcastable for small graphs, shuffle
+    join on node id otherwise; AQE decides) + one groupBy(dst) sum
+    with map-side partials. Driver never sees the graph; the edge list
+    and degree table are computed once and reused across iterations
+    (persist them for iteration reuse — done here via eager
+    localCheckpoint on the small node-sized frames only).
+    """
+    base = (scale * (100 - damping_pct)) // 100
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("_r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("_r div _deg").alias("_c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).cast("long").alias("_r"),
+            )
+            .localCheckpoint(eager=True)  # node-sized; truncates the join lineage
+        )
+    return ranks.select("node", F.col("_r").alias("rank"))

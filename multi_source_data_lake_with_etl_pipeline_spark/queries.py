@@ -6489,3 +6489,79 @@ def price_qty_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         x_int=F.col("l_quantity"),
         y_int=F.round(F.col("l_extendedprice") * 100),
     )
+
+
+# Integer PageRank over the supplier↔part shipment graph (bidirected
+# bipartite edges from distinct lineitem (suppkey, partkey) pairs):
+# ranks are scaled integers, contributions floor-divisions, damping an
+# integer multiply+divide — the whole iterative distributed algorithm
+# is a deterministic integer recurrence, so the oracle replays it
+# EXACTLY with 3 unrolled SQL iterations (operators/graph.pagerank_int;
+# the recursive-CTE-oracle trick from er_golden_customers applied to
+# an iterative propagation). Top-20 hubs by (rank desc, node).
+@register(
+    "supplier_part_pagerank",
+    """
+    WITH re AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e AS (
+      SELECT 's' || s AS src, 'p' || p AS dst FROM re
+      UNION ALL
+      SELECT 'p' || p AS src, 's' || s AS dst FROM re
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+    s1 AS (
+      SELECT e.dst AS node, SUM(r0.r // deg.dg) AS sm
+      FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node, CAST(150000 + (85 * COALESCE(s1.sm, 0)) // 100 AS BIGINT) AS r
+      FROM n LEFT JOIN s1 USING (node)
+    ),
+    s2 AS (
+      SELECT e.dst AS node, SUM(r1.r // deg.dg) AS sm
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node, CAST(150000 + (85 * COALESCE(s2.sm, 0)) // 100 AS BIGINT) AS r
+      FROM n LEFT JOIN s2 USING (node)
+    ),
+    s3 AS (
+      SELECT e.dst AS node, SUM(r2.r // deg.dg) AS sm
+      FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node, CAST(150000 + (85 * COALESCE(s3.sm, 0)) // 100 AS BIGINT) AS r
+      FROM n LEFT JOIN s3 USING (node)
+    )
+    SELECT node, r AS rank FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_int
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # edge list feeds every iteration
+    )
+    edges = pairs.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).union(
+        pairs.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    ranks = pagerank_int(edges, iters=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -763,3 +763,27 @@ def test_exact_linreg_known_line(spark):
     assert out["b"]["intercept_c"] == 100
     assert out["b"]["r2_ppm"] == 1_000_000
     assert out["a"]["n_rows"] == 4 and out["b"]["n_rows"] == 3
+
+
+def test_pagerank_int_matches_reference_recurrence(spark):
+    """Integer PageRank equals a driver-side replay of the exact
+    integer recurrence on a small directed graph (hub + chain +
+    dangling node)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    E = [("a", "b"), ("c", "b"), ("b", "a"), ("b", "d"), ("d", "a")]
+    df = spark.createDataFrame(E, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank_int(df, iters=4).collect()}
+
+    nodes = sorted({x for e in E for x in e})
+    deg = {n: sum(1 for s, _ in E if s == n) for n in nodes}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(4):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // deg[u]
+        r = {n: 150_000 + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+    assert len(got) == 4 and got["b"] > got["d"]  # hub outranks leaf
