@@ -6565,3 +6565,160 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_int(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes, round 4: correlated scalar subqueries, scalar
+# subqueries over derived views, nested IN semi-joins — the SAME SQL
+# string through spark.sql (Catalyst decorrelates) and DuckDB. Money
+# is reduced to per-row integer cents BEFORE aggregation so every sum
+# is exact and order-independent (cross-engine float-accumulation
+# drift can flip round()'s last digit; min/max of per-row values and
+# integer sums cannot drift).
+# ---------------------------------------------------------------------------
+
+# Q2 shape: cheapest observed supplier per small part — correlated MIN
+# scalar subquery against a derived (part, supplier) price relation.
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS min_unit_c
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, n.n_name, ps.min_unit_c
+    FROM part p
+    JOIN ps ON ps.pk = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.sk
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+      AND ps.min_unit_c = (
+        SELECT MIN(ps2.min_unit_c) FROM ps ps2 WHERE ps2.pk = p.p_partkey
+      )
+    ORDER BY ps.min_unit_c ASC, p.p_partkey ASC, s.s_name ASC
+    LIMIT 100
+"""
+
+
+@register("cheapest_supplier_per_part", _Q2_SQL)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("part", "supplier", "nation", "lineitem"))
+    return sql(spark, _Q2_SQL)
+
+
+# Q11 shape: parts whose revenue through one nation's suppliers
+# exceeds a fraction of that nation's total — scalar subquery over the
+# same derived view it filters.
+_Q11_SQL = """
+    WITH v AS (
+      SELECT l.l_partkey AS pk,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS val_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT pk AS p_partkey, CAST(val_c AS BIGINT) AS value_cents
+    FROM v
+    WHERE CAST(val_c AS DOUBLE) > (SELECT CAST(SUM(val_c) AS DOUBLE) * 0.002 FROM v)
+    ORDER BY value_cents DESC, p_partkey ASC
+"""
+
+
+@register("important_part_values", _Q11_SQL)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return sql(spark, _Q11_SQL)
+
+
+# Q15 shape: the supplier(s) with maximum windowed revenue — MAX
+# scalar subquery over a derived revenue view (the classic VIEW +
+# scalar-subquery form).
+_Q15_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_c AS BIGINT) AS total_revenue_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.sk
+    WHERE r.total_c = (SELECT MAX(total_c) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+
+@register("top_revenue_supplier", _Q15_SQL)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return sql(spark, _Q15_SQL)
+
+
+# Q17 shape: revenue locked in small-quantity orders — correlated
+# scalar AVG subquery per part (Catalyst decorrelates to an aggregate
+# + join; the avg is sum/count of exact integers so the threshold is
+# engine-exact).
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(round(l1.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_order_revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l1
+    WHERE CAST(l1.l_quantity AS DOUBLE) < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                    / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+    )
+"""
+
+
+@register("small_quantity_part_revenue", _Q17_SQL)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return sql(spark, _Q17_SQL)
+
+
+# Q20 shape: suppliers who dominate a part's shipments in a year —
+# nested IN semi-join over a derived share comparison.
+_Q20_SQL = """
+    WITH tot AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS tq
+      FROM lineitem GROUP BY l_partkey
+    ),
+    sp AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sp.sk FROM sp JOIN tot ON sp.pk = tot.pk
+      WHERE CAST(sp.sq AS DOUBLE) > 0.3 * CAST(tot.tq AS DOUBLE)
+    )
+    ORDER BY s.s_suppkey
+"""
+
+
+@register("dominant_part_suppliers", _Q20_SQL)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("supplier", "nation", "lineitem"))
+    return sql(spark, _Q20_SQL)
