@@ -6609,8 +6609,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, _Q2_SQL)
 
 
-# Q11 shape: parts whose revenue through one nation's suppliers
-# exceeds a fraction of that nation's total — scalar subquery over the
+# Q11 shape: parts whose revenue through one region's suppliers
+# is within 20% of the top part value (max-relative threshold: exact,
+# scale-free, and non-empty by construction at every SF; region scope so the
+# slice is non-empty at every SF - sf0.001 has single-digit suppliers) — scalar subquery over the
 # same derived view it filters.
 _Q11_SQL = """
     WITH v AS (
@@ -6620,12 +6622,13 @@ _Q11_SQL = """
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
-      WHERE n.n_name = 'NATION_7'
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
       GROUP BY l.l_partkey
     )
     SELECT pk AS p_partkey, CAST(val_c AS BIGINT) AS value_cents
     FROM v
-    WHERE CAST(val_c AS DOUBLE) > (SELECT CAST(SUM(val_c) AS DOUBLE) * 0.002 FROM v)
+    WHERE CAST(val_c AS DOUBLE) > (SELECT CAST(MAX(val_c) AS DOUBLE) * 0.8 FROM v)
     ORDER BY value_cents DESC, p_partkey ASC
 """
 
@@ -6634,7 +6637,7 @@ _Q11_SQL = """
 def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import register_views, sql
 
-    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
     return sql(spark, _Q11_SQL)
 
 
@@ -6691,12 +6694,17 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, _Q17_SQL)
 
 
-# Q20 shape: suppliers who dominate a part's shipments in a year —
-# nested IN semi-join over a derived share comparison.
+# Q20 shape: suppliers who dominate a part's shipments in a year
+# (>30% of that part's SAME-WINDOW quantity — shares sum to 1 per
+# part, so the set is non-empty at every SF) — nested IN semi-join
+# over a derived share comparison.
 _Q20_SQL = """
     WITH tot AS (
       SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS tq
-      FROM lineitem GROUP BY l_partkey
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
     ),
     sp AS (
       SELECT l_suppkey AS sk, l_partkey AS pk,
