@@ -6730,3 +6730,84 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("supplier", "nation", "lineitem"))
     return sql(spark, _Q20_SQL)
+
+
+# Recursive CTE passthrough (Spark 4 WITH RECURSIVE ≡ DuckDB): a
+# recursively generated month spine left-joined to per-month order
+# counts — the gap-filled reporting calendar. One SQL string, both
+# engines run the SAME recursion; counts and integer cents keep it
+# hash-exact.
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+    ),
+    per_month AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT months.m AS month_start,
+           COALESCE(p.n_orders, 0) AS n_orders,
+           CAST(COALESCE(p.total_c, 0) AS BIGINT) AS total_cents
+    FROM months LEFT JOIN per_month p ON months.m = p.m
+    ORDER BY months.m
+"""
+
+
+@register("monthly_order_spine", _RECURSIVE_MONTHS_SQL)
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views, sql
+
+    register_views(spark, sf_dir, ("orders",))
+    return sql(spark, _RECURSIVE_MONTHS_SQL)
+
+
+# PIVOT: order counts + integer-cents revenue by year × status — the
+# DataFrame .pivot() surface with FIXED pivot values (deterministic
+# column set at any SF); the oracle replays it as conditional
+# aggregation, the engine-portable form.
+@register(
+    "orders_year_status_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS cents_F
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY order_year
+    """,
+)
+def orders_year_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    counts = (
+        o.groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    cents_f = o.filter(F.col("o_orderstatus") == "F").groupBy("order_year").agg(
+        F.sum("_cents").alias("cents_F")
+    )
+    return (
+        counts.join(cents_f, "order_year", "left")
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            F.col("F").cast("long").alias("n_F"),
+            F.col("O").cast("long").alias("n_O"),
+            F.col("P").cast("long").alias("n_P"),
+            F.coalesce(F.col("cents_F"), F.lit(0)).cast("long").alias("cents_F"),
+        )
+        .orderBy("order_year")
+    )
