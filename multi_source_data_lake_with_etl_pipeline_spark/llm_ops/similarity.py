@@ -963,11 +963,20 @@ def ivf_knn_join(
     tie-break (rounded similarity ties pick the lowest id).
     """
     cents = sorted(centroids)
-    corp = (
-        corpus
-        if "_cid" in corpus.columns and "_rn" in corpus.columns
-        else ivf_corpus_assign(corpus, cents, vec_col=c_vec)
-    )
+    # Index-reuse accepts BOTH pre-assigned shapes: `ivf_corpus_assign`
+    # frames (_cid, _rn) and `ivf_build` tables read back from parquet
+    # (_centroid from the Arrow assignment, no norm column — rename and
+    # add the one narrow norm fold; recomputing the O(N·m) assignment
+    # because of a column-name mismatch would silently turn the
+    # amortized one-time index build into a per-batch rebuild).
+    corp = corpus
+    if "_centroid" in corp.columns and "_cid" not in corp.columns:
+        corp = corp.withColumnRenamed("_centroid", "_cid")
+    if "_cid" in corp.columns:
+        if "_rn" not in corp.columns:
+            corp = corp.withColumn("_rn", norm(F.col(c_vec)))
+    else:
+        corp = ivf_corpus_assign(corp, cents, vec_col=c_vec)
     probes = (
         ivf_corpus_assign(
             queries, cents, vec_col=q_vec, nprobe=nprobe, norm_col="_qn"

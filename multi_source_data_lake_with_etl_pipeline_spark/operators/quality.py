@@ -331,21 +331,25 @@ def exact_corr_matrix(df: DataFrame, int_cols: dict[str, F.Column]) -> DataFrame
         aggs.append(
             F.sum((F.col(n) * F.col(n)).cast("decimal(38,0)")).alias(f"_s2_{n}")
         )
+    # Product-sum aliases are INDEX-based: name-concatenation collides
+    # for underscore names (pairs (a, b_c) and (a_b, c) both render
+    # "_sp_a_b_c" → ambiguous-column AnalysisException or a silently
+    # wrong binding).
     for i, a in enumerate(names):
-        for b in names[i + 1 :]:
+        for j, b in enumerate(names[i + 1 :], start=i + 1):
             aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"_sp_{a}_{b}")
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"_sp_{i}_{j}")
             )
     row = proj.agg(*aggs)
     nd = F.col("_n").cast("double")
     pairs = []
     for i, a in enumerate(names):
-        for b in names[i + 1 :]:
+        for j, b in enumerate(names[i + 1 :], start=i + 1):
             sx = F.col(f"_s_{a}").cast("double")
             sy = F.col(f"_s_{b}").cast("double")
             sxx = F.col(f"_s2_{a}").cast("double")
             syy = F.col(f"_s2_{b}").cast("double")
-            sxy = F.col(f"_sp_{a}_{b}").cast("double")
+            sxy = F.col(f"_sp_{i}_{j}").cast("double")
             corr = (nd * sxy - sx * sy) / (
                 F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
             )

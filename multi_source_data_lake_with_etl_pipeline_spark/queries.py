@@ -83,6 +83,13 @@ def _driver_checked() -> tuple[set[str], set[str]]:
         matches = [row.get("rows_match"), row.get("schema_match"), row.get("hash_match")]
         if any(m is False for m in matches):
             failed.add(name)
+        elif row.get("err") not in (None, "", "no_oracle") and not any(
+            m is True for m in matches
+        ):
+            # Harness-side crash: a real err string and no match flag ever
+            # computed. (Rows-only queries have err='no_oracle' with all-null
+            # flags — those are by-design, not failures.)
+            failed.add(name)
         else:  # all-true green row, or no_oracle rows-only row
             passed.add(name)
     return passed, failed
@@ -2252,13 +2259,17 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a constant-size sample at larger corpora — the uncapped
     # pipeline is benched separately as minhash_lsh_neardup.
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < 3)
-    # Audit-reuse (VERDICT r3 #9): the operator's exact-verify step and
-    # the audit below both need the CANDIDATE-participant shingle sets
-    # — build that table once (persisted, participants only: 2×|pairs|
-    # ids at most) and inject it into verify_pairs_exact, so the
-    # CPU-heavy set construction runs once instead of twice. The audit
-    # still re-joins and re-compares every emitted pair's jaccard and
-    # threshold from the set table.
+    # Audit-reuse (VERDICT r3 #9): the operator's exact-verify step
+    # builds the candidate-participant shingle table ONCE (persisted,
+    # participants only: 2×|pairs| ids at most) and injects it into
+    # verify_pairs_exact, so the operator no longer pays the set
+    # construction twice. The AUDIT leg below is deliberately NOT that
+    # table: it re-derives each participant's shingle set from raw
+    # text through an independent expression path (regexp tokenizer +
+    # SQL-transform string shingles, no hashing) so a defect anywhere
+    # in the operator's words/shingles_of_words/xxhash64 pipeline
+    # yields a jaccard the audit does NOT reproduce — a self-join of
+    # the operator's own cached table would pass by construction.
     cand = minhash_lsh_pairs(d, threshold=0.5, verify=False)
     ids = cand.select(F.col("id_1").alias("doc_id")).union(
         cand.select(F.col("id_2").alias("doc_id"))
@@ -2269,15 +2280,28 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.count()
     lsh = verify_pairs_exact(d, cand, threshold=0.5, sets=docs).persist()
     lsh.count()
+    ind = (
+        d.join(ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("_tk"))
+        .select(
+            "doc_id",
+            F.expr(
+                "IF(size(_tk) >= 3, array_distinct(transform("
+                "sequence(1, size(_tk) - 2), "
+                "i -> concat_ws(' ', _tk[i-1], _tk[i], _tk[i+1]))), "
+                "array())"
+            ).alias("_sh2"),
+        )
+    )
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
     return (
         lsh.join(
-            F.broadcast(docs.select(F.col("doc_id").alias("id_1"), F.col("_sh").alias("_a"))),
+            F.broadcast(ind.select(F.col("doc_id").alias("id_1"), F.col("_sh2").alias("_a"))),
             "id_1",
         )
         .join(
-            F.broadcast(docs.select(F.col("doc_id").alias("id_2"), F.col("_sh").alias("_b"))),
+            F.broadcast(ind.select(F.col("doc_id").alias("id_2"), F.col("_sh2").alias("_b"))),
             "id_2",
         )
         .filter(
@@ -2329,15 +2353,53 @@ def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.count()
     pairs = simhash_pairs(d, max_hamming=3, signatures=sig).persist()
     pairs.count()
-    # Broadcast legs prune to pair PARTICIPANTS before the broadcast
-    # build (reads the cached sig — free here, and the shape that
-    # stays broadcastable when the corpus isn't audit-sized).
+    # AUDIT leg: re-derive pair PARTICIPANTS' signatures from raw text
+    # through an INDEPENDENT implementation — regexp tokenizer + SQL
+    # string shingles + explode + 64 per-bit conditional vote sums (the
+    # operator uses words/shingles_of_words + a SWAR packed-counter
+    # array fold). Joining the operator's own cached ``sig`` back to
+    # its pairs would compare a value to itself and pass regardless of
+    # signature/banding bugs; this recompute only shares Spark's
+    # xxhash64 builtin (which the signature is defined over).
+    # Participants only: 2×|pairs| docs at most, so the naive 64-agg
+    # groupBy is audit-sized, not corpus-sized.
     ids = (
         pairs.select(F.col("id_1").alias("doc_id"))
         .union(pairs.select(F.col("id_2").alias("doc_id")))
         .distinct()
     )
-    part = sig.join(ids, "doc_id", "left_semi")
+    votes = (
+        d.join(ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(transform("
+                    "sequence(1, size(_tk) - 2), "
+                    "i -> concat_ws(' ', _tk[i-1], _tk[i], _tk[i+1])), "
+                    "s -> xxhash64(s)))"
+                )
+            ).alias("_h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))
+                ).alias(f"_b{i}")
+                for i in range(64)
+            ],
+        )
+    )
+    sig2 = F.lit(0).cast("long")
+    for i in range(64):
+        sig2 = sig2 + F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"),
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    part = votes.select("doc_id", sig2.alias("simhash"))
     s1 = part.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
     s2 = part.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
     return (

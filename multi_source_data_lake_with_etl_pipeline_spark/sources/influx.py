@@ -26,13 +26,34 @@ only the probed time range and tags, never the full series history.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 POINT_BASE_COLS = ("time", "measurement", "field", "value")
+
+_FLUX_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _fq(value: str) -> str:
+    """Escape a value for interpolation inside a Flux double-quoted
+    string literal — backslash first, then quote. Without this a value
+    containing ``"`` breaks the query (or injects arbitrary Flux
+    clauses, since the builder serves live-production readers via the
+    extractor registry)."""
+    return str(value).replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _flux_ident(name: str) -> str:
+    """Tag KEYS are interpolated as bare ``r.<key>`` member accesses —
+    no quoting context exists, so restrict to identifier charset and
+    refuse anything else rather than emit malformed/injected Flux."""
+    if not _FLUX_IDENT_RE.match(name):
+        raise ValueError(f"invalid Flux tag key: {name!r}")
+    return name
 
 
 def build_flux_query(
@@ -47,15 +68,15 @@ def build_flux_query(
     (influx_connector.py:148-162): range → measurement filter →
     OR-joined field filter → one filter per tag."""
     query = (
-        f'from(bucket: "{bucket}")\n'
+        f'from(bucket: "{_fq(bucket)}")\n'
         f"  |> range(start: {start}, stop: {stop})\n"
-        f'  |> filter(fn: (r) => r._measurement == "{measurement}")'
+        f'  |> filter(fn: (r) => r._measurement == "{_fq(measurement)}")'
     )
     if fields:
-        ors = " or ".join(f'r._field == "{f}"' for f in fields)
+        ors = " or ".join(f'r._field == "{_fq(f)}"' for f in fields)
         query += f"\n  |> filter(fn: (r) => {ors})"
     for k, v in (tags or {}).items():
-        query += f'\n  |> filter(fn: (r) => r.{k} == "{v}")'
+        query += f'\n  |> filter(fn: (r) => r.{_flux_ident(k)} == "{_fq(v)}")'
     return query
 
 
@@ -63,7 +84,7 @@ def build_measurements_flux(bucket: str) -> str:
     """Schema introspection (influx_connector.py:229-248)."""
     return (
         'import "influxdata/influxdb/schema"\n'
-        f'schema.measurements(bucket: "{bucket}")'
+        f'schema.measurements(bucket: "{_fq(bucket)}")'
     )
 
 
@@ -72,8 +93,8 @@ def build_fields_flux(bucket: str, measurement: str) -> str:
     return (
         'import "influxdata/influxdb/schema"\n'
         "schema.measurementFieldKeys(\n"
-        f'  bucket: "{bucket}",\n'
-        f'  measurement: "{measurement}"\n'
+        f'  bucket: "{_fq(bucket)}",\n'
+        f'  measurement: "{_fq(measurement)}"\n'
         ")"
     )
 
@@ -93,7 +114,55 @@ def records_to_df(spark: SparkSession, records: list[dict[str, Any]]) -> DataFra
             if k not in cols:
                 cols.append(k)
     norm = [{c: r.get(c) for c in cols} for r in records]
-    return spark.createDataFrame(norm)
+    # Explicit schema, not inference: a column that is None in EVERY
+    # record (a null field value, a tag key present only with nulls —
+    # both legal Influx results) makes createDataFrame's inference
+    # raise "Some of types cannot be determined". Type each column
+    # from its first non-null value; all-null columns land as string.
+    import datetime
+
+    from pyspark.sql import types as T
+
+    _PY2SPARK = [
+        (bool, T.BooleanType()),  # before int: bool is an int subclass
+        (datetime.datetime, T.TimestampType()),
+        (datetime.date, T.DateType()),
+        (int, T.LongType()),
+        (float, T.DoubleType()),
+        (str, T.StringType()),
+    ]
+
+    def _spark_type(c: str):
+        seen = None
+        for r in norm:
+            v = r[c]
+            if v is None:
+                continue
+            this = T.StringType()
+            for py, st in _PY2SPARK:
+                if isinstance(v, py):
+                    this = st
+                    break
+            if seen is None:
+                seen = this
+            elif seen != this:
+                # int/float mixes widen to double; anything else → string
+                num = (T.LongType(), T.DoubleType())
+                seen = T.DoubleType() if seen in num and this in num else T.StringType()
+        return seen or T.StringType()
+
+    schema = T.StructType([T.StructField(c, _spark_type(c), True) for c in cols])
+    def _coerce(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.StringType) and not isinstance(v, str):
+            return str(v)
+        if isinstance(dt, T.DoubleType) and isinstance(v, int):
+            return float(v)
+        return v
+
+    rows = [tuple(_coerce(r[c], schema[c].dataType) for c in cols) for r in norm]
+    return spark.createDataFrame(rows, schema)
 
 
 def influx_extract(
@@ -145,6 +214,27 @@ def influx_extract(
     return records_to_df(spark, records)  # pragma: no cover
 
 
+_FLUX_DUR_RE = re.compile(r"(-?\d+)(s|m|h|d|w)\Z")
+_FLUX_DUR_SECS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _time_bound(value: str) -> Column:
+    """Compile a Flux-style time bound to a timestamp Column. The
+    sibling ``influx_extract`` defaults to RELATIVE ranges
+    (start='-1h', stop='now()'); casting those strings to timestamp
+    throws under ANSI mode (CAST_INVALID_INPUT) or silently NULLs the
+    predicate with ANSI off — so relative durations and now() compile
+    to current_timestamp arithmetic, absolute strings cast as before.
+    Still a foldable scalar, so the predicate stays pushdown-able."""
+    if value == "now()":
+        return F.current_timestamp()
+    m = _FLUX_DUR_RE.match(value)
+    if m:
+        secs = int(m.group(1)) * _FLUX_DUR_SECS[m.group(2)]
+        return F.current_timestamp() + F.expr(f"INTERVAL '{secs}' SECOND")
+    return F.lit(value).cast("timestamp")
+
+
 def influx_lake_scan(
     df: DataFrame,
     measurement: str | None = None,
@@ -165,9 +255,9 @@ def influx_lake_scan(
     if measurement is not None:
         out = out.filter(F.col("measurement") == measurement)
     if start is not None:
-        out = out.filter(F.col(time_col) >= F.lit(start).cast("timestamp"))
+        out = out.filter(F.col(time_col) >= _time_bound(start))
     if stop is not None:
-        out = out.filter(F.col(time_col) < F.lit(stop).cast("timestamp"))
+        out = out.filter(F.col(time_col) < _time_bound(stop))
     if fields:
         out = out.filter(F.col("field").isin(list(fields)))
     for k, v in (tags or {}).items():

@@ -658,3 +658,67 @@ def test_influx_flux_builders_and_dispatch(spark):
         stop="2024-01-01 01:00:00", fields=["usage"], tags={"host": "h1"},
     ).collect()
     assert len(got) == 1 and got[0]["value"] == 0.5
+
+
+def test_influx_hardening(spark):
+    """Round-4 review fixes: Flux quote escaping / tag-key validation,
+    relative time bounds on the lake scan (the extract API's DEFAULTS),
+    and all-null columns in the record lifter."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.influx import (
+        build_flux_query,
+        influx_lake_scan,
+        records_to_df,
+    )
+
+    # a double quote in a value must not break out of the Flux string
+    flux = build_flux_query('la"ke', 'c"pu', tags={"host": 'h"1'})
+    assert 'from(bucket: "la\\"ke")' in flux
+    assert 'r._measurement == "c\\"pu"' in flux
+    assert 'r.host == "h\\"1"' in flux
+    # tag keys are bare member accesses — non-identifiers are refused
+    with _pytest.raises(ValueError):
+        build_flux_query("lake", "cpu", tags={'h" or true or r.x == "': "v"})
+
+    # relative bounds ('-1h'/'now()' — influx_extract's defaults) must
+    # select recent rows instead of throwing/NULLing under ANSI cast
+    now = dt.datetime.now()
+    pts = spark.createDataFrame(
+        [
+            (now - dt.timedelta(minutes=5), "cpu", "usage", 1.0),
+            (now - dt.timedelta(hours=3), "cpu", "usage", 2.0),
+        ],
+        "time timestamp, measurement string, field string, value double",
+    )
+    got = influx_lake_scan(pts, measurement="cpu", start="-1h", stop="now()").collect()
+    assert [r["value"] for r in got] == [1.0]
+    # absolute strings still work, and -7d/now() parse
+    assert influx_lake_scan(pts, start="-7d").count() == 2
+
+    # a column that is None in EVERY record must not crash inference
+    df = records_to_df(
+        spark,
+        [
+            {"time": dt.datetime(2024, 1, 1), "measurement": "cpu",
+             "field": "usage", "value": None, "host": None},
+            {"time": dt.datetime(2024, 1, 1), "measurement": "cpu",
+             "field": "usage", "value": None, "host": None},
+        ],
+    )
+    assert df.count() == 2
+    assert dict(df.dtypes)["host"] == "string"
+    # int/float mixes widen to double
+    df2 = records_to_df(
+        spark,
+        [
+            {"time": dt.datetime(2024, 1, 1), "measurement": "m",
+             "field": "f", "value": 1},
+            {"time": dt.datetime(2024, 1, 1), "measurement": "m",
+             "field": "f", "value": 2.5},
+        ],
+    )
+    assert dict(df2.dtypes)["value"] == "double"
+    assert {r["value"] for r in df2.collect()} == {1.0, 2.5}

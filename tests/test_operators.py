@@ -581,7 +581,7 @@ class TestFuzzyJoinDist2:
         assert (9, 110, 2) in fast  # "" vs "ab"
 
 
-def test_ivf_knn_join_exactness_and_shape(spark):
+def test_ivf_knn_join_exactness_and_shape(spark, tmp_path):
     """Batch ANN kNN join: with nprobe == m (all centroids probed) the
     result must equal brute-force top-k exactly; ranks are dense and
     deterministically tie-broken; no query x corpus cross join."""
@@ -638,6 +638,21 @@ def test_ivf_knn_join_exactness_and_shape(spark):
     pre = ivf_corpus_assign(cdf, cents, vec_col="rv")
     out2 = ivf_knn_join(qdf, pre, cents, k=3, nprobe=2)
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+    # an ivf_build table read back from parquet carries _centroid (and
+    # no norm column) — the reuse guard must accept that shape too,
+    # not silently recompute the O(N·m) assignment per batch
+    bpath = str(tmp_path / "ivf_index")
+    pre.withColumnRenamed("_cid", "_centroid").drop("_rn").write.partitionBy(
+        "_centroid"
+    ).parquet(bpath)
+    built = spark.read.parquet(bpath)
+    out3 = ivf_knn_join(qdf, built, cents, k=3, nprobe=2)
+    assert sorted(map(tuple, out3.collect())) == sorted(map(tuple, rows))
+    plan3 = out3._jdf.queryExecution().executedPlan().toString()
+    plan3 = plan3.split("== Initial Plan ==")[0]
+    # only the QUERY assignment leg broadcasts the centroid frame —
+    # a second one would mean the corpus was re-assigned
+    assert len(plan3.split("BroadcastNestedLoopJoin")[1:]) <= 1, plan3
 
 
 def test_exact_corr_matrix_known_values(spark):
@@ -677,6 +692,23 @@ def test_exact_corr_matrix_known_values(spark):
 
     assert out[("x", "w")]["corr_ppm"] == math.floor(pearson(xs, ws) * 1e6)
     assert out[("y", "w")]["corr_ppm"] == math.floor(pearson(ys, ws) * 1e6)
+
+    # underscore column names must not collide in the internal
+    # product-sum aliases (pairs (a, b_c) and (a_b, c) both rendered
+    # "_sp_a_b_c" under name concatenation)
+    df2 = spark.createDataFrame(
+        list(zip(xs, ys, zs, ws)), "a long, b_c long, a_b long, c long"
+    )
+    out2 = {
+        (r["var_x"], r["var_y"]): r["corr_ppm"]
+        for r in exact_corr_matrix(
+            df2,
+            {n: F.col(n) for n in ["a", "b_c", "a_b", "c"]},
+        ).collect()
+    }
+    assert len(out2) == 6
+    assert out2[("a", "b_c")] == 1_000_000      # ys vs xs
+    assert out2[("a_b", "c")] == math.floor(pearson(zs, ws) * 1e6)
 
 
 def test_spearman_corr_average_ranks(spark):

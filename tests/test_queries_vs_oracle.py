@@ -50,6 +50,13 @@ def test_driver_window_rotation_contract():
             row.get(k) is False
             for k in ("rows_match", "schema_match", "hash_match")
         )
+        or (
+            row.get("err") not in (None, "", "no_oracle")
+            and not any(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+        )
     }
     refresh = [n for n in names if n in failed and n in oracled]
     fresh = [n for n in names if n in oracled and n not in latest]
