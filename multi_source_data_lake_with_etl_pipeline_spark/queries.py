@@ -6873,3 +6873,93 @@ def orders_year_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# TPC-H Q5-shaped local-supplier revenue: the one classic shape still
+# missing from the suite (Q1-Q22 all now have an adaptation). Customer
+# and supplier must sit in the SAME nation (the "local" predicate is a
+# join condition between two different dimension paths of the same
+# fact row), restricted to one region and one order year. Both nation
+# and region broadcast at any SF; lineitem joins orders/supplier on
+# their keys — with customer pruned to the region first, AQE turns the
+# customer leg into a broadcast at bench SF and a shuffle join at
+# scale, same plan text. (Reference parity: raw-SQL passthrough
+# surface, src/connectors/postgres_connector.py:98-120.)
+@register(
+    "local_supplier_revenue",
+    """
+    SELECT n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# TPC-H Q12-shaped shipping-delay priority split. The testdata carries
+# no l_shipmode/l_receiptdate, so the Q12 semantics — conditional
+# priority counts per shipping class — run over a DERIVED class: the
+# ship delay bucket (days between order and ship date, <=30 fast,
+# >30 slow). One fact-dim join, CASE-WHEN split aggregation, exact
+# integer outputs.
+@register(
+    "ship_delay_priority_split",
+    """
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1996
+    GROUP BY 1
+    """,
+)
+def ship_delay_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+            )
+            .otherwise("SLOW")
+            .alias("ship_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
