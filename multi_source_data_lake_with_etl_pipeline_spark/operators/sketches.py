@@ -127,3 +127,129 @@ def hll_rollup(df: DataFrame, group_cols: list[str]) -> DataFrame:
 def hll_estimates(df: DataFrame, est_name: str = "approx_distinct") -> DataFrame:
     """Materialize estimates from a sketch table's ``hll`` column."""
     return df.withColumn(est_name, F.hll_sketch_estimate("hll")).drop("hll")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as DataFrame ops: broadcastable membership pruning.
+#
+# At 100 TB a semi-join against a large key set (decontamination
+# denylists, already-ingested ids, dedup survivors) shuffles the fact
+# table on the key. A Bloom filter makes that a SCAN: build an m-bit
+# bitmap over the key set (one aggregation), broadcast the bitmap (m/8
+# bytes — 8 KB for 2^16 bits — vs. the full key set), and flag rows
+# with pure JVM bit tests. Guarantee is one-sided: NO false negatives,
+# false-positive rate ~ (1-e^{-kn/m})^k — so it prunes candidates
+# ahead of an exact verify, never loses a match (checked end-to-end by
+# `bloom_prune_invariant`). Per-shard blooms OR-merge (`bloom_merge`)
+# without rescanning, same as the CMS/HLL mergeability above.
+# (Spark's internal BloomFilterAggregate is not SQL-exposed, and the
+# driver-side DataFrameStatFunctions.bloomFilter object can't be used
+# as a Column predicate — hence the explicit bitmap-as-array build.)
+
+
+def _bloom_pos(key: F.Column, i, m_bits: int) -> F.Column:
+    """Bit position of ``key`` under hash ``i``: pmod(xxhash64(key, i), m).
+    Hashing (key, i) pairs gives k independent-enough functions, the
+    same per-seed trick as ``cms_bucket`` — all JVM-side."""
+    return F.pmod(F.xxhash64(key, i if isinstance(i, F.Column) else F.lit(i)), F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Build the bitmap as a ONE-ROW frame (_bf array<long>, _m, _k).
+
+    Shape: explode each key's k positions → group by 64-bit word →
+    bit_or the in-word bits (map-side combinable) → assemble the dense
+    word array in a single-row final aggregation (map lookup over a
+    constant-folded index sequence — no driver-side collect, the
+    result rides to consumers as a broadcast frame)."""
+    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    nwords = m_bits // 64
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: _bloom_pos(F.col(key_col), i, m_bits),
+        )
+    ).alias("_pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("_word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    return (
+        words.agg(
+            F.map_from_arrays(
+                F.collect_list("_word"), F.collect_list("_bits")
+            ).alias("_map")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda w: F.coalesce(F.element_at(F.col("_map"), w), F.lit(0).cast("long")),
+            ).alias("_bf"),
+            F.lit(m_bits).alias("_m"),
+            F.lit(k).alias("_k"),
+        )
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two same-shape blooms (per-shard builds, union
+    semantics) — no rescan of either input."""
+    bf_b = b.select(
+        F.col("_bf").alias("_bf_b"), F.col("_m").alias("_m_b"), F.col("_k").alias("_k_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(bf_b))
+        .where((F.col("_m") == F.col("_m_b")) & (F.col("_k") == F.col("_k_b")))
+        .select(
+            F.zip_with("_bf", "_bf_b", lambda x, y: x.bitwiseOR(y)).alias("_bf"),
+            "_m",
+            "_k",
+        )
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, bloom: DataFrame, key_col: str, flag_col: str = "bloom_hit"
+) -> DataFrame:
+    """Add ``flag_col``: true iff every one of the k bits for the row's
+    key is set. The bitmap joins in as a one-row broadcast frame and
+    the test is k element_at/AND ops per row — scan speed, no shuffle
+    of ``df``. False → definitely NOT in the build set (prune);
+    true → candidate for the exact verify. Persist the bloom frame
+    when probing more than once — the parameter read below plus the
+    crossJoin re-execute the build DAG otherwise."""
+    params = bloom.select("_m", "_k").first()
+    m_bits, k = params["_m"], params["_k"]
+    hit = F.forall(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: (
+                F.element_at(
+                    F.col("_bf"),
+                    (_bloom_pos(F.col(key_col), i, m_bits) / 64).cast("int") + 1,
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (_bloom_pos(F.col(key_col), i, m_bits) % 64).cast("int"),
+                    )
+                )
+                != 0
+            ),
+        ),
+        lambda x: x,
+    )
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .withColumn(flag_col, hit)
+        .drop("_bf", "_m", "_k")
+    )

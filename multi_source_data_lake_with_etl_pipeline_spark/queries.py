@@ -38,6 +38,11 @@ def register(name: str, oracle: str | None):
             tune_session(spark)
             return fn(spark, sf_dir)
 
+        # A duplicate name would SILENTLY shadow the earlier query (and
+        # its driver-green correctness history would then describe a
+        # different computation) — refuse at import time instead.
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY[name] = (wrapped, oracle)
         return wrapped
 
@@ -6705,7 +6710,9 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Q15 shape: the supplier(s) with maximum windowed revenue — MAX
 # scalar subquery over a derived revenue view (the classic VIEW +
-# scalar-subquery form).
+# scalar-subquery form). Distinct name from the r3 DataFrame-API
+# `top_revenue_supplier` (different window + integer-cents output):
+# both shapes stay registered, this one exercises the raw-SQL surface.
 _Q15_SQL = """
     WITH rev AS (
       SELECT l_suppkey AS sk,
@@ -6723,8 +6730,8 @@ _Q15_SQL = """
 """
 
 
-@register("top_revenue_supplier", _Q15_SQL)
-def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("peak_window_supplier", _Q15_SQL)
+def peak_window_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import register_views, sql
 
     register_views(spark, sf_dir, ("supplier", "lineitem"))
@@ -6963,3 +6970,42 @@ def ship_delay_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# Bloom-filter membership pruning, end-to-end: build a bloom over a
+# key set (customers with negative balances), probe the orders fact
+# with scan-speed bit tests, and verify the ONE-SIDED guarantee — a
+# pruned row is NEVER a true member (zero false negatives: every
+# order of a flagged customer must be bloom-flagged). At 100 TB this
+# replaces a fact-table shuffle semi-join with a broadcast bitmap +
+# exact verify of the ~fp-rate candidate residue. The emitted row also
+# pins the exact member-order count so the query can't pass vacuously.
+@register(
+    "bloom_prune_invariant",
+    """
+    SELECT CAST(0 AS BIGINT) AS violations,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal < 0) AS member_orders
+    """,
+)
+def bloom_prune_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import bloom_build, bloom_might_contain
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    deny = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    bloom = bloom_build(deny, "c_custkey", m_bits=1 << 16, k=5).persist()
+    bloom.count()
+    probed = bloom_might_contain(orders, bloom, "o_custkey")
+    exact = orders.join(F.broadcast(deny), orders.o_custkey == deny.c_custkey, "left_semi")
+    missed = (
+        exact.join(
+            probed.filter(~F.col("bloom_hit")).select("o_orderkey"),
+            "o_orderkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    n_member = exact.agg(F.count(F.lit(1)).alias("member_orders"))
+    return missed.crossJoin(n_member)

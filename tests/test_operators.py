@@ -819,3 +819,69 @@ def test_pagerank_int_matches_reference_recurrence(spark):
         r = {n: 150_000 + (85 * s[n]) // 100 for n in nodes}
     assert got == r
     assert len(got) == 4 and got["b"] > got["d"]  # hub outranks leaf
+
+
+class TestBloomFilter:
+    """Bloom membership pruning: zero false negatives (the one-sided
+    guarantee the decontam/semi-join pruning path rests on), sane
+    false-positive behavior, OR-mergeability."""
+
+    def test_no_false_negatives_and_fp_bound(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+        bloom = bloom_build(keys, "k", m_bits=1 << 13, k=5).persist()
+        probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+        out = bloom_might_contain(probe, bloom, "k")
+        member = {7 * i + 3 for i in range(500)}
+        rows = {r["k"]: r["bloom_hit"] for r in out.collect()}
+        # every true member must be flagged — NO false negatives
+        assert all(rows[k] for k in member if k in rows)
+        # false positives exist but are bounded well below the
+        # non-member count at this m/n ratio (m=8192, n=500, k=5
+        # → theoretical fp ~ 0.2%; assert an order of magnitude slack)
+        fp = sum(1 for k, hit in rows.items() if hit and k not in member)
+        non_members = sum(1 for k in rows if k not in member)
+        assert fp <= non_members * 0.05, f"{fp}/{non_members} false positives"
+        bloom.unpersist()
+
+    def test_merge_equals_union_build(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_merge,
+            bloom_might_contain,
+        )
+
+        a = spark.range(0, 100).select(F.col("id").alias("k"))
+        b = spark.range(100, 200).select(F.col("id").alias("k"))
+        merged = bloom_merge(
+            bloom_build(a, "k", m_bits=1 << 10, k=3),
+            bloom_build(b, "k", m_bits=1 << 10, k=3),
+        )
+        union = bloom_build(a.union(b), "k", m_bits=1 << 10, k=3)
+        assert merged.first()["_bf"] == union.first()["_bf"]
+        # mismatched shapes refuse to merge (empty result, not junk)
+        bad = bloom_merge(
+            bloom_build(a, "k", m_bits=1 << 10, k=3),
+            bloom_build(b, "k", m_bits=1 << 11, k=3),
+        )
+        assert bad.count() == 0
+
+    def test_probe_is_scan_shaped(self, spark):
+        """The probe plan must not shuffle the probed frame: one
+        BroadcastNestedLoopJoin against the one-row bitmap frame, no
+        Exchange on the probe side."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        keys = spark.range(0, 50).select(F.col("id").alias("k"))
+        probe = spark.range(0, 500).select(F.col("id").alias("k"))
+        out = bloom_might_contain(probe, bloom_build(keys, "k", m_bits=1 << 10, k=3), "k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
