@@ -7009,3 +7009,101 @@ def bloom_prune_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_member = exact.agg(F.count(F.lit(1)).alias("member_orders"))
     return missed.crossJoin(n_member)
+
+
+# Hybrid retrieval: BM25 lexical top-20 + brute-force cosine top-20
+# fused by Reciprocal Rank Fusion (rrf = Σ 1/(60+rank)). RRF is pure
+# integer-rank math — both rank keys are already engine-exact (4dp
+# BM25 / 4dp cosine with id tie-breaks), and 1/(60+r) on IEEE doubles
+# is bit-identical cross-engine, so the fused ordering value-hashes
+# (emitted as floor(rrf*1e9) fixed-point). The two legs are the
+# engine's existing retrieval operators; fusion is a tiny full-outer
+# join of two ≤20-row frames — at 100 TB the legs are index-served
+# (posting lists / IVF probes) and fusion cost stays O(k).
+@register(
+    "hybrid_search_rrf",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS toks
+      FROM documents WHERE doc_id != 0
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'hash')) > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN len(list_filter(toks, x -> x = 'filter')) > 0 THEN 1 ELSE 0 END) AS df3
+      FROM d
+    ), scored AS (
+      SELECT doc_id,
+             round(
+               0.0
+               + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                 * len(list_filter(toks, x -> x = 'hash')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'hash'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+               + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                 * len(list_filter(toks, x -> x = 'join')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'join'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+               + ln(1 + (s.n - s.df3 + 0.5) / (s.df3 + 0.5))
+                 * len(list_filter(toks, x -> x = 'filter')) * 2.2
+                 / (len(list_filter(toks, x -> x = 'filter'))
+                    + 1.2 * (0.25 + 0.75 * len(toks) / s.avgdl))
+             , 4) AS bm25
+      FROM d, s
+    ), lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+      FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT e.vec_id AS id,
+             round(list_dot_product(e.embedding, q.qv)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cs
+      FROM embeddings e, q WHERE e.vec_id != 0
+    ), vec AS (
+      SELECT id, row_number() OVER (ORDER BY cs DESC, id ASC) AS r_vec
+      FROM cos ORDER BY cs DESC, id ASC LIMIT 20
+    )
+    SELECT COALESCE(lex.id, vec.id) AS id,
+           CAST(floor((COALESCE(1.0 / (60 + r_lex), 0.0)
+                       + COALESCE(1.0 / (60 + r_vec), 0.0)) * 1e9) AS BIGINT)
+             AS rrf_ppb
+    FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    ORDER BY rrf_ppb DESC, id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.retrieval import bm25_topk
+    from .llm_ops.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm25_topk(d, ["hash", "join", "filter"], k=20)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select(F.col("doc_id").alias("id"), "r_lex")
+    )
+    w_vec = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    vec = (
+        cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+        .withColumn("r_vec", F.row_number().over(w_vec))
+        .select(F.col("vec_id").alias("id"), "r_vec")
+    )
+    rrf = F.coalesce(F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (60 + F.col("r_vec")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id", F.floor(rrf * F.lit(1e9)).cast("long").alias("rrf_ppb")
+        )
+        .orderBy(F.desc("rrf_ppb"), F.asc("id"))
+        .limit(10)
+    )
