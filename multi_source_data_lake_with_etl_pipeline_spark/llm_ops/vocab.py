@@ -114,3 +114,84 @@ def oov_stats(
             .cast("long"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information: PMI = ln( (c_xy/N_bg) / ((c_x/N_tok)·(c_y/N_tok)) ).
+    The phrase-mining pass a tokenizer-training pipeline runs before
+    merging multiword units; complements `build_vocab` (unigrams) and
+    `bpe` (subwords).
+
+    All counts are exact integers; PMI is the only double, rounded to
+    4 dp (ln of an exact-integer ratio — the bm25/entropy-proven
+    cross-engine pattern). Bigrams come from zip_with over the token
+    array (explode_outer + null filter: the inner-explode inferred
+    filter would inline the array expression twice — see
+    tests/test_plans.py shingle-tax pin).
+
+    100 TB shape: two narrow scans (unigram + bigram explode), two
+    hash aggregations with map-side partials, then two joins of the
+    bigram counts against the unigram count table — vocabulary-sized,
+    AQE broadcasts it. Top-k via one final k-row sort.
+    """
+    from .text_stats import words
+
+    toks = df.select(
+        F.transform(words(F.col(text_col)), lambda w: F.lower(w)).alias("w")
+    ).persist()
+    uni = (
+        toks.select(F.explode_outer("w").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    ).persist()
+    n_tok = uni.agg(F.sum("c_tok").alias("n_tok"))
+    bg = (
+        toks.select(
+            F.explode_outer(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .filter(F.col("bg").isNotNull())
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    ).persist()
+    # N_bg is the UNFILTERED bigram total — the min_count cut prunes
+    # candidates, it must not reweight the probability space
+    n_bg = bg.agg(F.sum("c_xy").alias("n_bg"))
+    bg = bg.filter(F.col("c_xy") >= min_count)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c_y"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(n_tok)
+        .crossJoin(n_bg)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_bg"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_tok"))
+                        * (F.col("c_y").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)

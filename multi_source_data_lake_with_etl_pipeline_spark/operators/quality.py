@@ -476,3 +476,132 @@ def exact_linreg(
             F.floor(r2 * F.lit(1000000.0)).cast("long").alias("r2_ppm"),
         )
     )
+
+
+# Benford's-law expected first-digit shares, fixed-point parts-per-
+# million. Literal constants (not computed via log10 at query time) so
+# both engines compare the exact same integers — floor(log10(1+1/d)*1e6).
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, amount_cents: F.Column) -> DataFrame:
+    """First-significant-digit distribution of a positive money column
+    vs Benford's law (reference data_validators.py has threshold-style
+    plausibility checks; this is the classic fraud/corruption screen a
+    lake-wide quality suite adds on top).
+
+    The first digit is taken from the CENTS integer's decimal string —
+    no ``log10``/``pow`` on doubles, whose floor can mis-round on exact
+    powers of ten and diverge between engines. Emits one row per digit
+    with exact counts and an exact-integer deviation in ppm units.
+
+    100 TB: one scan → 9-group hash aggregate; partial aggregation
+    makes the shuffle 9 rows per task.
+    """
+    exp_ppm = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )[F.col("digit")]
+    per = (
+        df.select(amount_cents.cast("long").alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    total = per.agg(F.sum("obs").alias("_n"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "digit",
+            F.col("obs").cast("long").alias("obs"),
+            exp_ppm.cast("long").alias("benford_ppm"),
+            # observed share in ppm — integer `div`, never a double
+            # division whose trunc can land one off an exact quotient
+            F.expr("(obs * CAST(1000000 AS BIGINT)) div _n")
+            .cast("long")
+            .alias("obs_ppm"),
+        )
+        .withColumn("dev_ppm", (F.col("obs_ppm") - F.col("benford_ppm")).cast("long"))
+        .orderBy("digit")
+    )
+
+
+def referential_integrity(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across a star schema: one row per FK
+    edge with child row count, NULL-FK count, and orphan count (non-
+    NULL FK with no matching parent key). Reference
+    data_validators.py:161-193 checks per-table rules only; cross-table
+    integrity is the natural lake-wide extension.
+
+    Each edge is a left join against the DISTINCT parent keys — dims
+    stay broadcast-size and AQE picks broadcast-hash automatically
+    (hint-free, so the one big-big edge, e.g. lineitem→orders, falls
+    back to a shuffle join instead of an OOM broadcast at 100 TB).
+    """
+    outs: list[DataFrame] = []
+    for name, child, fk, parent, pk in edges:
+        keys = parent.select(F.col(pk).alias("_pk")).distinct()
+        j = child.select(F.col(fk).alias("_fk")).join(
+            keys, F.col("_fk") == F.col("_pk"), "left"
+        )
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.col("_fk").isNull().cast("long")).alias("null_fks"),
+                F.sum(
+                    (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("long")
+                ).alias("orphans"),
+            ).select(F.lit(name).alias("edge"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats, 4 dp) + distinct count + modal share per
+    categorical column — the information-content screen a curation
+    pipeline runs before choosing stratification / partition keys
+    (low-entropy column ⇒ useless stratifier, skewed partitioner).
+
+    One grouped count per column (map-side partials), entropy folded
+    from the tiny per-value frame. NULLs are their own category.
+    """
+    outs: list[DataFrame] = []
+    for c in cols:
+        counts = (
+            df.select(F.coalesce(F.col(c).cast("string"), F.lit("∅")).alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        outs.append(
+            counts.agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum("_cnt").alias("_n"),
+                F.max("_cnt").alias("_top"),
+                F.sum(F.col("_cnt") * F.log(F.col("_cnt").cast("double"))).alias("_slc"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                # H = ln(N) - (1/N)·Σ c·ln(c), exact-count inputs
+                F.round(
+                    F.log(F.col("_n").cast("double"))
+                    - F.col("_slc") / F.col("_n").cast("double"),
+                    4,
+                ).alias("entropy_nats"),
+                F.expr("(_top * CAST(1000000 AS BIGINT)) div _n")
+                .cast("long")
+                .alias("modal_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

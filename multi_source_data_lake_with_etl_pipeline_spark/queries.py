@@ -7107,3 +7107,301 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_ppb"), F.asc("id"))
         .limit(10)
     )
+
+
+# --- Round-4 quality-audit family -----------------------------------
+# Benford first-significant-digit screen over order totals. The digit
+# comes from the cents integer's decimal string (no log10/pow floors
+# that can mis-round on exact powers of ten), expected shares are the
+# literal Benford ppm table, and every emitted number is exact-integer
+# (`div`, not double division) — hash-exact cross-engine.
+@register(
+    "benford_price_audit",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS obs
+      FROM c WHERE cents > 0 GROUP BY 1
+    ), t AS (SELECT sum(obs) AS n FROM per),
+    b(digit, benford_ppm) AS (VALUES
+      (1,301029),(2,176091),(3,124938),(4,96910),(5,79181),
+      (6,66946),(7,57991),(8,51152),(9,45757))
+    SELECT per.digit,
+           CAST(obs AS BIGINT) AS obs,
+           CAST(benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(obs * 1000000 // n AS BIGINT) AS obs_ppm,
+           CAST(obs * 1000000 // n - benford_ppm AS BIGINT) AS dev_ppm
+    FROM per JOIN b ON per.digit = b.digit CROSS JOIN t
+    ORDER BY per.digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_profile(o, F.round(F.col("o_totalprice") * 100))
+
+
+# Star-schema referential-integrity audit: orphan count per FK edge.
+# Dims join hint-free (AQE broadcasts the small DISTINCT key sides);
+# the one big-big edge (lineitem→orders) stays a shuffle join so the
+# plan survives 100 TB. Exact integer counts.
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT 'lineitem->orders' AS edge,
+           CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fks,
+           CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+      ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN na.n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN na.n_regionkey IS NOT NULL AND r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation na LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+      ON na.n_regionkey = r.r_regionkey
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return referential_integrity(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", p, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+            ("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+            ("nation->region", n, "n_regionkey", r, "r_regionkey"),
+        ]
+    )
+
+
+# Shannon-entropy column profile: information content per candidate
+# stratification/partition key. Counts are exact ints; entropy folds
+# ≤#distinct ln() terms, so 4 dp absorbs summation-order drift.
+@register(
+    "column_entropy_profile",
+    """
+    WITH s AS (
+      SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '∅') AS v FROM orders
+    ), sp AS (
+      SELECT v, count(*) AS c FROM s GROUP BY v
+    ), p AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '∅') AS v FROM orders
+    ), pp AS (
+      SELECT v, count(*) AS c FROM p GROUP BY v
+    ), m AS (
+      SELECT COALESCE(CAST(c_mktsegment AS VARCHAR), '∅') AS v FROM customer
+    ), mp AS (
+      SELECT v, count(*) AS c FROM m GROUP BY v
+    )
+    SELECT 'o_orderstatus' AS "column",
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_nats,
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS modal_ppm
+    FROM sp
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4),
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT)
+    FROM pp
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4),
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT)
+    FROM mp
+    """,
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import entropy_profile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return entropy_profile(o, ["o_orderstatus", "o_orderpriority"]).unionByName(
+        entropy_profile(c, ["c_mktsegment"])
+    )
+
+
+# PMI collocation mining over the corpus (llm_ops/vocab.py): the
+# phrase-discovery pass before multiword tokenizer merges. Exact
+# integer counts; PMI = ln of an exact-integer ratio, rounded 4dp
+# (the proven bm25/entropy cross-engine pattern), id tiebreaks.
+@register(
+    "pmi_collocations",
+    r"""
+    WITH t AS (
+      SELECT list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), uni AS (
+      SELECT u.tok AS tok, count(*) AS c_tok FROM t, UNNEST(w) AS u(tok) GROUP BY 1
+    ), nt AS (SELECT sum(c_tok) AS n_tok FROM uni),
+    bgall AS (
+      SELECT u.bg[1] AS w1, u.bg[2] AS w2, count(*) AS c_xy
+      FROM t, UNNEST(list_zip(w[1:len(w)-1], w[2:len(w)])) AS u(bg)
+      WHERE len(w) >= 2
+      GROUP BY 1, 2
+    ), nb AS (SELECT sum(c_xy) AS n_bg FROM bgall),
+    bg AS (SELECT * FROM bgall WHERE c_xy >= 5)
+    SELECT bg.w1, bg.w2, CAST(c_xy AS BIGINT) AS c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) / n_bg)
+                    / ((CAST(ux.c_tok AS DOUBLE) / n_tok)
+                       * (CAST(uy.c_tok AS DOUBLE) / n_tok))), 4) AS pmi
+    FROM bg
+    JOIN uni ux ON bg.w1 = ux.tok
+    JOIN uni uy ON bg.w2 = uy.tok
+    CROSS JOIN nt CROSS JOIN nb
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.vocab import pmi_collocations as pmi
+
+    return pmi(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+# Exact triangle count of the part co-purchase graph: parts linked
+# iff they appear together in >= 2 distinct orders (the support
+# threshold keeps the graph sparse as the corpus grows -- measured
+# ~3.5k edges from sf0.001 through sf0.1 while the naive >=1 graph
+# explodes to 1.2M). Engine: degree-oriented wedge join
+# (operators/graph.py:triangle_count) -- O(|E|^1.5) candidates, hot-
+# node immune. Oracle: textbook 3-way canonical-edge join. Exact longs.
+@register(
+    "part_coorder_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(DISTINCT node)
+              FROM (SELECT u AS node FROM e UNION SELECT v FROM e)) AS n_nodes
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+        ON e1.u = e3.u AND e2.v = e3.v
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM n CROSS JOIN tri
+    """,
+)
+def part_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+def _spread_sql(e: str) -> str:
+    """Morton 2-D bit-spread as SQL text — same magic masks as
+    operators/zorder.py:_SPREAD_2D, so oracle and engine compute the
+    identical 64-bit integer."""
+    for sh, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        e = f"(({e} | ({e} << {sh})) & {mask})"
+    return e
+
+
+# Z-order (Morton) clustering audit over orders, interleaving customer
+# key and price cents (operators/zorder.py). The z-key is pure integer
+# shift/mask arithmetic — engine-exact — and the 16 fixed top-bit
+# buckets need NO global sort. Narrow per-bucket spans on BOTH columns
+# are what buys multi-column file skipping at 100 TB (lake.read_pruned
+# prunes on either dimension after a zorder_repartition write).
+@register(
+    "zorder_locality_profile",
+    f"""
+    WITH q AS (
+      SELECT (GREATEST(0, LEAST(1048575, o_custkey)) - 0) >> 4 AS qa,
+             (GREATEST(0, LEAST(67108863, CAST(round(o_totalprice * 100) AS BIGINT))) - 0) >> 10 AS qb,
+             o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), z AS (
+      SELECT o_custkey, cents,
+             ({_spread_sql('qa')} | ({_spread_sql('qb')} << 1)) AS zv
+      FROM q
+    )
+    SELECT CAST(zv >> 28 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_o_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_o_custkey,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.zorder import zbucket_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return zbucket_profile(
+        o,
+        [("o_custkey", 0, (1 << 20) - 1), ("cents", 0, (1 << 26) - 1)],
+        bucket_bits=4,
+    )

@@ -885,3 +885,189 @@ class TestBloomFilter:
         plan = out._jdf.queryExecution().executedPlan().toString()
         plan = plan.split("== Initial Plan ==")[0]
         assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_benford_profile_known_distribution(spark):
+    """100 values whose first digits are exactly 50x'1', 30x'2', 20x'9'
+    -> obs counts exact, obs_ppm exact integer `div`, dev vs the
+    literal Benford table."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        BENFORD_PPM,
+        benford_profile,
+    )
+
+    vals = [100 + i for i in range(50)] + [200 + i for i in range(30)] + [
+        900 + i for i in range(20)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    rows = {r["digit"]: r for r in benford_profile(df, F.col("cents")).collect()}
+    assert set(rows) == {1, 2, 9}
+    assert rows[1]["obs"] == 50 and rows[1]["obs_ppm"] == 500000
+    assert rows[2]["obs"] == 30 and rows[2]["obs_ppm"] == 300000
+    assert rows[9]["obs"] == 20 and rows[9]["obs_ppm"] == 200000
+    assert rows[1]["benford_ppm"] == BENFORD_PPM[1]
+    assert rows[9]["dev_ppm"] == 200000 - BENFORD_PPM[9]
+
+
+def test_benford_profile_drops_nonpositive(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame([(0,), (-5,), (123,), (None,)], "cents long")
+    rows = benford_profile(df, F.col("cents")).collect()
+    assert len(rows) == 1 and rows[0]["digit"] == 1 and rows[0]["obs"] == 1
+
+
+def test_referential_integrity_counts(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    out = referential_integrity([("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["edge"] == "child->parent"
+    assert r["child_rows"] == 4
+    assert r["null_fks"] == 1
+    assert r["orphans"] == 1  # fk=99 only; NULL fk is counted separately
+
+
+def test_entropy_profile_uniform_and_constant(spark):
+    import math
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        entropy_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")], "u string, k string"
+    )
+    rows = {r["column"]: r for r in entropy_profile(df, ["u", "k"]).collect()}
+    assert rows["u"]["n_distinct"] == 4
+    assert abs(rows["u"]["entropy_nats"] - round(math.log(4), 4)) < 1e-9
+    assert rows["u"]["modal_ppm"] == 250000
+    assert rows["k"]["n_distinct"] == 1
+    assert rows["k"]["entropy_nats"] == 0.0
+    assert rows["k"]["modal_ppm"] == 1000000
+
+
+def test_entropy_profile_nulls_are_a_category(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        entropy_profile,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), (None,)], "v string")
+    r = entropy_profile(df, ["v"]).collect()[0]
+    assert r["n_distinct"] == 2 and r["modal_ppm"] == 666666
+
+
+class TestTriangleCount:
+    def _tc(self, spark, edges):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._tc(spark, k4)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    def test_path_and_star_have_none(self, spark):
+        assert self._tc(spark, [(1, 2), (2, 3), (3, 4)])["n_triangles"] == 0
+        assert self._tc(spark, [(0, 1), (0, 2), (0, 3)])["n_triangles"] == 0
+
+    def test_normalizes_duplicates_direction_self_loops(self, spark):
+        messy = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+        r = self._tc(spark, messy)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+    def test_two_triangles_sharing_an_edge(self, spark):
+        r = self._tc(spark, [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)])
+        assert r["n_triangles"] == 2
+
+
+def test_pmi_collocations_known_corpus(spark):
+    """'a b' always adjacent, 'c' independent filler: PMI(a,b) must be
+    the exact ln ratio and the pair must rank first."""
+    import math
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.vocab import (
+        pmi_collocations,
+    )
+
+    docs = [("a b c c",)] * 10  # bigrams per doc: (a,b),(b,c),(c,c)
+    df = spark.createDataFrame(docs, "text string")
+    rows = pmi_collocations(df, min_count=5, k=10).collect()
+    assert rows[0]["w1"] == "a" and rows[0]["w2"] == "b"
+    # counts: c_ab=10, n_bg=30, c_a=10, c_b=10, n_tok=40
+    expect = math.log((10 / 30) / ((10 / 40) * (10 / 40)))
+    assert abs(rows[0]["pmi"] - round(expect, 4)) < 1e-9
+    assert rows[0]["c_xy"] == 10
+    # min_count: every emitted pair has support >= 5
+    assert all(r["c_xy"] >= 5 for r in rows)
+
+
+class TestZOrder:
+    def test_morton2_known_values(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+            morton2,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "a long, b long"
+        )
+        out = [r[0] for r in df.select(morton2(F.col("a"), F.col("b"))).collect()]
+        # interleave(a even bits, b odd bits): (3,5)=0b11,0b101 ->
+        # a bits at 0,2 ; b bits at 1,5 -> 0b100111 = 39
+        assert out == [0, 1, 2, 3, 39]
+
+    def test_quantize_is_shift_only_and_clamps(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+            quantize,
+        )
+
+        df = spark.createDataFrame([(-5,), (0,), (1023,), (4096,)], "v long")
+        # bounds [0, 1023] with 8 bits -> shift 2
+        out = [r[0] for r in df.select(quantize(F.col("v"), 0, 1023, bits=8)).collect()]
+        assert out == [0, 0, 255, 255]
+
+    def test_zbucket_profile_locality(self, spark):
+        """Two well-separated clusters in both dims must land in
+        different z-buckets with tight per-bucket spans."""
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+            zbucket_profile,
+        )
+
+        lowish = [(i, i * 2) for i in range(100)]
+        highish = [(120000 + i, 240000 + i) for i in range(100)]
+        df = spark.createDataFrame(lowish + highish, "a long, b long")
+        prof = zbucket_profile(
+            df, [("a", 0, (1 << 17) - 1), ("b", 0, (1 << 18) - 1)], bucket_bits=2
+        ).collect()
+        assert len(prof) >= 2
+        by_bucket = {r["z_bucket"]: r for r in prof}
+        lo_bucket = min(by_bucket)
+        hi_bucket = max(by_bucket)
+        assert by_bucket[lo_bucket]["max_a"] <= 99
+        assert by_bucket[hi_bucket]["min_a"] >= 120000
+
+    def test_zorder_repartition_single_range_exchange(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+            zorder_repartition,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+        )
+        out = zorder_repartition(df, [("a", 0, 1023), ("b", 0, 4095)], num_files=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange rangepartitioning") == 1
+        assert "Exchange hashpartitioning" not in plan
