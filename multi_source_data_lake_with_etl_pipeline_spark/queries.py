@@ -7405,3 +7405,169 @@ def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("o_custkey", 0, (1 << 20) - 1), ("cents", 0, (1 << 26) - 1)],
         bucket_bits=4,
     )
+
+
+# Change-data-feed audit: create → append → MERGE → DELETE on a lake
+# table (lake.py), then read the FULL row-level change feed from the
+# very first commit (version 0 = create; changes(-1) includes it) and
+# profile it per (change type, commit version). Updates carry both
+# images (Delta-CDF shape); merge-inserts use key-shifted rows
+# (+1,000,000) so they are guaranteed absent at every SF. The oracle
+# reconstructs every change set relationally from the base table —
+# exact integer counts and custkey sums, so the feed contract (what
+# incremental consumers replay instead of rescanning 100 TB) is
+# externally value-checked.
+@register(
+    "lake_cdf_changes",
+    """
+    SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'insert', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    UNION ALL
+    SELECT 'update_preimage', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'update_postimage', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 600
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey > 500 AND o_orderkey <= 2000 AND o_orderstatus = 'F'
+    """,
+)
+def lake_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_cdf_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1000"))
+    t.append(o.filter("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    updates = o.filter("o_orderkey <= 500").withColumn("o_orderstatus", F.lit("X"))
+    inserts = (
+        o.filter("o_orderkey > 500 AND o_orderkey <= 600")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    t.merge(updates.unionByName(inserts), "o_orderkey")
+    t.delete("o_orderstatus = 'F'")
+    return (
+        t.changes(-1)
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # merge-inserted keys were shifted; custkey is untouched, so
+            # the oracle-side sum over the unshifted rows matches
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+    )
+
+
+# Z-order layout + file-skipping round trip: write orders z-ordered on
+# (custkey, price cents) into a lake table, then answer a TWO-column
+# range query through read_pruned (file skipping on custkey, residual
+# filter on cents). The oracle is the plain relational range count —
+# proving the pruned scan is COMPLETE (skipping loses no rows), the
+# correctness half of the z-order story; the locality/plan half is
+# zorder_locality_profile + tests/test_lake.py.
+@register(
+    "zorder_pruned_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 300
+      AND CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 1000000 AND 20000000
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+    from .operators.zorder import zorder_repartition
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    clustered = zorder_repartition(
+        o, [("o_custkey", 0, (1 << 20) - 1), ("cents", 0, (1 << 26) - 1)], num_files=8
+    )
+    root = tempfile.mkdtemp(prefix="lake_z_")
+    t = LakeTable.create(spark, root + "/orders_z", clustered)
+    return (
+        t.read_pruned("o_custkey", 100, 300)
+        .filter(F.col("cents").between(1000000, 20000000))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("sum_custkey"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+# Daily-active + first-seen + cumulative-reach user analytics over the
+# event stream: DAU needs one distinct-count per day; cumulative
+# distinct users NEVER re-scans history — each user contributes once
+# on their first-seen day, and a running sum over the tiny per-day
+# frame gives the expanding distinct count (the standard trick that
+# replaces an O(days × users) expanding window with one groupBy +
+# one window over #days rows).
+@register(
+    "daily_user_reach",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY day
+    ), first_seen AS (
+      SELECT user_id, min(day) AS day FROM ev GROUP BY user_id
+    ), news AS (
+      SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT dau.day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(COALESCE(new_users, 0))
+                  OVER (ORDER BY dau.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM dau LEFT JOIN news ON dau.day = news.day
+    ORDER BY dau.day
+    """,
+)
+def daily_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(news, "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.coalesce(F.col("new_users"), F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("day")
+    )

@@ -660,3 +660,39 @@ class TestLakeConcurrency:
         got = {r.k for r in t.read().filter("k >= 1000").collect()}
         assert got == {1000 + i for i in range(8)}
         assert t.read().count() == 18
+
+
+def test_zorder_layout_improves_second_dim_pruning(spark, tmp_path):
+    """Same rows written (a) sorted by column a only, (b) z-ordered on
+    (a, b): a range query on *b* must skip strictly more files under
+    the z-layout, and the pruned read stays complete."""
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+        zorder_repartition,
+    )
+    from pyspark.sql import functions as F
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        # b decorrelated from a (bit-reversed-ish via multiplicative hash)
+        ((F.col("id") * 2654435761) % n).alias("b"),
+    )
+    linear = LakeTable.create(
+        spark,
+        str(tmp_path / "linear"),
+        df.repartitionByRange(8, "a").sortWithinPartitions("a"),
+    )
+    zed = LakeTable.create(
+        spark,
+        str(tmp_path / "zed"),
+        zorder_repartition(df, [("a", 0, n - 1), ("b", 0, n - 1)], num_files=8),
+    )
+    lo, hi = 0, n // 16  # narrow b-range
+    files_linear = len(linear.files_overlapping("b", lo, hi))
+    files_zed = len(zed.files_overlapping("b", lo, hi))
+    assert files_zed < files_linear, (files_zed, files_linear)
+    # completeness: pruned read == full filter on both layouts
+    expect = df.filter(F.col("b").between(lo, hi)).count()
+    assert zed.read_pruned("b", lo, hi).count() == expect
+    assert linear.read_pruned("b", lo, hi).count() == expect
