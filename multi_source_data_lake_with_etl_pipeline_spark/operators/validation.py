@@ -192,3 +192,73 @@ def validate_business_rules(
     ]
     aggs.append(F.count(F.lit(1)).alias("_record_count"))
     return df.agg(*aggs)
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative data expectation (Great-Expectations-style
+    contract; generalizes the reference's per-field rules
+    data_validators.py:63-117 into a suite evaluated in ONE scan)."""
+
+    name: str
+    column: str
+    kind: str  # not_null | unique | in_set | between | regex_match
+    values: tuple = ()
+    lo: float | int | str | None = None
+    hi: float | int | str | None = None
+    pattern: str | None = None
+
+
+def _violation_expr(e: Expectation) -> Column:
+    c = F.col(e.column)
+    if e.kind == "not_null":
+        return c.isNull()
+    if e.kind == "in_set":
+        return c.isNotNull() & ~c.isin(*e.values)
+    if e.kind == "between":
+        return c.isNotNull() & ~c.between(e.lo, e.hi)
+    if e.kind == "regex_match":
+        return c.isNotNull() & ~c.rlike(e.pattern)
+    raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def expectation_suite(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
+    """Evaluate a whole expectation suite in ONE wide aggregation (map-
+    side partials, a handful of longs per task — scan-speed at 100 TB).
+    ``unique`` folds in as count - count_distinct in the same pass.
+    Returns one row per expectation: n_rows, n_violations, passed.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for e in expectations:
+        if e.kind == "unique":
+            aggs.append(
+                (F.count(e.column) - F.count_distinct(F.col(e.column)))
+                .cast("long")
+                .alias(e.name)
+            )
+        else:
+            aggs.append(
+                F.coalesce(F.sum(_violation_expr(e).cast("long")), F.lit(0))
+                .cast("long")
+                .alias(e.name)
+            )
+    wide = df.agg(*aggs)
+    # one row per expectation via explode over the single agg row — a
+    # per-expectation union would re-execute the aggregation once per
+    # branch (the union-recompute tax, see verify notes)
+    items = F.array(
+        *[
+            F.struct(
+                F.lit(e.name).alias("expectation"),
+                F.lit(e.column).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(e.name).cast("long").alias("n_violations"),
+            )
+            for e in expectations
+        ]
+    )
+    return (
+        wide.select(F.explode(items).alias("x"))
+        .select("x.*")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

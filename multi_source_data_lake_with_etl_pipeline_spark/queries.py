@@ -7571,3 +7571,146 @@ def daily_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
         .orderBy("day")
     )
+
+
+# Declarative expectation suite over orders — the Great-Expectations-
+# style contract run (generalizing the reference's per-field rules,
+# data_validators.py:63-117) in ONE wide aggregation; `unique` folds
+# into the same pass as count - count_distinct. Exact longs.
+@register(
+    "expectation_suite_orders",
+    """
+    WITH w AS (
+      SELECT count(*) AS _n,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS key_not_null,
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS key_unique,
+             sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS status_domain,
+             sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS price_range,
+             sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS priority_format
+      FROM orders
+    )
+    SELECT u.x[1] AS expectation, u.x[2] AS "column",
+           CAST(_n AS BIGINT) AS n_rows,
+           CAST(CASE u.x[1]
+                WHEN 'key_not_null' THEN key_not_null
+                WHEN 'key_unique' THEN key_unique
+                WHEN 'status_domain' THEN status_domain
+                WHEN 'price_range' THEN price_range
+                ELSE priority_format END AS BIGINT) AS n_violations,
+           (CASE u.x[1]
+                WHEN 'key_not_null' THEN key_not_null
+                WHEN 'key_unique' THEN key_unique
+                WHEN 'status_domain' THEN status_domain
+                WHEN 'price_range' THEN price_range
+                ELSE priority_format END) = 0 AS passed
+    FROM w, UNNEST([['key_not_null','o_orderkey'],
+                    ['key_unique','o_orderkey'],
+                    ['status_domain','o_orderstatus'],
+                    ['price_range','o_totalprice'],
+                    ['priority_format','o_orderpriority']]) AS u(x)
+    """,
+)
+def expectation_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validation import Expectation, expectation_suite
+
+    o = _t(spark, sf_dir, "orders")
+    return expectation_suite(
+        o,
+        [
+            Expectation("key_not_null", "o_orderkey", "not_null"),
+            Expectation("key_unique", "o_orderkey", "unique"),
+            Expectation("status_domain", "o_orderstatus", "in_set", values=("O", "F", "P")),
+            Expectation("price_range", "o_totalprice", "between", lo=0, hi=1000000),
+            Expectation(
+                "priority_format", "o_orderpriority", "regex_match",
+                pattern="^[1-5]-[A-Z ]+$",
+            ),
+        ],
+    )
+
+
+# Frequent 3-step event paths: per-user time-ordered event sequences,
+# 3-grams via two window leads (NO self-joins), global top-10 with
+# path tiebreak. The sequence-mining cut a product-analytics pipeline
+# runs before funnel design. Exact counts.
+@register(
+    "frequent_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# Order-date coverage gaps per month — the backfill planner's input:
+# which calendar days inside the data's literal span have NO orders.
+# Spine via sequence()/generate_series, anti-join semantics as a left
+# join + null count. Exact ints; literal bounds keep it deterministic.
+@register(
+    "order_date_gaps",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ), present AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    )
+    SELECT CAST(date_trunc('month', spine.day) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS days_in_month,
+           CAST(sum(CASE WHEN present.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS days_missing
+    FROM spine LEFT JOIN present ON spine.day = present.day
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE'1995-01-01', DATE'1996-12-31', "
+        "interval 1 day)) AS day"
+    )
+    present = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        spine.join(present, "day", "left")
+        .groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("days_in_month"),
+            F.sum(F.col("hit").isNull().cast("long")).alias("days_missing"),
+        )
+        .orderBy("month")
+    )

@@ -1071,3 +1071,51 @@ class TestZOrder:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange rangepartitioning") == 1
         assert "Exchange hashpartitioning" not in plan
+
+
+def test_expectation_suite_single_pass_and_counts(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+        Expectation,
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, "z", -1.0), (None, None, None)],
+        "id long, cat string, v double",
+    )
+    out = expectation_suite(
+        df,
+        [
+            Expectation("id_not_null", "id", "not_null"),
+            Expectation("id_unique", "id", "unique"),
+            Expectation("cat_domain", "cat", "in_set", values=("a", "b")),
+            Expectation("v_range", "v", "between", lo=0, hi=10),
+        ],
+    )
+    rows = {r["expectation"]: r for r in out.collect()}
+    assert rows["id_not_null"]["n_violations"] == 1
+    assert rows["id_unique"]["n_violations"] == 1  # id=2 twice (nulls ignored)
+    assert rows["cat_domain"]["n_violations"] == 1  # 'z'
+    assert rows["v_range"]["n_violations"] == 2  # 50.0 and -1.0
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert not rows["id_unique"]["passed"]
+    # single pass: the whole suite folds into ONE Aggregate node
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate [") == 1
+
+
+def test_expectation_suite_all_pass(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+        Expectation,
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = expectation_suite(
+        df,
+        [
+            Expectation("nn", "id", "not_null"),
+            Expectation("uq", "id", "unique"),
+        ],
+    ).collect()
+    assert all(r["passed"] for r in out)
