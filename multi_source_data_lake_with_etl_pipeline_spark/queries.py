@@ -7714,3 +7714,142 @@ def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# Snapshot reconciliation (operators/diff.py): diff a re-extracted
+# window of orders against the previous snapshot — added / removed /
+# changed / unchanged exact counts from ONE null-safe full-outer join.
+# Old = keys <= 2000; new = keys in [1000, 3000] with the status
+# rewritten on keys <= 1500 (so changed = [1000,1500], unchanged =
+# (1500,2000], added = (2000,3000], removed = < 1000).
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey <= 1500 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+    ), j AS (
+      SELECT CASE
+               WHEN new.o_orderkey IS NULL THEN 'removed'
+               WHEN old.o_orderkey IS NULL THEN 'added'
+               WHEN old.o_custkey IS NOT DISTINCT FROM new.o_custkey
+                AND old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                 THEN 'unchanged'
+               ELSE 'changed'
+             END AS diff_status
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    )
+    SELECT diff_status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY diff_status
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diff import diff_summary
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    old = o.filter("o_orderkey <= 2000")
+    new = o.filter("o_orderkey >= 1000 AND o_orderkey <= 3000").withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") <= 1500, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return diff_summary(old, new, ["o_orderkey"])
+
+
+# Mutual information between two categorical columns (nats, 4 dp):
+# the dependence screen that tells a partitioner whether two candidate
+# keys are redundant. Exact joint/marginal counts from one pairwise
+# aggregation; MI folds over the tiny contingency frame.
+@register(
+    "status_priority_mi",
+    """
+    WITH joint AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), tot AS (SELECT sum(c) AS n FROM joint),
+    ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY a),
+    mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY b)
+    SELECT round(sum((CAST(c AS DOUBLE) / n)
+                     * ln((CAST(c AS DOUBLE) * n) / (CAST(ca AS DOUBLE) * cb))), 4)
+             AS mi_nats,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows
+    FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    """,
+)
+def status_priority_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    ma = joint.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = joint.groupBy("b").agg(F.sum("c").alias("cb"))
+    cd = F.col("c").cast("double")
+    return (
+        joint.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(tot)
+        .agg(
+            F.round(
+                F.sum(
+                    (cd / F.col("n"))
+                    * F.log(
+                        (cd * F.col("n"))
+                        / (F.col("ca").cast("double") * F.col("cb"))
+                    )
+                ),
+                4,
+            ).alias("mi_nats"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+# Last-touch revenue attribution: each purchase is credited to the
+# user's most recent non-purchase event within 24h (operators/joins.py
+# asof_join — one shuffle, no cross join; purchases with no touch fall
+# into the 'none' bucket). Revenue summed as exact per-row cents.
+@register(
+    "last_touch_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT COALESCE(touch.event_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_type FROM t
+      WHERE t.user_id = p.user_id AND t.ts <= p.ts
+        AND t.ts >= p.ts - INTERVAL 24 HOUR
+      ORDER BY t.ts DESC LIMIT 1
+    ) touch ON TRUE
+    GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("touch_type")
+    )
+    j = asof_join(p, t, key="user_id", tolerance="24 hours")
+    return (
+        j.groupBy(F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

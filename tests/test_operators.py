@@ -1119,3 +1119,51 @@ def test_expectation_suite_all_pass(spark):
         ],
     ).collect()
     assert all(r["passed"] for r in out)
+
+
+class TestSnapshotDiff:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_four_statuses(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.diff import (
+            diff_summary,
+            snapshot_diff,
+        )
+
+        old = self._mk(spark, [(1, "a"), (2, "b"), (3, "c")])
+        new = self._mk(spark, [(2, "b"), (3, "CHANGED"), (4, "d")])
+        got = {
+            r["k"]: r["diff_status"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+        s = {r["diff_status"]: r["n"] for r in diff_summary(old, new, ["k"]).collect()}
+        assert s == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+    def test_null_safe_compare(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.diff import (
+            snapshot_diff,
+        )
+
+        old = self._mk(spark, [(1, None), (2, None)])
+        new = self._mk(spark, [(1, None), (2, "now-set")])
+        got = {
+            r["k"]: r["diff_status"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed"}
+
+    def test_composite_keys_and_explicit_cols(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.diff import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "x", "keep", "ignore-old")], "k1 long, k2 string, v string, w string"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", "keep", "ignore-new")], "k1 long, k2 string, v string, w string"
+        )
+        got = snapshot_diff(old, new, ["k1", "k2"], compare_cols=["v"]).collect()
+        assert got[0]["diff_status"] == "unchanged"  # w excluded on purpose
