@@ -7853,3 +7853,98 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+# Write-Audit-Publish (plans/wap.py): a poisoned batch (NULL keys) is
+# staged, fails its expectation audit, and NEVER reaches the
+# production lake table; the clean retry publishes. The result is the
+# production table's final per-status profile plus the two audit
+# outcomes — the oracle reconstructs it relationally, proving the
+# failed batch left production bit-identical.
+@register(
+    "wap_publish_audit",
+    """
+    SELECT o_orderstatus AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_batch1_published', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT '_batch2_published', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+    from .operators.validation import Expectation
+    from .plans.wap import write_audit_publish
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_wap_")
+    prod = LakeTable.create(spark, root + "/prod", o.filter("o_orderkey <= 1000"))
+    exps = [
+        Expectation("key_not_null", "o_orderkey", "not_null"),
+        Expectation("key_unique", "o_orderkey", "unique"),
+    ]
+    fresh = o.filter("o_orderkey > 1000 AND o_orderkey <= 2000")
+    poisoned = fresh.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    r1 = write_audit_publish(spark, prod, poisoned, exps, root + "/stage1")
+    r2 = write_audit_publish(spark, prod, fresh, exps, root + "/stage2")
+    final = prod.read().groupBy(F.col("o_orderstatus").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_custkey")
+    )
+    outcomes = spark.createDataFrame(
+        [
+            ("_batch1_published", int(r1.published), 0),
+            ("_batch2_published", int(r2.published), 0),
+        ],
+        "k string, n long, sum_custkey long",
+    )
+    return final.unionByName(outcomes)
+
+
+# GDPR right-to-be-forgotten flow on the lake: DELETE by subject keys,
+# then audit — zero residual rows for erased users, the change feed
+# records exactly the erased rows (the deletion evidence an auditor
+# asks for), untouched users' data intact. All exact integers.
+@register(
+    "gdpr_erasure_audit",
+    """
+    SELECT CAST(sum(CASE WHEN user_id NOT IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_remaining,
+           CAST(sum(CASE WHEN user_id IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_erased_cdf,
+           CAST(0 AS BIGINT) AS n_residual,
+           CAST(sum(CASE WHEN user_id NOT IN (1, 2, 3) THEN user_id ELSE 0 END) AS BIGINT)
+             AS sum_remaining_users
+    FROM events
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="lake_gdpr_")
+    t = LakeTable.create(spark, root + "/events", ev)
+    t.delete("user_id IN (1, 2, 3)")
+    remaining = t.read()
+    erased = t.changes(0).filter(F.col("_change_type") == "delete")
+    residual = remaining.filter(F.col("user_id").isin(1, 2, 3))
+    return (
+        remaining.agg(
+            F.count(F.lit(1)).alias("n_remaining"),
+            F.sum("user_id").alias("sum_remaining_users"),
+        )
+        .crossJoin(erased.agg(F.count(F.lit(1)).alias("n_erased_cdf")))
+        .crossJoin(residual.agg(F.count(F.lit(1)).alias("n_residual")))
+        .select("n_remaining", "n_erased_cdf", "n_residual", "sum_remaining_users")
+    )

@@ -26,6 +26,8 @@ ALLOW = {
         "ann_multitable_invariant": "window input is the top-k search RESULT (<= 10 rows by construction), never the corpus",
         "customer_balance_deciles": "cumulative window runs over the VALUE HISTOGRAM (distinct 2-decimal balances, domain-bounded ~1M rows), never corpus rows — the rewrite that replaced the global ntile",
         "qty_price_spearman": "average-rank windows run over the two VALUE HISTOGRAMS (distinct quantities / distinct price cents, domain-bounded), never corpus rows — the construction that avoids a corpus-wide rank sort",
+        "hybrid_search_rrf": "rank windows run over the two top-k retrieval RESULTS (<= 20 rows each by construction), never the corpus",
+        "daily_user_reach": "cumulative window runs over the PER-DAY aggregate (calendar-bounded #days rows), never event rows — the first-seen construction that replaced the expanding distinct",
     },
     "mega-filter": {
         "ann_lsh_invariant": "the anti-join's cosine verify IS the filter: one dim-proportional HOF evaluated once per candidate, no duplicated inline",

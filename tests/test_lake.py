@@ -696,3 +696,31 @@ def test_zorder_layout_improves_second_dim_pruning(spark, tmp_path):
     expect = df.filter(F.col("b").between(lo, hi)).count()
     assert zed.read_pruned("b", lo, hi).count() == expect
     assert linear.read_pruned("b", lo, hi).count() == expect
+
+
+def test_wap_failed_audit_leaves_prod_untouched(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+        Expectation,
+    )
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.wap import (
+        write_audit_publish,
+    )
+    from pyspark.sql import functions as F
+
+    prod = LakeTable.create(
+        spark, str(tmp_path / "prod"), spark.range(10).select(F.col("id"))
+    )
+    v0 = prod.latest_version()
+    exps = [Expectation("id_not_null", "id", "not_null")]
+    bad = spark.createDataFrame([(None,), (11,)], "id long")
+    r1 = write_audit_publish(spark, prod, bad, exps, str(tmp_path / "s1"))
+    assert not r1.published and r1.failed_expectations == ["id_not_null"]
+    assert prod.latest_version() == v0
+    assert prod.read().count() == 10
+    # quarantined batch stays inspectable in staging
+    assert LakeTable.load(spark, str(tmp_path / "s1")).read().count() == 2
+    good = spark.createDataFrame([(11,), (12,)], "id long")
+    r2 = write_audit_publish(spark, prod, good, exps, str(tmp_path / "s2"))
+    assert r2.published and prod.read().count() == 12
+    assert prod.latest_version() == v0 + 1
