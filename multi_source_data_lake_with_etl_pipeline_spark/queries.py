@@ -7948,3 +7948,124 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(residual.agg(F.count(F.lit(1)).alias("n_residual")))
         .select("n_remaining", "n_erased_cdf", "n_residual", "sum_remaining_users")
     )
+
+
+# CDF-replay consistency invariant: materialize a lake table through
+# append + MERGE + DELETE, then rebuild the FINAL state purely by
+# replaying the change feed on top of an EARLIER snapshot (multiset
+# algebra: + inserts + update_postimages − update_preimages − deletes,
+# via a per-row delta sum — no row ids needed) and count multiset
+# mismatches vs the real final snapshot. This is the contract that
+# makes incremental consumers trustworthy at 100 TB: feed replay ≡
+# table state, verified to zero. Oracle = relational final state + 0.
+@register(
+    "cdf_replay_invariant",
+    """
+    WITH final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey <= 500 THEN 'X' ELSE o_orderstatus END AS st
+      FROM orders
+      WHERE o_orderkey <= 2000
+        AND NOT (o_orderkey > 500 AND o_orderstatus = 'F')
+    )
+    SELECT CAST(0 AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS n_final,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM final
+    """,
+)
+def cdf_replay_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_replay_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1000"))
+    v_base = t.append(o.filter("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    t.merge(
+        o.filter("o_orderkey <= 500").withColumn("o_orderstatus", F.lit("X")),
+        "o_orderkey",
+    )
+    t.delete("o_orderstatus = 'F'")
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ch = t.changes(v_base)
+    delta = ch.select(
+        *cols,
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("_d"),
+    )
+    base = t.read(v_base).select(*cols, F.lit(1).alias("_d"))
+    replayed = (
+        base.unionByName(delta).groupBy(*cols).agg(F.sum("_d").alias("n_replay"))
+    ).filter(F.col("n_replay") != 0)
+    actual = t.read().groupBy(*cols).agg(F.count(F.lit(1)).alias("n_actual"))
+    cmp = replayed.join(actual, cols, "full_outer")
+    violations = cmp.filter(
+        ~F.coalesce(F.col("n_replay"), F.lit(0)).eqNullSafe(
+            F.coalesce(F.col("n_actual"), F.lit(0))
+        )
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    final_stats = t.read().agg(
+        F.count(F.lit(1)).alias("n_final"), F.sum("o_custkey").alias("sum_custkey")
+    )
+    return violations.crossJoin(final_stats)
+
+
+# Weight-of-evidence / information value of market segment against a
+# behavioral target (customer has >= 1 failed order) — the feature-
+# screening cut a scoring pipeline runs before model training. Exact
+# class counts per segment; WOE = ln of an exact-count ratio (4 dp),
+# IV folded over the 5-segment frame in micro-units (floor-exact).
+@register(
+    "segment_woe_iv",
+    """
+    WITH lab AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CASE WHEN f.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') f
+        ON c.c_custkey = f.o_custkey
+    ), seg AS (
+      SELECT c_mktsegment, sum(pos) AS np, sum(1 - pos) AS nn
+      FROM lab GROUP BY c_mktsegment
+    ), tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM seg)
+    SELECT c_mktsegment,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           round(ln((CAST(np AS DOUBLE) / tp) / (CAST(nn AS DOUBLE) / tn)), 4) AS woe
+    FROM seg CROSS JOIN tot
+    WHERE np > 0 AND nn > 0
+    """,
+)
+def segment_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    lab = c.join(f, c.c_custkey == f.o_custkey, "left").select(
+        "c_mktsegment", F.col("o_custkey").isNotNull().cast("int").alias("pos")
+    )
+    seg = lab.groupBy("c_mktsegment").agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
+    )
+    tot = seg.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    npd = F.col("np").cast("double")
+    nnd = F.col("nn").cast("double")
+    return (
+        seg.crossJoin(tot)
+        .filter((F.col("np") > 0) & (F.col("nn") > 0))
+        .select(
+            "c_mktsegment",
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            F.round(F.log((npd / F.col("tp")) / (nnd / F.col("tn"))), 4).alias("woe"),
+        )
+    )
