@@ -8087,3 +8087,123 @@ def segment_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log((npd / F.col("tp")) / (nnd / F.col("tn"))), 4).alias("woe"),
         )
     )
+
+
+# Temperature-based corpus mixing (T5/multilingual-style): per-source
+# weights ∝ n^0.5 flatten the source distribution without hand-tuned
+# integers. sqrt is IEEE-correctly-rounded in BOTH engines (unlike
+# pow), so floor(sqrt(n)·1e6) is an engine-exact integer weight that
+# drops into the mix_to_budget exact-threshold machinery unchanged.
+@register(
+    "temperature_mix_quota",
+    """
+    WITH w AS (
+      SELECT source, count(*) AS n,
+             CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS wt
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, n, wt,
+             least(65536, (65536 * 500 * wt) // ((SELECT sum(wt) FROM w) * n)) AS thr
+      FROM w
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN t ON d.source = t.source
+      WHERE t.thr >= 65536
+         OR substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+            < printf('%04x', CAST(t.thr AS INT))
+    )
+    SELECT t.source,
+           CAST(t.n AS BIGINT) AS n_total,
+           t.wt AS wt,
+           CAST(count(kept.doc_id) AS BIGINT) AS n_kept
+    FROM t LEFT JOIN kept ON t.source = kept.source
+    GROUP BY t.source, t.n, t.wt
+    """,
+)
+def temperature_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .llm_ops.sampling import mix_to_budget
+
+    d = _t(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: int(math.floor(math.sqrt(n) * 1000000)) for s, n in counts.items()}
+    mixed = mix_to_budget(
+        d, "source", "doc_id", weights, total_target=500, salt="tmix"
+    )
+    kept = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    totals = spark.createDataFrame(
+        [(s, n, weights[s]) for s, n in sorted(counts.items())],
+        "source string, n_total long, wt long",
+    )
+    return totals.join(kept, "source", "left").select(
+        "source", "n_total", "wt", F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")
+    )
+
+
+# SQL-over-lake parity (S7 on lake snapshots): a lake table registered
+# as a temp view is queryable with plain spark.sql, time travel
+# included — the oracle replays the relational state. Proves the lake
+# integrates with the SQL surface, not just the DataFrame API.
+@register(
+    "sql_over_lake_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    WHERE o_orderkey <= 1500 AND o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_over_lake_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_sql_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1500"))
+    t.delete("o_orderstatus = 'P'")
+    t.read().createOrReplaceTempView("lake_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_custkey
+        FROM lake_orders_v GROUP BY o_orderstatus
+        """
+    )
+
+
+# Column-masking governance view: irreversible name tokenization (md5),
+# balance coarsened to 100-unit bands (floor cents // 10000), nation
+# kept for analytics — the shareable shape of a PII table. The oracle
+# applies the identical masking, proving determinism (a consumer can
+# re-derive join keys from the same tokenization).
+@register(
+    "masked_customer_view",
+    """
+    SELECT md5(c_name) AS name_token,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS BIGINT)
+             AS balance_band,
+           CAST(c_nationkey AS INT) AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return c.select(
+        F.md5(F.col("c_name")).alias("name_token"),
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div CAST(10000 AS BIGINT)"
+        ).cast("long").alias("balance_band"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_mktsegment",
+    )
