@@ -262,3 +262,106 @@ def test_fuzzy_neighborhood_randomized_vs_block(spark):
         }
         assert fast == exhaustive, f"k={k} mismatch"
         assert fast  # planted edits guarantee matches
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_morton_injective_and_axis_monotone(spark, pairs):
+    """Distinct (a,b) pairs -> distinct z (bit interleaving is a
+    bijection), and z is strictly increasing in each dimension with
+    the other held fixed (spread_bits is order-preserving)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import morton2
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", morton2(F.col("a"), F.col("b")).alias("z")).collect()
+    zs = {(r["a"], r["b"]): r["z"] for r in rows}
+    assert len(set(zs.values())) == len(pairs)
+    # reference interleave in Python
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in zs.items():
+        assert z == ref(a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    if not simple:
+        return  # empty graph: nothing to count
+    nodes = {x for e in simple for x in e}
+    expect = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in simple and (b, c) in simple and (a, c) in simple
+    )
+    df = spark.createDataFrame(list(edges), "src long, dst long") if edges else None
+    r = triangle_count(df).collect()[0]
+    assert r["n_triangles"] == expect
+    assert r["n_edges"] == len(simple)
+    assert r["n_nodes"] == len(nodes)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=3),
+        max_size=25,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=3),
+        max_size=25,
+    ),
+)
+def test_snapshot_diff_partitions_key_universe(spark, old_map, new_map):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    if not old_map and not new_map:
+        return
+    old = spark.createDataFrame(list(old_map.items()) or [(None, None)], "k long, v long").filter("k IS NOT NULL")
+    new = spark.createDataFrame(list(new_map.items()) or [(None, None)], "k long, v long").filter("k IS NOT NULL")
+    got = {r["k"]: r["diff_status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == set(old_map) | set(new_map)
+    for k, s in got.items():
+        if k in old_map and k not in new_map:
+            assert s == "removed"
+        elif k not in old_map and k in new_map:
+            assert s == "added"
+        elif old_map[k] == new_map[k]:
+            assert s == "unchanged"
+        else:
+            assert s == "changed"
