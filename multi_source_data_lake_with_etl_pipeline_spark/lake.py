@@ -338,12 +338,39 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------- writes
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Blind append (commutes with concurrent appends → auto-retry
-        on version conflict)."""
+        on version conflict).
+
+        Schema contract (Delta ``mergeSchema`` semantics): by default
+        the batch must carry exactly the table's columns with matching
+        types (missing columns are allowed and read back as NULL —
+        parquet's missing-column fill). With ``merge_schema=True`` new
+        columns WIDEN the table schema: the commit records the union
+        (table columns first, new ones appended), and earlier files'
+        rows read back with NULLs in the new columns. Type changes are
+        always rejected — silent narrowing/coercion is how lakes rot."""
         v = self.latest_version()
+        _, _, cur = self._snapshot()
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            have = cur_types.get(f.name)
+            if have is None:
+                new_fields.append(f)
+            elif have != f.dataType:
+                raise ValueError(
+                    f"append schema mismatch on '{f.name}': table has "
+                    f"{have.simpleString()}, batch has {f.dataType.simpleString()}"
+                )
+        if new_fields and not merge_schema:
+            raise ValueError(
+                f"append adds columns {[f.name for f in new_fields]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        schema = StructType(list(cur.fields) + new_fields) if new_fields else cur
         adds = self._write_files(df)
-        return self._commit(v + 1, "append", adds, [], df.schema, retries=20)
+        return self._commit(v + 1, "append", adds, [], schema, retries=20)
 
     def last_committed_batch(self, app_id: str) -> int | None:
         """Highest streaming batch id committed by ``app_id`` (scans

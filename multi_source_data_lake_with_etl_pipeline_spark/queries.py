@@ -8207,3 +8207,54 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("int").alias("c_nationkey"),
         "c_mktsegment",
     )
+
+
+# Lake schema evolution (Delta mergeSchema semantics): a later batch
+# adds a column; earlier files' rows read back with NULLs in it, and
+# aggregates over the evolved snapshot stay exact. Type changes and
+# un-flagged new columns are rejected at append time (tests/test_lake).
+@register(
+    "lake_schema_evolution",
+    """
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '_pre_evolution_rows',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_evo_")
+    t = LakeTable.create(
+        spark,
+        root + "/orders",
+        o.filter("o_orderkey <= 1000").select("o_orderkey", "o_custkey"),
+    )
+    t.append(
+        o.filter("o_orderkey > 1000 AND o_orderkey <= 2000").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ),
+        merge_schema=True,
+    )
+    return (
+        t.read()
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("_pre_evolution_rows")).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+    )

@@ -556,7 +556,8 @@ class TestLakeSchemaEvolution:
     def test_append_with_new_column(self, spark, tmp_path):
         t = _mk(spark, tmp_path, rows=10, files=1)
         t.append(
-            spark.createDataFrame([(100, 1, "web")], "k long, v long, src string")
+            spark.createDataFrame([(100, 1, "web")], "k long, v long, src string"),
+            merge_schema=True,  # explicit opt-in (Delta mergeSchema parity)
         )
         got = t.read()
         # snapshot schema = latest commit's schema; old files yield NULL
@@ -724,3 +725,31 @@ def test_wap_failed_audit_leaves_prod_untouched(spark, tmp_path):
     r2 = write_audit_publish(spark, prod, good, exps, str(tmp_path / "s2"))
     assert r2.published and prod.read().count() == 12
     assert prod.latest_version() == v0 + 1
+
+
+def test_append_schema_contract(spark, tmp_path):
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+    from pyspark.sql import functions as F
+    import pytest
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    # new column without the flag: rejected
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long"))
+    # type change: always rejected
+    with pytest.raises(ValueError, match="schema mismatch on 'v'"):
+        t.append(spark.createDataFrame([(2, 5)], "k long, v long"), merge_schema=True)
+    # evolution: widen, old rows null-fill
+    t.append(
+        spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long"),
+        merge_schema=True,
+    )
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == 9
+    # missing columns on a later append are fine (read back as NULL)
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert rows[3]["v"] is None and rows[3]["extra"] is None
+    assert len(rows) == 3
