@@ -14,6 +14,14 @@ expressions (shifts/masks fold into whole-stage codegen): quantize each
 dimension to ``bits`` buckets between explicit bounds, spread the bits,
 OR them interleaved. No UDFs, no doubles — the z-value is engine-exact
 and therefore oracle-able.
+
+Relationship to ``sinks/maintenance.zorder_value`` (the generic n-dim
+bit-loop wired into ``LakeTable.compact(cluster_by=[...])``): for two
+dimensions the two produce THE SAME integer (col 0 on even bits, col 1
+on odd — equivalence pinned in tests/test_operators.py); this module is
+the 2-D fast path (4 magic-mask ops per dim instead of a 16-term bit
+loop) with explicit bounds so no statistics scan precedes the write,
+and shift-only quantization so an external engine can replay the key.
 """
 
 from __future__ import annotations

@@ -1167,3 +1167,22 @@ class TestSnapshotDiff:
         )
         got = snapshot_diff(old, new, ["k1", "k2"], compare_cols=["v"]).collect()
         assert got[0]["diff_status"] == "unchanged"  # w excluded on purpose
+
+
+def test_morton2_equals_generic_zorder_value(spark):
+    """operators/zorder.morton2 (magic-mask 2-D fast path) and
+    sinks/maintenance.zorder_value (generic n-dim bit loop) must emit
+    THE SAME integer for two dimensions — same bit layout (col 0 even
+    bits, col 1 odd), so either key sorts a table identically."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import morton2
+    from multi_source_data_lake_with_etl_pipeline_spark.sinks.maintenance import (
+        zorder_value,
+    )
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    rows = df.select(
+        morton2(F.col("a"), F.col("b")).alias("fast"),
+        zorder_value([F.col("a"), F.col("b")]).alias("generic"),
+    ).collect()
+    assert all(r["fast"] == r["generic"] for r in rows)
