@@ -8258,3 +8258,51 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").alias("sum_custkey"),
         )
     )
+
+
+# Streaming ingestion through a Spark 4 PYTHON streaming data source
+# (sources/pyds.SensorFeedDataSource — the MQTT/OPC-UA stand-in, T4):
+# one availableNow drain of the deterministic bounded topic into a
+# per-sensor rollup. The feed is exact integer ticks, so the oracle
+# regenerates the whole topic with generate_series — the streaming
+# source, the trigger machinery, and the rollup are all value-checked.
+@register(
+    "sensor_feed_rollup",
+    """
+    WITH feed AS (
+      SELECT s.g AS seq,
+             'sensor' || CAST(s.g % 4 AS VARCHAR) AS sensor,
+             (s.g * 37) % 1000 AS value_c
+      FROM (SELECT unnest(generate_series(0, 119)) AS g) s
+    )
+    SELECT sensor,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+           CAST(max(seq) AS BIGINT) AS max_seq
+    FROM feed GROUP BY sensor
+    """,
+)
+def sensor_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.pyds import register_sensorfeed_datasource
+
+    register_sensorfeed_datasource(spark)
+    sink = f"sensor_feed_rollup_{abs(hash((id(spark), sf_dir))) % 99999}"
+    ck = tempfile.mkdtemp(prefix="ck_feed_")
+    q = (
+        spark.readStream.format("sensorfeed")
+        .option("n_rows", "120")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sum_value_c"),
+        F.max("seq").alias("max_seq"),
+    )

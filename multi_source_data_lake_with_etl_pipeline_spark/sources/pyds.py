@@ -85,3 +85,69 @@ def parsed_records(raw: DataFrame, schema: str) -> DataFrame:
         F.from_json("record", schema).alias("rec"),
         F.col("error").alias("_fetch_error"),
     ).select("url", "rec.*", "_fetch_error")
+
+
+# ---------------------------------------------------------------- T4
+# Streaming Python Data Source: a deterministic sensor-feed replay —
+# the MQTT/OPC-UA stand-in for the reference's streaming configs
+# (reference ships config-only, no broker impl; SURVEY §2.10 T4). A
+# real broker client would implement the same two methods (read() =
+# poll, readBetweenOffsets() = replay from the persisted offset log);
+# here the topic is a bounded deterministic tick sequence so the feed
+# is exactly reproducible — and therefore SQL-oracle-able end to end.
+#
+# Offsets are {"i": next_seq}: monotone, replayable, checkpoint-owned.
+# Exactly-once downstream = Structured Streaming's usual contract
+# (offset log + idempotent sink); tests/test_streaming drains the feed
+# across TWO availableNow restarts sharing one checkpoint and asserts
+# no row is lost or duplicated.
+
+_FEED_SCHEMA = "seq long, sensor string, value_c long"
+
+
+def _feed_rows(start: int, end: int, n_sensors: int):
+    # exact integer tick payload: engine-independent, no floats
+    return [
+        (j, f"sensor{j % n_sensors}", (j * 37) % 1000) for j in range(start, end)
+    ]
+
+
+class SensorFeedDataSource(DataSource):
+    """``spark.readStream.format("sensorfeed")`` — options:
+    ``n_rows`` (topic size, default 100), ``batch_rows`` (max rows per
+    micro-batch, default all remaining), ``n_sensors`` (default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensorfeed"
+
+    def schema(self) -> str:
+        return _FEED_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        n_rows = int(self.options.get("n_rows", 100))
+        batch_rows = int(self.options.get("batch_rows", n_rows))
+        n_sensors = int(self.options.get("n_sensors", 4))
+
+        class _Reader(SimpleDataSourceStreamReader):
+            def initialOffset(self):
+                return {"i": 0}
+
+            def read(self, start):
+                i = int(start["i"])
+                if i >= n_rows:
+                    return iter([]), {"i": i}
+                end = min(i + batch_rows, n_rows)
+                return iter(_feed_rows(i, end, n_sensors)), {"i": end}
+
+            def readBetweenOffsets(self, start, end):
+                return iter(_feed_rows(int(start["i"]), int(end["i"]), n_sensors))
+
+        return _Reader()
+
+
+def register_sensorfeed_datasource(spark) -> None:
+    """Idempotent registration of the ``sensorfeed`` format."""
+    spark.dataSource.register(SensorFeedDataSource)

@@ -368,3 +368,48 @@ def test_stream_interval_join_matches_across_micro_batches(spark, tmp_path):
     run_to_memory_sink(joined, "xbatch_join_q", state_partitions=2)
     rows = {(r.p_event_id, r.c_event_id) for r in spark.table("xbatch_join_q").collect()}
     assert rows == {(1, 2)}
+
+
+def test_sensorfeed_offset_continuation_exactly_once(spark, tmp_path):
+    """The Python streaming data source (MQTT stand-in) must resume
+    from the checkpointed offset across availableNow restarts: three
+    runs with batch_rows=40 drain a 120-row topic with no loss and no
+    duplication (offset log + file sink = exactly-once)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.pyds import (
+        register_sensorfeed_datasource,
+    )
+
+    register_sensorfeed_datasource(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for _ in range(3):
+        q = (
+            spark.readStream.format("sensorfeed")
+            .option("n_rows", "120")
+            .option("batch_rows", "40")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 120
+    assert got.select("seq").distinct().count() == 120
+    assert got.agg({"seq": "max"}).collect()[0][0] == 119
+    # a fourth run sees an exhausted topic and adds nothing
+    q = (
+        spark.readStream.format("sensorfeed")
+        .option("n_rows", "120")
+        .option("batch_rows", "40")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 120
