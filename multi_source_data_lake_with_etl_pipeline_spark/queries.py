@@ -8306,3 +8306,55 @@ def sensor_feed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_c").alias("sum_value_c"),
         F.max("seq").alias("max_seq"),
     )
+
+
+# Diversity-constrained top-k: top 5 parts by revenue per return flag,
+# at most 2 per brand — the two-stage window composition (rank within
+# brand, then rank the survivors) that product search and curation
+# sampling both reuse. Exact integer cents; id tiebreaks throughout.
+@register(
+    "diverse_top_parts",
+    """
+    WITH rev AS (
+      SELECT l_returnflag, p.p_brand, l.l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l_returnflag, p.p_brand, l.l_partkey
+    ), brand_ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag, p_brand ORDER BY cents DESC, l_partkey
+      ) AS brand_rk
+      FROM rev
+    ), final_ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY cents DESC, l_partkey
+      ) AS rk
+      FROM brand_ranked WHERE brand_rk <= 2
+    )
+    SELECT l_returnflag, p_brand, l_partkey, cents, CAST(rk AS INT) AS rk
+    FROM final_ranked WHERE rk <= 5
+    """,
+)
+def diverse_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_returnflag", "p_brand", "l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w_brand = Window.partitionBy("l_returnflag", "p_brand").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    )
+    w_final = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    )
+    return (
+        rev.withColumn("brand_rk", F.row_number().over(w_brand))
+        .filter(F.col("brand_rk") <= 2)
+        .withColumn("rk", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("l_returnflag", "p_brand", "l_partkey", "cents", "rk")
+    )
