@@ -137,6 +137,25 @@ class LakeTable:
             raise FileNotFoundError(f"not a lake table: {path}")
         return t
 
+    def clone_to(self, target_path: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy SHALLOW CLONE (Delta ``CLONE`` parity): the clone's
+        create commit references this table's active data files by
+        ABSOLUTE path — no bytes are copied, and cloning a 100 TB table
+        is a metadata-only operation. The clone then diverges freely:
+        appends land in its own data/ dir; MERGE/DELETE copy-on-write
+        rewrites pull the affected rows out of shared source files into
+        clone-local files (the source table never changes); vacuum on
+        either side only deletes that side's own data/ files, so a
+        vacuumed source can still break an old clone snapshot exactly
+        as Delta documents — clone then vacuum source = re-clone."""
+        v, active, schema = self._snapshot(version)
+        t = LakeTable(self.spark, target_path)
+        os.makedirs(t._log_dir, exist_ok=False)
+        os.makedirs(t._data_dir, exist_ok=True)
+        adds = [{**a, "path": self._abs(a["path"])} for a in active]
+        t._commit(0, "create", adds, [], schema)
+        return t
+
     # ---------------------------------------------------------- log I/O
     def _versions(self) -> list[int]:
         return sorted(
@@ -418,19 +437,27 @@ class LakeTable:
         )
 
     def _touched_files(self, marker: DataFrame) -> list[str]:
-        """Relative paths of files containing ≥1 marker row. ``marker``
-        must carry a ``_f`` column captured with input_file_name() AT
-        SCAN TIME (the expression is thread-local to the scan and
-        evaluates to '' after any exchange, so it cannot be added after
-        a join/shuffle)."""
+        """STORED path strings of active files containing ≥1 marker
+        row. ``marker`` must carry a ``_f`` column captured with
+        input_file_name() AT SCAN TIME (the expression is thread-local
+        to the scan and evaluates to '' after any exchange, so it
+        cannot be added after a join/shuffle).
+
+        Identity goes through the file's basename (uuid4 — globally
+        unique) mapped back to the snapshot's stored path, NOT by
+        substring-parsing the URI: a shallow clone's snapshot stores
+        some files as ABSOLUTE paths into the source table, and those
+        must resolve to their stored absolute string so commit remove
+        lists match the active set."""
+        _, active, _ = self._snapshot()
+        by_base = {os.path.basename(a["path"]): a["path"] for a in active}
         rows = marker.select("_f").distinct().collect()
-        prefix = _DATA + "/"
-        out = []
-        for r in rows:
-            p = r["_f"]
-            if prefix in p:
-                out.append(prefix + p.split(prefix, 1)[1])
-        return sorted(set(out))
+        out = {
+            by_base[base]
+            for r in rows
+            if (base := os.path.basename(r["_f"])) in by_base
+        }
+        return sorted(out)
 
     def merge(self, source: DataFrame, key: str) -> dict:
         """MERGE (upsert) by ``key``: rewrite ONLY files containing a

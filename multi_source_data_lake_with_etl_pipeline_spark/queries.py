@@ -8358,3 +8358,49 @@ def diverse_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("l_returnflag", "p_brand", "l_partkey", "cents", "rk")
     )
+
+
+# Zero-copy shallow clone divergence (lake.py:clone_to — Delta CLONE
+# parity): clone a lake table by metadata only, DELETE + MERGE on the
+# clone (copy-on-write pulls affected rows out of SHARED files into
+# clone-local ones), and profile BOTH tables — the source must read
+# back bit-identical to its pre-clone state. Oracle reconstructs each
+# side relationally. Exact integers.
+@register(
+    "lake_clone_divergence",
+    """
+    SELECT 'source' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone', CASE WHEN o_orderkey <= 300 THEN 'X' ELSE o_orderstatus END,
+           CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey <= 2000 AND NOT (o_orderstatus = 'F' AND o_orderkey > 300)
+    GROUP BY CASE WHEN o_orderkey <= 300 THEN 'X' ELSE o_orderstatus END
+    """,
+)
+def lake_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_clone_")
+    src = LakeTable.create(spark, root + "/src", o.filter("o_orderkey <= 2000"))
+    clone = src.clone_to(root + "/clone")
+    # diverge the clone: retag low keys, then delete remaining 'F' rows
+    clone.merge(
+        o.filter("o_orderkey <= 300").withColumn("o_orderstatus", F.lit("X")),
+        "o_orderkey",
+    )
+    clone.delete("o_orderstatus = 'F'")
+
+    def prof(t, tag):
+        return t.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_custkey")
+        ).select(F.lit(tag).alias("side"), "*")
+
+    return prof(src, "source").unionByName(prof(clone, "clone"))

@@ -753,3 +753,43 @@ def test_append_schema_contract(spark, tmp_path):
     rows = {r["k"]: r for r in t.read().collect()}
     assert rows[3]["v"] is None and rows[3]["extra"] is None
     assert len(rows) == 3
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_reads_equal(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        src = _mk(spark, tmp_path, rows=50, files=3)
+        clone = src.clone_to(str(tmp_path / "clone"))
+        import os
+
+        assert os.listdir(str(tmp_path / "clone" / "data")) == []  # no bytes copied
+        assert clone.read().count() == 50
+        assert sorted(r["k"] for r in clone.read().collect()) == sorted(
+            r["k"] for r in src.read().collect()
+        )
+
+    def test_clone_diverges_without_touching_source(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, rows=50, files=3)
+        before = _file_md5s(src)
+        src_count = src.read().count()
+        clone = src.clone_to(str(tmp_path / "clone"))
+        clone.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        clone.delete("k < 10")
+        # copy-on-write merge on the clone rewrites SHARED files into
+        # clone-local ones; the source's bytes and row set never change
+        clone.merge(spark.createDataFrame([(20, -5)], "k long, v long"), "k")
+        got = {r["k"]: r["v"] for r in clone.read().collect()}
+        assert 1000 in got and got[20] == -5 and min(got) == 10
+        assert src.read().count() == src_count
+        after = _file_md5s(src)
+        assert after == before
+
+    def test_clone_vacuum_never_deletes_source_files(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, rows=30, files=2)
+        clone = src.clone_to(str(tmp_path / "clone"))
+        clone.delete("k < 5")  # rewrites shared files into clone-local
+        clone.vacuum(keep_versions=0)
+        # source still fully readable; clone state intact
+        assert src.read().count() == 30
+        assert clone.read().count() == 25
