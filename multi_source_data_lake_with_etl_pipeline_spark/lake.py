@@ -436,6 +436,19 @@ class LakeTable:
             v + 1, "overwrite", adds, [a["path"] for a in active], df.schema
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE to an earlier version (Delta parity): metadata-only
+        rollback — one new commit whose active set is exactly the
+        target version's. No data is rewritten, the mistaken commits
+        stay readable via time travel, and the change feed records the
+        rollback as delete-current + insert-restored (so incremental
+        consumers roll back too instead of silently diverging)."""
+        cur_v, cur_active, _ = self._snapshot()
+        _, active, schema = self._snapshot(version)
+        return self._commit(
+            cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema
+        )
+
     def _touched_files(self, marker: DataFrame) -> list[str]:
         """STORED path strings of active files containing ≥1 marker
         row. ``marker`` must carry a ``_f`` column captured with

@@ -8404,3 +8404,48 @@ def lake_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("side"), "*")
 
     return prof(src, "source").unionByName(prof(clone, "clone"))
+
+
+# RESTORE audit (lake.py:restore): a bad DELETE is rolled back with a
+# metadata-only commit; the final snapshot must equal the original
+# slice exactly, the mistake stays time-travelable, and the change
+# feed's rollback leg re-inserts precisely the restored rows. Oracle =
+# the original slice profile + the exact rollback insert count.
+@register(
+    "lake_restore_audit",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_rollback_inserts',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def lake_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_restore_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 2000"))
+    t.delete("o_orderstatus = 'F'")  # the mistake
+    v = t.restore(0)
+    prof = t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_custkey")
+    )
+    rollback = (
+        t.changes(v - 1, v)
+        .filter(F.col("_change_type") == "insert")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .select(F.lit("_rollback_inserts").alias("o_orderstatus"), "*")
+    )
+    return prof.unionByName(rollback)

@@ -793,3 +793,23 @@ class TestShallowClone:
         # source still fully readable; clone state intact
         assert src.read().count() == 30
         assert clone.read().count() == 25
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=50, files=2)
+    files_before = set(os.listdir(t._data_dir))
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    t.delete("k < 25")
+    assert t.read().count() == 26
+    v = t.restore(0)
+    assert t.read().count() == 50
+    assert {r.k for r in t.read().collect()} == set(range(50))
+    # the mistaken states remain time-travelable
+    assert t.read(2).count() == 26
+    # restore wrote NO new data files beyond what delete had added
+    assert files_before <= set(os.listdir(t._data_dir))
+    # change feed records the rollback (delete current + insert restored)
+    ch = t.changes(v - 1, v)
+    types = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
+    assert types == {"delete", "insert"}
+    assert ch.filter("_change_type = 'insert'").count() == 50
