@@ -543,21 +543,48 @@ def referential_integrity(
     (hint-free, so the one big-big edge, e.g. lineitem→orders, falls
     back to a shuffle join instead of an OOM broadcast at 100 TB).
     """
+    # Group edges by child table so each child is SCANNED ONCE for all
+    # its FK edges (lineitem carries three FKs — one pass, three key
+    # joins, one aggregation — instead of three full scans). The key
+    # sides are DISTINCT parents joined 1:1, so chaining left joins
+    # never multiplies rows.
+    by_child: dict[int, list[int]] = {}
+    for i, (_, child, _, _, _) in enumerate(edges):
+        by_child.setdefault(id(child), []).append(i)
     outs: list[DataFrame] = []
-    for name, child, fk, parent, pk in edges:
-        keys = parent.select(F.col(pk).alias("_pk")).distinct()
-        j = child.select(F.col(fk).alias("_fk")).join(
-            keys, F.col("_fk") == F.col("_pk"), "left"
+    for idxs in by_child.values():
+        child = edges[idxs[0]][1]
+        j = child.select(
+            *[F.col(edges[i][2]).alias(f"_fk_{i}") for i in idxs]
         )
-        outs.append(
-            j.agg(
-                F.count(F.lit(1)).alias("child_rows"),
-                F.sum(F.col("_fk").isNull().cast("long")).alias("null_fks"),
+        for i in idxs:
+            name, _, fk, parent, pk = edges[i]
+            keys = parent.select(F.col(pk).alias(f"_pk_{i}")).distinct()
+            j = j.join(keys, F.col(f"_fk_{i}") == F.col(f"_pk_{i}"), "left")
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i in idxs:
+            aggs.append(
+                F.sum(F.col(f"_fk_{i}").isNull().cast("long")).alias(f"_null_{i}")
+            )
+            aggs.append(
                 F.sum(
-                    (F.col("_fk").isNotNull() & F.col("_pk").isNull()).cast("long")
-                ).alias("orphans"),
-            ).select(F.lit(name).alias("edge"), "*")
+                    (F.col(f"_fk_{i}").isNotNull() & F.col(f"_pk_{i}").isNull())
+                    .cast("long")
+                ).alias(f"_orph_{i}")
+            )
+        wide = j.agg(*aggs)
+        items = F.array(
+            *[
+                F.struct(
+                    F.lit(edges[i][0]).alias("edge"),
+                    F.col("_n").cast("long").alias("child_rows"),
+                    F.col(f"_null_{i}").cast("long").alias("null_fks"),
+                    F.col(f"_orph_{i}").cast("long").alias("orphans"),
+                )
+                for i in idxs
+            ]
         )
+        outs.append(wide.select(F.explode(items).alias("x")).select("x.*"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
