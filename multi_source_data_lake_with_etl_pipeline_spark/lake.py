@@ -346,15 +346,51 @@ class LakeTable:
         result as ``read().filter(between)`` but lists only overlapping
         files — at 100 TB on a clustered column this is the difference
         between touching 3 files and 30 000."""
+        return self.read_pruned_multi([(col, lo, hi)])
+
+    def read_pruned_multi(self, conds: list[tuple[str, object, object]]) -> DataFrame:
+        """Conjunctive multi-column range read: a file is scanned only
+        if its footer [min,max] overlaps EVERY ``(col, lo, hi)``
+        condition — the read path that makes a z-ordered layout pay on
+        both dimensions at once (each condition independently knocks
+        out most files; the survivors are the small z-box
+        neighborhood). Residual filters reapply all conditions."""
         _, active, schema = self._snapshot()
-        paths = [self._abs(p) for p in self.files_overlapping(col, lo, hi)]
+        paths = set(self.files_overlapping(*conds[0]))
+        for c in conds[1:]:
+            paths &= set(self.files_overlapping(*c))
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .filter(F.col(col).between(lo, hi))
+        out = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in sorted(paths)]
         )
+        for col, lo, hi in conds:
+            out = out.filter(F.col(col).between(lo, hi))
+        return out
+
+    def rows(self, version: int | None = None) -> int:
+        """Metadata-only COUNT(*): the sum of per-file row counts in
+        the snapshot's add entries — O(files) driver work, no scan (the
+        Delta/Iceberg manifest-count fast path). Equality with a real
+        scan count is pinned in tests."""
+        _, active, _ = self._snapshot(version)
+        return sum(int(a.get("rows", 0)) for a in active)
+
+    def optimize_if_needed(
+        self, small_file_bytes: int = 32 * 1024 * 1024, min_small_files: int = 8
+    ) -> dict:
+        """Compaction policy: rewrite only when the snapshot holds at
+        least ``min_small_files`` files under ``small_file_bytes`` —
+        the maintenance loop's guard so OPTIMIZE runs are need-driven,
+        not scheduled blind rewrites of 100 TB. Returns what happened."""
+        _, active, _ = self._snapshot()
+        small = [a for a in active if int(a.get("bytes", 0)) < small_file_bytes]
+        if len(small) < min_small_files:
+            return {"compacted": False, "small_files": len(small)}
+        total = sum(int(a.get("bytes", 0)) for a in active)
+        target = max(1, total // max(small_file_bytes, 1))
+        v = self.compact(target_files=int(target))
+        return {"compacted": True, "small_files": len(small), "version": v}
 
     # ---------------------------------------------------------- writes
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:

@@ -7527,8 +7527,9 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lake_z_")
     t = LakeTable.create(spark, root + "/orders_z", clustered)
     return (
-        t.read_pruned("o_custkey", 100, 300)
-        .filter(F.col("cents").between(1000000, 20000000))
+        t.read_pruned_multi(
+            [("o_custkey", 100, 300), ("cents", 1000000, 20000000)]
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("o_custkey").alias("sum_custkey"),

@@ -813,3 +813,52 @@ def test_restore_is_metadata_only_rollback(spark, tmp_path):
     types = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
     assert types == {"delete", "insert"}
     assert ch.filter("_change_type = 'insert'").count() == 50
+
+
+def test_read_pruned_multi_intersects_file_sets(spark, tmp_path):
+    """Z-ordered layout: a two-column box query must scan fewer files
+    than either single-column prune, and stay complete."""
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+        zorder_repartition,
+    )
+    from pyspark.sql import functions as F
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("a"), ((F.col("id") * 2654435761) % n).alias("b")
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "z"),
+        zorder_repartition(df, [("a", 0, n - 1), ("b", 0, n - 1)], num_files=16),
+    )
+    conds = [("a", 0, n // 8), ("b", 0, n // 8)]
+    only_a = set(t.files_overlapping(*conds[0]))
+    only_b = set(t.files_overlapping(*conds[1]))
+    both = only_a & only_b
+    assert len(both) < len(only_a) and len(both) < len(only_b)
+    expect = df.filter((F.col("a") <= n // 8) & (F.col("b") <= n // 8)).count()
+    assert t.read_pruned_multi(conds).count() == expect
+
+
+def test_rows_is_metadata_only_and_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=100, files=4)
+    assert t.rows() == 100
+    t.delete("k < 10")
+    assert t.rows() == t.read().count() == 90
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    assert t.rows() == 91
+    assert t.rows(version=0) == 100
+
+
+def test_optimize_if_needed_policy(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=100, files=10)  # 10 tiny files
+    r = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=20)
+    assert r == {"compacted": False, "small_files": 10}
+    r = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=8)
+    assert r["compacted"] and t.read().count() == 100
+    # post-compaction the policy goes quiet at the same thresholds...
+    # (all rows now in max(1, total//1MB) = 1 file)
+    r2 = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=8)
+    assert not r2["compacted"]
