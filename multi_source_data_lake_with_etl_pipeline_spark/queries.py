@@ -8450,3 +8450,121 @@ def lake_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("_rollback_inserts").alias("o_orderstatus"), "*")
     )
     return prof.unionByName(rollback)
+
+
+# Weekday-seasonal anomaly screen: per-weekday LOWER-MEDIAN baseline of
+# daily revenue (row_number pick at (n+1)//2 over the per-weekday
+# daily totals — exact integers, no percentile buffer, and the group
+# is calendar-bounded at #days/7 rows), then flag days beyond 2x /
+# below half the baseline. The seasonality-aware variant of
+# hourly_event_anomalies.
+@register(
+    "weekday_seasonal_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), wk AS (
+      -- DuckDB dayofweek is 0-6 (Sun=0); Spark is 1-7 (Sun=1) — align
+      SELECT day, cents, dayofweek(day) + 1 AS wd,
+             row_number() OVER (PARTITION BY dayofweek(day) ORDER BY cents, day) AS rk,
+             count(*) OVER (PARTITION BY dayofweek(day)) AS n
+      FROM daily
+    ), base AS (
+      SELECT wd, cents AS med FROM wk WHERE rk = (n + 1) // 2
+    )
+    SELECT wk.wd AS weekday,
+           CAST(max(base.med) AS BIGINT) AS baseline_cents,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN wk.cents > 2 * base.med THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN wk.cents < base.med // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM wk JOIN base ON wk.wd = base.wd
+    GROUP BY wk.wd ORDER BY wk.wd
+    """,
+)
+def weekday_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("wd").orderBy("cents", "day")
+    wk = daily.select(
+        "day",
+        "cents",
+        F.dayofweek("day").alias("wd"),
+    ).withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("wd"))
+    )
+    # DuckDB's (n+1)//2 is floor division on ints; Spark (n+1)/2 is
+    # double — replicate floor exactly
+    base = wk.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("wd", F.col("cents").alias("med"))
+    j = wk.join(base, "wd")
+    return (
+        j.groupBy(F.col("wd").alias("weekday"))
+        .agg(
+            F.max("med").alias("baseline_cents"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum((F.col("cents") > 2 * F.col("med")).cast("long")).alias("n_high"),
+            F.sum(
+                (F.col("cents") < F.expr("med div CAST(2 AS BIGINT)")).cast("long")
+            ).alias("n_low"),
+        )
+        .orderBy("weekday")
+    )
+
+
+# RFM segmentation with literal band edges (deterministic — no global
+# quantile pass): recency from the fixed corpus horizon, frequency and
+# monetary from exact per-customer aggregates; one shuffle, segment
+# cells as exact counts. The classic CRM cut over the orders table.
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             datediff('day', max(o_orderdate), TIMESTAMP '2002-01-01') AS rec_days,
+             count(*) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), coded AS (
+      SELECT CASE WHEN rec_days <= 365 THEN 3 WHEN rec_days <= 1095 THEN 2 ELSE 1 END AS r,
+             CASE WHEN freq >= 15 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f,
+             CASE WHEN cents >= 200000000 THEN 3 WHEN cents >= 80000000 THEN 2 ELSE 1 END AS m,
+             cents
+      FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM coded GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2002-01-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    r = (
+        F.when(F.col("rec_days") <= 365, 3)
+        .when(F.col("rec_days") <= 1095, 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("freq") >= 15, 3).when(F.col("freq") >= 8, 2).otherwise(1)
+    m = (
+        F.when(F.col("cents") >= 200000000, 3)
+        .when(F.col("cents") >= 80000000, 2)
+        .otherwise(1)
+    )
+    return (
+        rfm.select(r.alias("r"), f.alias("f"), m.alias("m"), "cents")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("segment_cents"),
+        )
+    )
