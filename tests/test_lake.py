@@ -862,3 +862,41 @@ def test_optimize_if_needed_policy(spark, tmp_path):
     # (all rows now in max(1, total//1MB) = 1 file)
     r2 = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=8)
     assert not r2["compacted"]
+
+
+def test_concurrent_appends_no_lost_updates(spark, tmp_path):
+    """Optimistic concurrency under real thread contention: 4 writers x
+    3 appends race on one table; version auto-retry must serialize all
+    12 commits with no lost update and no duplicate version."""
+    import json as _json
+    import threading
+
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    errs = []
+
+    def writer(wid):
+        try:
+            for i in range(3):
+                t.append(
+                    spark.createDataFrame(
+                        [(1000 + wid * 10 + i, wid)], "k long, v long"
+                    )
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.latest_version() == 12
+    assert t.read().count() == 10 + 12
+    # every committed version parses and versions are dense
+    vs = sorted(
+        int(f.split(".")[0]) for f in os.listdir(t._log_dir) if f.endswith(".json") and not f.startswith("_")
+    )
+    assert vs == list(range(13))
+    for v in vs:
+        _json.load(open(os.path.join(t._log_dir, f"{v:020d}.json")))
