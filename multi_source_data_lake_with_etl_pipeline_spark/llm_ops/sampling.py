@@ -203,3 +203,32 @@ def weighted_sample_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("_h12")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    copies: dict[str, int],
+    key_col: str,
+    default_copies: int = 1,
+) -> DataFrame:
+    """Mixture UPsampling: replicate each stratum's rows an integer
+    number of times (multi-epoch over-representation of scarce
+    high-quality sources — the other half of mix_to_budget's
+    downsampling). Adds ``_epoch`` (0-based copy index) and a
+    deterministic ``_shuffle_key`` = md5(key || epoch) so downstream
+    global ordering interleaves copies instead of clustering them.
+
+    One explode over a literal-bounded sequence — no shuffle here; the
+    training-order sort downstream is where the range exchange lives.
+    """
+    n = F.lit(default_copies)
+    for s, c in sorted(copies.items()):
+        n = F.when(F.col(strata_col) == s, F.lit(int(c))).otherwise(n)
+    out = df.withColumn(
+        "_epoch", F.explode(F.sequence(F.lit(0), n - 1))
+    )
+    return out.withColumn(
+        "_shuffle_key",
+        F.md5(F.concat_ws("#", F.col(key_col).cast("string"), F.col("_epoch"))),
+    )

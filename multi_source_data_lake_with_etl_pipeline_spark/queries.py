@@ -8568,3 +8568,55 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("segment_cents"),
         )
     )
+
+
+# Epoch upsampling + deterministic training order: scarce sources get
+# integer epoch copies (explode over a literal sequence, no shuffle),
+# then the corpus is globally ordered by md5(key#epoch) — the standard
+# pre-shard shuffle, reproducible across engines/runs. Emits per-source
+# copy accounting plus the first 10 rows of the training order as the
+# order witness.
+@register(
+    "epoch_upsample_order",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 3 WHEN source = 'src1' THEN 2 ELSE 1 END AS copies
+      FROM documents
+    ), up AS (
+      SELECT doc_id, source, u.e AS _epoch,
+             md5(CAST(doc_id AS VARCHAR) || '#' || CAST(u.e AS VARCHAR)) AS k
+      FROM n, UNNEST(range(0, copies)) AS u(e)
+    ), acct AS (
+      SELECT 'acct:' || source AS tag, CAST(count(*) AS BIGINT) AS a,
+             CAST(NULL AS BIGINT) AS b
+      FROM up GROUP BY source
+    ), head AS (
+      SELECT 'head:' || CAST(row_number() OVER (ORDER BY k, doc_id, _epoch) AS VARCHAR) AS tag,
+             doc_id AS a, _epoch AS b
+      FROM up ORDER BY k, doc_id, _epoch LIMIT 10
+    )
+    SELECT * FROM acct UNION ALL SELECT * FROM head
+    """,
+)
+def epoch_upsample_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import epoch_upsample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    up = epoch_upsample(d, "source", {"src0": 3, "src1": 2}, key_col="doc_id")
+    acct = up.groupBy("source").agg(F.count(F.lit(1)).alias("a")).select(
+        F.concat(F.lit("acct:"), F.col("source")).alias("tag"),
+        "a",
+        F.lit(None).cast("long").alias("b"),
+    )
+    w = Window.orderBy("_shuffle_key", "doc_id", "_epoch")
+    head = (
+        up.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.concat(F.lit("head:"), F.col("rn").cast("string")).alias("tag"),
+            F.col("doc_id").alias("a"),
+            F.col("_epoch").cast("long").alias("b"),
+        )
+    )
+    return acct.unionByName(head)
