@@ -8609,10 +8609,13 @@ def epoch_upsample_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         F.lit(None).cast("long").alias("b"),
     )
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no single-task corpus sort), THEN number the 10 survivors
     w = Window.orderBy("_shuffle_key", "doc_id", "_epoch")
     head = (
-        up.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        up.orderBy("_shuffle_key", "doc_id", "_epoch")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w))
         .select(
             F.concat(F.lit("head:"), F.col("rn").cast("string")).alias("tag"),
             F.col("doc_id").alias("a"),
