@@ -8623,3 +8623,55 @@ def epoch_upsample_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acct.unionByName(head)
+
+
+# Supplier revenue concentration per nation (Herfindahl–Hirschman):
+# HHI in exact ppm — Σ rev_i² · 1e6 // total² over decimal(38,0) /
+# HUGEINT accumulators, so the antitrust-style concentration screen
+# value-hashes with no float shares. One grouped scan + one per-nation
+# fold; join to nation is dim-broadcast.
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) * 1000000
+                // (sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT)))
+                AS BIGINT) AS hhi_ppm
+    FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    c = F.col("cents").cast("decimal(38,0)")
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(c * c).alias("_ss"),
+        F.sum(c).alias("_t"),
+    )
+    return (
+        agg.join(n, agg.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.expr(
+                "CAST((_ss * CAST(1000000 AS DECIMAL(38,0))) div (_t * _t) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )
