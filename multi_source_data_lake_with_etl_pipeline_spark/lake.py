@@ -472,6 +472,59 @@ class LakeTable:
             v + 1, "overwrite", adds, [a["path"] for a in active], df.schema
         )
 
+    def apply_cdc(
+        self,
+        batch: DataFrame,
+        key: str,
+        op_col: str = "op",
+        order_col: str | None = None,
+    ) -> dict:
+        """Apply a Debezium-style CDC batch: rows tagged I/U/D in
+        ``op_col`` (insert/update collapse to upsert — the lake is
+        state, not history), optionally ordered by ``order_col`` so
+        only each key's LATEST change applies (at-least-once feeds
+        replay safely). Deletes tombstone by key. Two file-granular
+        commits at most (merge + delete), both O(changed files).
+        """
+        from pyspark.sql import Window as W
+
+        b = batch
+        if order_col is not None:
+            w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        b = b.persist()
+        # upserts must carry exactly the table's columns — op/order
+        # metadata stays in the feed, not the table
+        _, _, schema = self._snapshot()
+        cols = [f.name for f in schema.fields]
+        ups = b.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*cols)
+        dels = b.filter(F.upper(F.col(op_col)) == "D").select(key)
+        out: dict = {"upserted": 0, "deleted": 0}
+        if ups.limit(1).count():
+            m = self.merge(ups, key)
+            out["upserted"] = m["inserted"] + m["updated"]
+        # Delete keys are collected driver-side and inlined — right for
+        # CDC batch sizes (thousands of tombstones); a bulk backfill
+        # purge should use delete(predicate) or merge with tombstone
+        # columns instead of one giant IN list.
+        del_keys = [r[key] for r in dels.distinct().collect()]
+        if del_keys:
+            def _lit(v):
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                return str(v)
+
+            key_list = ", ".join(_lit(k) for k in del_keys)
+            d = self.delete(f"{key} IN ({key_list})")
+            out["deleted"] = d["deleted"]
+        b.unpersist()
+        out["version"] = self.latest_version()
+        return out
+
     def restore(self, version: int) -> int:
         """RESTORE to an earlier version (Delta parity): metadata-only
         rollback — one new commit whose active set is exactly the

@@ -8675,3 +8675,65 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_ppm"),
         )
     )
+
+
+# Debezium-style CDC apply (lake.py:apply_cdc): an I/U/D op-coded
+# batch with sequence numbers lands on the lake table — latest change
+# per key wins, deletes tombstone, replays are idempotent. The oracle
+# reconstructs the post-apply state relationally. Exact integers.
+@register(
+    "cdc_apply_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 1500
+    ), applied AS (
+      -- updates: keys <= 200 set to 'U2' (seq 2 beats seq 1's 'U1');
+      -- deletes: keys in (300, 400]; inserts: keys (1500, 1600] shifted +1e6
+      SELECT o_orderkey,
+             o_custkey,
+             CASE WHEN o_orderkey <= 200 THEN 'U2' ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      WHERE NOT (o_orderkey > 300 AND o_orderkey <= 400)
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'I1'
+      FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 1600
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM applied GROUP BY o_orderstatus
+    """,
+)
+def cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_cdcapply_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1500"))
+    upd1 = (
+        o.filter("o_orderkey <= 200")
+        .withColumn("o_orderstatus", F.lit("U1"))
+        .select("*", F.lit("U").alias("op"), F.lit(1).alias("seq"))
+    )
+    upd2 = (
+        o.filter("o_orderkey <= 200")
+        .withColumn("o_orderstatus", F.lit("U2"))
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    dels = (
+        o.filter("o_orderkey > 300 AND o_orderkey <= 400")
+        .select("*", F.lit("D").alias("op"), F.lit(1).alias("seq"))
+    )
+    ins = (
+        o.filter("o_orderkey > 1500 AND o_orderkey <= 1600")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000))
+        .withColumn("o_orderstatus", F.lit("I1"))
+        .select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+    )
+    batch = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    t.apply_cdc(batch, key="o_orderkey", order_col="seq")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_custkey")
+    )

@@ -900,3 +900,33 @@ def test_concurrent_appends_no_lost_updates(spark, tmp_path):
     assert vs == list(range(13))
     for v in vs:
         _json.load(open(os.path.join(t._log_dir, f"{v:020d}.json")))
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=20, files=2)
+    batch = spark.createDataFrame(
+        [
+            (5, -1, "U", 1),   # superseded by seq 3
+            (5, -2, "U", 3),   # latest update for k=5
+            (7, None, "D", 1), # tombstone
+            (100, 9, "I", 1),  # insert
+            (100, 10, "U", 2), # same-batch update collapses to latest
+            (8, -8, "u", 1),   # lowercase op accepted
+        ],
+        "k long, v long, op string, seq long",
+    )
+    res = t.apply_cdc(batch, key="k", order_col="seq")
+    assert res["upserted"] == 3 and res["deleted"] == 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == -2 and got[100] == 10 and got[8] == -8
+    assert 7 not in got
+    assert len(got) == 20  # 20 - 1 delete + 1 insert
+
+
+def test_apply_cdc_string_keys_quoted(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("o'b", 2)], "k string, v long")
+    t = LakeTable.create(spark, str(tmp_path / "s"), df)
+    batch = spark.createDataFrame([("o'b", None, "D")], "k string, v long, op string")
+    res = t.apply_cdc(batch, key="k")
+    assert res["deleted"] == 1
+    assert [r["k"] for r in t.read().collect()] == ["a"]
