@@ -921,6 +921,10 @@ def test_apply_cdc_latest_wins_and_deletes(spark, tmp_path):
     assert got[5] == -2 and got[100] == 10 and got[8] == -8
     assert 7 not in got
     assert len(got) == 20  # 20 - 1 delete + 1 insert
+    # at-least-once replay: applying the same batch again is a no-op
+    t.apply_cdc(batch, key="k", order_col="seq")
+    again = {r["k"]: r["v"] for r in t.read().collect()}
+    assert again == got
 
 
 def test_apply_cdc_string_keys_quoted(spark, tmp_path):
