@@ -8737,3 +8737,60 @@ def cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("sum_custkey")
     )
+
+
+# Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+# ln(rank) for the top-100 terms (distributed top-k, then a 100-row
+# window — bounded by construction). The text-science sanity check a
+# corpus report includes: natural corpora slope ≈ -1; synthetic or
+# boilerplate-heavy ones drift. Exact counts; slope rounded 4dp.
+@register(
+    "vocab_zipf_slope",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_transform(list_filter(string_split_regex(text, '\s+'),
+                                               x -> x != ''), x -> lower(x))) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS freq FROM tok GROUP BY t
+      ORDER BY freq DESC, t ASC LIMIT 100
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, t ASC) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM cnt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import words
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode_outer(
+                F.transform(words(F.col("text")), lambda w: F.lower(w))
+            ).alias("t")
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("t"))
+    ranked = cnt.withColumn(
+        "x", F.log(F.row_number().over(w).cast("double"))
+    ).withColumn("y", F.log(F.col("freq").cast("double")))
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -29,6 +29,7 @@ ALLOW = {
         "hybrid_search_rrf": "rank windows run over the two top-k retrieval RESULTS (<= 20 rows each by construction), never the corpus",
         "daily_user_reach": "cumulative window runs over the PER-DAY aggregate (calendar-bounded #days rows), never event rows — the first-seen construction that replaced the expanding distinct",
         "epoch_upsample_order": "rank window runs over the distributed top-k RESULT (<= 10 rows by construction — orderBy+limit compiles to TakeOrderedAndProject), never the upsampled corpus",
+        "vocab_zipf_slope": "rank window runs over the top-100 term RESULT (orderBy+limit = TakeOrderedAndProject), never the vocabulary",
     },
     "mega-filter": {
         "ann_lsh_invariant": "the anti-join's cosine verify IS the filter: one dim-proportional HOF evaluated once per candidate, no duplicated inline",
