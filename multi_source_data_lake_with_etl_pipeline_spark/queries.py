@@ -8794,3 +8794,54 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+# Exact P50/P95 shipping delay per order priority WITHOUT a percentile
+# buffer: delay-in-days is domain-bounded (a value histogram of ~120
+# distinct ints), so exact rank lookup = cumulative counts over the
+# tiny histogram — the winsorized_price_rollup construction applied to
+# an SLA metric. nearest-rank definition: smallest value with
+# cum >= ceil(p·n), exact integers end to end.
+@register(
+    "ship_delay_percentiles",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority AS prio,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), h AS (
+      SELECT prio, delay, count(*) AS c FROM d GROUP BY prio, delay
+    ), cum AS (
+      SELECT prio, delay, c,
+             sum(c) OVER (PARTITION BY prio ORDER BY delay) AS cum,
+             sum(c) OVER (PARTITION BY prio) AS n
+      FROM h
+    )
+    SELECT prio,
+           CAST(max(n) AS BIGINT) AS n_items,
+           CAST(min(CASE WHEN cum * 2 >= n THEN delay END) AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN cum * 20 >= n * 19 THEN delay END) AS BIGINT) AS p95_days
+    FROM cum GROUP BY prio
+    """,
+)
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias("delay"),
+    )
+    h = d.groupBy("prio", "delay").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("prio").orderBy("delay")
+    cum = h.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("prio"))
+    )
+    return cum.groupBy("prio").agg(
+        F.max("n").cast("long").alias("n_items"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("delay")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("delay")))
+        .cast("long")
+        .alias("p95_days"),
+    )
