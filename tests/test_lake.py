@@ -934,3 +934,25 @@ def test_apply_cdc_string_keys_quoted(spark, tmp_path):
     res = t.apply_cdc(batch, key="k")
     assert res["deleted"] == 1
     assert [r["k"] for r in t.read().collect()] == ["a"]
+
+
+def test_snapshot_readable_by_external_engine(spark, tmp_path):
+    """Interop: the lake's snapshot is plain parquet + a JSON manifest,
+    so an EXTERNAL engine (DuckDB here) can read any version by listing
+    the snapshot's files — counts and sums must match Spark exactly,
+    including after a DELETE rewrote part of the file set and for a
+    time-traveled version."""
+    import duckdb
+
+    t = _mk(spark, tmp_path, rows=100, files=4)
+    t.delete("k < 10")
+    for version in (0, 1):
+        _, active, _ = t._snapshot(version)
+        files = [t._abs(a["path"]) for a in active]
+        con = duckdb.connect()
+        got = con.execute(
+            "SELECT count(*), sum(k) FROM read_parquet(?)", [files]
+        ).fetchone()
+        con.close()
+        want = t.read(version).agg(F.count(F.lit(1)), F.sum("k")).collect()[0]
+        assert (got[0], got[1]) == (want[0], want[1]), version
