@@ -404,28 +404,46 @@ class LakeTable:
         columns WIDEN the table schema: the commit records the union
         (table columns first, new ones appended), and earlier files'
         rows read back with NULLs in the new columns. Type changes are
-        always rejected — silent narrowing/coercion is how lakes rot."""
-        v = self.latest_version()
-        _, _, cur = self._snapshot()
-        cur_types = {f.name: f.dataType for f in cur.fields}
-        new_fields = []
-        for f in df.schema.fields:
-            have = cur_types.get(f.name)
-            if have is None:
-                new_fields.append(f)
-            elif have != f.dataType:
+        always rejected — silent narrowing/coercion is how lakes rot.
+
+        The schema union is recomputed against the LATEST snapshot on
+        every conflict retry — a fixed pre-commit schema would let this
+        append's retry silently revert a column a concurrent
+        merge_schema append just added (the snapshot schema is always
+        the last commit's)."""
+
+        def _union_schema() -> StructType:
+            _, _, cur = self._snapshot()
+            cur_types = {f.name: f.dataType for f in cur.fields}
+            new_fields = []
+            for f in df.schema.fields:
+                have = cur_types.get(f.name)
+                if have is None:
+                    new_fields.append(f)
+                elif have != f.dataType:
+                    raise ValueError(
+                        f"append schema mismatch on '{f.name}': table has "
+                        f"{have.simpleString()}, batch has {f.dataType.simpleString()}"
+                    )
+            if new_fields and not merge_schema:
                 raise ValueError(
-                    f"append schema mismatch on '{f.name}': table has "
-                    f"{have.simpleString()}, batch has {f.dataType.simpleString()}"
+                    f"append adds columns {[f.name for f in new_fields]}; pass "
+                    "merge_schema=True to evolve the table schema"
                 )
-        if new_fields and not merge_schema:
-            raise ValueError(
-                f"append adds columns {[f.name for f in new_fields]}; pass "
-                "merge_schema=True to evolve the table schema"
+            return (
+                StructType(list(cur.fields) + new_fields) if new_fields else cur
             )
-        schema = StructType(list(cur.fields) + new_fields) if new_fields else cur
+
+        schema = _union_schema()
         adds = self._write_files(df)
-        return self._commit(v + 1, "append", adds, [], schema, retries=20)
+        for _ in range(21):
+            try:
+                return self._commit(
+                    self.latest_version() + 1, "append", adds, [], schema
+                )
+            except CommitConflict:
+                schema = _union_schema()  # re-merge vs the racing commit
+        raise CommitConflict("append lost 21 consecutive commit races")
 
     def last_committed_batch(self, app_id: str) -> int | None:
         """Highest streaming batch id committed by ``app_id`` (scans
@@ -503,22 +521,37 @@ class LakeTable:
         cols = [f.name for f in schema.fields]
         ups = b.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*cols)
         dels = b.filter(F.upper(F.col(op_col)) == "D").select(key)
+        # Delete keys are collected driver-side and inlined — right for
+        # CDC batch sizes (thousands of tombstones); a bulk backfill
+        # purge should use delete(predicate) or merge with tombstone
+        # columns instead of one giant IN list. Collected and VALIDATED
+        # before the merge commits, so a malformed batch (NULL-key
+        # tombstone, unsupported key type) leaves the table untouched.
+        del_keys = [r[key] for r in dels.distinct().collect()]
+        if any(k is None for k in del_keys):
+            b.unpersist()
+            raise ValueError("apply_cdc: delete row with NULL key")
+        import datetime as _dt
+
+        def _lit(v):
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v.isoformat()}'"
+            if isinstance(v, (int, float)):
+                return str(v)
+            raise ValueError(
+                f"apply_cdc: unsupported delete-key type {type(v).__name__}"
+            )
+
+        key_list = ", ".join(_lit(k) for k in del_keys)  # validates types too
         out: dict = {"upserted": 0, "deleted": 0}
         if ups.limit(1).count():
             m = self.merge(ups, key)
             out["upserted"] = m["inserted"] + m["updated"]
-        # Delete keys are collected driver-side and inlined — right for
-        # CDC batch sizes (thousands of tombstones); a bulk backfill
-        # purge should use delete(predicate) or merge with tombstone
-        # columns instead of one giant IN list.
-        del_keys = [r[key] for r in dels.distinct().collect()]
         if del_keys:
-            def _lit(v):
-                if isinstance(v, str):
-                    return "'" + v.replace("'", "''") + "'"
-                return str(v)
-
-            key_list = ", ".join(_lit(k) for k in del_keys)
             d = self.delete(f"{key} IN ({key_list})")
             out["deleted"] = d["deleted"]
         b.unpersist()

@@ -225,8 +225,15 @@ def epoch_upsample(
     n = F.lit(default_copies)
     for s, c in sorted(copies.items()):
         n = F.when(F.col(strata_col) == s, F.lit(int(c))).otherwise(n)
+    # copies=0 must DROP the stratum: Spark's sequence(0, -1) auto-steps
+    # -1 and yields [0, -1] (two copies!) — guard with an empty array
     out = df.withColumn(
-        "_epoch", F.explode(F.sequence(F.lit(0), n - 1))
+        "_epoch",
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
     )
     return out.withColumn(
         "_shuffle_key",

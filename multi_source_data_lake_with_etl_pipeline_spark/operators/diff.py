@@ -35,21 +35,27 @@ def snapshot_diff(
         compare_cols = [
             c for c in new.columns if c in set(old.columns) and c not in keys
         ]
+    # explicit presence markers — inferring presence from key nullness
+    # misclassifies rows whose key IS NULL (a NULL key never joins, so
+    # such rows surface as one removed + one added, which the markers
+    # classify correctly where a keys[0]-IS-NULL test could not)
     o = old.select(
         *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
-    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))

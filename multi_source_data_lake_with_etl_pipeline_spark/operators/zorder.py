@@ -76,6 +76,10 @@ def zorder_key(
     table metadata, not a scan)."""
     if len(specs) != 2:
         raise ValueError("zorder_key interleaves exactly 2 dimensions")
+    if bits > 16:
+        # the magic masks in _SPREAD_2D are 16-bit-per-dim; wider inputs
+        # would silently scramble high bits into colliding z-values
+        raise ValueError("zorder_key supports at most 16 bits per dimension")
     qa = quantize(F.col(specs[0][0]), specs[0][1], specs[0][2], bits)
     qb = quantize(F.col(specs[1][0]), specs[1][1], specs[1][2], bits)
     return df.withColumn(out, morton2(qa, qb))

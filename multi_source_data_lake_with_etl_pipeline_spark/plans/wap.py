@@ -50,5 +50,22 @@ def write_audit_publish(
     n = int(audit[0]["n_rows"]) if audit else 0
     if failed:
         return WapResult(False, n, failed, prod.latest_version())
-    v = prod.append(staged_df)
+    # Publish is METADATA-ONLY: the staged table's files are re-listed
+    # in a prod append commit by absolute path (the clone_to mechanism)
+    # — the batch's bytes are written exactly once, at staging time.
+    # A re-write through prod.append(staged_df) would double the write
+    # I/O of every publish, which is the whole cost at 100 TB.
+    _, active, staged_schema = staged._snapshot()
+    _, _, prod_schema = prod._snapshot()
+    if [
+        (f.name, f.dataType) for f in staged_schema.fields
+    ] != [(f.name, f.dataType) for f in prod_schema.fields]:
+        raise ValueError(
+            "WAP publish: staged schema differs from production "
+            f"({staged_schema.simpleString()} vs {prod_schema.simpleString()})"
+        )
+    adds = [{**a, "path": staged._abs(a["path"])} for a in active]
+    v = prod._commit(
+        prod.latest_version() + 1, "append", adds, [], prod_schema, retries=20
+    )
     return WapResult(True, n, [], v)

@@ -8199,7 +8199,6 @@ def sql_over_lake_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
     return c.select(
         F.md5(F.col("c_name")).alias("name_token"),
         F.expr(

@@ -956,3 +956,56 @@ def test_snapshot_readable_by_external_engine(spark, tmp_path):
         con.close()
         want = t.read(version).agg(F.count(F.lit(1)), F.sum("k")).collect()[0]
         assert (got[0], got[1]) == (want[0], want[1]), version
+
+
+def test_apply_cdc_rejects_null_key_delete_before_any_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    v0 = t.latest_version()
+    batch = spark.createDataFrame(
+        [(5, -1, "U"), (None, None, "D")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        t.apply_cdc(batch, key="k")
+    # validation fired BEFORE the merge: table fully untouched
+    assert t.latest_version() == v0
+    assert {r["k"]: r["v"] for r in t.read().collect()}[5] == 50
+
+
+def test_apply_cdc_date_keys(spark, tmp_path):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 5), 1), (datetime.date(2024, 1, 6), 2)],
+        "k date, v long",
+    )
+    t = LakeTable.create(spark, str(tmp_path / "d"), df)
+    batch = spark.createDataFrame(
+        [(datetime.date(2024, 1, 5), None, "D")], "k date, v long, op string"
+    )
+    res = t.apply_cdc(batch, key="k")
+    assert res["deleted"] == 1
+    assert [r["v"] for r in t.read().collect()] == [2]
+
+
+def test_wap_publish_is_metadata_only(spark, tmp_path):
+    import os
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.validation import (
+        Expectation,
+    )
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.wap import (
+        write_audit_publish,
+    )
+
+    prod = LakeTable.create(
+        spark, str(tmp_path / "p"), spark.createDataFrame([(1,)], "id long")
+    )
+    prod_files_before = set(os.listdir(prod._data_dir))
+    good = spark.createDataFrame([(2,), (3,)], "id long")
+    res = write_audit_publish(
+        spark, prod, good, [Expectation("nn", "id", "not_null")], str(tmp_path / "s")
+    )
+    assert res.published
+    # publish re-listed the STAGED files; prod's own data dir unchanged
+    assert set(os.listdir(prod._data_dir)) == prod_files_before
+    assert prod.read().count() == 3

@@ -1186,3 +1186,40 @@ def test_morton2_equals_generic_zorder_value(spark):
         zorder_value([F.col("a"), F.col("b")]).alias("generic"),
     ).collect()
     assert all(r["fast"] == r["generic"] for r in rows)
+
+
+def test_epoch_upsample_zero_copies_drops_stratum(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.sampling import (
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "boost"), (3, "drop")], "id long, src string"
+    )
+    out = epoch_upsample(df, "src", {"boost": 2, "drop": 0}, key_col="id")
+    got = sorted((r["src"], r["_epoch"]) for r in out.collect())
+    assert got == [("boost", 0), ("boost", 1), ("keep", 0)]
+
+
+def test_snapshot_diff_null_keys_classified(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    got = [(r["k"], r["diff_status"]) for r in snapshot_diff(old, new, ["k"]).collect()]
+    # NULL keys never join: the dangling old row is REMOVED, not 'changed'
+    assert sorted(got, key=str) == [(1, "unchanged"), (None, "removed")]
+
+
+def test_zorder_key_rejects_wide_bits(spark):
+    import pytest
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.zorder import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="16 bits"):
+        zorder_key(df, [("a", 0, 1 << 20), ("b", 0, 1 << 20)], bits=20)
