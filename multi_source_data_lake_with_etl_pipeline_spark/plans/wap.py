@@ -55,6 +55,10 @@ def write_audit_publish(
     # — the batch's bytes are written exactly once, at staging time.
     # A re-write through prod.append(staged_df) would double the write
     # I/O of every publish, which is the whole cost at 100 TB.
+    # Lifecycle: prod now references the staging directory; deleting it
+    # breaks those rows (same contract as a shallow clone's source).
+    # prod.compact() localizes every foreign-path file when staging
+    # needs to be reclaimed (pinned in tests/test_lake.py).
     _, active, staged_schema = staged._snapshot()
     _, _, prod_schema = prod._snapshot()
     if [

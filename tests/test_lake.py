@@ -1009,3 +1009,22 @@ def test_wap_publish_is_metadata_only(spark, tmp_path):
     # publish re-listed the STAGED files; prod's own data dir unchanged
     assert set(os.listdir(prod._data_dir)) == prod_files_before
     assert prod.read().count() == 3
+
+
+def test_compact_localizes_foreign_files(spark, tmp_path):
+    """A shallow clone (or WAP publish) references files OUTSIDE the
+    table's own data dir; compact() rewrites the snapshot into local
+    files, after which the foreign directory can be reclaimed."""
+    import shutil
+
+    src = _mk(spark, tmp_path, rows=30, files=2)
+    clone = src.clone_to(str(tmp_path / "clone"))
+    _, active, _ = clone._snapshot()
+    assert any(os.path.isabs(a["path"]) for a in active)  # foreign refs
+    clone.compact(target_files=1)
+    _, active2, _ = clone._snapshot()
+    assert all(not os.path.isabs(a["path"]) for a in active2)  # localized
+    # the source can now be deleted without breaking the clone's CURRENT
+    # snapshot (older clone versions die with it, as documented)
+    shutil.rmtree(str(tmp_path / "t"))
+    assert clone.read().count() == 30
