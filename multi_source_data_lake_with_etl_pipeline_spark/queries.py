@@ -8844,3 +8844,48 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_days"),
     )
+
+
+# Three-column Z-ORDER compaction round trip: OPTIMIZE the lake table
+# with the generic n-dim Morton loop (sinks/maintenance.zorder_by via
+# LakeTable.compact(cluster_by=[...])), then answer a THREE-range box
+# query through multi-column file skipping. The oracle is the plain
+# relational count — completeness of the clustered, pruned scan under
+# the external value-hash signal. Exact integers.
+@register(
+    "zorder3_compact_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    WHERE o_custkey BETWEEN 50 AND 450
+      AND CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 2000000 AND 25000000
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+    """,
+)
+def zorder3_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .alias("day_no"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_z3_")
+    t = LakeTable.create(spark, root + "/orders", o)
+    t.compact(target_files=8, cluster_by=["o_custkey", "cents", "day_no"])
+    pruned = t.read_pruned_multi(
+        [
+            ("o_custkey", 50, 450),
+            ("cents", 2000000, 25000000),
+            ("day_no", 1826, 3286),  # 1995-01-01 .. 1998-12-31 from 1990-01-01
+        ]
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("sum_custkey"),
+    )
