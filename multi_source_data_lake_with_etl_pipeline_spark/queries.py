@@ -8889,3 +8889,50 @@ def zorder3_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_custkey").alias("sum_custkey"),
     )
+
+
+# Inter-order gap extremes per market segment: per-customer
+# consecutive-order gaps via a customer-partitioned lag (one key
+# shuffle, lint-safe), rolled up to exact per-segment gap statistics —
+# the churn-risk signal next to customer_reorder_cadence's cadence
+# medians. Exact integer days.
+@register(
+    "segment_order_gap_extremes",
+    """
+    WITH seq AS (
+      SELECT c.c_mktsegment AS seg,
+             datediff('day',
+                      lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                               ORDER BY o.o_orderdate, o.o_orderkey),
+                      o.o_orderdate) AS gap
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT seg,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(max(gap) AS BIGINT) AS max_gap_days,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+           CAST(sum(CASE WHEN gap > 365 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1y
+    FROM seq WHERE gap IS NOT NULL GROUP BY seg
+    """,
+)
+def segment_order_gap_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return seq.groupBy("seg").agg(
+        F.count("gap").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        F.sum("gap").cast("long").alias("sum_gap_days"),
+        F.sum((F.col("gap") > 365).cast("long")).alias("n_gaps_over_1y"),
+    )
