@@ -8936,3 +8936,82 @@ def segment_order_gap_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap").cast("long").alias("sum_gap_days"),
         F.sum((F.col("gap") > 365).cast("long")).alias("n_gaps_over_1y"),
     )
+
+
+# Dedup quality-bias audit: does exact dedup (keep-lowest-id per
+# identical text) systematically change corpus quality? Per-cohort
+# exact counts + exact integer quality_score_bp sums for kept vs
+# removed docs — the selection-bias check a curation run reports
+# before shipping the deduped corpus. Composition of two oracled ops
+# (quality_score + exact_dedup keep rule), fully relational oracle.
+@register(
+    "dedup_quality_bias_audit",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> lower(x) IN ({_EN_STOP_SQL}))) AS nstop,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npunct,
+             length(text) AS nchars
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CAST(
+               (CASE WHEN nw BETWEEN 10 AND 100000 THEN 4000 ELSE 0 END)
+               + floor(least(nstop * 5, greatest(nw, 1)) * 3000 / greatest(nw, 1))
+               + (3000 - floor(least(npunct * 5, greatest(nchars, 1)) * 3000 / greatest(nchars, 1)))
+               AS BIGINT) AS bp
+      FROM s
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT CASE WHEN k.doc_id IS NOT NULL THEN 'kept' ELSE 'removed' END AS cohort,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.bp) AS BIGINT) AS sum_quality_bp
+    FROM q LEFT JOIN keep k ON q.doc_id = k.doc_id
+    GROUP BY 1
+    """,
+)
+def dedup_quality_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.dedup import exact_dedup
+    from .llm_ops.text_stats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_score_bp")
+    kept = exact_dedup(docs).select("doc_id")
+    return (
+        q.join(kept.withColumn("_k", F.lit(1)), "doc_id", "left")
+        .groupBy(
+            F.when(F.col("_k").isNotNull(), F.lit("kept"))
+            .otherwise(F.lit("removed"))
+            .alias("cohort")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_score_bp").alias("sum_quality_bp"),
+        )
+    )
+
+
+# Basket-size distribution: lineitems per order histogram — the order
+# profile a capacity model starts from. Exact integer counts.
+@register(
+    "order_basket_size_histogram",
+    """
+    WITH per AS (
+      SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_items AS INT) AS n_items,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM per GROUP BY n_items ORDER BY n_items
+    """,
+)
+def order_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        per.groupBy(F.col("n_items").cast("int").alias("n_items"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_items")
+    )
