@@ -9015,3 +9015,56 @@ def order_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("n_items")
     )
+
+
+# Transaction-log history audit: a scripted create → append → merge →
+# delete → compact → restore sequence must leave exactly this op trail
+# (history() reads the commit log; restore is an 'overwrite' commit).
+# Row counts prove each op's effect; the oracle is the literal
+# expected trail + relational row counts.
+@register(
+    "lake_history_ops",
+    """
+    SELECT 0 AS version, 'create' AS op,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS BIGINT) AS rows_after
+    UNION ALL
+    SELECT 1, 'append',
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 2000) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'merge',
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 2000) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'delete',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey <= 2000
+                   AND NOT (o_orderstatus = 'F' AND o_orderkey > 500)) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'compact',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey <= 2000
+                   AND NOT (o_orderstatus = 'F' AND o_orderkey > 500)) AS BIGINT)
+    UNION ALL
+    SELECT 5, 'overwrite',
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 2000) AS BIGINT)
+    """,
+)
+def lake_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="lake_hist_")
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey <= 1000"))
+    t.append(o.filter("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    t.merge(
+        o.filter("o_orderkey <= 500").withColumn("o_orderstatus", F.lit("X")),
+        "o_orderkey",
+    )
+    t.delete("o_orderstatus = 'F'")  # keys <= 500 are 'X' now — only >500 drop
+    t.compact(target_files=2)
+    t.restore(1)
+    trail = [
+        (h["version"], h["op"], t.rows(h["version"])) for h in reversed(t.history())
+    ]
+    return spark.createDataFrame(trail, "version int, op string, rows_after long")
