@@ -9068,3 +9068,54 @@ def lake_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h["version"], h["op"], t.rows(h["version"])) for h in reversed(t.history())
     ]
     return spark.createDataFrame(trail, "version int, op string, rows_after long")
+
+
+# Pareto (80/20) revenue concentration by part type: cumulative share
+# of revenue over types ranked by revenue. The window runs over the
+# per-type AGGREGATE — p_type is a domain-bounded dimension (150
+# values in TPC-H), never row data (the customer_balance_deciles
+# precedent). Exact integer cents; cumulative share in exact ppm via
+# integer div.
+@register(
+    "part_type_revenue_pareto",
+    """
+    WITH rev AS (
+      SELECT p.p_type,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type
+    ), ranked AS (
+      SELECT p_type, cents,
+             sum(cents) OVER (ORDER BY cents DESC, p_type) AS cum,
+             sum(cents) OVER () AS total,
+             row_number() OVER (ORDER BY cents DESC, p_type) AS rk
+      FROM rev
+    )
+    SELECT CAST(rk AS INT) AS rk, p_type,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cum * 1000000 // total AS BIGINT) AS cum_share_ppm
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def part_type_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("p_type"))
+    ranked = (
+        rev.withColumn("cum", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("cents").over(Window.partitionBy()))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rk") <= 10).select(
+        F.col("rk").cast("int").alias("rk"),
+        "p_type",
+        F.col("cents").cast("long").alias("cents"),
+        F.expr("(cum * CAST(1000000 AS BIGINT)) div total").cast("long").alias("cum_share_ppm"),
+    )

@@ -30,6 +30,7 @@ ALLOW = {
         "daily_user_reach": "cumulative window runs over the PER-DAY aggregate (calendar-bounded #days rows), never event rows — the first-seen construction that replaced the expanding distinct",
         "epoch_upsample_order": "rank window runs over the distributed top-k RESULT (<= 10 rows by construction — orderBy+limit compiles to TakeOrderedAndProject), never the upsampled corpus",
         "vocab_zipf_slope": "rank window runs over the top-100 term RESULT (orderBy+limit = TakeOrderedAndProject), never the vocabulary",
+        "part_type_revenue_pareto": "cumulative window runs over the per-TYPE aggregate (p_type is a 150-value bounded dimension), never lineitem rows — the customer_balance_deciles precedent",
     },
     "mega-filter": {
         "ann_lsh_invariant": "the anti-join's cosine verify IS the filter: one dim-proportional HOF evaluated once per candidate, no duplicated inline",
