@@ -354,7 +354,10 @@ class LakeTable:
         condition — the read path that makes a z-ordered layout pay on
         both dimensions at once (each condition independently knocks
         out most files; the survivors are the small z-box
-        neighborhood). Residual filters reapply all conditions."""
+        neighborhood). Residual filters reapply all conditions; an
+        empty condition list is just an unpruned full read."""
+        if not conds:
+            return self.read()
         _, active, schema = self._snapshot()
         paths = set(self.files_overlapping(*conds[0]))
         for c in conds[1:]:
@@ -382,14 +385,24 @@ class LakeTable:
         """Compaction policy: rewrite only when the snapshot holds at
         least ``min_small_files`` files under ``small_file_bytes`` —
         the maintenance loop's guard so OPTIMIZE runs are need-driven,
-        not scheduled blind rewrites of 100 TB. Returns what happened."""
-        _, active, _ = self._snapshot()
+        not scheduled blind rewrites of 100 TB. When it does fire, it
+        rewrites ONLY the small files (reads just their add entries,
+        bins them into ~threshold-sized files, commits adds + removes
+        limited to those paths) — the already-large files are untouched,
+        so the rewrite cost is O(small bytes), not O(table). Returns
+        what happened."""
+        v0, active, schema = self._snapshot()
         small = [a for a in active if int(a.get("bytes", 0)) < small_file_bytes]
         if len(small) < min_small_files:
             return {"compacted": False, "small_files": len(small)}
-        total = sum(int(a.get("bytes", 0)) for a in active)
-        target = max(1, total // max(small_file_bytes, 1))
-        v = self.compact(target_files=int(target))
+        small_paths = [a["path"] for a in small]
+        total_small = sum(int(a.get("bytes", 0)) for a in small)
+        target = max(1, total_small // max(small_file_bytes, 1))
+        df = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in small_paths]
+        )
+        adds = self._write_files(df.coalesce(int(target)))
+        v = self._commit(v0 + 1, "compact", adds, small_paths, schema)
         return {"compacted": True, "small_files": len(small), "version": v}
 
     # ---------------------------------------------------------- writes
@@ -515,48 +528,75 @@ class LakeTable:
                 .drop("_rn")
             )
         b = b.persist()
+        # VALIDATE before any commit, so a malformed batch leaves the
+        # table untouched. Without order_col a key appearing twice is
+        # ambiguous (which change wins?) — merge() would emit one output
+        # row per source duplicate and silently duplicate the key in the
+        # table, so refuse instead of guessing.
+        if order_col is None:
+            dup = (
+                b.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                b.unpersist()
+                raise ValueError(
+                    "apply_cdc: duplicate keys in batch with no order_col — "
+                    "pass order_col so only each key's latest change applies"
+                )
         # upserts must carry exactly the table's columns — op/order
         # metadata stays in the feed, not the table
         _, _, schema = self._snapshot()
         cols = [f.name for f in schema.fields]
         ups = b.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*cols)
         dels = b.filter(F.upper(F.col(op_col)) == "D").select(key)
-        # Delete keys are collected driver-side and inlined — right for
-        # CDC batch sizes (thousands of tombstones); a bulk backfill
-        # purge should use delete(predicate) or merge with tombstone
-        # columns instead of one giant IN list. Collected and VALIDATED
-        # before the merge commits, so a malformed batch (NULL-key
-        # tombstone, unsupported key type) leaves the table untouched.
-        del_keys = [r[key] for r in dels.distinct().collect()]
-        if any(k is None for k in del_keys):
+        if dels.filter(F.col(key).isNull()).limit(1).count():
             b.unpersist()
             raise ValueError("apply_cdc: delete row with NULL key")
-        import datetime as _dt
-
-        def _lit(v):
-            if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
-            if isinstance(v, _dt.datetime):
-                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
-            if isinstance(v, _dt.date):
-                return f"DATE '{v.isoformat()}'"
-            if isinstance(v, (int, float)):
-                return str(v)
-            raise ValueError(
-                f"apply_cdc: unsupported delete-key type {type(v).__name__}"
-            )
-
-        key_list = ", ".join(_lit(k) for k in del_keys)  # validates types too
         out: dict = {"upserted": 0, "deleted": 0}
         if ups.limit(1).count():
             m = self.merge(ups, key)
             out["upserted"] = m["inserted"] + m["updated"]
-        if del_keys:
-            d = self.delete(f"{key} IN ({key_list})")
+        # Tombstones apply via an anti-join on the keys frame (never SQL
+        # string splicing — a key containing quotes/backslashes must not
+        # be able to reshape the predicate), file-granular like delete().
+        if dels.limit(1).count():
+            d = self.delete_keys(dels, key)
             out["deleted"] = d["deleted"]
         b.unpersist()
         out["version"] = self.latest_version()
         return out
+
+    def delete_keys(self, keys: DataFrame, key: str) -> dict:
+        """DELETE rows whose ``key`` appears in ``keys`` — the injection
+        -proof alternative to ``delete(f"k IN (...)")``: membership is a
+        distributed semi/anti join on a keys DataFrame, so key VALUES
+        are data, never SQL text, and the keys side scales past any IN
+        -list (a 10M-key GDPR purge is one broadcast/shuffle join, not a
+        10M-literal predicate). File-granular like delete(): only files
+        containing a matched key are rewritten. NULL keys never match
+        (SQL IN semantics)."""
+        v, _, schema = self._snapshot()
+        ks = keys.select(key).distinct().persist()
+        cur_f = self.read(v).withColumn("_f", F.input_file_name())
+        touched = self._touched_files(cur_f.join(ks, key, "left_semi"))
+        if not touched:
+            ks.unpersist()
+            return {"deleted": 0, "rewritten_files": 0, "version": v}
+        affected = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in touched]
+        )
+        keep = affected.join(ks, key, "left_anti")
+        deleted = affected.count() - keep.count()
+        adds = self._write_files(keep) if keep.limit(1).count() else []
+        new_v = self._commit(v + 1, "delete", adds, touched, schema)
+        self._write_cdf(
+            new_v,
+            affected.join(ks, key, "left_semi").withColumn(
+                "_change_type", F.lit("delete")
+            ),
+        )
+        ks.unpersist()
+        return {"deleted": deleted, "rewritten_files": len(touched), "version": new_v}
 
     def restore(self, version: int) -> int:
         """RESTORE to an earlier version (Delta parity): metadata-only
@@ -564,9 +604,22 @@ class LakeTable:
         target version's. No data is rewritten, the mistaken commits
         stay readable via time travel, and the change feed records the
         rollback as delete-current + insert-restored (so incremental
-        consumers roll back too instead of silently diverging)."""
+        consumers roll back too instead of silently diverging).
+
+        Restoring past the vacuum horizon is refused up front (Delta
+        RESTORE's missing-file check): every target add entry must still
+        exist on disk, else the new head would read broken."""
         cur_v, cur_active, _ = self._snapshot()
         _, active, schema = self._snapshot(version)
+        missing = [
+            a["path"] for a in active if not os.path.exists(self._abs(a["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore to version {version}: {len(missing)} data file(s) "
+                f"no longer exist (vacuumed past the horizon?): "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+            )
         return self._commit(
             cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema
         )

@@ -1028,3 +1028,94 @@ def test_compact_localizes_foreign_files(spark, tmp_path):
     # snapshot (older clone versions die with it, as documented)
     shutil.rmtree(str(tmp_path / "t"))
     assert clone.read().count() == 30
+
+
+def test_delete_keys_injection_proof(spark, tmp_path):
+    r"""Key values containing SQL metacharacters (quote, backslash,
+    trailing backslash — the classic literal-splicing breakers) must
+    apply as DATA: delete_keys joins on a keys frame, so no value can
+    reshape a predicate. A spliced IN-list with a trailing-'\' key
+    would either error or mis-scope the delete."""
+    rows = [("a", 1), ("o'b", 2), ("c\\", 3), ("d\\' OR k = k --", 4), ("e", 5)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    t = LakeTable.create(spark, str(tmp_path / "inj"), df)
+    keys = spark.createDataFrame([("c\\",), ("d\\' OR k = k --",)], "k string")
+    res = t.delete_keys(keys, "k")
+    assert res["deleted"] == 2
+    assert sorted(r["k"] for r in t.read().collect()) == ["a", "e", "o'b"]
+    # CDF captured the two tombstoned rows
+    ch = t.changes(res["version"] - 1, res["version"])
+    assert ch.filter(F.col("_change_type") == "delete").count() == 2
+
+
+def test_apply_cdc_backslash_delete_keys(spark, tmp_path):
+    df = spark.createDataFrame([("x\\", 1), ("y", 2)], "k string, v long")
+    t = LakeTable.create(spark, str(tmp_path / "bs"), df)
+    batch = spark.createDataFrame(
+        [("x\\", None, "D"), ("z", 9, "I")], "k string, v long, op string"
+    )
+    res = t.apply_cdc(batch, key="k")
+    assert res["deleted"] == 1 and res["upserted"] == 1
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"y": 2, "z": 9}
+
+
+def test_apply_cdc_unordered_duplicate_keys_rejected(spark, tmp_path):
+    """Without order_col a duplicate key is ambiguous; merge() would
+    emit one row per source duplicate and silently duplicate the key in
+    the table — apply_cdc must refuse BEFORE any commit instead."""
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    v0 = t.latest_version()
+    batch = spark.createDataFrame(
+        [(5, -1, "U"), (5, -2, "U")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.apply_cdc(batch, key="k")
+    assert t.latest_version() == v0
+    assert t.read().count() == 10
+    # the same batch WITH an order column applies cleanly (latest wins)
+    ordered = spark.createDataFrame(
+        [(5, -1, "U", 1), (5, -2, "U", 2)], "k long, v long, op string, seq long"
+    )
+    res = t.apply_cdc(ordered, key="k", order_col="seq")
+    assert res["upserted"] == 1
+    assert {r["k"]: r["v"] for r in t.read().collect()}[5] == -2
+
+
+def test_restore_past_vacuum_horizon_refused(spark, tmp_path):
+    """RESTORE to a version whose data files were vacuumed must fail
+    loudly BEFORE committing — a silent metadata rollback would leave a
+    head whose reads die on missing parquet (Delta RESTORE parity)."""
+    t = _mk(spark, tmp_path, rows=20, files=2)
+    t.compact(target_files=1)  # v1 rewrites; v0's files now unreferenced
+    t.vacuum(keep_versions=0)  # drops v0's data files
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="no longer exist"):
+        t.restore(0)
+    assert t.latest_version() == v_before  # nothing committed
+    assert t.read().count() == 20  # head still healthy
+
+
+def test_optimize_if_needed_rewrites_only_small_files(spark, tmp_path):
+    """Need-driven OPTIMIZE touches ONLY the small files: the large
+    files' add entries survive byte-identical in the new snapshot, so
+    the rewrite cost is O(small bytes), not O(table)."""
+    t = _mk(spark, tmp_path, rows=50, files=1)
+    base = t._snapshot()[1]
+    base_path, base_bytes = base[0]["path"], int(base[0]["bytes"])
+    for i in range(9):  # 9 tiny appends -> 9 small files
+        t.append(spark.createDataFrame([(1000 + i, 1)], "k long, v long"))
+    # threshold = base file's size: strictly-less-than makes the base
+    # file large and exactly the 9 append files small
+    r = t.optimize_if_needed(small_file_bytes=base_bytes, min_small_files=8)
+    assert r["compacted"] and r["small_files"] == 9
+    _, active, _ = t._snapshot()
+    # the original large file's add entry survives the compact commit
+    assert base_path in {a["path"] for a in active}
+    assert t.read().count() == 59  # nothing lost
+    assert len(active) < 10  # the 9 small files were binned into fewer
+
+
+def test_read_pruned_multi_empty_conds_is_full_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=30, files=3)
+    assert t.read_pruned_multi([]).count() == 30
