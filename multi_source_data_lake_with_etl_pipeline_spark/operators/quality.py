@@ -378,7 +378,7 @@ def exact_corr_matrix(df: DataFrame, int_cols: dict[str, F.Column]) -> DataFrame
 
 def spearman_corr(
     df: DataFrame, x: str, y: str, x_int: F.Column | None = None,
-    y_int: F.Column | None = None,
+    y_int: F.Column | None = None, max_distinct: int = 20_000_000,
 ) -> DataFrame:
     """Spearman rank correlation with average ranks for ties —
     WITHOUT a global sort: per-value average ranks come from a value
@@ -396,6 +396,12 @@ def spearman_corr(
     one (a forced broadcast would OOM when values are ~distinct). No
     corpus-wide sort, no unbounded buffers. Returns one row:
     (n_rows, spearman_ppm).
+
+    The bounded-by-distinct-values claim is ENFORCED, not assumed:
+    each histogram passes the ``bounded_hist`` cardinality guard
+    (``max_distinct``) before its unpartitioned window, so a caller
+    passing a near-unique column fails fast instead of silently
+    single-task-sorting the corpus.
     """
     xi = (x_int if x_int is not None else F.col(x)).cast("long").alias("_x")
     yi = (y_int if y_int is not None else F.col(y)).cast("long").alias("_y")
@@ -403,6 +409,7 @@ def spearman_corr(
 
     def rank2(col: str) -> DataFrame:
         hist = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        hist = bounded_hist(hist, max_distinct, f"spearman_corr({col})")
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
         return hist.select(
             col,
@@ -632,3 +639,108 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def bounded_hist(hist: DataFrame, max_distinct: int, context: str) -> DataFrame:
+    """Guard a value HISTOGRAM before it feeds an unpartitioned window.
+
+    The histogram constructions in this module (spearman_corr,
+    exact_percentiles, customer_balance_deciles) are safe at 100 TB
+    only because the window sorts DISTINCT VALUES, not corpus rows —
+    a bounded domain (2-decimal money, day-granular dates). Nothing
+    used to *enforce* that: a caller passing a near-unique column
+    (UUIDs, raw doubles) silently got a single-task sort of the corpus.
+    This check persists the histogram (the count is then free for the
+    reuse that follows) and fails fast with the actual cardinality
+    instead.
+    """
+    hist = hist.persist()
+    n = hist.count()
+    if n > max_distinct:
+        hist.unpersist()
+        raise ValueError(
+            f"{context}: value histogram has {n:,} distinct values, over the "
+            f"{max_distinct:,} bound for an unpartitioned window — this column "
+            "is too close to unique for the histogram construction; band the "
+            "values first (e.g. floor to a coarser unit) or use an "
+            "approx/partitioned method"
+        )
+    return hist
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+    max_distinct: int = 20_000_000,
+) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT Spark's exact
+    ``percentile`` aggregate, whose buffer holds every group value (a
+    few groups at 100 TB = an unbounded single-buffer sort → OOM).
+
+    Construction (the winsorized_price_rollup machinery, extracted):
+    a value-histogram aggregation (bounded by DISTINCT values,
+    map-side combinable), a per-group cumulative count over the
+    ordered distinct values (the window sorts the histogram, never
+    corpus rows), then the two order statistics each percentile
+    interpolates between are picked with conditional aggregates. The
+    interpolation reproduces Spark's Percentile.getPercentile formula
+    bit-exactly (pos = (n-1)·p; lower·(1-rate) + higher·rate), so
+    results are unchanged vs ``F.percentile`` — only the plan scales.
+    Matches SQL ``percentile_cont(p) WITHIN GROUP (ORDER BY v)``.
+
+    ``ps`` maps output column name -> fraction in [0, 1]. Returns one
+    row per group: group_cols + one double column per entry. With
+    ``group_cols=[]`` the cumulative window is global — it then runs
+    behind the ``bounded_hist`` cardinality guard (``max_distinct``).
+    Rows with NULL in ``value_col`` are ignored (aggregate semantics).
+    """
+    vals = df.select(*group_cols, value_col).filter(F.col(value_col).isNotNull())
+    hist = vals.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    if not group_cols:
+        hist = bounded_hist(hist, max_distinct, f"exact_percentiles({value_col})")
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        *group_cols,
+        value_col,
+        "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+
+    def _stat(p: float, which: str):
+        # 0-based rank the percentile interpolates from (`lo`) / to
+        # (`hi`); histogram row (value v, count c, cumulative m) covers
+        # ranks [m-c, m-1], so exactly one row matches each rank.
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        k = F.floor(pos).cast("long") if which == "lo" else F.ceil(pos).cast("long")
+        hit = (F.col("_cum") - F.col("_c") <= k) & (k < F.col("_cum"))
+        return F.max(F.when(hit, F.col(value_col)))
+
+    def _interp(p: float, lo_col: str, hi_col: str):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
+        rate = pos - F.floor(pos).cast("double")
+        return (
+            F.col(lo_col).cast("double") * (F.lit(1.0) - rate)
+            + F.col(hi_col).cast("double") * rate
+        )
+
+    aggs = []
+    for name, p in ps.items():
+        aggs.append(_stat(p, "lo").alias(f"_{name}_lo"))
+        aggs.append(_stat(p, "hi").alias(f"_{name}_hi"))
+    return (
+        cum.groupBy(*group_cols, "_n")
+        .agg(*aggs)
+        .select(
+            *group_cols,
+            *[
+                _interp(p, f"_{name}_lo", f"_{name}_hi").alias(name)
+                for name, p in ps.items()
+            ],
+        )
+    )

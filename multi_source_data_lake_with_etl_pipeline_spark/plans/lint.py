@@ -25,6 +25,13 @@ Checks:
   inlined an expensive array expression into an inferred pre-Generate
   filter (see PLANS.md round-3 note); restructure with
   ``explode_outer`` + a post-Generate null check.
+- ``exact-percentile``: Spark's exact ``percentile``/``median``
+  aggregate — its buffer holds EVERY group value (an OpenHashMap per
+  group), so a 3-group percentile over a 100 TB fact is an unbounded
+  single-buffer sort. Use
+  ``operators.quality.exact_percentiles`` (value-histogram order
+  statistics, identical results) or ``percentile_approx``. Allowed
+  only over pre-aggregated bounded groups (allowlist with the bound).
 """
 
 from __future__ import annotations
@@ -102,6 +109,19 @@ def lint_plan(df: DataFrame, mega_filter_chars: int = 400) -> list[LintFinding]:
                 )
             )
             break
+    # exact Percentile/Median aggregate: `percentile(` never matches
+    # `percentile_approx(` (underscore, not paren, follows); `median(`
+    # needs a lookbehind so e.g. a column alias `*_median(` can't hide
+    # it but `regr_`-style prefixed names don't false-positive.
+    if re.search(r"(?<![\w.])(percentile|median)\(", text):
+        findings.append(
+            LintFinding(
+                "exact-percentile",
+                "exact percentile/median aggregate buffers every group value — "
+                "use operators.quality.exact_percentiles (same results, "
+                "histogram-bounded) or percentile_approx",
+            )
+        )
     # Exchange SinglePartition is fine as the LAST hop of a scalar
     # aggregate/limit; flag it only when a Window/Sort/Generate sits
     # above it (mid-plan choke).

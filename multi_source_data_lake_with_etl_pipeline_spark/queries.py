@@ -2141,6 +2141,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality family: percentile-based outlier detection — per-status p99
 # of order value (exact interpolated percentile), then count of orders
 # above it. Threshold table is tiny → broadcast back onto the fact.
+# The p99 comes from operators/quality.exact_percentiles (value-
+# histogram order statistics), NOT Spark's exact `percentile`
+# aggregate whose buffer holds every group value — 3 status groups at
+# 100 TB would be an unbounded single-buffer sort.
 @register(
     "outlier_orders_by_status",
     """
@@ -2159,11 +2163,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def outlier_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_percentiles
+
     o = _t(spark, sf_dir, "orders")
     thresholds = F.broadcast(
-        o.groupBy("o_orderstatus").agg(
-            F.percentile("o_totalprice", 0.99).alias("p99")
-        )
+        exact_percentiles(o, ["o_orderstatus"], "o_totalprice", {"p99": 0.99})
     )
     return (
         o.join(thresholds, "o_orderstatus")
@@ -3575,8 +3579,14 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .operators.quality import bounded_hist
+
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     hist = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("_c"))
+    # the 2-decimal money domain bounds the histogram (~1M distinct in
+    # TPC-H's [-999.99, 9999.99]); the guard makes the bound a runtime
+    # contract instead of a comment
+    hist = bounded_hist(hist, 20_000_000, "customer_balance_deciles(c_acctbal)")
     wcum = Window.orderBy("c_acctbal").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -4647,10 +4657,13 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family; distribution profiling a curation pipeline runs before
 # setting filter thresholds). Emitted as floor(x*100) fixed-point —
 # both engines compute (1-g)·a + g·b over the same sorted doubles, and
-# floor of the identical double is engine-exact (round() is not; see
-# the round-divergence pitfall in .claude/skills/verify). One sort-based
-# aggregate per group; at scale prefer approx_percentile (see
-# approx_events_profile) — this is the exact-oracle variant.
+# floor of the identical double is engine-exact (round() is not). Via
+# operators/quality.exact_percentiles (value-histogram order
+# statistics, map-side combinable) — never the exact `percentile`
+# aggregate, whose buffer holds every group value (3 groups at 100 TB
+# = unbounded single-buffer sorts). approx_percentile remains the
+# sketch path (see approx_events_profile); this is the exact-oracle
+# variant.
 @register(
     "lineitem_quantity_quartiles",
     r"""
@@ -4663,15 +4676,19 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    q = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return li.groupBy("l_returnflag").agg(
-        F.floor(q[0] * 100).cast("long").alias("q25_c"),
-        F.floor(q[1] * 100).cast("long").alias("q50_c"),
-        F.floor(q[2] * 100).cast("long").alias("q75_c"),
-        F.floor(F.percentile("l_extendedprice", F.lit(0.5)) * 100)
-        .cast("long")
-        .alias("med_price_c"),
+    qty = exact_percentiles(
+        li, ["l_returnflag"], "l_quantity", {"_q25": 0.25, "_q50": 0.5, "_q75": 0.75}
+    )
+    price = exact_percentiles(li, ["l_returnflag"], "l_extendedprice", {"_med": 0.5})
+    return qty.join(price, "l_returnflag").select(
+        "l_returnflag",
+        F.floor(F.col("_q25") * 100).cast("long").alias("q25_c"),
+        F.floor(F.col("_q50") * 100).cast("long").alias("q50_c"),
+        F.floor(F.col("_q75") * 100).cast("long").alias("q75_c"),
+        F.floor(F.col("_med") * 100).cast("long").alias("med_price_c"),
     )
 
 
@@ -5939,60 +5956,15 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winsorized_price_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    # Exact interpolated percentiles WITHOUT Spark's exact `percentile`
-    # aggregate, whose buffer holds every group value (3 groups at
-    # 100 TB = an unbounded single-buffer sort → OOM). Instead: a
-    # value-histogram aggregation (bounded by DISTINCT prices, map-side
-    # combinable), a per-group cumulative count over the histogram (the
-    # window sorts distinct values, not rows), then the two order
-    # statistics each percentile interpolates between are picked with
-    # conditional aggregates. The interpolation reproduces Spark's
-    # Percentile.getPercentile formula bit-exactly
-    # (pos = (n-1)·p; lower·(1-rate) + higher·rate), so results are
-    # unchanged vs F.percentile — only the plan scales.
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    wg = Window.partitionBy("l_returnflag")
-    wcum = wg.orderBy("l_extendedprice").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "l_returnflag",
-        "l_extendedprice",
-        "_c",
-        F.sum("_c").over(wcum).alias("_cum"),
-        F.sum("_c").over(wg).alias("_n"),
-    )
-
-    def _stat(p: float, which: str):
-        # 0-based rank the percentile interpolates from (`lo`) / to
-        # (`hi`); histogram row (value v, count c, cumulative m) covers
-        # ranks [m-c, m-1], so exactly one row matches each rank.
-        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
-        k = F.floor(pos).cast("long") if which == "lo" else F.ceil(pos).cast("long")
-        hit = (F.col("_cum") - F.col("_c") <= k) & (k < F.col("_cum"))
-        return F.max(F.when(hit, F.col("l_extendedprice")))
-
-    def _interp(p: float, lo_col: str, hi_col: str):
-        pos = (F.col("_n") - 1).cast("double") * F.lit(p)
-        rate = pos - F.floor(pos).cast("double")
-        return F.col(lo_col) * (F.lit(1.0) - rate) + F.col(hi_col) * rate
-
-    bounds = (
-        cum.groupBy("l_returnflag", "_n")
-        .agg(
-            _stat(0.05, "lo").alias("_v05l"),
-            _stat(0.05, "hi").alias("_v05h"),
-            _stat(0.95, "lo").alias("_v95l"),
-            _stat(0.95, "hi").alias("_v95h"),
-        )
-        .select(
-            "l_returnflag",
-            _interp(0.05, "_v05l", "_v05h").alias("p05"),
-            _interp(0.95, "_v95l", "_v95h").alias("p95"),
-        )
+    # Exact interpolated percentiles via the value-histogram order-
+    # statistics operator (operators/quality.exact_percentiles — this
+    # query is where that construction was born; see its docstring for
+    # why the exact `percentile` aggregate is banned engine-wide).
+    bounds = exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"p05": 0.05, "p95": 0.95}
     )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     clip = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))

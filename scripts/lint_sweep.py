@@ -32,6 +32,9 @@ ALLOW = {
         "vocab_zipf_slope": "rank window runs over the top-100 term RESULT (orderBy+limit = TakeOrderedAndProject), never the vocabulary",
         "part_type_revenue_pareto": "cumulative window runs over the per-TYPE aggregate (p_type is a 150-value bounded dimension), never lineitem rows — the customer_balance_deciles precedent",
     },
+    "exact-percentile": {
+        "hourly_event_anomalies": "medians run over PER-HOUR pre-aggregates (calendar-bounded: <= #hours-in-range rows split across 24 hod groups), never event rows — the buffer is bounded by the date range, not the corpus",
+    },
     "mega-filter": {
         "ann_lsh_invariant": "the anti-join's cosine verify IS the filter: one dim-proportional HOF evaluated once per candidate, no duplicated inline",
         "ann_ivf_invariant": "same — exact-cosine verify filter, evaluated once per candidate",

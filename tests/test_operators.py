@@ -1223,3 +1223,74 @@ def test_zorder_key_rejects_wide_bits(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="16 bits"):
         zorder_key(df, [("a", 0, 1 << 20), ("b", 0, 1 << 20)], bits=20)
+
+
+def test_exact_percentiles_matches_percentile_aggregate(spark):
+    """The histogram order-statistics operator must reproduce Spark's
+    exact interpolated percentile bit-for-bit — incl. ties, a
+    singleton group, and NULL values (ignored)."""
+    import random
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ("g%d" % (i % 3), float(rng.randint(0, 40)) / 4.0) for i in range(500)
+    ]
+    rows += [("g_single", 42.5), ("g0", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p05": 0.05, "p50": 0.5, "p95": 0.95, "p99": 0.99}
+    got = {
+        r["g"]: (r["p05"], r["p50"], r["p95"], r["p99"])
+        for r in exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    want = {
+        r["g"]: (r["p05"], r["p50"], r["p95"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.percentile("v", F.lit(p)).alias(name)
+                for name, p in ps.items()
+            ]
+        )
+        .collect()
+    }
+    assert got == want  # bit-exact, not approx
+
+
+def test_exact_percentiles_global_and_guard(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        bounded_hist,
+        exact_percentiles,
+    )
+
+    import pytest
+
+    df = spark.range(0, 101).select((F.col("id") % 11).cast("double").alias("v"))
+    row = exact_percentiles(df, [], "v", {"med": 0.5}).collect()[0]
+    want = df.agg(F.percentile("v", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    assert row["med"] == want
+    # near-unique column trips the cardinality guard instead of
+    # silently single-task-sorting the corpus
+    wide = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="distinct values"):
+        exact_percentiles(wide, [], "v", {"med": 0.5}, max_distinct=100)
+    hist = wide.groupBy("v").agg(F.count(F.lit(1)).alias("_c"))
+    with pytest.raises(ValueError, match="band the values"):
+        bounded_hist(hist, 10, "test")
+
+
+def test_spearman_corr_cardinality_guard(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        spearman_corr,
+    )
+
+    import pytest
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("x"), (F.col("id") * 3 % 97).alias("y")
+    )
+    with pytest.raises(ValueError, match="spearman_corr"):
+        spearman_corr(df, "x", "y", max_distinct=50).collect()

@@ -618,3 +618,24 @@ def test_exact_corr_matrix_single_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) == 1, txt
     assert "SortMergeJoin" not in txt and "Sort " not in txt, txt
     assert "BroadcastHashJoin" not in txt, txt
+
+    def test_exact_percentile_flagged_approx_not(self, spark):
+        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 100).select(
+            (F.col("id") % 7).alias("g"), F.col("id").cast("double").alias("v")
+        )
+        bad = a.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("p"))
+        assert [f.code for f in lint_plan(bad)] == ["exact-percentile"]
+        bad2 = a.groupBy("g").agg(F.median("v").alias("p"))
+        assert [f.code for f in lint_plan(bad2)] == ["exact-percentile"]
+        ok = a.groupBy("g").agg(F.percentile_approx("v", F.lit(0.5)).alias("p"))
+        assert [f.code for f in lint_plan(ok)] == []
+        # the sanctioned replacement lints clean too
+        from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+            exact_percentiles,
+        )
+
+        assert [
+            f.code for f in lint_plan(exact_percentiles(a, ["g"], "v", {"p": 0.5}))
+        ] == []
