@@ -444,6 +444,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally verified
     with exact Jaccard (no max_df cap — verification only runs on the
@@ -454,16 +455,25 @@ def minhash_lsh_pairs(
     only the verify join sees them, and it is linear in candidates.
     (r=4/k=64 had ~0.65 recall at J=0.5 — banding width, not hash
     count, is the recall lever.)
+
+    ``banded``: precomputed, MATERIALIZED (id, band, band_hash) keys
+    for exactly ``df`` under the same (n, num_hashes, bands) — the
+    signature-reuse path the parity audits take so build/delta/rebuild
+    legs sign the corpus once (signatures are row-local, so a filtered
+    shared table is bit-identical to a per-leg recompute).
     """
     df = _with_min_words(df, text_col, n)
-    # Persist + eager count: the banding self-join reads the signature
-    # table twice, and AQE launches both join-side stages concurrently —
-    # against a lazily-persisted table the two stages RACE to compute
-    # the uncached fold (each task pair duplicates the work). One count
-    # materializes the cache before fan-out. Signatures are tiny
-    # (id + k longs ≈ 0.3 KB/doc).
-    banded = banded_signatures(df, text_col, id_col, n, num_hashes, bands).persist()
-    banded.count()
+    if banded is None:
+        # Persist + eager count: the banding self-join reads the
+        # signature table twice, and AQE launches both join-side stages
+        # concurrently — against a lazily-persisted table the two
+        # stages RACE to compute the uncached fold (each task pair
+        # duplicates the work). One count materializes the cache before
+        # fan-out. Signatures are tiny (id + k longs ≈ 0.3 KB/doc).
+        banded = banded_signatures(
+            df, text_col, id_col, n, num_hashes, bands
+        ).persist()
+        banded.count()
     a = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     b_ = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     cand = (
@@ -601,14 +611,18 @@ def minhash_index_build(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    banded: DataFrame | None = None,
 ) -> str:
     """Materialize the LSH dedup index: the (id, band, band_hash) key
     stream as parquet. At 100 TB this is the amortized artifact that
     makes CONTINUOUS dedup cheap — each ingestion batch joins its own
-    keys against the index instead of re-signing the whole corpus."""
-    banded_signatures(
-        _with_min_words(df, text_col, n), text_col, id_col, n, num_hashes, bands
-    ).write.mode("overwrite").parquet(path)
+    keys against the index instead of re-signing the whole corpus.
+    ``banded``: precomputed keys for ``df`` (see minhash_lsh_pairs)."""
+    if banded is None:
+        banded = banded_signatures(
+            _with_min_words(df, text_col, n), text_col, id_col, n, num_hashes, bands
+        )
+    banded.write.mode("overwrite").parquet(path)
     return path
 
 
@@ -623,6 +637,7 @@ def minhash_lsh_incremental(
     bands: int = 16,
     threshold: float = 0.5,
     append: bool = True,
+    banded_new: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: all verified pairs INVOLVING the new batch
     — new×index candidates plus new×new — without touching the signed
@@ -633,11 +648,19 @@ def minhash_lsh_incremental(
     Batch parity (audited by ``minhash_incremental_invariant``):
     pairs(base ∪ new) = pairs(base) ∪ incremental(new | index(base)) —
     same signatures, same banding, same verification, split by which
-    side of the batch boundary each pair straddles."""
+    side of the batch boundary each pair straddles.
+
+    ``banded_new``: precomputed, MATERIALIZED keys for ``new_docs``
+    (see minhash_lsh_pairs)."""
     spark = new_docs.sparkSession
     new_docs = _with_min_words(new_docs, text_col, n)
-    nb = banded_signatures(new_docs, text_col, id_col, n, num_hashes, bands).persist()
-    nb.count()
+    if banded_new is None:
+        nb = banded_signatures(
+            new_docs, text_col, id_col, n, num_hashes, bands
+        ).persist()
+        nb.count()
+    else:
+        nb = banded_new
     idx = spark.read.parquet(index_path)
     a = nb.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     cross = (

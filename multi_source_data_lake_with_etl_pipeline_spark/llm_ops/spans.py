@@ -70,12 +70,22 @@ def kgram_positions(
 
 
 def duplicated_positions(
-    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pos) of every k-gram window that also appears in ANOTHER
     document. One df-shuffle + one semi-join; grams never leave the
-    exchange wider than (gram, id) pairs."""
-    pos = kgram_positions(df, k, text_col, id_col)
+    exchange wider than (gram, id) pairs. ``positions``: precomputed,
+    MATERIALIZED ``kgram_positions`` output for exactly ``df`` — the
+    postings-reuse path the parity audits take so build/delta/rebuild
+    legs mine the corpus once (postings are row-local, so a filtered
+    shared table is bit-identical to a per-leg recompute)."""
+    pos = positions if positions is not None else kgram_positions(
+        df, k, text_col, id_col
+    )
     shared = (
         pos.select("gram", id_col)
         .distinct()
@@ -88,7 +98,11 @@ def duplicated_positions(
 
 
 def duplicate_span_profile(
-    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document profile of maximal cross-doc repeated spans:
 
@@ -97,8 +111,9 @@ def duplicate_span_profile(
       n_tokens      document token count
 
     Every document appears (docs with no duplicated span report 0/0) —
-    the downstream filter/trim decision needs the zeros too."""
-    dup = duplicated_positions(df, k, text_col, id_col)
+    the downstream filter/trim decision needs the zeros too.
+    ``positions``: precomputed postings (see duplicated_positions)."""
+    dup = duplicated_positions(df, k, text_col, id_col, positions=positions)
     return _profile_from_positions(df, dup, k, text_col, id_col)
 
 
@@ -141,14 +156,22 @@ def _profile_from_positions(
 
 
 def gram_index_build(
-    df: DataFrame, path: str, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: DataFrame | None = None,
 ) -> str:
     """Materialize the corpus k-gram postings (id, pos, gram) as
     parquet — the amortized artifact for CONTINUOUS span dedup: each
     ingestion batch joins its own grams against the index instead of
     re-mining the whole corpus (same discipline as
-    ``dedup.minhash_index_build``)."""
-    kgram_positions(df, k, text_col, id_col).write.mode("overwrite").parquet(path)
+    ``dedup.minhash_index_build``). ``positions``: precomputed postings
+    for ``df`` (see duplicated_positions)."""
+    if positions is None:
+        positions = kgram_positions(df, k, text_col, id_col)
+    positions.write.mode("overwrite").parquet(path)
     return path
 
 
@@ -159,6 +182,7 @@ def incremental_span_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     append: bool = False,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Span profile of a NEW batch against an indexed corpus: a window
     is duplicated iff its gram exists in the index (any base doc) or in
@@ -166,9 +190,12 @@ def incremental_span_profile(
     EQUALS duplicate_span_profile(base ∪ new) restricted to the batch
     (audited by ``span_incremental_invariant``) — while touching only
     index GRAM KEYS, never base text. With ``append``, the batch's
-    postings join the index for the next batch."""
+    postings join the index for the next batch. ``positions``:
+    precomputed postings for ``new_docs`` (see duplicated_positions)."""
     spark = new_docs.sparkSession
-    pos = kgram_positions(new_docs, k, text_col, id_col)
+    pos = positions if positions is not None else kgram_positions(
+        new_docs, k, text_col, id_col
+    )
     idx_grams = spark.read.parquet(index_path).select("gram").distinct()
     vs_index = pos.join(idx_grams, "gram", "left_semi")
     batch_shared = (

@@ -4419,6 +4419,8 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     from .llm_ops.dedup import (
+        _with_min_words,
+        banded_signatures,
         minhash_index_build,
         minhash_lsh_incremental,
         minhash_lsh_pairs,
@@ -4432,14 +4434,30 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     base = d.filter(F.col("doc_id") % 10 == 0)
     delta = d.filter(F.col("doc_id") % 10 == 1)
     idx = tempfile.mkdtemp(prefix="mh_idx_") + "/index"
-    minhash_index_build(base, idx)
-    inc = minhash_lsh_incremental(delta, base, idx, append=False).persist()
+    # Sign the audit corpus ONCE: signatures are row-local, so the
+    # base/delta/batch legs each take a FILTER of one shared banded
+    # table instead of re-folding shingles three times (the
+    # er_golden_customers signature-reuse pattern; parity is about
+    # banding + verification + the batch-boundary split, which all
+    # still run per leg).
+    banded_all = banded_signatures(
+        _with_min_words(d, "text", 3), "text", "doc_id", 3, 32, 16
+    ).persist()
+    banded_all.count()
+    minhash_index_build(base, idx, banded=banded_all.filter(F.col("doc_id") % 10 == 0))
+    inc = minhash_lsh_incremental(
+        delta,
+        base,
+        idx,
+        append=False,
+        banded_new=banded_all.filter(F.col("doc_id") % 10 == 1),
+    ).persist()
     inc.count()
-    # Signatures are row-local, so pairs(base) ≡ batch pairs with BOTH
-    # ids in base — no third pipeline run needed; parity reduces to:
+    # pairs(base) ≡ batch pairs with BOTH ids in base — no third
+    # pipeline run needed; parity reduces to:
     # incremental == batch pairs with at least one delta-side id.
     batch_delta = (
-        minhash_lsh_pairs(d)
+        minhash_lsh_pairs(d, banded=banded_all)
         .filter((F.col("id_1") % 10 == 1) | (F.col("id_2") % 10 == 1))
         .persist()
     )
@@ -5361,6 +5379,7 @@ def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_profile,
         gram_index_build,
         incremental_span_profile,
+        kgram_positions,
     )
 
     # Audit corpus: fixed 30% fraction so the parity check scales with
@@ -5371,13 +5390,24 @@ def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.filter(F.col("doc_id") % 5 != 0)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/mdl_spanidx_{tag}"
-    gram_index_build(base, path, k=8)
+    # Mine the k-gram postings ONCE: postings are row-local, so the
+    # base/new/full legs each take a FILTER of one shared positions
+    # table instead of re-tokenizing three times (the signature-reuse
+    # pattern; the frequency tests and interval merges — the semantics
+    # under audit — still run per leg).
+    pos_all = kgram_positions(d, k=8).persist()
+    pos_all.count()
+    gram_index_build(
+        base, path, k=8, positions=pos_all.filter(F.col("doc_id") % 5 != 0)
+    )
     # Both sides feed TWO anti-join consumers (missing + extra); an
     # eager persist keeps each span pipeline at one execution.
-    inc = incremental_span_profile(new, path, k=8).persist()
+    inc = incremental_span_profile(
+        new, path, k=8, positions=pos_all.filter(F.col("doc_id") % 5 == 0)
+    ).persist()
     inc.count()
     full = (
-        duplicate_span_profile(d, k=8)
+        duplicate_span_profile(d, k=8, positions=pos_all)
         .join(new.select("doc_id"), "doc_id", "left_semi")
         .persist()
     )
