@@ -70,3 +70,25 @@ def test_driver_window_rotation_contract():
     assert all(n in failed or n not in latest for n in window)
     # and nothing is lost: the full registry is still served
     assert set(names) == set(q.spark_queries())
+
+
+def test_readme_counts_match_registry():
+    """Registry hygiene (VERDICT r4 item 8): the README's stated query
+    counts are generated claims, not hand-maintained ones — drift here
+    confuses the audit trail. The README must state the exact
+    len(spark_queries()) and len(oracle_queries())."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"\((\d+) registered queries, (\d+) with", text)
+    assert m, "README.md no longer states the registry counts"
+    assert int(m.group(1)) == len(q.spark_queries()), (
+        f"README says {m.group(1)} registered queries, registry has "
+        f"{len(q.spark_queries())} — run scripts/refresh_counts.py"
+    )
+    assert int(m.group(2)) == len(q.oracle_queries()), (
+        f"README says {m.group(2)} oracled queries, registry has "
+        f"{len(q.oracle_queries())} — run scripts/refresh_counts.py"
+    )
