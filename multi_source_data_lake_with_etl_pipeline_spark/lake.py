@@ -191,6 +191,24 @@ class LakeTable:
         return out
 
     def _checkpoint_at_or_before(self, v: int) -> tuple[int, list[dict]] | None:
+        # O(1) fast path (Delta's _last_checkpoint parity): the pointer
+        # names the newest checkpoint, so the common latest-snapshot
+        # read never lists the log directory — at 1M commits a listdir
+        # per read IS the metadata cliff (measured flat to 1k versions
+        # in scripts/scale_probe_lake_log.py, O(versions) beyond).
+        ptr = os.path.join(self._log_dir, "_last_checkpoint")
+        try:
+            with open(ptr) as f:
+                last = json.load(f)["version"]
+            if last <= v:
+                with open(
+                    os.path.join(self._log_dir, f"_checkpoint.{last}.json")
+                ) as f:
+                    return last, json.load(f)["active"]
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+        # fallback scan: time travel to before the last checkpoint, or
+        # a missing/corrupt pointer
         best = None
         for f in os.listdir(self._log_dir):
             if f.startswith("_checkpoint.") and f.endswith(".json"):
@@ -270,6 +288,21 @@ class LakeTable:
                 os.path.join(self._log_dir, f"_checkpoint.{version}.json"), "w"
             ) as f:
                 json.dump({"version": version, "active": active}, f)
+            # Advance the O(1) discovery pointer — never regress it (a
+            # racing writer of an OLDER version writing last would only
+            # cost extra replay, but monotonicity is free to keep).
+            ptr = os.path.join(self._log_dir, "_last_checkpoint")
+            cur = -1
+            try:
+                with open(ptr) as f:
+                    cur = json.load(f)["version"]
+            except (FileNotFoundError, KeyError, ValueError):
+                pass
+            if version > cur:
+                tmp = ptr + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump({"version": version}, f)
+                os.replace(tmp, ptr)  # atomic: readers never see a torn file
         return version
 
     # ---------------------------------------------------------- data I/O

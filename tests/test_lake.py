@@ -1119,3 +1119,31 @@ def test_optimize_if_needed_rewrites_only_small_files(spark, tmp_path):
 def test_read_pruned_multi_empty_conds_is_full_read(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=30, files=3)
     assert t.read_pruned_multi([]).count() == 30
+
+
+def test_last_checkpoint_pointer(spark, tmp_path):
+    """Checkpoint discovery is O(1) via the _last_checkpoint pointer
+    (Delta parity): it exists after the cadence fires, names the newest
+    checkpoint, snapshots agree with a pointer-less scan, and time
+    travel to BEFORE the last checkpoint still replays correctly via
+    the fallback directory scan."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    for i in range(21):
+        t.append(spark.createDataFrame([(100 + i, 1)], "k long, v long"))
+    ptr = os.path.join(t._log_dir, "_last_checkpoint")
+    assert os.path.exists(ptr)
+    last = _json.load(open(ptr))["version"]
+    assert last == 20  # newest multiple of the cadence
+    assert os.path.exists(os.path.join(t._log_dir, f"_checkpoint.{last}.json"))
+    # pointer fast path and fallback scan agree at the head...
+    assert t.read().count() == 31
+    # ...and early time travel (before ANY checkpoint) still works
+    assert t.read(0).count() == 10
+    assert t.read(5).count() == 15
+    # a corrupt pointer degrades to the scan, never to a wrong answer
+    with open(ptr, "w") as fh:
+        fh.write("{not json")
+    assert t.read().count() == 31
+    assert t.rows() == 31
