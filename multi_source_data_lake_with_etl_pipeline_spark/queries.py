@@ -9121,3 +9121,117 @@ def part_type_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         F.expr("(cum * CAST(1000000 AS BIGINT)) div total").cast("long").alias("cum_share_ppm"),
     )
+
+
+# Keys-frame GDPR purge (round-5 lake surface): LakeTable.delete_keys
+# removes rows by ANTI-JOIN on a keys DataFrame — membership is data,
+# never SQL text (the injection-proof replacement for splicing an IN
+# list; lake.py delete_keys docstring), and the keys side scales past
+# any literal list (a 10M-key purge is one join). The purge set here is
+# DERIVED (negative-balance customers in one segment), so the audit
+# exercises the distributed-keys path, not literals; CDF must account
+# for every purged row and the residual must be zero.
+@register(
+    "delete_keys_purge_audit",
+    """
+    SELECT CAST(sum(CASE WHEN NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purged_cdf,
+           CAST(0 AS BIGINT) AS n_residual,
+           CAST(sum(CASE WHEN NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0)
+                         THEN CAST(floor(c_acctbal * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS bal_remaining_c
+    FROM customer
+    """,
+)
+def delete_keys_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="lake_purgekeys_")
+    t = LakeTable.create(spark, root + "/customer", c)
+    purge = (
+        t.read()
+        .filter((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 0))
+        .select("c_custkey")
+    )
+    res = t.delete_keys(purge, "c_custkey")
+    remaining = t.read()
+    cdf_deleted = t.changes(0).filter(F.col("_change_type") == "delete")
+    residual = remaining.join(purge, "c_custkey", "left_semi")
+    return (
+        remaining.agg(
+            F.count(F.lit(1)).alias("n_remaining"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "bal_remaining_c"
+            ),
+        )
+        .crossJoin(
+            cdf_deleted.agg(F.count(F.lit(1)).alias("n_purged_cdf"))
+        )
+        .crossJoin(residual.agg(F.count(F.lit(1)).alias("n_residual")))
+        .select("n_remaining", "n_purged_cdf", "n_residual", "bal_remaining_c")
+    )
+
+
+# Need-driven compaction audit (round-5 lake surface): after 9 tiny
+# appends onto one large base file, optimize_if_needed must rewrite
+# ONLY the small files — O(small bytes), never O(table). Verified
+# under the oracle: the policy fires with exactly 9 small files, the
+# base file's add entry SURVIVES the compact commit byte-identical
+# (no blind whole-table rewrite), the post-compact active set is
+# base + 1 compacted file, and no row is lost or duplicated.
+@register(
+    "small_file_compaction_audit",
+    """
+    SELECT CAST(1 AS BIGINT) AS compacted,
+           CAST(9 AS BIGINT) AS small_files,
+           CAST(1 AS BIGINT) AS base_survived,
+           CAST(2 AS BIGINT) AS n_active_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    """,
+)
+def small_file_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="lake_smallfiles_")
+    # base: ~90% of orders in ONE file; 9 appends of ~1.1% each
+    t = LakeTable.create(
+        spark, root + "/orders", o.filter("o_orderkey % 10 != 0").coalesce(1)
+    )
+    base = t._snapshot()[1]
+    base_path, base_bytes = base[0]["path"], int(base[0]["bytes"])
+    for i in range(9):
+        t.append(
+            o.filter(f"o_orderkey % 10 = 0 AND (o_orderkey div 10) % 9 = {i}")
+            .coalesce(1)
+        )
+    res = t.optimize_if_needed(small_file_bytes=base_bytes, min_small_files=8)
+    _, active, _ = t._snapshot()
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .select(
+            F.lit(1 if res["compacted"] else 0).cast("long").alias("compacted"),
+            F.lit(res["small_files"]).cast("long").alias("small_files"),
+            F.lit(
+                1 if base_path in {a["path"] for a in active} else 0
+            ).cast("long").alias("base_survived"),
+            F.lit(len(active)).cast("long").alias("n_active_files"),
+            "n_rows",
+            "sum_custkey",
+        )
+    )
