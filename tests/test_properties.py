@@ -365,3 +365,44 @@ def test_snapshot_diff_partitions_key_universe(spark, old_map, new_map):
             assert s == "unchanged"
         else:
             assert s == "changed"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-50, max_value=50),  # value quarters
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_exact_percentiles_property_vs_percentile(spark, rows, ps):
+    """Property: exact_percentiles ≡ Spark's exact percentile aggregate
+    for ANY group layout (heavy ties by construction — values are
+    quarter-integers), any p in [0,1], every group size ≥ 1."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", v / 4.0) for g, v in rows], "g string, v double"
+    )
+    named = {f"p{i}": p for i, p in enumerate(ps)}
+    got = {
+        r["g"]: tuple(r[n] for n in named)
+        for r in exact_percentiles(df, ["g"], "v", named).collect()
+    }
+    want = {
+        r["g"]: tuple(r[n] for n in named)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(n) for n, p in named.items()])
+        .collect()
+    }
+    assert got == want
