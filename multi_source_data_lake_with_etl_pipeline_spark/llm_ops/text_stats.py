@@ -219,3 +219,62 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
         )
         .drop("_w_rep", "_sh_rep")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local fingerprinting scheme): hash every k-token gram,
+    slide a window of ``w`` consecutive gram hashes, keep each window's
+    MINIMUM — the selected set is the document's fingerprints, with the
+    paper's guarantee that any match of at least w+k-1 tokens shares at
+    least one fingerprint (vs ``fingerprint``'s single global min,
+    which only catches whole-document near-identity).
+
+    md5 strings (not xxhash) as the gram hash so external engines
+    reproduce the selection bit-exactly; min is lexicographic. Output:
+    (id, fp array<string> DISTINCT selected hashes). Docs shorter than
+    k+w-1 tokens emit an empty array.
+
+    100 TB shape: pure per-row HOFs — lower → split → gram-hash
+    transform → window-min transform → array_distinct; fingerprinting a
+    corpus is one narrow map stage with ZERO shuffles (contrast with the
+    k-gram postings index, which explodes to token granularity).
+    Overlap detection downstream explodes only the SELECTED prints
+    (~n_tokens/((w+1)/2) expected density, the paper's 2/(w+1) rate).
+    """
+    lw = F.col("_lw")
+    n = F.size(lw)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(lw, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_g")
+    m = F.size(g)
+    fps = F.when(
+        m >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - w),
+                lambda j: F.array_min(F.slice(g, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # each derived array bound behind its OWN projection — inlined, the
+    # window-min transform would re-evaluate the gram transform per
+    # window (the same-Project alias re-inlining trap; see
+    # spans.kgram_positions)
+    return (
+        df.withColumn("_lw", words(F.lower(F.col(text_col))))
+        .withColumn("_g", grams)
+        .withColumn("fp", fps)
+        .drop("_lw", "_g")
+    )

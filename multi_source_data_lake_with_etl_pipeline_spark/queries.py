@@ -9235,3 +9235,91 @@ def small_file_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_custkey",
         )
     )
+
+
+# Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken 2003 — the
+# MOSS local fingerprinting scheme): per-window minimum gram hashes
+# give LOCAL fingerprints with the guarantee that any cross-document
+# match of >= w+k-1 tokens shares a print — the copy-detection layer
+# between document-level MinHash and token-level k-gram postings, at a
+# stored density of ~2/(w+1) prints per token instead of one posting
+# per token. Fingerprinting is a zero-shuffle narrow map; only the
+# SELECTED prints explode for the overlap join. Exact counts per
+# source under the oracle (md5 grams, lexicographic min — bit-equal
+# cross-engine).
+@register(
+    "winnow_overlap_by_source",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 4 THEN
+               list_transform(range(1, len(ws) - 4 + 2),
+                              i -> md5(array_to_string(ws[i:i+3], ' ')))
+             ELSE [] END AS gs
+      FROM toks
+    ), fps AS (
+      SELECT doc_id, source,
+             CASE WHEN len(gs) >= 5 THEN
+               list_distinct(list_transform(range(1, len(gs) - 5 + 2),
+                             j -> list_aggregate(gs[j:j+4], 'min')))
+             ELSE [] END AS fp
+      FROM grams
+    ), e AS (
+      SELECT doc_id, source, unnest(fp) AS f FROM fps
+    ), shared AS (
+      SELECT f FROM e GROUP BY f HAVING count(DISTINCT doc_id) >= 2
+    ), se AS (
+      SELECT e.doc_id, any_value(e.source) AS source, count(*) AS n_shared
+      FROM e JOIN shared USING (f)
+      GROUP BY e.doc_id
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(len(fp)), 0) AS BIGINT) AS n_prints
+      FROM fps GROUP BY source
+    ), sagg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_shared,
+             CAST(sum(n_shared) AS BIGINT) AS n_shared_prints
+      FROM se GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.n_prints,
+           CAST(coalesce(s.n_docs_shared, 0) AS BIGINT) AS n_docs_shared,
+           CAST(coalesce(s.n_shared_prints, 0) AS BIGINT) AS n_shared_prints
+    FROM agg a LEFT JOIN sagg s USING (source)
+    """,
+)
+def winnow_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.text_stats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fps = winnow_fingerprints(d, k=4, w=5).select("doc_id", "source", "fp")
+    e = fps.select("doc_id", "source", F.explode("fp").alias("f"))
+    shared = (
+        e.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("f")
+    )
+    per_doc = (
+        e.join(shared, "f", "left_semi")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    agg = fps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("fp")), F.lit(0)).cast("long").alias("n_prints"),
+    )
+    sagg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_shared"),
+        F.sum("n_shared").alias("n_shared_prints"),
+    )
+    return agg.join(sagg, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_prints",
+        F.coalesce(F.col("n_docs_shared"), F.lit(0)).cast("long").alias("n_docs_shared"),
+        F.coalesce(F.col("n_shared_prints"), F.lit(0)).cast("long").alias("n_shared_prints"),
+    )

@@ -398,3 +398,34 @@ class TestBigramLM:
         assert out[9] == round(math.log(1 / 3), 4)
         # "z q": unseen head: ln(1/(0+2))
         assert out[10] == round(math.log(1 / 2), 4)
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing contract (Schleimer 2003): (1) two documents sharing a
+    run of >= w+k-1 tokens share at least one fingerprint; (2) disjoint
+    token streams share none; (3) short docs emit an empty set; (4) the
+    selection is deterministic and order-insensitive to unrelated
+    context (prints come from window MINIMA of md5 grams)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import (
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 5
+    shared_run = "quick brown foxes jump over nine lazy dogs"  # 8 tokens = w+k-1
+    a = "alpha beta " + shared_run + " gamma delta epsilon"
+    b = "one two three four five " + shared_run
+    c = "completely different words without any common running text here"
+    short = "too few tokens"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, short)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got[1] & got[2], "shared >= w+k-1 token run must share a print"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    assert got[4] == set()
+    # density: selected prints are far fewer than grams (2/(w+1) rate)
+    n_grams_c = len(c.split()) - k + 1
+    assert 0 < len(got[3]) <= n_grams_c
