@@ -9323,3 +9323,91 @@ def winnow_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_docs_shared"), F.lit(0)).cast("long").alias("n_docs_shared"),
         F.coalesce(F.col("n_shared_prints"), F.lit(0)).cast("long").alias("n_shared_prints"),
     )
+
+
+# Train/holdout leakage audit: documents that cross the split boundary
+# as EXACT duplicates (md5 identity) or NEAR duplicates (shared
+# winnowing fingerprint — any common run of >= w+k-1 tokens) — the
+# contamination a pipeline creates whenever it splits BEFORE
+# deduplicating (the holdout stops measuring generalization for those
+# docs). Same salted-md5 split predicate as train_holdout_split
+# (deterministic, layout-independent); both legs are distinct-key
+# semi-joins against the train side, never pairwise compares. The
+# companion dedup ops are the fix; this query is the regression alarm
+# a curation pipeline keeps on its eval sets.
+@register(
+    "split_leakage_audit",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, md5(text) AS h,
+             substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a' AS hold
+      FROM documents
+    ), exact_leak AS (
+      SELECT DISTINCT ho.doc_id, ho.h
+      FROM t ho
+      WHERE ho.hold
+        AND EXISTS (SELECT 1 FROM t tr WHERE tr.h = ho.h AND NOT tr.hold)
+    ), toks AS (
+      SELECT doc_id, hold,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      FROM t
+    ), grams AS (
+      SELECT doc_id, hold,
+             CASE WHEN len(ws) >= 4 THEN
+               list_transform(range(1, len(ws) - 4 + 2),
+                              i -> md5(array_to_string(ws[i:i+3], ' ')))
+             ELSE [] END AS gs
+      FROM toks
+    ), fps AS (
+      SELECT doc_id, hold,
+             CASE WHEN len(gs) >= 5 THEN
+               list_distinct(list_transform(range(1, len(gs) - 5 + 2),
+                             j -> list_aggregate(gs[j:j+4], 'min')))
+             ELSE [] END AS fp
+      FROM grams
+    ), e AS (
+      SELECT doc_id, hold, unnest(fp) AS f FROM fps
+    ), near_leak AS (
+      SELECT DISTINCT ho.doc_id
+      FROM e ho
+      WHERE ho.hold
+        AND EXISTS (SELECT 1 FROM e tr WHERE tr.f = ho.f AND NOT tr.hold)
+    )
+    SELECT CAST(sum(CASE WHEN NOT hold THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN hold THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact_leak) AS n_exact_leaked,
+           (SELECT CAST(count(*) AS BIGINT) FROM near_leak) AS n_neardup_leaked
+    FROM t
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.sampling import keep_fraction
+    from .llm_ops.text_stats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.withColumn(
+        "hold", keep_fraction(F.col("doc_id"), 0.1, salt="split")
+    ).withColumn("h", F.md5("text"))
+    train_hashes = t.filter(~F.col("hold")).select("h").distinct()
+    exact_leak = (
+        t.filter(F.col("hold")).join(train_hashes, "h", "left_semi")
+    )
+    e = winnow_fingerprints(t, k=4, w=5).select(
+        "doc_id", "hold", F.explode("fp").alias("f")
+    )
+    train_prints = e.filter(~F.col("hold")).select("f").distinct()
+    near_leak = (
+        e.filter(F.col("hold"))
+        .join(train_prints, "f", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        t.agg(
+            F.sum((~F.col("hold")).cast("long")).alias("n_train"),
+            F.sum(F.col("hold").cast("long")).alias("n_holdout"),
+        )
+        .crossJoin(exact_leak.agg(F.count(F.lit(1)).alias("n_exact_leaked")))
+        .crossJoin(near_leak.agg(F.count(F.lit(1)).alias("n_neardup_leaked")))
+        .select("n_train", "n_holdout", "n_exact_leaked", "n_neardup_leaked")
+    )
