@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -361,6 +362,60 @@ class LakeTable:
         if best is None:
             raise ValueError(f"no commit at or before {ts}")
         return best
+
+    # ---------------------------------------------------------- tags
+    _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Name a version (Iceberg tag parity): a durable ref like
+        ``training-run-2024-01`` that pins the EXACT snapshot a
+        consumer read, independent of later commits — the
+        reproducibility contract for dataset releases. Metadata-only
+        (one tiny JSON under the log); reading a tag is ordinary time
+        travel, and vacuuming past a tagged version breaks it exactly
+        as it breaks numeric time travel. Tags are immutable unless
+        ``replace=True`` (accidental re-pointing silently changes what
+        a published dataset name means)."""
+        if not self._TAG_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.latest_version() if version is None else version
+        if v not in self._versions():
+            raise ValueError(f"tag {name!r}: version {v} does not exist")
+        path = os.path.join(self._log_dir, f"_tag.{name}.json")
+        if os.path.exists(path) and not replace:
+            raise ValueError(f"tag {name!r} already exists (pass replace=True)")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v, "ts": time.time()}, f)
+        os.replace(tmp, path)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags as {name: version}."""
+        out: dict[str, int] = {}
+        for f in os.listdir(self._log_dir):
+            if f.startswith("_tag.") and f.endswith(".json"):
+                with open(os.path.join(self._log_dir, f)) as fh:
+                    rec = json.load(fh)
+                out[rec["name"]] = rec["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._log_dir, f"_tag.{name}.json")) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}") from None
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Snapshot read at a named tag (time travel by name)."""
+        return self.read(self.tag_version(name))
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._log_dir, f"_tag.{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}") from None
 
     def files_overlapping(self, col: str, lo, hi) -> list[str]:
         """File-level data skipping: relative paths of active files
@@ -847,13 +902,17 @@ class LakeTable:
 
     def vacuum(self, keep_versions: int = 0) -> int:
         """Drop data files unreferenced by the snapshots of the last
-        ``keep_versions`` + current versions. Time travel older than the
-        horizon stops working (as with Delta VACUUM). Returns count of
-        deleted files."""
+        ``keep_versions`` + current versions, or by any TAGGED version
+        (Iceberg parity: a named ref pins its snapshot's files — a
+        published dataset release must not be silently hollowed out by
+        retention; delete the tag first to release them). Time travel
+        older than the horizon stops working (as with Delta VACUUM).
+        Returns count of deleted files."""
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
         keep: set[str] = set()
-        for v in range(horizon, latest + 1):
+        protected = set(range(horizon, latest + 1)) | set(self.tags().values())
+        for v in protected:
             _, active, _ = self._snapshot(v)
             keep.update(a["path"] for a in active)
         removed = 0

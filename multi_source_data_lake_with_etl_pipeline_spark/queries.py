@@ -9411,3 +9411,59 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(near_leak.agg(F.count(F.lit(1)).alias("n_neardup_leaked")))
         .select("n_train", "n_holdout", "n_exact_leaked", "n_neardup_leaked")
     )
+
+
+# Named dataset release (round-5 lake surface): tag a snapshot
+# mid-history, keep mutating the table, then read BY NAME — the
+# reproducibility contract for training-data releases ("the corpus is
+# whatever release-1 says", not "whatever the table looked like when
+# the job ran"). Vacuum respects tags, so the release stays readable
+# under retention. Oracle reconstructs both the pinned snapshot and the
+# mutated head relationally; exact integers.
+@register(
+    "lake_tagged_release_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 = 0
+    ), release AS (
+      SELECT * FROM base WHERE o_orderkey % 3 != 0
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM release) AS rel_rows,
+           (SELECT CAST(sum(o_custkey) AS BIGINT) FROM release) AS rel_sum_custkey,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS head_rows,
+           (SELECT CAST(sum(o_custkey) AS BIGINT) FROM base) AS head_sum_custkey
+    """,
+)
+def lake_tagged_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").filter(
+        "o_orderkey % 4 = 0"
+    )
+    root = tempfile.mkdtemp(prefix="lake_tagrel_")
+    # release content: the %3!=0 slice; later commits add the rest and
+    # churn the file set (delete + re-append) so the tag must pin FILES,
+    # not just a row predicate
+    t = LakeTable.create(spark, root + "/orders", o.filter("o_orderkey % 3 != 0"))
+    t.tag("release-1")
+    t.append(o.filter("o_orderkey % 3 = 0"))
+    t.delete("o_orderkey % 12 = 0")
+    t.append(o.filter("o_orderkey % 12 = 0"))
+    t.vacuum(keep_versions=0)  # retention runs; the tag survives it
+    rel = t.read_tag("release-1")
+    head = t.read()
+    return (
+        rel.agg(
+            F.count(F.lit(1)).alias("rel_rows"),
+            F.sum("o_custkey").alias("rel_sum_custkey"),
+        )
+        .crossJoin(
+            head.agg(
+                F.count(F.lit(1)).alias("head_rows"),
+                F.sum("o_custkey").alias("head_sum_custkey"),
+            )
+        )
+        .select("rel_rows", "rel_sum_custkey", "head_rows", "head_sum_custkey")
+    )

@@ -1147,3 +1147,40 @@ def test_last_checkpoint_pointer(spark, tmp_path):
         fh.write("{not json")
     assert t.read().count() == 31
     assert t.rows() == 31
+
+
+def test_tags_name_pin_and_vacuum_protection(spark, tmp_path):
+    """Iceberg-parity tags: a name pins an exact snapshot; reads by
+    name survive later commits AND retention (vacuum keeps files
+    referenced by any tag); tags are immutable unless replaced; bad
+    names/versions/unknown tags fail loudly."""
+    t = _mk(spark, tmp_path, rows=40, files=2)
+    t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+    v = t.tag("release-1")  # pins v1 (latest)
+    assert v == 1 and t.tags() == {"release-1": 1}
+    t.tag("genesis", version=0)
+    t.overwrite(spark.createDataFrame([(7, 7)], "k long, v long"))
+    assert t.read().count() == 1
+    assert t.read_tag("release-1").count() == 41
+    assert t.read_tag("genesis").count() == 40
+    # vacuum would normally drop v0/v1 files; the tags protect them
+    removed = t.vacuum(keep_versions=0)
+    assert t.read_tag("release-1").count() == 41  # still fully readable
+    assert t.read_tag("genesis").count() == 40
+    # immutability + validation
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("release-1")
+    t.tag("release-1", version=0, replace=True)
+    assert t.tag_version("release-1") == 0
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("bad/name")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("nope", version=99)
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read_tag("missing")
+    # deleting the tag releases its files to the NEXT vacuum
+    t.delete_tag("genesis")
+    t.delete_tag("release-1")
+    removed2 = t.vacuum(keep_versions=0)
+    assert removed2 > 0
+    assert t.read().count() == 1  # head intact
