@@ -87,3 +87,26 @@ def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 def oracle_patterns() -> dict[str, str]:
     """The exact patterns, for building external-engine oracle SQL."""
     return dict(PII_PATTERNS)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digit string passes the Luhn checksum (ISO/IEC
+    7812) — the validity layer a PII pipeline runs AFTER the card-shaped
+    regex: most random 16-digit strings are regex hits but checksum
+    misses, so Luhn cuts the false-positive rate of `credit_card`
+    detections ~10x. Pure JVM HOF expression (char split → indexed
+    transform doubling every second digit from the right, 9-fold, sum
+    mod 10) — scan-speed, no UDF, reproducible in any engine with the
+    same arithmetic."""
+    # split("(?!^)") also matches the end-of-string position → one
+    # trailing "" that ANSI cast would throw on; drop empties
+    chars = F.reverse(F.filter(F.split(digits, "(?!^)"), lambda c: c != ""))
+    d = lambda c: c.cast("int")  # noqa: E731
+    vals = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(d(c) * 2 > 9, d(c) * 2 - 9).otherwise(d(c) * 2),
+        ).otherwise(d(c)),
+    )
+    return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0

@@ -9467,3 +9467,51 @@ def lake_tagged_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rel_rows", "rel_sum_custkey", "head_rows", "head_sum_custkey")
     )
+
+
+# PAN Luhn-validity audit: card-SHAPED strings (the regex layer) vs
+# checksum-VALID ones (llm_ops/pii.luhn_valid) — the distinction that
+# cuts a PII detector's false-positive rate ~10x, since ~90% of random
+# 16-digit strings fail the Luhn mod-10. Candidate PANs synthesized
+# deterministically from customer keys (identical arithmetic both
+# engines); per-segment counts are exact integers. Scan-speed: one
+# narrow map with an indexed HOF fold, no UDF, no shuffle beyond the
+# final groupBy.
+@register(
+    "pan_luhn_audit",
+    """
+    WITH pans AS (
+      SELECT c_mktsegment,
+             lpad(CAST((c_custkey * 7919) % 10000000000000000 AS VARCHAR), 16, '0') AS pan
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN
+             list_sum(list_transform(string_split(reverse(pan), ''), (c, i) ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN CAST(c AS INT)*2 > 9 THEN CAST(c AS INT)*2-9
+                      ELSE CAST(c AS INT)*2 END
+               ELSE CAST(c AS INT) END)) % 10 = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+    FROM pans GROUP BY c_mktsegment
+    """,
+)
+def pan_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.pii import luhn_valid
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pans = c.withColumn(
+        "pan",
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % F.lit(10_000_000_000_000_000)).cast(
+                "string"
+            ),
+            16,
+            "0",
+        ),
+    )
+    return pans.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(luhn_valid(F.col("pan")).cast("long")).alias("n_luhn_valid"),
+    )

@@ -429,3 +429,21 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     # density: selected prints are far fewer than grams (2/(w+1) rate)
     n_grams_c = len(c.split()) - k + 1
     assert 0 < len(got[3]) <= n_grams_c
+
+
+def test_luhn_valid_known_vectors(spark):
+    """Known Luhn vectors: real test PANs pass, off-by-one fails,
+    short strings and all-zeros behave per the checksum definition."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.pii import luhn_valid
+
+    cases = [
+        ("4539148803436467", True),   # classic Visa test number
+        ("4539148803436468", False),  # last digit bumped
+        ("79927398713", True),        # the Wikipedia example
+        ("79927398710", False),
+        ("0000000000000000", True),   # sum 0 ≡ 0 mod 10
+        ("1", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "pan string")
+    got = [r["ok"] for r in df.select(luhn_valid(F.col("pan")).alias("ok")).collect()]
+    assert got == [want for _, want in cases]
