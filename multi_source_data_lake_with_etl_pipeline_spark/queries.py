@@ -9515,3 +9515,82 @@ def pan_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(luhn_valid(F.col("pan")).cast("long")).alias("n_luhn_valid"),
     )
+
+
+# Ordered funnel conversion with per-step timeouts: first view → first
+# subsequent click within 1 day → first subsequent purchase within 7
+# days, per user. Complements event_funnel_conversion (first-touch
+# ordering, no deadline) and frequent_event_paths (sequence MINING)
+# with the deadline-funnel measurement: a step only counts inside its
+# conversion window, the form campaign/checkout analyses report. Three chained conditional-min aggregations (each
+# one groupBy + a semi-join on the prior step's survivors — never a
+# per-user sort or session window); gap metrics are integer seconds.
+@register(
+    "event_funnel_timeout_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3,
+           (SELECT CAST(coalesce(sum(date_diff('second', s1.t1, s2.t2)), 0) AS BIGINT)
+              FROM s2 JOIN s1 ON s2.user_id = s1.user_id) AS sum_gap12_s,
+           (SELECT CAST(coalesce(sum(date_diff('second', s2.t2, s3.t3)), 0) AS BIGINT)
+              FROM s3 JOIN s2 ON s3.user_id = s2.user_id) AS sum_gap23_s
+    """,
+)
+def event_funnel_timeout_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    gap12 = s2.select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("g")
+    ).agg(F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("sum_gap12_s"))
+    gap23 = s3.select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t2")).alias("g")
+    ).agg(F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("sum_gap23_s"))
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_step1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_step3")))
+        .crossJoin(gap12)
+        .crossJoin(gap23)
+        .select("n_step1", "n_step2", "n_step3", "sum_gap12_s", "sum_gap23_s")
+    )
