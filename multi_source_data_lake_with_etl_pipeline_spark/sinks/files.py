@@ -14,15 +14,23 @@ def _write_yaml(df: DataFrame, path: str, mode: str) -> None:
     """YAML writer parity (reference ``common_utils.py:141-171``).
     YAML has no distributed/splittable form — like the reference this
     is a driver-side dump of a SMALL result (reports, configs, query
-    outputs), never a bulk-data path. Gated on PyYAML like the reader."""
-    try:
-        import yaml
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("PyYAML not installed; YAML write unavailable") from exc
+    outputs), never a bulk-data path. Full YAML via PyYAML when
+    installed; without it the flat-subset codec (``sources/yamlite``)
+    emits scalar mappings (bare numbers/bools/null, JSON-quoted
+    strings — valid YAML any parser reads) and rejects nested values
+    loudly."""
     import os
 
     rows = [r.asDict(recursive=True) for r in df.collect()]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import yaml
+    except ImportError:
+        from ..sources import yamlite
+
+        with open(path, "a" if mode == "append" else "w") as fh:
+            fh.write(yamlite.dump_rows(rows))
+        return
     with open(path, "a" if mode == "append" else "w") as fh:
         yaml.safe_dump(rows, fh, sort_keys=False, default_flow_style=False)
 

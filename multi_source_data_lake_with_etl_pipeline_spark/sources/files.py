@@ -59,11 +59,17 @@ def read_file(
 
 def _read_yaml(spark: SparkSession, path: str) -> DataFrame:
     """YAML loader (common_utils.py:118-120): driver-side parse →
-    createDataFrame. Gated import — PyYAML may be absent."""
+    createDataFrame. Full YAML via PyYAML when installed; without it
+    the flat-subset codec (``sources/yamlite``) reads block sequences
+    of scalar mappings — the shape this surface actually carries — and
+    rejects anything richer loudly."""
     try:
         import yaml
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("PyYAML not installed; YAML reads unavailable") from exc
+    except ImportError:
+        from . import yamlite
+
+        with open(path) as fh:
+            return spark.createDataFrame(yamlite.parse(fh.read()))
     with open(path) as fh:
         data = yaml.safe_load(fh)
     if isinstance(data, dict):
