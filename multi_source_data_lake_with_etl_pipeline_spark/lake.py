@@ -68,23 +68,33 @@ def _ver_name(v: int) -> str:
     return f"{v:020d}.json"
 
 
-def _file_stats(abs_path: str) -> tuple[int, dict[str, list]]:
-    """Row count + per-column [min, max] from parquet footers (no data
-    scan — pyarrow reads only metadata)."""
+def _file_stats(abs_path: str) -> tuple[int, dict[str, list], dict[str, int]]:
+    """Row count, per-column [min, max], and per-column NULL counts
+    from parquet footers (no data scan — pyarrow reads only metadata).
+    Null counts cover every flat column with footer null stats —
+    including string/binary/decimal columns whose min/max we skip — so
+    IS NULL / IS NOT NULL predicates can prune files the range stats
+    can't."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested — skip
+                continue
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:  # one stats-less row group poisons the file's count
+                null_unknown.add(name)
+            if st is None or not st.has_min_max:
                 continue
             try:
                 mn, mx = st.min, st.max
@@ -103,7 +113,9 @@ def _file_stats(abs_path: str) -> tuple[int, dict[str, list]]:
             if name not in maxs or mx > maxs[name]:
                 maxs[name] = mx
     stats = {c: [_json_safe(mins[c]), _json_safe(maxs[c])] for c in mins if c in maxs}
-    return md.num_rows, stats
+    for c in null_unknown:
+        nulls.pop(c, None)
+    return md.num_rows, stats, nulls
 
 
 def _json_safe(v):
@@ -320,7 +332,7 @@ class LakeTable:
             new = f"{uuid.uuid4().hex}.parquet"
             abs_new = os.path.join(self._data_dir, new)
             os.rename(os.path.join(tmp, fname), abs_new)
-            rows, stats = _file_stats(abs_new)
+            rows, stats, nulls = _file_stats(abs_new)
             if rows == 0:  # empty split — schema lives in the log, skip
                 os.remove(abs_new)
                 continue
@@ -330,6 +342,7 @@ class LakeTable:
                     "rows": rows,
                     "bytes": os.path.getsize(abs_new),
                     "stats": stats,
+                    "nulls": nulls,
                 }
             )
         shutil.rmtree(tmp)
@@ -458,6 +471,40 @@ class LakeTable:
         for col, lo, hi in conds:
             out = out.filter(F.col(col).between(lo, hi))
         return out
+
+    def files_null_candidates(self, col: str, want_null: bool) -> list[str]:
+        """Null-aware data skipping: active files that MIGHT contain a
+        row where ``col`` IS NULL (``want_null=True``: null count > 0
+        or unknown) / IS NOT NULL (``want_null=False``: null count <
+        rows or unknown). Files without a footer null count — old log
+        entries predating null stats, or stats-less row groups — are
+        conservatively kept. The IS NULL side is the one range stats
+        can never serve; at 100 TB a sparse column's null probe drops
+        from a table scan to the handful of files that carry nulls."""
+        _, active, _ = self._snapshot()
+        out = []
+        for a in active:
+            n = a.get("nulls", {}).get(col)
+            if n is None:
+                out.append(a["path"])  # unknown — keep
+            elif want_null and n > 0:
+                out.append(a["path"])
+            elif not want_null and n < int(a.get("rows", 0)):
+                out.append(a["path"])
+        return out
+
+    def read_where_null(self, col: str, want_null: bool = True) -> DataFrame:
+        """IS NULL / IS NOT NULL read through null-count file skipping
+        + the residual filter (same contract as ``read_pruned``)."""
+        _, _, schema = self._snapshot()
+        paths = self.files_null_candidates(col, want_null)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        out = self.spark.read.schema(schema).parquet(
+            *[self._abs(p) for p in sorted(paths)]
+        )
+        cond = F.col(col).isNull() if want_null else F.col(col).isNotNull()
+        return out.filter(cond)
 
     def rows(self, version: int | None = None) -> int:
         """Metadata-only COUNT(*): the sum of per-file row counts in

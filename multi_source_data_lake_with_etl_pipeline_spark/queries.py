@@ -9594,3 +9594,55 @@ def event_funnel_timeout_conversion(spark: SparkSession, sf_dir: str) -> DataFra
         .crossJoin(gap23)
         .select("n_step1", "n_step2", "n_step3", "sum_gap12_s", "sum_gap23_s")
     )
+
+
+# Null-count file skipping (round-5 lake surface): IS NULL probes
+# prune on footer NULL COUNTS — the predicate range stats can never
+# serve (NULL is outside every [min,max]). A sparse column laid out
+# with its null-carrying rows clustered (here: one file per segment,
+# nulls only in MACHINERY) answers "which rows are missing X?" from
+# ONE file instead of a table scan. The pruned file counts are pinned
+# under the oracle alongside the row results.
+@register(
+    "null_pruned_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_null_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_null_custkey,
+           CAST(1 AS BIGINT) AS n_null_candidate_files,
+           CAST(4 AS BIGINT) AS n_notnull_candidate_files,
+           CAST(5 AS BIGINT) AS n_total_files
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def null_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("note"),
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    root = tempfile.mkdtemp(prefix="lake_nullskip_")
+    t = LakeTable.create(
+        spark, root + "/customer", c.filter(F.col("c_mktsegment") == segs[0]).coalesce(1)
+    )
+    for s in segs[1:]:
+        t.append(c.filter(F.col("c_mktsegment") == s).coalesce(1))
+    _, active, _ = t._snapshot()
+    n_null_files = len(t.files_null_candidates("note", want_null=True))
+    n_notnull_files = len(t.files_null_candidates("note", want_null=False))
+    return t.read_where_null("note").agg(
+        F.count(F.lit(1)).alias("n_null_rows"),
+        F.sum("c_custkey").alias("sum_null_custkey"),
+    ).select(
+        "n_null_rows",
+        "sum_null_custkey",
+        F.lit(n_null_files).cast("long").alias("n_null_candidate_files"),
+        F.lit(n_notnull_files).cast("long").alias("n_notnull_candidate_files"),
+        F.lit(len(active)).cast("long").alias("n_total_files"),
+    )

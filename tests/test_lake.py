@@ -1184,3 +1184,51 @@ def test_tags_name_pin_and_vacuum_protection(spark, tmp_path):
     removed2 = t.vacuum(keep_versions=0)
     assert removed2 > 0
     assert t.read().count() == 1  # head intact
+
+
+def test_null_count_file_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL pruning from footer null counts: a probe
+    for nulls touches only files that carry them; an all-null file is
+    skipped by the NOT NULL side; results always equal the unpruned
+    filter; entries without null stats are conservatively kept."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "n"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1),
+    )  # file A: no nulls
+    t.append(
+        spark.createDataFrame([(3, None), (4, 40)], "k long, v long").coalesce(1)
+    )  # file B: mixed
+    t.append(
+        spark.createDataFrame(
+            [(5, None), (6, None)], "k long, v long"
+        ).coalesce(1)
+    )  # file C: all null
+    _, active, _ = t._snapshot()
+    assert all("nulls" in a for a in active)
+    null_files = t.files_null_candidates("v", want_null=True)
+    notnull_files = t.files_null_candidates("v", want_null=False)
+    assert len(null_files) == 2  # B + C, file A skipped
+    assert len(notnull_files) == 2  # A + B, file C skipped
+    assert {r["k"] for r in t.read_where_null("v").collect()} == {3, 5, 6}
+    assert {r["k"] for r in t.read_where_null("v", want_null=False).collect()} == {
+        1, 2, 4,
+    }
+    # parity with the unpruned filter
+    assert t.read_where_null("v").count() == t.read().filter("v IS NULL").count()
+    # legacy entries without null stats are conservatively kept
+    for a in active:
+        a.pop("nulls", None)
+    import json as _json
+    import os as _os
+
+    c = t._read_commit(t.latest_version())
+    # simulate an old log: strip nulls from the latest commit's adds
+    for a in c["add"]:
+        a.pop("nulls", None)
+    with open(
+        _os.path.join(t._log_dir, f"{t.latest_version():020d}.json"), "w"
+    ) as fh:
+        _json.dump(c, fh)
+    assert len(t.files_null_candidates("v", want_null=True)) >= 2
+    assert {r["k"] for r in t.read_where_null("v").collect()} == {3, 5, 6}
