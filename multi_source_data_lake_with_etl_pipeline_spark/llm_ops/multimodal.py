@@ -3,10 +3,13 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` UDFs.
 
 The Spark-side plumbing (schemas, batch iteration, partition-parallel
-decode fan-out) is real and tested; the actual codec calls are STUBBED
-(this container ships no image/audio libraries) behind
-``_decode_image_stub``, which produces a deterministic fake so the
-pipeline shape is exercisable end-to-end. Swap the stub for
+decode fan-out) is real and tested. Decode itself is REAL for the
+uncompressed container formats the standard library + numpy can parse
+— PPM (P6) images and PCM WAV audio (``_decode_ppm``/``_decode_wav``,
+dispatched by payload magic) — and STUBBED for compressed codecs
+(PNG/JPEG/MP3/MP4: this container ships no image/audio libraries)
+behind ``_decode_*_stub``, which produce deterministic fakes so the
+pipeline shape stays exercisable end-to-end. Swap the stubs for
 PIL/torchaudio/ffmpeg in a real deployment — the UDF signature and
 partitioning strategy do not change.
 
@@ -72,6 +75,81 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [round(int(h) / total, 6) for h in hist]
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL image decode for binary PPM (P6) — header + raw RGB needs
+    only numpy, no codec library. Returns (width, height, feature) or
+    None when the payload is not P6 / is malformed (caller falls back
+    to the stub). Feature: per-channel means plus a 5-bucket luminance
+    histogram, all in [0,1] — 8 floats, same shape as the stub's."""
+    if not payload.startswith(b"P6"):
+        return None
+    try:
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens with '#' comments; pixel bytes follow the single
+        # whitespace after maxval
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = tokens
+        if not (0 < width and 0 < height and 0 < maxval < 256):
+            return None
+        px = np.frombuffer(payload, np.uint8, count=width * height * 3, offset=pos)
+        rgb = px.reshape(-1, 3).astype(np.float64) / maxval
+        lum = rgb @ np.array([0.299, 0.587, 0.114])
+        hist = np.histogram(lum, bins=5, range=(0.0, 1.0 + 1e-9))[0] / len(lum)
+        feat = [round(float(v), 6) for v in rgb.mean(axis=0)] + [
+            round(float(v), 6) for v in hist
+        ]
+        return width, height, feat
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_wav(payload: bytes) -> tuple[int, float, list[float]] | None:
+    """REAL audio decode for PCM WAV — the stdlib ``wave`` module plus
+    numpy. Returns (sample_rate, duration_s, feature) or None for
+    non-RIFF/compressed payloads (caller falls back to the stub).
+    Feature: RMS energy over 8 equal time segments, normalized to the
+    sample width's full scale."""
+    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            nframes = wf.getnframes()
+            sw = wf.getsampwidth()
+            raw = wf.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sr <= 0 or sw not in (1, 2):
+        return None
+    duration = round(nframes / sr, 6)
+    if sw == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    if x.size == 0:
+        return sr, duration, [0.0] * 8
+    segs = np.array_split(x, 8)
+    feat = [
+        round(float(np.sqrt(np.mean(s * s))) if s.size else 0.0, 6) for s in segs
+    ]
+    return sr, duration, feat
+
+
 def _byte_hist8(payload: bytes) -> list[float]:
     n = len(payload)
     if n:
@@ -121,11 +199,19 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                 w = h = nf = sr = None
                 dur = None
                 if mod == "audio":
-                    sr, dur, feat = _decode_audio_stub(payload)
+                    real = _decode_wav(payload)
+                    if real is not None:
+                        sr, dur, feat = real
+                    else:
+                        sr, dur, feat = _decode_audio_stub(payload)
                 elif mod == "video":
                     w, h, nf, dur, feat = _decode_video_stub(payload)
                 else:
-                    w, h, feat = _decode_image_stub(payload)
+                    real_im = _decode_ppm(payload)
+                    if real_im is not None:
+                        w, h, feat = real_im
+                    else:
+                        w, h, feat = _decode_image_stub(payload)
                 rows.append((aid, mod, len(payload), w, h, nf, sr, dur, feat))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
@@ -177,6 +263,31 @@ def resize_plan(
             (scale < 1.0).alias("needs_resize"),
         )
     )
+
+
+def make_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Serialize a solid-color binary PPM (P6) — a REAL image payload
+    for the real decode path, built without any codec library."""
+    header = f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def make_wav(sample_rate: int, seconds: float, freq_hz: float = 440.0) -> bytes:
+    """Serialize a PCM16 mono sine WAV via the stdlib ``wave`` module —
+    a REAL audio payload for the real decode path."""
+    import io
+    import wave
+
+    nframes = int(round(sample_rate * seconds))
+    t = np.arange(nframes, dtype=np.float64) / sample_rate
+    x = (np.sin(2 * np.pi * freq_hz * t) * 0.5 * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
 
 
 def synth_assets(spark, n: int = 64) -> DataFrame:
