@@ -9296,7 +9296,13 @@ def winnow_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     fps = winnow_fingerprints(d, k=4, w=5).select("doc_id", "source", "fp")
-    e = fps.select("doc_id", "source", F.explode("fp").alias("f"))
+    # explode_outer + null filter: an inner explode infers a size(fp)>0
+    # pre-Generate filter that INLINES the whole winnow HOF chain (the
+    # lint-flagged mega-filter); the outer variant generates first
+    e = (
+        fps.select("doc_id", "source", F.explode_outer("fp").alias("f"))
+        .filter(F.col("f").isNotNull())
+    )
     shared = (
         e.groupBy("f")
         .agg(F.count_distinct("doc_id").alias("_nd"))
@@ -9392,9 +9398,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_leak = (
         t.filter(F.col("hold")).join(train_hashes, "h", "left_semi")
     )
-    e = winnow_fingerprints(t, k=4, w=5).select(
-        "doc_id", "hold", F.explode("fp").alias("f")
-    )
+    e = (
+        winnow_fingerprints(t, k=4, w=5)
+        .select("doc_id", "hold", F.explode_outer("fp").alias("f"))
+        .filter(F.col("f").isNotNull())
+    )  # outer + null filter: inner explode's inferred filter inlines the HOFs
     train_prints = e.filter(~F.col("hold")).select("f").distinct()
     near_leak = (
         e.filter(F.col("hold"))
