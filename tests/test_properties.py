@@ -406,3 +406,32 @@ def test_exact_percentiles_property_vs_percentile(spark, rows, ps):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.from_regex(r"[A-Za-z_][A-Za-z0-9_.-]{0,10}", fullmatch=True),
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(min_value=-(10**12), max_value=10**12),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.text(max_size=40),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_yamlite_roundtrip_property(rows):
+    """Property: the flat-subset YAML codec round-trips ANY flat
+    mapping of scalars — including control characters, quotes,
+    colons, YAML-looking strings ('true', '- x', '---'), and floats —
+    byte-exactly through dump+parse."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources import yamlite
+
+    assert yamlite.parse(yamlite.dump_rows(rows)) == rows
