@@ -41,6 +41,9 @@ def build_jdbc_options(
     user: str | None = None,
     password: str | None = None,
     driver: str | None = None,
+    push_down_aggregate: bool | None = None,
+    push_down_limit: bool | None = None,
+    push_down_predicate: bool | None = None,
 ) -> dict[str, str]:
     """Map reference extract-config onto spark.read JDBC options.
 
@@ -79,6 +82,17 @@ def build_jdbc_options(
         opts["password"] = password
     if driver is not None:
         opts["driver"] = driver
+    # Catalyst-side pushdown toggles (public spark.read.jdbc options):
+    # with pushDownAggregate, a groupBy over the relation compiles to a
+    # remote GROUP BY and only the aggregated rows cross the wire —
+    # the DSv2 sibling of the explicit WHERE/LIMIT subquery above.
+    for key, val in (
+        ("pushDownAggregate", push_down_aggregate),
+        ("pushDownLimit", push_down_limit),
+        ("pushDownPredicate", push_down_predicate),
+    ):
+        if val is not None:
+            opts[key] = "true" if val else "false"
     return opts
 
 

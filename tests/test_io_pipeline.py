@@ -768,3 +768,24 @@ def test_yamlite_fallback_roundtrip_and_cross_codec(spark, tmp_path, monkeypatch
     assert sorted((r["id"], r["name"], r["v"]) for r in back.collect()) == [
         (1, "a", 1.5), (2, "o'b", None),
     ]
+
+
+def test_jdbc_pushdown_toggle_options():
+    """DSv2 pushdown toggles map to the public spark.read.jdbc option
+    names; unset toggles stay absent (Spark defaults apply)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.sources.jdbc import (
+        build_jdbc_options,
+    )
+
+    opts = build_jdbc_options(
+        "jdbc:postgresql://h/db",
+        table="t",
+        push_down_aggregate=True,
+        push_down_limit=True,
+        push_down_predicate=False,
+    )
+    assert opts["pushDownAggregate"] == "true"
+    assert opts["pushDownLimit"] == "true"
+    assert opts["pushDownPredicate"] == "false"
+    plain = build_jdbc_options("jdbc:postgresql://h/db", table="t")
+    assert not any(k.startswith("pushDown") for k in plain)
