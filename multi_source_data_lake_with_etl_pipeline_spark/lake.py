@@ -947,14 +947,17 @@ class LakeTable:
         adds = self._write_files(df)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 
-    def vacuum(self, keep_versions: int = 0) -> int:
+    def vacuum(self, keep_versions: int = 0, dry_run: bool = False) -> int:
         """Drop data files unreferenced by the snapshots of the last
         ``keep_versions`` + current versions, or by any TAGGED version
         (Iceberg parity: a named ref pins its snapshot's files — a
         published dataset release must not be silently hollowed out by
         retention; delete the tag first to release them). Time travel
         older than the horizon stops working (as with Delta VACUUM).
-        Returns count of deleted files."""
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` parity) reports
+        the would-be deletion count without touching a byte — the
+        pre-flight an operator runs before an irreversible retention
+        pass. Returns count of (would-be) deleted files."""
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
         keep: set[str] = set()
@@ -966,8 +969,11 @@ class LakeTable:
         for fname in os.listdir(self._data_dir):
             rel = f"{_DATA}/{fname}"
             if rel not in keep:
-                os.remove(os.path.join(self._data_dir, fname))
+                if not dry_run:
+                    os.remove(os.path.join(self._data_dir, fname))
                 removed += 1
+        if dry_run:
+            return removed
         # crash debris: a writer that died mid-_write_files leaves a
         # _tmp_* staging dir; nothing references it, safe to drop here
         for d in os.listdir(self.path):

@@ -1232,3 +1232,45 @@ def test_null_count_file_skipping(spark, tmp_path):
         _json.dump(c, fh)
     assert len(t.files_null_candidates("v", want_null=True)) >= 2
     assert {r["k"] for r in t.read_where_null("v").collect()} == {3, 5, 6}
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    """VACUUM DRY RUN parity: reports the would-be deletions, touches
+    nothing; the real pass then removes exactly that count."""
+    t = _mk(spark, tmp_path, rows=40, files=4)
+    t.compact(target_files=1)
+    n_before = len(os.listdir(t._data_dir))
+    would = t.vacuum(keep_versions=0, dry_run=True)
+    assert would == 4
+    assert len(os.listdir(t._data_dir)) == n_before  # nothing deleted
+    assert t.read(0).count() == 40  # old version still readable
+    assert t.vacuum(keep_versions=0) == would
+
+
+def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
+    """delete_keys uses the non-commuting commit path: a writer that
+    lands the next version BETWEEN delete_keys' snapshot and its commit
+    (injected via the _write_files hook — the realistic race window,
+    since the rewrite is the slow step) surfaces CommitConflict instead
+    of silently clobbering (same contract as merge/delete)."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=20, files=1)
+    racer = {
+        "version": 1, "op": "append", "ts": 0, "add": [], "remove": [],
+        "schema": t._read_commit(0)["schema"],
+    }
+    orig = t._write_files
+
+    def hooked(df):
+        adds = orig(df)
+        with open(os.path.join(t._log_dir, f"{1:020d}.json"), "x") as f:
+            _json.dump(racer, f)  # the racer wins version 1 mid-rewrite
+        return adds
+
+    t._write_files = hooked
+    keys = spark.createDataFrame([(5,)], "k long")
+    with pytest.raises(CommitConflict):
+        t.delete_keys(keys, "k")
+    t._write_files = orig
+    assert t.read().count() == 20  # table state untouched by the loser
