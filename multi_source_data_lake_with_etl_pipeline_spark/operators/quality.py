@@ -744,3 +744,47 @@ def exact_percentiles(
             ],
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    max_distinct: int = 20_000_000,
+) -> DataFrame:
+    """Robust per-group outlier profile: median, MAD (median absolute
+    deviation), and the count of rows beyond ``z`` MADs — the
+    outlier screen that, unlike mean±k·stddev, a heavy tail cannot
+    drag (the tail IS what moves the mean and inflates the stddev).
+
+    Both order statistics come from ``exact_percentiles`` (value
+    histograms — map-side combinable, no percentile buffer), so the
+    plan is two grouped histogram aggregations + two broadcast joins
+    of tiny per-group stat frames; deviations are never materialized
+    beyond the second histogram's input projection. Emits
+    floor-cents integers for the stats (engine-exact) and exact
+    counts. One row per group:
+    (group_cols..., n_rows, med_c, mad_c, n_outliers).
+    """
+    med = exact_percentiles(
+        df, group_cols, value_col, {"_med": 0.5}, max_distinct=max_distinct
+    )
+    j = df.select(*group_cols, value_col).join(F.broadcast(med), group_cols)
+    dev = j.select(
+        *group_cols,
+        "_med",
+        F.abs(F.col(value_col) - F.col("_med")).alias("_adev"),
+    )
+    mad = exact_percentiles(
+        dev, group_cols, "_adev", {"_mad": 0.5}, max_distinct=max_distinct
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.floor(F.max("_med") * 100).cast("long").alias("med_c"),
+        F.floor(F.max("_mad") * 100).cast("long").alias("mad_c"),
+        F.sum(
+            (F.col("_adev") > F.lit(float(z)) * F.col("_mad")).cast("long")
+        ).alias("n_outliers"),
+    )

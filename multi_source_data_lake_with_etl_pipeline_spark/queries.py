@@ -9654,3 +9654,39 @@ def null_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_notnull_files).cast("long").alias("n_notnull_candidate_files"),
         F.lit(len(active)).cast("long").alias("n_total_files"),
     )
+
+
+# Robust outlier screen: median/MAD per returnflag and the count of
+# prices beyond 3 MADs (operators/quality.mad_outlier_stats — two
+# exact_percentiles histogram passes, no percentile buffer, no
+# mean±stddev tail sensitivity). Complements outlier_orders_by_status
+# (p99 threshold) with the estimator a heavy tail cannot drag.
+@register(
+    "price_mad_outliers",
+    """
+    WITH m AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN m USING (l_returnflag)
+    ), s AS (
+      SELECT l_returnflag, med, quantile_cont(adev, 0.5) AS mad
+      FROM d GROUP BY l_returnflag, med
+    )
+    SELECT d.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(floor(max(s.med) * 100) AS BIGINT) AS med_c,
+           CAST(floor(max(s.mad) * 100) AS BIGINT) AS mad_c,
+           CAST(sum(CASE WHEN d.adev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN s USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import mad_outlier_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outlier_stats(li, ["l_returnflag"], "l_extendedprice", z=3.0)
