@@ -1294,3 +1294,22 @@ def test_spearman_corr_cardinality_guard(spark):
     )
     with pytest.raises(ValueError, match="spearman_corr"):
         spearman_corr(df, "x", "y", max_distinct=50).collect()
+
+
+def test_mad_outlier_stats_known_values(spark):
+    """Hand-computed median/MAD: group a = [1..9, 100] → med 5.5,
+    adevs [4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5] → MAD 2.5;
+    only 100 (adev 94.5 > 7.5) is an outlier. A clean group flags 0."""
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        mad_outlier_stats,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+    rows += [("b", 10.0), ("b", 12.0), ("b", 14.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["n_rows"], r["med_c"], r["mad_c"], r["n_outliers"])
+        for r in mad_outlier_stats(df, ["g"], "v", z=3.0).collect()
+    }
+    assert got["a"] == (10, 550, 250, 1)
+    assert got["b"] == (3, 1200, 200, 0)

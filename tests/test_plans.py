@@ -619,23 +619,48 @@ def test_exact_corr_matrix_single_scan(spark):
     assert "SortMergeJoin" not in txt and "Sort " not in txt, txt
     assert "BroadcastHashJoin" not in txt, txt
 
-    def test_exact_percentile_flagged_approx_not(self, spark):
-        from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
+def test_exact_percentile_flagged_approx_not(spark):
+    from multi_source_data_lake_with_etl_pipeline_spark.plans.lint import lint_plan
 
-        a = spark.range(0, 100).select(
-            (F.col("id") % 7).alias("g"), F.col("id").cast("double").alias("v")
-        )
-        bad = a.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("p"))
-        assert [f.code for f in lint_plan(bad)] == ["exact-percentile"]
-        bad2 = a.groupBy("g").agg(F.median("v").alias("p"))
-        assert [f.code for f in lint_plan(bad2)] == ["exact-percentile"]
-        ok = a.groupBy("g").agg(F.percentile_approx("v", F.lit(0.5)).alias("p"))
-        assert [f.code for f in lint_plan(ok)] == []
-        # the sanctioned replacement lints clean too
-        from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
-            exact_percentiles,
-        )
+    a = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    bad = a.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("p"))
+    assert [f.code for f in lint_plan(bad)] == ["exact-percentile"]
+    bad2 = a.groupBy("g").agg(F.median("v").alias("p"))
+    assert [f.code for f in lint_plan(bad2)] == ["exact-percentile"]
+    ok = a.groupBy("g").agg(F.percentile_approx("v", F.lit(0.5)).alias("p"))
+    assert [f.code for f in lint_plan(ok)] == []
+    # the sanctioned replacement lints clean too
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_percentiles,
+    )
 
-        assert [
-            f.code for f in lint_plan(exact_percentiles(a, ["g"], "v", {"p": 0.5}))
-        ] == []
+    assert [
+        f.code for f in lint_plan(exact_percentiles(a, ["g"], "v", {"p": 0.5}))
+    ] == []
+
+
+def test_exact_percentiles_plan_shape(spark):
+    """Plan contract for the percentile rewrite: NO exact percentile
+    aggregate anywhere, the cumulative window carries the group
+    partition spec (never a global sort), and the histogram
+    aggregation is hash-based with a partial (map-side) phase."""
+    import contextlib
+    import io
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    a = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 41).cast("double").alias("v")
+    )
+    df = exact_percentiles(a, ["g"], "v", {"p50": 0.5, "p95": 0.95})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "percentile(" not in plan and "median(" not in plan
+    assert "windowspecdefinition(g" in plan  # partitioned window
+    assert "HashAggregate" in plan and "partial_count" in plan
