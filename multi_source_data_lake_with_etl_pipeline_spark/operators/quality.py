@@ -771,11 +771,16 @@ def mad_outlier_stats(
         df, group_cols, value_col, {"_med": 0.5}, max_distinct=max_distinct
     )
     j = df.select(*group_cols, value_col).join(F.broadcast(med), group_cols)
+    # The deviation projection feeds BOTH the MAD histogram and the
+    # final flag count — persist it so the corpus is scanned once, not
+    # once per consumer (narrow 3-column frame; at 100 TB this is the
+    # standard cache-the-projection step between two order-statistics
+    # passes, and disk spill is still cheaper than a second full scan).
     dev = j.select(
         *group_cols,
         "_med",
         F.abs(F.col(value_col) - F.col("_med")).alias("_adev"),
-    )
+    ).persist()
     mad = exact_percentiles(
         dev, group_cols, "_adev", {"_mad": 0.5}, max_distinct=max_distinct
     )
