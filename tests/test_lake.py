@@ -1274,3 +1274,40 @@ def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
         t.delete_keys(keys, "k")
     t._write_files = orig
     assert t.read().count() == 20  # table state untouched by the loser
+
+
+def test_checkpoint_pointer_under_concurrent_appends(spark, tmp_path):
+    """The _last_checkpoint pointer stays coherent under real thread
+    contention across checkpoint boundaries: it names an existing
+    checkpoint at or below the latest version, every snapshot replays
+    correctly through it, and no commit was lost."""
+    import json as _json
+    import threading
+
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    errs = []
+
+    def writer(wid):
+        try:
+            for i in range(6):
+                t.append(
+                    spark.createDataFrame(
+                        [(1000 + wid * 10 + i, wid)], "k long, v long"
+                    )
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.latest_version() == 24  # 4 writers x 6 appends, none lost
+    ptr = os.path.join(t._log_dir, "_last_checkpoint")
+    last = _json.load(open(ptr))["version"]
+    assert last == 20  # newest cadence multiple <= 24
+    assert os.path.exists(os.path.join(t._log_dir, f"_checkpoint.{last}.json"))
+    assert t.read().count() == 10 + 24
+    assert t.read(12).count() == 10 + 12  # time travel through the scan path

@@ -435,3 +435,21 @@ def test_yamlite_roundtrip_property(rows):
     from multi_source_data_lake_with_etl_pipeline_spark.sources import yamlite
 
     assert yamlite.parse(yamlite.dump_rows(rows)) == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="0123456789", min_size=1, max_size=24))
+def test_luhn_exactly_one_check_digit(spark, digits):
+    """Luhn invariant: for ANY digit string there is EXACTLY ONE check
+    digit d in 0..9 making digits+d pass — the property that makes the
+    checksum a usable validity layer (a random final digit passes with
+    p=0.1, never more, never less)."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.pii import luhn_valid
+
+    df = spark.createDataFrame(
+        [(digits + str(d),) for d in range(10)], "pan string"
+    )
+    n_valid = df.select(
+        F.sum(luhn_valid(F.col("pan")).cast("long")).alias("n")
+    ).collect()[0]["n"]
+    assert n_valid == 1
