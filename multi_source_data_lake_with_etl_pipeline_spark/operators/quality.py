@@ -722,11 +722,22 @@ def exact_percentiles(
         return F.max(F.when(hit, F.col(value_col)))
 
     def _interp(p: float, lo_col: str, hi_col: str):
+        # Spark's Percentile.getPercentile, operation-for-operation:
+        # short-circuit when the two positions land on the SAME KEY
+        # (equal values or integral position — Spark returns the key
+        # itself, no arithmetic), else (hiIdx - pos)·lo +
+        # (pos - loIdx)·hi over the FULL-magnitude index doubles.
+        # Algebraically equal alternatives ((1-rate)·lo + rate·hi,
+        # lo + (hi-lo)·rate) each differ from it by 1 ulp on some
+        # inputs — the hypothesis property test found both — so only
+        # the exact operation order keeps the bit-parity claim true.
         pos = (F.col("_n") - 1).cast("double") * F.lit(p)
-        rate = pos - F.floor(pos).cast("double")
-        return (
-            F.col(lo_col).cast("double") * (F.lit(1.0) - rate)
-            + F.col(hi_col).cast("double") * rate
+        lo_i = F.floor(pos).cast("double")
+        hi_i = F.ceil(pos).cast("double")
+        lo = F.col(lo_col).cast("double")
+        hi = F.col(hi_col).cast("double")
+        return F.when((hi_i == lo_i) | (lo == hi), lo).otherwise(
+            (hi_i - pos) * lo + (pos - lo_i) * hi
         )
 
     aggs = []

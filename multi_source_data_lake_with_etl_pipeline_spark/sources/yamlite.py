@@ -38,7 +38,11 @@ def _dump_scalar(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        return json.dumps(v, ensure_ascii=False)
+        # ensure_ascii: NEL/LS/PS-style Unicode line terminators
+        # must leave as \uXXXX escapes — raw, they would split the
+        # emitted line in any splitlines-based reader (and some YAML
+        # parsers), corrupting the row
+        return json.dumps(v, ensure_ascii=True)
     raise NotImplementedError(
         f"yamlite: non-scalar value of type {type(v).__name__} — install "
         "PyYAML for nested structures, or flatten/stringify the column"
@@ -86,8 +90,11 @@ def parse(text: str) -> list[dict]:
     than leading ``---``) raise ValueError with the offending line."""
     rows: list[dict] = []
     cur: dict | None = None
-    for lineno, raw in enumerate(text.splitlines(), 1):
-        line = raw.rstrip("\n")
+    # split on \n only (never str.splitlines: it also splits on
+    # U+0085/U+2028 etc., which a foreign emitter may leave RAW inside a
+    # quoted scalar — mid-string breaks would corrupt the row)
+    for lineno, raw in enumerate(text.split("\n"), 1):
+        line = raw.rstrip("\r")
         if not line.strip() or line.strip() == "---" or line.lstrip().startswith("#"):
             continue
         if line.startswith("- "):
