@@ -105,10 +105,14 @@ def _ordered_names() -> list[str]:
     seen = passed | failed
     # Window priority: previously-FAILED oracled queries first (so the
     # external harness re-verifies fixes), then never-checked oracled
-    # queries in registration order, then everything already green.
+    # queries in registration order, then never-checked rows-only
+    # queries (their weaker no_oracle row is still external evidence
+    # the query runs — without fronting they never enter the window),
+    # then everything already green.
     refresh = [n for n in _REGISTRY if n in failed and _REGISTRY[n][1] is not None]
     fresh = [n for n in _REGISTRY if n not in seen and _REGISTRY[n][1] is not None]
-    head = refresh + fresh
+    fresh_rows_only = [n for n in _REGISTRY if n not in seen and _REGISTRY[n][1] is None]
+    head = refresh + fresh + fresh_rows_only
     rest = [n for n in _REGISTRY if n not in set(head)]
     return head + rest
 

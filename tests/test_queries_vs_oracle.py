@@ -60,14 +60,20 @@ def test_driver_window_rotation_contract():
     }
     refresh = [n for n in names if n in failed and n in oracled]
     fresh = [n for n in names if n in oracled and n not in latest]
-    head_available = refresh + fresh
+    fresh_rows_only = [n for n in names if n not in oracled and n not in latest]
+    head_available = refresh + fresh + fresh_rows_only
     window = names[: min(50, len(head_available))]
-    assert all(n in oracled for n in window)
-    # failed queries lead the window; the rest of the window is unseen
+    # failed queries lead the window; the rest of the window is unseen,
+    # oracled entries before rows-only ones (the stronger check first)
     assert window[: len([n for n in window if n in failed])] == [
         n for n in window if n in failed
     ]
     assert all(n in failed or n not in latest for n in window)
+    unseen = [n for n in window if n not in failed]
+    first_rows_only = next(
+        (i for i, n in enumerate(unseen) if n not in oracled), len(unseen)
+    )
+    assert all(n not in oracled for n in unseen[first_rows_only:])
     # and nothing is lost: the full registry is still served
     assert set(names) == set(q.spark_queries())
 
