@@ -301,21 +301,48 @@ class LakeTable:
                 os.path.join(self._log_dir, f"_checkpoint.{version}.json"), "w"
             ) as f:
                 json.dump({"version": version, "active": active}, f)
-            # Advance the O(1) discovery pointer — never regress it (a
-            # racing writer of an OLDER version writing last would only
-            # cost extra replay, but monotonicity is free to keep).
+            # Advance the O(1) discovery pointer under a short-lived
+            # O_EXCL lock so the read-compare-write can't interleave
+            # between two checkpointing writers (A reads cur, B writes
+            # 20, A writes 10 would regress the pointer). On lock
+            # contention we simply skip: the pointer is a discovery
+            # hint, and the OTHER writer holding the lock is advancing
+            # it right now — worst case is extra replay, never a wrong
+            # snapshot (readers still scan forward from the pointer).
             ptr = os.path.join(self._log_dir, "_last_checkpoint")
-            cur = -1
-            try:
-                with open(ptr) as f:
-                    cur = json.load(f)["version"]
-            except (FileNotFoundError, KeyError, ValueError):
-                pass
-            if version > cur:
-                tmp = ptr + f".tmp.{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    json.dump({"version": version}, f)
-                os.replace(tmp, ptr)  # atomic: readers never see a torn file
+            lock = ptr + ".lock"
+            fd = None
+            for _attempt in range(2):
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    # A crashed writer must not pin the pointer forever:
+                    # break locks older than 60 s (the critical section
+                    # is two tiny-file I/Os), then retry once.
+                    try:
+                        if time.time() - os.path.getmtime(lock) > 60:
+                            os.unlink(lock)
+                            continue
+                    except OSError:
+                        pass
+                    break  # live contention — skip, the holder advances it
+            if fd is not None:
+                try:
+                    cur = -1
+                    try:
+                        with open(ptr) as f:
+                            cur = json.load(f)["version"]
+                    except (FileNotFoundError, KeyError, ValueError):
+                        pass
+                    if version > cur:
+                        tmp = ptr + f".tmp.{uuid.uuid4().hex}"
+                        with open(tmp, "w") as f:
+                            json.dump({"version": version}, f)
+                        os.replace(tmp, ptr)  # atomic: no torn reads
+                finally:
+                    os.close(fd)
+                    os.unlink(lock)
         return version
 
     # ---------------------------------------------------------- data I/O
@@ -395,12 +422,30 @@ class LakeTable:
         if v not in self._versions():
             raise ValueError(f"tag {name!r}: version {v} does not exist")
         path = os.path.join(self._log_dir, f"_tag.{name}.json")
-        if os.path.exists(path) and not replace:
-            raise ValueError(f"tag {name!r} already exists (pass replace=True)")
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "version": v, "ts": time.time()}, f)
-        os.replace(tmp, path)
+        rec = {"name": name, "version": v, "ts": time.time()}
+        if replace:
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, path)
+        else:
+            # Exclusive-create, not exists()-then-write: two concurrent
+            # tag(name) calls must not both succeed with the second
+            # silently re-pointing the "immutable" tag. link(2) is the
+            # atomic claim (fails with EEXIST if the tag already
+            # exists) AND keeps the publish atomic — readers only ever
+            # see the fully-written file, never a torn one.
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} already exists (pass replace=True)"
+                ) from None
+            finally:
+                os.unlink(tmp)
         return v
 
     def tags(self) -> dict[str, int]:

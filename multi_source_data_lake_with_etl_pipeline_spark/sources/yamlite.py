@@ -14,7 +14,10 @@ with scalar values only. The emitter writes numbers/booleans/null bare
 and every string as a JSON double-quoted literal (valid YAML, and
 unambiguous to parse back); the parser additionally accepts UNQUOTED
 plain scalars and single-quoted strings, so it reads what PyYAML's
-``safe_dump`` emits for the same flat rows. Nested values, anchors,
+``safe_dump`` emits for the same flat rows — EXCEPT strings holding
+control characters, where safe_dump uses YAML-only escapes (``"\0"``,
+``"\x07"``, ``"\e"``) that are not JSON; those lines are rejected with
+the standard line-numbered ValueError. Nested values, anchors,
 multi-line scalars, and non-identifier keys are REJECTED loudly —
 full-fidelity YAML still requires PyYAML; this is the honest subset,
 not a YAML implementation.
@@ -114,5 +117,17 @@ def parse(text: str) -> list[dict]:
             val = val.strip()
         else:  # "key:value" without the mandatory space is not the subset
             raise ValueError(f"yamlite: unsupported YAML at line {lineno}: {raw!r}")
-        cur[key.strip()] = _parse_scalar(val)
+        try:
+            cur[key.strip()] = _parse_scalar(val)
+        except json.JSONDecodeError:
+            # A double-quoted scalar that is not a JSON string literal:
+            # PyYAML's safe_dump emits YAML-only escapes (\0, \x07, \e)
+            # for control characters, which json.loads rejects. Outside
+            # the subset — reject with the same line-number context as
+            # every other rejection, not a bare JSONDecodeError.
+            raise ValueError(
+                f"yamlite: unsupported YAML at line {lineno}: {raw!r} "
+                "(double-quoted scalar with non-JSON escapes, e.g. a "
+                "control character — full YAML requires PyYAML)"
+            ) from None
     return rows

@@ -789,3 +789,26 @@ def test_jdbc_pushdown_toggle_options():
     assert opts["pushDownPredicate"] == "false"
     plain = build_jdbc_options("jdbc:postgresql://h/db", table="t")
     assert not any(k.startswith("pushDown") for k in plain)
+
+
+def test_yamlite_rejects_yaml_only_escapes_with_line_context():
+    """PyYAML safe_dump emits YAML-only escapes ("\\0", "\\x07", "\\e")
+    for control characters inside double-quoted scalars; yamlite's JSON
+    string parser cannot read those. They must be rejected as the
+    standard line-numbered ValueError, never a bare JSONDecodeError."""
+    import pytest
+
+    from multi_source_data_lake_with_etl_pipeline_spark.sources import yamlite
+
+    text = '- a: "ok"\n  b: "bell\\x07"\n'
+    with pytest.raises(ValueError, match="line 2"):
+        yamlite.parse(text)
+    # PyYAML cross-check when present: its emission of the same row is
+    # exactly what the subset rejects
+    try:
+        import yaml
+    except ImportError:
+        return
+    dumped = yaml.safe_dump([{"a": "ok", "b": "bell\x07"}])
+    with pytest.raises(ValueError):
+        yamlite.parse(dumped)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1311,3 +1312,48 @@ def test_checkpoint_pointer_under_concurrent_appends(spark, tmp_path):
     assert os.path.exists(os.path.join(t._log_dir, f"_checkpoint.{last}.json"))
     assert t.read().count() == 10 + 24
     assert t.read(12).count() == 10 + 12  # time travel through the scan path
+
+
+def test_checkpoint_pointer_stale_lock_broken(spark, tmp_path):
+    """A crashed writer's orphaned _last_checkpoint.lock must not pin
+    the pointer forever: locks older than 60 s are broken and the next
+    checkpointing commit advances the pointer; a FRESH lock (live
+    contention) makes the writer skip the advance, never block."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    ptr = os.path.join(t._log_dir, "_last_checkpoint")
+    lock = ptr + ".lock"
+    # Fresh lock: version 10 checkpoint fires but skips the pointer.
+    open(lock, "w").close()
+    for i in range(10):
+        t.append(spark.createDataFrame([(100 + i, 1)], "k long, v long"))
+    assert not os.path.exists(ptr)  # skipped under live contention
+    # Age the lock past the 60 s staleness bound: next checkpoint
+    # breaks it and advances the pointer.
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    for i in range(10):
+        t.append(spark.createDataFrame([(200 + i, 1)], "k long, v long"))
+    assert _json.load(open(ptr))["version"] == 20
+    assert not os.path.exists(lock)
+    assert t.read().count() == 30
+
+
+def test_tag_create_is_atomic_and_exclusive(spark, tmp_path):
+    """tag(name) claims the tag file with an atomic link(2): a
+    concurrent (or pre-existing) same-name file makes the second
+    writer fail loudly, no temp files are left behind, and readers
+    never observe a torn record."""
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    t.tag("rel")
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("rel")
+    # the loser's temp file must not linger
+    leftovers = [f for f in os.listdir(t._log_dir) if ".tmp." in f]
+    assert leftovers == []
+    assert t.tags() == {"rel": 0}
+    # replace=True still re-points atomically
+    t.append(spark.createDataFrame([(99, 9)], "k long, v long"))
+    t.tag("rel", replace=True)
+    assert t.tag_version("rel") == 1
