@@ -103,6 +103,7 @@ def duplicate_span_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     positions: DataFrame | None = None,
+    profile_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document profile of maximal cross-doc repeated spans:
 
@@ -112,9 +113,18 @@ def duplicate_span_profile(
 
     Every document appears (docs with no duplicated span report 0/0) —
     the downstream filter/trim decision needs the zeros too.
-    ``positions``: precomputed postings (see duplicated_positions)."""
+    ``positions``: precomputed postings (see duplicated_positions).
+    ``profile_docs``: emit profiles ONLY for this subset of ``df``
+    (duplicate detection still runs against the FULL corpus). The
+    subset restriction lands BEFORE the per-doc interval-merge window
+    and the totals tokenization — restricting 100 TB of corpus to one
+    batch must not window-sort or re-tokenize the other 99%."""
     dup = duplicated_positions(df, k, text_col, id_col, positions=positions)
-    return _profile_from_positions(df, dup, k, text_col, id_col)
+    target = df
+    if profile_docs is not None:
+        target = profile_docs
+        dup = dup.join(profile_docs.select(id_col), id_col, "left_semi")
+    return _profile_from_positions(target, dup, k, text_col, id_col)
 
 
 def _profile_from_positions(

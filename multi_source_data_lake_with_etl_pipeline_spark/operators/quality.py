@@ -407,9 +407,12 @@ def spearman_corr(
     yi = (y_int if y_int is not None else F.col(y)).cast("long").alias("_y")
     base = df.select(xi, yi).na.drop()
 
+    guards: list[DataFrame] = []
+
     def rank2(col: str) -> DataFrame:
         hist = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
         hist = bounded_hist(hist, max_distinct, f"spearman_corr({col})")
+        guards.append(hist)
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
         return hist.select(
             col,
@@ -421,9 +424,12 @@ def spearman_corr(
     out = exact_corr_matrix(
         ranked, {"rx": F.col("_x_r2"), "ry": F.col("_y_r2")}
     )
-    return out.select(
+    out = out.select(
         F.col("n_rows"), F.col("corr_ppm").alias("spearman_ppm")
     )
+    # One row out; release both rank histograms on the way (the caller
+    # can never unpersist them — it only sees the result frame).
+    return _finalize_release(out, *guards)
 
 
 def exact_linreg(
@@ -641,6 +647,19 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def _finalize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a stat operator's (tiny) result, then release the
+    histogram/projection caches it was built from. The guard persists
+    are only 'free for the reuse that follows' if they are BOTH reused
+    within the operator AND dropped when it finishes — in a long-lived
+    session (the driver runs the full registry in one JVM) leaked
+    caches accumulate until LRU eviction and tax every later query."""
+    out = out.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    return out
+
+
 def bounded_hist(hist: DataFrame, max_distinct: int, context: str) -> DataFrame:
     """Guard a value HISTOGRAM before it feeds an unpartitioned window.
 
@@ -674,6 +693,7 @@ def exact_percentiles(
     value_col: str,
     ps: dict[str, float],
     max_distinct: int = 20_000_000,
+    finalize: bool = True,
 ) -> DataFrame:
     """Exact interpolated percentiles per group WITHOUT Spark's exact
     ``percentile`` aggregate, whose buffer holds every group value (a
@@ -693,13 +713,25 @@ def exact_percentiles(
     ``ps`` maps output column name -> fraction in [0, 1]. Returns one
     row per group: group_cols + one double column per entry. With
     ``group_cols=[]`` the cumulative window is global — it then runs
-    behind the ``bounded_hist`` cardinality guard (``max_distinct``).
-    Rows with NULL in ``value_col`` are ignored (aggregate semantics).
+    behind the ``bounded_hist`` cardinality guard (``max_distinct``),
+    and the guarded result is eagerly finalized so the histogram cache
+    is RELEASED when the operator returns (``finalize=False`` keeps
+    the lazy plan — for plan inspection or callers managing caches).
+
+    NULL semantics: rows with NULL in ``value_col`` are ignored within
+    a group (aggregate semantics, matches Spark/DuckDB). A group whose
+    values are ALL NULL is DROPPED from the output — Spark's
+    ``percentile`` aggregate instead emits that group with a NULL
+    result; callers needing those rows should left-join this output
+    back to the group domain (the divergence is only reachable when an
+    entire group is NULL-valued).
     """
     vals = df.select(*group_cols, value_col).filter(F.col(value_col).isNotNull())
     hist = vals.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    guarded = None
     if not group_cols:
         hist = bounded_hist(hist, max_distinct, f"exact_percentiles({value_col})")
+        guarded = hist
     wg = Window.partitionBy(*group_cols)
     wcum = wg.orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -744,7 +776,7 @@ def exact_percentiles(
     for name, p in ps.items():
         aggs.append(_stat(p, "lo").alias(f"_{name}_lo"))
         aggs.append(_stat(p, "hi").alias(f"_{name}_hi"))
-    return (
+    out = (
         cum.groupBy(*group_cols, "_n")
         .agg(*aggs)
         .select(
@@ -755,6 +787,9 @@ def exact_percentiles(
             ],
         )
     )
+    if guarded is not None and finalize:
+        out = _finalize_release(out, guarded)
+    return out
 
 
 def mad_outlier_stats(
@@ -796,7 +831,7 @@ def mad_outlier_stats(
         dev, group_cols, "_adev", {"_mad": 0.5}, max_distinct=max_distinct
     )
     flagged = dev.join(F.broadcast(mad), group_cols)
-    return flagged.groupBy(*group_cols).agg(
+    out = flagged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.floor(F.max("_med") * 100).cast("long").alias("med_c"),
         F.floor(F.max("_mad") * 100).cast("long").alias("mad_c"),
@@ -804,3 +839,6 @@ def mad_outlier_stats(
             (F.col("_adev") > F.lit(float(z)) * F.col("_mad")).cast("long")
         ).alias("n_outliers"),
     )
+    # One row per group out; drop the corpus-wide deviation cache now
+    # that both consumers (MAD histogram + flag count) have run.
+    return _finalize_release(out, dev)

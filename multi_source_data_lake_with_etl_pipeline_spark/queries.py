@@ -133,6 +133,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _eager_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a query's (small) final frame, then RELEASE the
+    corpus-sized intermediates it was built from.
+
+    Audit queries persist wide frames (k-gram postings, signatures,
+    candidate-pair lists) so multiple consumers within ONE query share
+    a single corpus scan. But a query function that returns a lazy
+    plan over those caches can never unpersist them — and the driver
+    executes the full registry in ONE long-lived JVM, so leaked caches
+    stack up round after query, taxing every later query's GC, shuffle
+    memory, and eviction churn (the round-5 broad-drift suspect).
+    Eagerly finalizing (localCheckpoint runs the plan now; the result
+    is result-rows-sized) bounds each query's footprint to its output
+    and lets the wide caches drop immediately."""
+    out = out.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    return out
+
+
 _DRAINED: dict[tuple[int, str], str] = {}
 
 
@@ -2308,7 +2328,7 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
-    return (
+    out = (
         lsh.join(
             F.broadcast(ind.select(F.col("doc_id").alias("id_1"), F.col("_sh2").alias("_a"))),
             "id_1",
@@ -2322,6 +2342,7 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("violations"))
     )
+    return _eager_release(out, docs, lsh)
 
 
 # Hyperplane-LSH scores are genuine cosines of real rows: every
@@ -2415,7 +2436,7 @@ def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = votes.select("doc_id", sig2.alias("simhash"))
     s1 = part.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
     s2 = part.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
-    return (
+    out = (
         pairs.join(F.broadcast(s1), "id_1")
         .join(F.broadcast(s2), "id_2")
         .filter(
@@ -2424,6 +2445,7 @@ def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("violations"))
     )
+    return _eager_release(out, sig, pairs)
 
 
 # IVF scores are genuine cosines of real rows (probing only affects
@@ -2854,7 +2876,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
-    return out
+    return _eager_release(out, rev)
 
 
 # Q19 shape: discounted-revenue over an OR-of-ANDs join predicate —
@@ -3619,7 +3641,7 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r0 + F.floor((F.col("_pos") - cut + qs - 1) / qs))
         .cast("int")
     )
-    return (
+    out = (
         pos.select(F.col("c_acctbal"), decile.alias("decile"))
         .groupBy("decile")
         .agg(
@@ -3629,6 +3651,7 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
     )
+    return _eager_release(out, hist)
 
 
 # Bivariate statistics profile: correlation, covariance, regression
@@ -3997,12 +4020,13 @@ def cms_frequency_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_counts.count()  # one scan feeds both the grid compare and the join
     cms = cms_build(tok, "term")
     est = cms_estimate(cms, true_counts.select("term"), "term")
-    return true_counts.join(est, "term").agg(
+    out = true_counts.join(est, "term").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum((F.col("cms_estimate") < F.col("n_true")).cast("long")).alias(
             "underestimates"
         ),
     )
+    return _eager_release(out, true_counts)
 
 
 # HyperLogLog mergeable-distinct audit (operators/sketches.py): the
@@ -4054,11 +4078,12 @@ def hll_distinct_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("long").alias("_ng"),
         )
     )
-    return mismatch.unionByName(err).agg(
+    out = mismatch.unionByName(err).agg(
         F.sum("_ng").alias("n_groups"),
         F.sum("_mm").alias("merge_mismatch"),
         F.sum("_oot").alias("out_of_tolerance"),
     )
+    return _eager_release(out, per)
 
 
 _LAKE_INGESTED: dict[tuple[int, str], str] = {}
@@ -4141,6 +4166,7 @@ def pq_adc_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("pq_dist") - F.col("exp_dist")) > 1e-9)
         .count()
     )
+    enc.unpersist()  # all consumers already ran (collect/count above)
     return spark.createDataFrame(
         [(int(mismatches) + (0 if ordered else 1),)], "violations long"
     )
@@ -4469,6 +4495,8 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     keys = ["id_1", "id_2", "jaccard"]
     missing = batch_delta.join(inc, keys, "left_anti").count()
     extra = inc.join(batch_delta, keys, "left_anti").count()
+    for f in (banded_all, inc, batch_delta):  # all consumers ran above
+        f.unpersist()
     return spark.createDataFrame([(missing + extra,)], "violations long")
 
 
@@ -4668,11 +4696,12 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, "_y", num_features=1024, max_iter=10
     )
     scored = score_with_model(model, test)
-    return scored.agg(
+    out = scored.agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum((F.col("prediction") == F.col("_y")).cast("long")).alias("n_correct"),
         F.sum(F.col("_y").cast("long")).alias("n_pos"),
     )
+    return _eager_release(out, lab)
 
 
 # Exact interpolated quantiles per group (reference A2-A6 profile
@@ -4849,10 +4878,11 @@ def dup_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     j2 = src.join(
         F.broadcast(j1), F.col("doc_id") == F.col("id_2")
     ).select("_s1", F.col("source").alias("_s2"))
-    return j2.groupBy(
+    out = j2.groupBy(
         F.least("_s1", "_s2").alias("source_a"),
         F.greatest("_s1", "_s2").alias("source_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    return _eager_release(out, pairs)
 
 
 # Characteristic terms per source: distinct-doc frequency per (source,
@@ -5410,15 +5440,19 @@ def span_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, path, k=8, positions=pos_all.filter(F.col("doc_id") % 5 == 0)
     ).persist()
     inc.count()
-    full = (
-        duplicate_span_profile(d, k=8, positions=pos_all)
-        .join(new.select("doc_id"), "doc_id", "left_semi")
-        .persist()
-    )
+    # profile_docs=new: duplicate detection runs over the FULL corpus
+    # postings, but the interval-merge window and the totals
+    # tokenization are restricted to the batch BEFORE they run — the
+    # old post-hoc semi-join windowed and re-tokenized all of d for
+    # profiles it was about to throw away.
+    full = duplicate_span_profile(
+        d, k=8, positions=pos_all, profile_docs=new
+    ).persist()
     full.count()
     missing = full.join(inc, list(full.columns), "left_anti")
     extra = inc.join(full, list(full.columns), "left_anti")
-    return missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))
+    out = missing.unionAll(extra).agg(F.count(F.lit(1)).alias("violations"))
+    return _eager_release(out, pos_all, inc, full)
 
 
 # Customer reorder cadence: integer day gaps between consecutive orders
@@ -7032,7 +7066,7 @@ def bloom_prune_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("violations"))
     )
     n_member = exact.agg(F.count(F.lit(1)).alias("member_orders"))
-    return missed.crossJoin(n_member)
+    return _eager_release(missed.crossJoin(n_member), bloom)
 
 
 # Hybrid retrieval: BM25 lexical top-20 + brute-force cosine top-20
