@@ -47,23 +47,31 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
 
-    # Best-of-N per query (default 2): this host is a shared VM and
+    # Median-of-N per query (default 3): this host is a shared VM and
     # CPU-bound stages can be throttled 3-10x by neighbor load for
-    # minutes at a time; the per-query minimum measures the engine,
-    # the mean would measure the neighbors.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # minutes at a time. The median resists a single throttled attempt
+    # in either direction, and the recorded per-attempt spread lets a
+    # round-over-round comparison separate "moved beyond spread" from
+    # noise (a single-shot number cannot — VERDICT r5 #3).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Soft wall-clock budget: when neighbor load stretches the run past
     # this, degrade to single attempts (never skip a query — a complete
     # JSON with noisier numbers beats a timeout with none).
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_start = time.perf_counter()
     timings: dict[str, float] = {}
+    attempts_by_query: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
     for name, fn in q.spark_queries().items():
         over_budget = time.perf_counter() - bench_start > budget_s
-        best = float("inf")
+        got: list[float] = []
         attempts = 1 if over_budget else runs
-        extended = over_budget
         while attempts > 0:
             t0 = time.perf_counter()
             try:
@@ -72,19 +80,14 @@ def main() -> None:
                 failures[name] = f"{type(exc).__name__}: {exc}"[:200]
                 spark.catalog.clearCache()
                 break
-            best = min(best, time.perf_counter() - t0)
+            got.append(time.perf_counter() - t0)
             # Release per-query persisted intermediates so queries are
             # measured independently (no cross-query memory pressure).
             spark.catalog.clearCache()
             attempts -= 1
-            # A slow best after the planned runs usually means the
-            # neighbor-throttle window covered them all — one extra
-            # attempt; bounded, and only for the noisy tail.
-            if attempts == 0 and not extended and best > 5.0 and runs > 1:
-                extended = True
-                attempts = 1
-        if best != float("inf"):
-            timings[name] = round(best, 4)
+        if got:
+            timings[name] = round(_median(got), 4)
+            attempts_by_query[name] = [round(x, 4) for x in got]
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -94,6 +97,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Per-attempt wall times (median is what "queries" carries) and
+        # the spread — round-over-round comparisons treat a move WITHIN
+        # a query's own spread as noise, beyond it as a real change.
+        "runs": attempts_by_query,
+        "spread": {
+            n: round(max(xs) - min(xs), 4)
+            for n, xs in attempts_by_query.items()
+            if len(xs) > 1
+        },
     }
     if failures:
         full["failed_queries"] = failures

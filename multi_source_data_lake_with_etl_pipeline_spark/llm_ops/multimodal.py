@@ -115,6 +115,122 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]] | None:
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL image decode for PNG, dependency-free (stdlib ``zlib``
+    inflate + per-scanline filter reconstruction). Subset: 8-bit
+    truecolor, color type 2 (RGB) or 6 (RGBA), non-interlaced — the
+    shape virtually every ML-pipeline PNG takes. Returns
+    (width, height, feature) with the same 8-float feature as
+    ``_decode_ppm`` (RGB channel means + 5-bucket luminance histogram;
+    alpha is ignored for both).
+
+    Dispatch contract: returns ``None`` only when the payload is NOT a
+    PNG (no magic — caller falls back to the stub). A real PNG outside
+    the subset (palette, 16-bit, grayscale, interlaced) or a corrupt
+    one raises loudly — silently handing a *decodable-looking* fake to
+    a curation pipeline would poison downstream features.
+
+    Speed: the filter reconstruction is pure Python per scanline
+    (Sub/Average/Paeth are sequential recurrences along the row); fine
+    for thumbnail-scale assets, ~10-100x slower than a C codec on
+    megapixel images — swap for PIL in a real deployment, the UDF
+    signature does not change.
+    """
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+                pos + 4 : pos + 8
+            ]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                raise ValueError("png: truncated chunk")
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or color not in (2, 6):
+                    raise NotImplementedError(
+                        f"png: only 8-bit RGB/RGBA supported "
+                        f"(bit depth {depth}, color type {color})"
+                    )
+                if interlace != 0:
+                    raise NotImplementedError("png: interlaced (Adam7) unsupported")
+                if comp != 0 or filt != 0:
+                    raise ValueError("png: unknown compression/filter method")
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+    except struct.error:
+        raise ValueError("png: malformed chunk structure") from None
+    if width is None or not idat:
+        raise ValueError("png: missing IHDR or IDAT")
+    bpp = 3 if color == 2 else 4
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: IDAT inflate failed ({exc})") from None
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("png: decompressed size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = [0] * stride
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], list(row[1:])
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub
+            rec = line[:]
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = [(line[x] + prev[x]) & 0xFF for x in range(stride)]
+        elif ftype == 3:  # Average
+            rec = line[:]
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line[:]
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype} at row {y}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, bpp)[:, :, :3].reshape(-1, 3)
+    rgb = px.astype(np.float64) / 255.0
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(lum, bins=5, range=(0.0, 1.0 + 1e-9))[0] / len(lum)
+    feat = [round(float(v), 6) for v in rgb.mean(axis=0)] + [
+        round(float(v), 6) for v in hist
+    ]
+    return width, height, feat
+
+
 def _decode_wav(payload: bytes) -> tuple[int, float, list[float]] | None:
     """REAL audio decode for PCM WAV — the stdlib ``wave`` module plus
     numpy. Returns (sample_rate, duration_s, feature) or None for
@@ -207,7 +323,9 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                 elif mod == "video":
                     w, h, nf, dur, feat = _decode_video_stub(payload)
                 else:
-                    real_im = _decode_ppm(payload)
+                    real_im = _decode_png(payload)
+                    if real_im is None:
+                        real_im = _decode_ppm(payload)
                     if real_im is not None:
                         w, h, feat = real_im
                     else:
@@ -270,6 +388,66 @@ def make_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     for the real decode path, built without any codec library."""
     header = f"P6\n# synthetic\n{width} {height}\n255\n".encode()
     return header + bytes(rgb) * (width * height)
+
+
+def make_png(
+    pixels: "np.ndarray", filters: list[int] | None = None
+) -> bytes:
+    """Serialize an (h, w, 3|4) uint8 array as a REAL PNG, built with
+    stdlib zlib only — the encoder counterpart of ``_decode_png`` for
+    tests. ``filters`` picks each scanline's filter type (cycled;
+    default exercises all five), so decode tests cover every
+    reconstruction branch, not just filter 0."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    height, width, bpp = px.shape
+    color = 2 if bpp == 3 else 6
+    filters = filters or [0, 1, 2, 3, 4]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * bpp
+    flat = px.reshape(height, stride).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            pa = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                dtype=np.int16,
+            )
+            filt = row - pa
+        raw.append(f)
+        raw += bytes((filt & 0xFF).astype(np.uint8))
+        prev = row
+    idat = zlib.compress(bytes(raw))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(sample_rate: int, seconds: float, freq_hz: float = 440.0) -> bytes:
