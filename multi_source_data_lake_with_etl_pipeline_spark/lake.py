@@ -54,6 +54,7 @@ from pyspark.sql.types import StructType
 _LOG = "_log"
 _DATA = "data"
 _CDF = "_cdf"
+_DV = "dv"  # deletion-vector sidecars: (base, pos) parquet per delete
 _CHECKPOINT_EVERY = 10
 # Footer stats only for types whose min/max compare unambiguously
 # across engines (skip strings: parquet truncates binary stats).
@@ -132,6 +133,7 @@ class LakeTable:
         self.path = path
         self._log_dir = os.path.join(path, _LOG)
         self._data_dir = os.path.join(path, _DATA)
+        self._dv_dir = os.path.join(path, _DV)
 
     # ---------------------------------------------------------- creation
     @classmethod
@@ -165,7 +167,18 @@ class LakeTable:
         t = LakeTable(self.spark, target_path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
-        adds = [{**a, "path": self._abs(a["path"])} for a in active]
+        adds = [
+            {
+                **a,
+                "path": self._abs(a["path"]),
+                **(
+                    {"dv": {**a["dv"], "path": self._abs(a["dv"]["path"])}}
+                    if a.get("dv")
+                    else {}
+                ),
+            }
+            for a in active
+        ]
         t._commit(0, "create", adds, [], schema)
         return t
 
@@ -388,10 +401,62 @@ class LakeTable:
         before the new column existed read as NULL, and time travel to
         an older version reads with that version's narrower schema)."""
         _, active, schema = self._snapshot(version)
-        paths = [self._abs(a["path"]) for a in active]
+        return self._read_entries(active, schema)
+
+    def _read_entries(
+        self, entries: list[dict], schema: StructType, keep_meta: bool = False
+    ) -> DataFrame:
+        """Read the given add entries WITH their deletion vectors
+        applied — the single physical read path every reader (full,
+        pruned, null-skipping, rewrite-affected) funnels through, so a
+        DV'd row can never resurrect via a side door.
+
+        DV application is positional (Delta parity): each sidecar holds
+        (base, pos) pairs — the data file's basename (uuid, globally
+        unique) and the 0-based row position from the parquet reader's
+        ``_metadata.row_index``. Applying is one anti-join whose build
+        side is deleted-rows-sized (broadcast: ndel is known from the
+        entries, so the hint is driven by metadata, not a guess); a
+        snapshot with NO DVs takes the plain scan with zero overhead.
+        ``keep_meta=True`` keeps ``_dv_base``/``_dv_pos`` columns —
+        file identity + row position captured AT SCAN TIME, which
+        survives joins (``input_file_name()`` does not)."""
+        paths = [self._abs(a["path"]) for a in entries]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
+        if not dv_rels and not keep_meta:
+            return df
+        data_cols = df.columns
+        df = df.select(
+            *data_cols,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "_dv_base"
+            ),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        if dv_rels:
+            dv = self.spark.read.schema("_dv_base string, _dv_pos long").parquet(
+                *[self._abs(p) for p in dv_rels]
+            )
+            ndel = sum(int(a["dv"].get("ndel", 0)) for a in entries if a.get("dv"))
+            if ndel <= 2_000_000:  # metadata-known build size → broadcast
+                dv = F.broadcast(dv)
+            df = df.join(dv, ["_dv_base", "_dv_pos"], "left_anti")
+        if not keep_meta:
+            df = df.select(*data_cols)
+        return df
+
+    def _active_dv_positions(self, entries: list[dict]) -> DataFrame | None:
+        """(base, pos) union of the entries' current deletion vectors,
+        or None when the entries carry none."""
+        dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
+        if not dv_rels:
+            return None
+        return self.spark.read.schema("_dv_base string, _dv_pos long").parquet(
+            *[self._abs(p) for p in dv_rels]
+        )
 
     def version_at(self, ts: float) -> int:
         """Time travel: largest version committed at or before ``ts``."""
@@ -508,10 +573,8 @@ class LakeTable:
         paths = set(self.files_overlapping(*conds[0]))
         for c in conds[1:]:
             paths &= set(self.files_overlapping(*c))
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        out = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in sorted(paths)]
+        out = self._read_entries(
+            [a for a in active if a["path"] in paths], schema
         )
         for col, lo, hi in conds:
             out = out.filter(F.col(col).between(lo, hi))
@@ -541,12 +604,10 @@ class LakeTable:
     def read_where_null(self, col: str, want_null: bool = True) -> DataFrame:
         """IS NULL / IS NOT NULL read through null-count file skipping
         + the residual filter (same contract as ``read_pruned``)."""
-        _, _, schema = self._snapshot()
-        paths = self.files_null_candidates(col, want_null)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        out = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in sorted(paths)]
+        _, active, schema = self._snapshot()
+        paths = set(self.files_null_candidates(col, want_null))
+        out = self._read_entries(
+            [a for a in active if a["path"] in paths], schema
         )
         cond = F.col(col).isNull() if want_null else F.col(col).isNotNull()
         return out.filter(cond)
@@ -557,7 +618,10 @@ class LakeTable:
         Delta/Iceberg manifest-count fast path). Equality with a real
         scan count is pinned in tests."""
         _, active, _ = self._snapshot(version)
-        return sum(int(a.get("rows", 0)) for a in active)
+        return sum(
+            int(a.get("rows", 0)) - int(a.get("dv", {}).get("ndel", 0))
+            for a in active
+        )
 
     def optimize_if_needed(
         self, small_file_bytes: int = 32 * 1024 * 1024, min_small_files: int = 8
@@ -578,9 +642,9 @@ class LakeTable:
         small_paths = [a["path"] for a in small]
         total_small = sum(int(a.get("bytes", 0)) for a in small)
         target = max(1, total_small // max(small_file_bytes, 1))
-        df = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in small_paths]
-        )
+        # DV-aware read: compacting a vectored file folds its deletions
+        # into the rewrite (the new files carry no dv entry)
+        df = self._read_entries(small, schema)
         adds = self._write_files(df.coalesce(int(target)))
         v = self._commit(v0 + 1, "compact", adds, small_paths, schema)
         return {"compacted": True, "small_files": len(small), "version": v}
@@ -746,7 +810,7 @@ class LakeTable:
         out["version"] = self.latest_version()
         return out
 
-    def delete_keys(self, keys: DataFrame, key: str) -> dict:
+    def delete_keys(self, keys: DataFrame, key: str, dv: bool = False) -> dict:
         """DELETE rows whose ``key`` appears in ``keys`` — the injection
         -proof alternative to ``delete(f"k IN (...)")``: membership is a
         distributed semi/anti join on a keys DataFrame, so key VALUES
@@ -754,29 +818,101 @@ class LakeTable:
         -list (a 10M-key GDPR purge is one broadcast/shuffle join, not a
         10M-literal predicate). File-granular like delete(): only files
         containing a matched key are rewritten. NULL keys never match
-        (SQL IN semantics)."""
-        v, _, schema = self._snapshot()
+        (SQL IN semantics).
+
+        ``dv=True``: deletion-vector mode (Delta parity) — instead of
+        rewriting every touched file, write a (base, pos) sidecar and
+        re-commit the touched entries pointing at it. A small delete on
+        large files costs O(deleted rows), not O(touched bytes); reads
+        apply the vector as an anti-join; compaction folds it in.
+        Results are bit-identical to rewrite mode (oracled by
+        ``dv_delete_parity_audit``)."""
+        v, active, schema = self._snapshot()
         ks = keys.select(key).distinct().persist()
-        cur_f = self.read(v).withColumn("_f", F.input_file_name())
-        touched = self._touched_files(cur_f.join(ks, key, "left_semi"))
+        cur = self._read_entries(active, schema, keep_meta=True)
+        matched = cur.join(ks, key, "left_semi").persist()
+        touched = self._touched_files(matched, col="_dv_base")
         if not touched:
-            ks.unpersist()
+            for f in (ks, matched):
+                f.unpersist()
             return {"deleted": 0, "rewritten_files": 0, "version": v}
-        affected = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in touched]
-        )
-        keep = affected.join(ks, key, "left_anti")
-        deleted = affected.count() - keep.count()
-        adds = self._write_files(keep) if keep.limit(1).count() else []
-        new_v = self._commit(v + 1, "delete", adds, touched, schema)
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
+        data_cols = [f.name for f in schema.fields]
+        deleted = matched.count()
+        if dv:
+            adds, new_v = self._commit_dv(v, t_entries, matched, schema)
+            rewritten = 0
+        else:
+            affected = self._read_entries(t_entries, schema)
+            keep = affected.join(ks, key, "left_anti")
+            adds = self._write_files(keep) if keep.limit(1).count() else []
+            new_v = self._commit(v + 1, "delete", adds, touched, schema)
+            rewritten = len(touched)
         self._write_cdf(
             new_v,
-            affected.join(ks, key, "left_semi").withColumn(
+            matched.select(*data_cols).withColumn(
                 "_change_type", F.lit("delete")
             ),
         )
-        ks.unpersist()
-        return {"deleted": deleted, "rewritten_files": len(touched), "version": new_v}
+        for f in (ks, matched):
+            f.unpersist()
+        return {"deleted": deleted, "rewritten_files": rewritten, "version": new_v}
+
+    def _commit_dv(
+        self,
+        v: int,
+        t_entries: list[dict],
+        matched: DataFrame,
+        schema: StructType,
+    ) -> tuple[list[dict], int]:
+        """Shared DV-mode commit: union the touched entries' EXISTING
+        vectors with the newly matched (base, pos) rows into ONE new
+        sidecar, and re-add each touched entry pointing at it (remove +
+        add of the same path — the data file itself never moves). The
+        union keeps an entry on exactly one sidecar, so a chain of
+        small deletes never accumulates a per-file sidecar list."""
+        new_pos = matched.select("_dv_base", "_dv_pos")
+        prior = self._active_dv_positions(t_entries)
+        if prior is not None:
+            bases = [os.path.basename(a["path"]) for a in t_entries]
+            new_pos = new_pos.unionByName(
+                prior.filter(F.col("_dv_base").isin(bases))
+            ).distinct()
+        os.makedirs(self._dv_dir, exist_ok=True)
+        dv_name = f"{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        new_pos.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        os.rename(
+            os.path.join(tmp, part[0]), os.path.join(self._dv_dir, dv_name)
+        )
+        shutil.rmtree(tmp)
+        counts = {
+            r["_dv_base"]: r["n"]
+            for r in self.spark.read.parquet(os.path.join(self._dv_dir, dv_name))
+            .groupBy("_dv_base")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        adds = [
+            {
+                **a,
+                "dv": {
+                    "path": f"{_DV}/{dv_name}",
+                    "ndel": int(counts.get(os.path.basename(a["path"]), 0)),
+                },
+            }
+            for a in t_entries
+        ]
+        # a file whose every row is now vectored carries no readable
+        # data — drop the entry outright instead of re-adding a
+        # 100%-dead file (Delta does the same)
+        adds = [a for a in adds if a["dv"]["ndel"] < int(a.get("rows", 0))]
+        new_v = self._commit(
+            v + 1, "delete", adds, [a["path"] for a in t_entries], schema
+        )
+        return adds, new_v
 
     def restore(self, version: int) -> int:
         """RESTORE to an earlier version (Delta parity): metadata-only
@@ -792,7 +928,10 @@ class LakeTable:
         cur_v, cur_active, _ = self._snapshot()
         _, active, schema = self._snapshot(version)
         missing = [
-            a["path"] for a in active if not os.path.exists(self._abs(a["path"]))
+            p
+            for a in active
+            for p in [a["path"]] + ([a["dv"]["path"]] if a.get("dv") else [])
+            if not os.path.exists(self._abs(p))
         ]
         if missing:
             raise ValueError(
@@ -804,12 +943,14 @@ class LakeTable:
             cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema
         )
 
-    def _touched_files(self, marker: DataFrame) -> list[str]:
+    def _touched_files(self, marker: DataFrame, col: str = "_f") -> list[str]:
         """STORED path strings of active files containing ≥1 marker
-        row. ``marker`` must carry a ``_f`` column captured with
+        row. ``marker`` carries either a ``_f`` column captured with
         input_file_name() AT SCAN TIME (the expression is thread-local
         to the scan and evaluates to '' after any exchange, so it
-        cannot be added after a join/shuffle).
+        cannot be added after a join/shuffle) or — for DV-aware flows,
+        which read through ``_read_entries(keep_meta=True)`` — the
+        ``_dv_base`` column, whose values survive joins.
 
         Identity goes through the file's basename (uuid4 — globally
         unique) mapped back to the snapshot's stored path, NOT by
@@ -819,11 +960,11 @@ class LakeTable:
         lists match the active set."""
         _, active, _ = self._snapshot()
         by_base = {os.path.basename(a["path"]): a["path"] for a in active}
-        rows = marker.select("_f").distinct().collect()
+        rows = marker.select(col).distinct().collect()
         out = {
             by_base[base]
             for r in rows
-            if (base := os.path.basename(r["_f"])) in by_base
+            if (base := os.path.basename(r[col])) in by_base
         }
         return sorted(out)
 
@@ -836,15 +977,16 @@ class LakeTable:
         from .sinks.merge import merge_upsert_df
 
         v, active, schema = self._snapshot()
-        cur_f = self.read(v).withColumn("_f", F.input_file_name())
+        cur = self._read_entries(active, schema, keep_meta=True)
         src = source.persist()
         src_keys = src.select(key).distinct()
-        touched = self._touched_files(cur_f.join(src_keys, key, "left_semi"))
-        touched_abs = [self._abs(p) for p in touched]
-        if touched_abs:
-            affected = self.spark.read.schema(schema).parquet(*touched_abs)
-        else:
-            affected = self.spark.createDataFrame([], schema)
+        touched = self._touched_files(
+            cur.join(src_keys, key, "left_semi"), col="_dv_base"
+        )
+        by_path = {a["path"]: a for a in active}
+        affected = self._read_entries(
+            [by_path[p] for p in touched], schema
+        )
         updated = src.join(affected.select(key).distinct(), key, "left_semi").count()
         inserted = src.count() - updated
         merged = merge_upsert_df(affected, src, key)
@@ -879,26 +1021,39 @@ class LakeTable:
             "version": new_v,
         }
 
-    def delete(self, predicate: str) -> dict:
+    def delete(self, predicate: str, dv: bool = False) -> dict:
         """DELETE WHERE predicate: rewrite only files containing a
-        pred=TRUE row. NULL-predicate rows are KEPT (SQL semantics)."""
-        v, _, schema = self._snapshot()
-        cur_f = self.read(v).withColumn("_f", F.input_file_name())
+        pred=TRUE row. NULL-predicate rows are KEPT (SQL semantics).
+        ``dv=True``: deletion-vector mode — see ``delete_keys``."""
+        v, active, schema = self._snapshot()
         cond = F.expr(f"coalesce(({predicate}), false)")
-        touched = self._touched_files(cur_f.filter(cond))
+        cur = self._read_entries(active, schema, keep_meta=True)
+        matched = cur.filter(cond).persist()
+        touched = self._touched_files(matched, col="_dv_base")
         if not touched:
+            matched.unpersist()
             return {"deleted": 0, "rewritten_files": 0, "version": v}
-        affected = self.spark.read.schema(schema).parquet(
-            *[self._abs(p) for p in touched]
-        )
-        keep = affected.filter(~cond)
-        deleted = affected.count() - keep.count()
-        adds = self._write_files(keep) if keep.limit(1).count() else []
-        new_v = self._commit(v + 1, "delete", adds, touched, schema)
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
+        data_cols = [f.name for f in schema.fields]
+        deleted = matched.count()
+        if dv:
+            _, new_v = self._commit_dv(v, t_entries, matched, schema)
+            rewritten = 0
+        else:
+            affected = self._read_entries(t_entries, schema)
+            keep = affected.filter(~cond)
+            adds = self._write_files(keep) if keep.limit(1).count() else []
+            new_v = self._commit(v + 1, "delete", adds, touched, schema)
+            rewritten = len(touched)
         self._write_cdf(
-            new_v, affected.filter(cond).withColumn("_change_type", F.lit("delete"))
+            new_v,
+            matched.select(*data_cols).withColumn(
+                "_change_type", F.lit("delete")
+            ),
         )
-        return {"deleted": deleted, "rewritten_files": len(touched), "version": new_v}
+        matched.unpersist()
+        return {"deleted": deleted, "rewritten_files": rewritten, "version": new_v}
 
     # ---------------------------------------------------------- CDF
     def _write_cdf(self, version: int, df: DataFrame) -> None:
@@ -930,11 +1085,17 @@ class LakeTable:
         for v in range(from_version + 1, hi + 1):
             c = self._read_commit(v)
             op = c["op"]
-            tagged: list[tuple[list[str], str]] = []
+            tagged: list[tuple[list[dict], str]] = []
             if op in ("create", "append"):
-                tagged = [([a["path"] for a in c["add"]], "insert")]
+                tagged = [(c["add"], "insert")]
             elif op == "overwrite":
-                tagged = [(c["remove"], "delete"), ([a["path"] for a in c["add"]], "insert")]
+                # the removed entries' DV state lives in the PRIOR
+                # snapshot — resolve it so a vectored row is not
+                # resurrected into the feed as a phantom delete/insert
+                _, prev_active, _ = self._snapshot(v - 1)
+                prev_by_path = {a["path"]: a for a in prev_active}
+                removed = [prev_by_path.get(p, {"path": p}) for p in c["remove"]]
+                tagged = [(removed, "delete"), (c["add"], "insert")]
             elif op in ("merge", "delete"):
                 cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
                 if os.path.isdir(cdf_dir):
@@ -946,12 +1107,11 @@ class LakeTable:
                 continue
             else:  # compact: physical rearrangement, no logical change
                 continue
-            for paths, typ in tagged:
-                if not paths:
+            for entries, typ in tagged:
+                if not entries:
                     continue
                 parts.append(
-                    self.spark.read.schema(schema)
-                    .parquet(*[self._abs(p) for p in paths])
+                    self._read_entries(entries, schema)
                     .withColumn("_change_type", F.lit(typ))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -1006,10 +1166,12 @@ class LakeTable:
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
         keep: set[str] = set()
+        keep_dv: set[str] = set()
         protected = set(range(horizon, latest + 1)) | set(self.tags().values())
         for v in protected:
             _, active, _ = self._snapshot(v)
             keep.update(a["path"] for a in active)
+            keep_dv.update(a["dv"]["path"] for a in active if a.get("dv"))
         removed = 0
         for fname in os.listdir(self._data_dir):
             rel = f"{_DATA}/{fname}"
@@ -1017,6 +1179,17 @@ class LakeTable:
                 if not dry_run:
                     os.remove(os.path.join(self._data_dir, fname))
                 removed += 1
+        # deletion-vector sidecars follow the same retention: a DV
+        # referenced by any protected snapshot (or tag) must survive —
+        # dropping it would resurrect deleted rows, worse than a
+        # missing-file read error
+        if os.path.isdir(self._dv_dir):
+            for fname in os.listdir(self._dv_dir):
+                rel = f"{_DV}/{fname}"
+                if rel not in keep_dv:
+                    if not dry_run:
+                        os.remove(os.path.join(self._dv_dir, fname))
+                    removed += 1
         if dry_run:
             return removed
         # crash debris: a writer that died mid-_write_files leaves a

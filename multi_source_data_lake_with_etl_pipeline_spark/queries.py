@@ -9728,3 +9728,70 @@ def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return mad_outlier_stats(li, ["l_returnflag"], "l_extendedprice", z=3.0)
+
+
+# Deletion-vector parity audit (VERDICT r6: lake.py delete_keys/delete
+# dv=True): the SAME keyed delete applied in deletion-vector mode (a
+# (base, pos) sidecar, zero files rewritten) and in copy-on-write
+# rewrite mode must leave BIT-IDENTICAL tables. The audit replays both
+# on fresh lake tables built from a lineitem fraction, anti-joins the
+# two results both ways, and emits oracle-checkable aggregates of the
+# surviving rows. At 100 TB this is the operation that turns a 10-row
+# GDPR purge from an O(touched-bytes) rewrite into an O(10) sidecar
+# write — read-side cost is one metadata-driven broadcast anti-join.
+@register(
+    "dv_delete_parity_audit",
+    """
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    ), kept AS (
+      SELECT * FROM d WHERE l_orderkey % 97 != 0
+    )
+    SELECT CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM d WHERE l_orderkey % 97 = 0) AS BIGINT)
+             AS n_deleted,
+           CAST(0 AS BIGINT) AS dv_rewritten_files,
+           CAST(0 AS BIGINT) AS mismatches,
+           CAST(floor(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+           CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum
+    FROM kept
+    """,
+)
+def dv_delete_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    keys = li.filter(F.col("l_orderkey") % 97 == 0).select("l_orderkey").distinct()
+    root = tempfile.mkdtemp(prefix="lake_dv_")
+    ta = LakeTable.create(spark, root + "/dv", li.repartition(4))
+    tb = LakeTable.create(spark, root + "/rw", li.repartition(4))
+    ra = ta.delete_keys(keys, "l_orderkey", dv=True)
+    rb = tb.delete_keys(keys, "l_orderkey", dv=False)
+    a, b = ta.read(), tb.read()
+    cols = a.columns
+    mism = (
+        a.join(b, cols, "left_anti").count() + b.join(a, cols, "left_anti").count()
+    )
+    out = a.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(ra["deleted"]).cast("long").alias("n_deleted"),
+        F.lit(ra["rewritten_files"]).cast("long").alias("dv_rewritten_files"),
+        F.lit(mism + abs(ra["deleted"] - rb["deleted"])).cast("long").alias(
+            "mismatches"
+        ),
+        F.floor(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_c"),
+        F.sum(F.col("l_orderkey") * F.col("l_linenumber")).cast("long").alias(
+            "key_checksum"
+        ),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
