@@ -9426,7 +9426,7 @@ def winnow_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.sampling import keep_fraction
-    from .llm_ops.text_stats import winnow_fingerprints
+    from .llm_ops.text_stats import winnow_prints
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     t = d.withColumn(
@@ -9436,11 +9436,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_leak = (
         t.filter(F.col("hold")).join(train_hashes, "h", "left_semi")
     )
-    e = (
-        winnow_fingerprints(t, k=4, w=5)
-        .select("doc_id", "hold", F.explode_outer("fp").alias("f"))
-        .filter(F.col("f").isNotNull())
-    )  # outer + null filter: inner explode's inferred filter inlines the HOFs
+    # Fingerprint the corpus ONCE and persist the exploded prints
+    # (VERDICT r5 #8): the train-side distinct-print table and the
+    # holdout probe both read the same materialized frame — without it,
+    # each consumer re-runs the full winnow HOF chain over all text.
+    # The recurring-check shape (train prints written once to parquet,
+    # batches probing it) is winnow_index_build/winnow_leakage_probe.
+    e = winnow_prints(t, k=4, w=5, keep_cols=("hold",)).persist()
+    e.count()
     train_prints = e.filter(~F.col("hold")).select("f").distinct()
     near_leak = (
         e.filter(F.col("hold"))
@@ -9448,7 +9451,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    return (
+    out = (
         t.agg(
             F.sum((~F.col("hold")).cast("long")).alias("n_train"),
             F.sum(F.col("hold").cast("long")).alias("n_holdout"),
@@ -9457,6 +9460,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(near_leak.agg(F.count(F.lit(1)).alias("n_neardup_leaked")))
         .select("n_train", "n_holdout", "n_exact_leaked", "n_neardup_leaked")
     )
+    return _eager_release(out, e)
 
 
 # Named dataset release (round-5 lake surface): tag a snapshot

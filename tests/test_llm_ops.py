@@ -567,3 +567,53 @@ def test_multimodal_real_png_decode(spark):
         _decode_png(make_png(rgb)[:-20])  # truncated
     # non-PNG magic → None (stub fallback stays for non-PNG payloads)
     assert _decode_png(b"P6 not a png") is None
+
+
+def test_winnow_index_build_and_incremental_probe(spark):
+    """Recurring-contamination shape (VERDICT r5 #8): the train corpus
+    is fingerprinted ONCE into a parquet index; a later batch probes it
+    with a semi-join, touching no train text. The probe must flag
+    exactly the batch docs the full two-sided winnow overlap flags."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.text_stats import (
+        winnow_index_build,
+        winnow_leakage_probe,
+        winnow_prints,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    train_rows = [(i, f"train doc {i} " + ("unique text %d " % i) * 8) for i in range(20)]
+    train_rows.append((99, "prefix words " + leak + " suffix words here"))
+    batch_rows = [
+        (200, "totally fresh content nothing shared with training data at all ok"),
+        (201, "middle " + leak + " tail goes on"),   # leaks via the shared run
+        (202, "train doc 3 " + ("unique text 3 " * 8)),  # near-exact copy
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    idx = tempfile.mkdtemp(prefix="wn_idx_") + "/prints"
+    # build once — optionally from a precomputed prints frame
+    pr = winnow_prints(train, k=4, w=5)
+    winnow_index_build(train, idx, k=4, w=5, prints=pr)
+    flagged = {
+        r["doc_id"] for r in winnow_leakage_probe(batch, idx, k=4, w=5).collect()
+    }
+    # reference: full two-sided overlap on train ∪ batch
+    bp = winnow_prints(batch, k=4, w=5)
+    expect = {
+        r["doc_id"]
+        for r in bp.join(pr.select("f").distinct(), "f", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert flagged == expect == {201, 202}
+    # precomputed batch prints give identical results
+    flagged2 = {
+        r["doc_id"]
+        for r in winnow_leakage_probe(batch, idx, prints=bp).collect()
+    }
+    assert flagged2 == flagged
