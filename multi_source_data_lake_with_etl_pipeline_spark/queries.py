@@ -9799,3 +9799,139 @@ def dv_delete_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# Incremental contamination probe against a materialized fingerprint
+# index (llm_ops/text_stats.winnow_index_build/winnow_leakage_probe):
+# the train side (90%) is fingerprinted ONCE into a parquet index of
+# DISTINCT winnowing prints; the batch (10%) probes it with one
+# semi-join — no train text is touched at probe time. At 100 TB this
+# is the only affordable shape for a RECURRING eval-set check: the
+# index is built when the train set freezes, every candidate eval
+# batch afterwards costs O(batch). The oracle recomputes both sides'
+# winnowing selections from scratch in SQL (md5 gram hashes, window
+# minima — engine-exact string comparisons).
+@register(
+    "winnow_incremental_probe",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 10 = 0 AS batch,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, batch,
+             CASE WHEN len(ws) >= 4 THEN
+               list_transform(range(1, len(ws) - 4 + 2),
+                              i -> md5(array_to_string(ws[i:i+3], ' ')))
+             ELSE [] END AS gs
+      FROM t
+    ), fps AS (
+      SELECT doc_id, batch,
+             CASE WHEN len(gs) >= 5 THEN
+               list_distinct(list_transform(range(1, len(gs) - 5 + 2),
+                             j -> list_aggregate(gs[j:j+4], 'min')))
+             ELSE [] END AS fp
+      FROM grams
+    ), e AS (
+      SELECT doc_id, batch, unnest(fp) AS f FROM fps
+    ), idx AS (
+      SELECT DISTINCT f FROM e WHERE NOT batch
+    ), flagged AS (
+      SELECT DISTINCT e.doc_id FROM e JOIN idx USING (f) WHERE e.batch
+    )
+    SELECT CAST((SELECT count(*) FROM t WHERE batch) AS BIGINT) AS n_batch,
+           CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_flagged,
+           CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_index_prints
+    """,
+)
+def winnow_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .llm_ops.text_stats import winnow_index_build, winnow_leakage_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    root = tempfile.mkdtemp(prefix="wn_idx_")
+    idx = root + "/prints"
+    winnow_index_build(train, idx, k=4, w=5)
+    flagged = winnow_leakage_probe(batch, idx, k=4, w=5)
+    n_index = spark.read.parquet(idx).count()
+    out = batch.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+    ).crossJoin(
+        flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    ).select(
+        "n_batch",
+        "n_flagged",
+        F.lit(n_index).cast("long").alias("n_index_prints"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# TPC-H Q22 shape (global sales opportunity), adapted to this schema's
+# nation keys and order-dense history: customers in a target nation
+# set whose balance exceeds the positive-balance average of that set
+# AND who placed no order since 2001-01-01 (lapsed, not order-less —
+# this corpus gives every customer a long history) — per-nation count
+# + total balance. Exercises the scalar-subquery
+# threshold (computed once, broadcast into the filter) and the
+# NOT EXISTS anti-join; Catalyst plans the anti-join hash-side on
+# orders' o_custkey projection, never a correlated per-row probe. The
+# money totals are summed as per-row integer cents (engine-exact).
+@register(
+    "idle_customer_opportunity",
+    """
+    WITH tgt AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ), thr AS (
+      SELECT avg(c_acctbal) AS a FROM tgt WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_c
+    FROM tgt, thr
+    WHERE c_acctbal > thr.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = tgt.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def idle_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    tgt = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = tgt.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    return (
+        tgt.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            tgt.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            # per-row integer cents, then an exact integer sum — a double
+            # sum's order-dependent 1-ulp drift would flip floor() at a
+            # cent boundary between engines (verify-skill round trap)
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "totacctbal_c"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1313,3 +1313,36 @@ def test_mad_outlier_stats_known_values(spark):
     }
     assert got["a"] == (10, 550, 250, 1)
     assert got["b"] == (3, 1200, 200, 0)
+
+
+def test_exact_percentiles_all_null_group_documented_drop(spark):
+    """ADVICE r5: a group whose values are ALL NULL is DROPPED (the
+    histogram filters NULLs before grouping), where Spark's percentile
+    aggregate would emit the group with a NULL result. The divergence
+    is documented in the docstring; this pins the actual behavior and
+    the parity of the join-back recipe the docstring recommends."""
+    from pyspark.sql import functions as F
+
+    from multi_source_data_lake_with_etl_pipeline_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None), ("c", 5.0)],
+        "g string, v double",
+    )
+    out = exact_percentiles(df, ["g"], "v", {"p50": 0.5})
+    got = {r["g"]: r["p50"] for r in out.collect()}
+    assert got == {"a": 2.0, "c": 5.0}  # b dropped, not NULL-emitted
+    # the documented recipe restores Spark parity exactly
+    domain = df.select("g").distinct()
+    restored = {
+        r["g"]: r["p50"] for r in domain.join(out, "g", "left").collect()
+    }
+    spark_ref = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.lit(0.5)).alias("p"))
+        .collect()
+    }
+    assert restored == spark_ref
