@@ -865,13 +865,19 @@ class LakeTable:
         t_entries: list[dict],
         matched: DataFrame,
         schema: StructType,
+        op: str = "delete",
+        extra_adds: list[dict] | None = None,
     ) -> tuple[list[dict], int]:
         """Shared DV-mode commit: union the touched entries' EXISTING
         vectors with the newly matched (base, pos) rows into ONE new
         sidecar, and re-add each touched entry pointing at it (remove +
         add of the same path — the data file itself never moves). The
         union keeps an entry on exactly one sidecar, so a chain of
-        small deletes never accumulates a per-file sidecar list."""
+        small deletes never accumulates a per-file sidecar list.
+        ``extra_adds``: fresh data files committed alongside (the merge
+        path appends its update/insert output files in the SAME
+        commit, so readers never observe vectored-out rows without
+        their replacements)."""
         new_pos = matched.select("_dv_base", "_dv_pos")
         prior = self._active_dv_positions(t_entries)
         if prior is not None:
@@ -909,8 +915,9 @@ class LakeTable:
         # data — drop the entry outright instead of re-adding a
         # 100%-dead file (Delta does the same)
         adds = [a for a in adds if a["dv"]["ndel"] < int(a.get("rows", 0))]
+        adds = adds + (extra_adds or [])
         new_v = self._commit(
-            v + 1, "delete", adds, [a["path"] for a in t_entries], schema
+            v + 1, op, adds, [a["path"] for a in t_entries], schema
         )
         return adds, new_v
 
@@ -968,30 +975,48 @@ class LakeTable:
         }
         return sorted(out)
 
-    def merge(self, source: DataFrame, key: str) -> dict:
+    def merge(self, source: DataFrame, key: str, dv: bool = False) -> dict:
         """MERGE (upsert) by ``key``: rewrite ONLY files containing a
         matched key; unmatched source rows become inserts in new files.
         Returns {inserted, updated, rewritten_files}. Reference
         semantics: base_loaders.py:149-181; NULL-key source rows are
-        inserts (see sinks/merge.merge_upsert_df)."""
+        inserts (see sinks/merge.merge_upsert_df).
+
+        ``dv=True``: deletion-vector merge (Delta low-shuffle-merge
+        parity) — the matched OLD rows are vectored out of their files
+        and ALL source rows land in fresh files, one atomic commit. A
+        1-row update to a 1 GB file then writes 1 row + a ~KB sidecar
+        instead of rewriting the gigabyte; the unmatched rows of
+        touched files are never read or rewritten."""
         from .sinks.merge import merge_upsert_df
 
         v, active, schema = self._snapshot()
         cur = self._read_entries(active, schema, keep_meta=True)
         src = source.persist()
         src_keys = src.select(key).distinct()
-        touched = self._touched_files(
-            cur.join(src_keys, key, "left_semi"), col="_dv_base"
-        )
+        matched_old = cur.join(src_keys, key, "left_semi").persist()
+        touched = self._touched_files(matched_old, col="_dv_base")
         by_path = {a["path"]: a for a in active}
-        affected = self._read_entries(
-            [by_path[p] for p in touched], schema
-        )
+        t_entries = [by_path[p] for p in touched]
+        data_cols = [f.name for f in schema.fields]
+        affected = matched_old.select(*data_cols)
         updated = src.join(affected.select(key).distinct(), key, "left_semi").count()
         inserted = src.count() - updated
-        merged = merge_upsert_df(affected, src, key)
-        adds = self._write_files(merged)
-        new_v = self._commit(v + 1, "merge", adds, touched, schema)
+        if dv:
+            new_files = self._write_files(src.select(*data_cols))
+            if touched:
+                adds, new_v = self._commit_dv(
+                    v, t_entries, matched_old, schema,
+                    op="merge", extra_adds=new_files,
+                )
+            else:
+                new_v = self._commit(v + 1, "merge", new_files, [], schema)
+            touched = []  # nothing rewritten — report 0 like delete dv
+        else:
+            full_affected = self._read_entries(t_entries, schema)
+            merged = merge_upsert_df(full_affected, src, key)
+            adds = self._write_files(merged)
+            new_v = self._commit(v + 1, "merge", adds, touched, schema)
         # CDF capture: O(source rows), written after the commit wins its
         # version (a conflict raises above, so no stray change files).
         affected_keys = affected.select(key).distinct()
@@ -1014,6 +1039,7 @@ class LakeTable:
             ),
         )
         src.unpersist()
+        matched_old.unpersist()
         return {
             "inserted": inserted,
             "updated": updated,

@@ -9935,3 +9935,84 @@ def idle_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# DV-merge parity audit: merge(dv=True) — matched old rows vectored
+# out, all source rows appended in fresh files, one atomic commit —
+# must leave a table IDENTICAL to rewrite-mode merge AND to the
+# relational upsert expectation the oracle computes directly. Money is
+# integer cents from the start (engine-exact sums). The source batch
+# is half updates (every 131st positive order, price bumped) and half
+# inserts (negated keys — new; k=0 is excluded, its negation is
+# itself); the merge key (o_orderkey) is
+# unique, the upsert contract's precondition.
+@register(
+    "dv_merge_parity_audit",
+    """
+    WITH d AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), s AS (
+      SELECT k, tp_c + 111 AS tp_c FROM d WHERE k % 131 = 0 AND k > 0
+      UNION ALL
+      SELECT -k AS k, CAST(42 AS BIGINT) AS tp_c FROM d WHERE k % 131 = 0 AND k > 0
+    ), merged AS (
+      SELECT * FROM s
+      UNION ALL
+      SELECT * FROM d WHERE k NOT IN (SELECT k FROM s)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM d WHERE k % 131 = 0 AND k > 0) AS BIGINT)
+             AS n_updated,
+           CAST((SELECT count(*) FROM d WHERE k % 131 = 0 AND k > 0) AS BIGINT)
+             AS n_inserted,
+           CAST(0 AS BIGINT) AS dv_rewritten_files,
+           CAST(0 AS BIGINT) AS mismatches,
+           CAST(sum(tp_c) AS BIGINT) AS sum_tp_c,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM merged
+    """,
+)
+def dv_merge_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_c"),
+        )
+    )
+    upd = d.filter((F.col("k") % 131 == 0) & (F.col("k") > 0))
+    src = upd.select("k", (F.col("tp_c") + 111).alias("tp_c")).unionByName(
+        upd.select((-F.col("k")).alias("k"), F.lit(42).cast("long").alias("tp_c"))
+    )
+    root = tempfile.mkdtemp(prefix="lake_dvm_")
+    ta = LakeTable.create(spark, root + "/dv", d.repartition(4))
+    tb = LakeTable.create(spark, root + "/rw", d.repartition(4))
+    ma = ta.merge(src, "k", dv=True)
+    mb = tb.merge(src, "k", dv=False)
+    a, b = ta.read(), tb.read()
+    mism = (
+        a.join(b, a.columns, "left_anti").count()
+        + b.join(a, a.columns, "left_anti").count()
+        + abs(ma["updated"] - mb["updated"])
+        + abs(ma["inserted"] - mb["inserted"])
+    )
+    out = a.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(ma["updated"]).cast("long").alias("n_updated"),
+        F.lit(ma["inserted"]).cast("long").alias("n_inserted"),
+        F.lit(ma["rewritten_files"]).cast("long").alias("dv_rewritten_files"),
+        F.lit(mism).cast("long").alias("mismatches"),
+        F.sum("tp_c").cast("long").alias("sum_tp_c"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

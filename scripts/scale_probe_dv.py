@@ -61,6 +61,33 @@ def main() -> None:
             f" read_back={read_s:5.2f}s rows={cnt}"
         )
         shutil.rmtree(root, ignore_errors=True)
+    # merge shape: 10-row upsert against orders (o_orderkey IS unique —
+    # merge's documented precondition; lineitem keys are not)
+    orders = load_table(spark, sf_dir, "orders")
+    upd_keys = [
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey").distinct().limit(10).collect()
+    ]
+    for mode, dv in (("rw-merge", False), ("dv-merge", True)):
+        root = tempfile.mkdtemp(prefix=f"dvprobe_{mode}_")
+        t = LakeTable.create(spark, root + "/t", orders.repartition(4))
+        upd = orders.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+        base_bytes = _dir_bytes(root)
+        t0 = time.perf_counter()
+        r = t.merge(upd, "o_orderkey", dv=dv)
+        dt = time.perf_counter() - t0
+        written = _dir_bytes(root) - base_bytes
+        t1 = time.perf_counter()
+        cnt = t.read().count()
+        read_s = time.perf_counter() - t1
+        print(
+            f"{mode:8s} updated={r['updated']:3d} rewritten_files="
+            f"{r['rewritten_files']} wall={dt:6.2f}s bytes_written={written:>12,}"
+            f" read_back={read_s:5.2f}s rows={cnt}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 

@@ -1451,3 +1451,45 @@ def test_dv_parity_with_rewrite_mode(spark, tmp_path):
     b = {(r["k"], r["v"]) for r in tb.read().collect()}
     assert a == b
     assert ta.rows() == tb.rows() == ta.read().count()
+
+
+def test_dv_merge_parity_and_coherence(spark, tmp_path):
+    """merge(dv=True) (Delta low-shuffle-merge parity): matched old
+    rows are vectored out, ALL source rows land in fresh files, one
+    atomic commit — table contents, counts, and the CDF are identical
+    to rewrite-mode merge; zero files rewritten."""
+    from collections import Counter
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    src = spark.createDataFrame(
+        [(5, 100), (6, 101), (9000, 1), (None, 42)], "k long, v long"
+    )
+    ta = _mk_from(spark, tmp_path / "a", df.repartition(3))
+    tb = _mk_from(spark, tmp_path / "b", df.repartition(3))
+    ma = ta.merge(src, "k", dv=True)
+    mb = tb.merge(src, "k")
+    assert (ma["inserted"], ma["updated"]) == (mb["inserted"], mb["updated"]) == (2, 2)
+    assert ma["rewritten_files"] == 0 and mb["rewritten_files"] > 0
+    key_of = lambda r: (r[0] is None, r[0] or 0, r[1])  # noqa: E731
+    assert sorted(map(tuple, ta.read().collect()), key=key_of) == sorted(
+        map(tuple, tb.read().collect()), key=key_of
+    )
+    assert ta.rows() == tb.rows() == ta.read().count() == 402
+    for t in (ta, tb):
+        cnt = Counter(r["_change_type"] for r in t.changes(0).collect())
+        assert cnt == {"update_postimage": 2, "update_preimage": 2, "insert": 2}
+    # updated row readable with the NEW value; old version time-travels
+    assert ta.read().filter(F.col("k") == 5).collect()[0]["v"] == 100
+    assert ta.read(0).filter(F.col("k") == 5).collect()[0]["v"] == 5 % 9
+    # a later dv delete + compaction fold cleanly on top
+    ta.delete_keys(spark.createDataFrame([(6,)], "k long"), "k", dv=True)
+    ta.compact(target_files=1)
+    _, active, _ = ta._snapshot()
+    assert not any(a.get("dv") for a in active)
+    assert ta.read().count() == ta.rows() == 401
+    # no-match dv merge is a pure insert commit (no sidecar)
+    mc = ta.merge(spark.createDataFrame([(7777, 0)], "k long, v long"), "k", dv=True)
+    assert (mc["inserted"], mc["updated"]) == (1, 0)
+    assert ta.read().count() == 402
