@@ -753,13 +753,18 @@ class LakeTable:
         key: str,
         op_col: str = "op",
         order_col: str | None = None,
+        dv: bool = False,
     ) -> dict:
         """Apply a Debezium-style CDC batch: rows tagged I/U/D in
         ``op_col`` (insert/update collapse to upsert — the lake is
         state, not history), optionally ordered by ``order_col`` so
         only each key's LATEST change applies (at-least-once feeds
         replay safely). Deletes tombstone by key. Two file-granular
-        commits at most (merge + delete), both O(changed files).
+        commits at most (merge + delete), both O(changed files);
+        ``dv=True`` routes both through deletion vectors — a trickle
+        of small CDC batches against large files then costs
+        O(changed rows) per batch instead of O(touched bytes), with
+        compaction folding the vectors on the maintenance cadence.
         """
         from pyspark.sql import Window as W
 
@@ -798,13 +803,13 @@ class LakeTable:
             raise ValueError("apply_cdc: delete row with NULL key")
         out: dict = {"upserted": 0, "deleted": 0}
         if ups.limit(1).count():
-            m = self.merge(ups, key)
+            m = self.merge(ups, key, dv=dv)
             out["upserted"] = m["inserted"] + m["updated"]
         # Tombstones apply via an anti-join on the keys frame (never SQL
         # string splicing — a key containing quotes/backslashes must not
         # be able to reshape the predicate), file-granular like delete().
         if dels.limit(1).count():
-            d = self.delete_keys(dels, key)
+            d = self.delete_keys(dels, key, dv=dv)
             out["deleted"] = d["deleted"]
         b.unpersist()
         out["version"] = self.latest_version()

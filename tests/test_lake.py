@@ -1493,3 +1493,28 @@ def test_dv_merge_parity_and_coherence(spark, tmp_path):
     mc = ta.merge(spark.createDataFrame([(7777, 0)], "k long, v long"), "k", dv=True)
     assert (mc["inserted"], mc["updated"]) == (1, 0)
     assert ta.read().count() == 402
+
+
+def test_apply_cdc_dv_mode_matches_rewrite(spark, tmp_path):
+    """apply_cdc(dv=True): the same CDC batch applied via deletion
+    vectors and via rewrites yields identical tables — upserts AND
+    tombstones both take the O(changed rows) path."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    batch = spark.createDataFrame(
+        [(3, 77, "U", 1), (500, 9, "I", 1), (7, None, "D", 1)],
+        "k long, v long, op string, seq long",
+    )
+    ta = _mk_from(spark, tmp_path / "a", df.repartition(2))
+    tb = _mk_from(spark, tmp_path / "b", df.repartition(2))
+    ra = ta.apply_cdc(batch, "k", order_col="seq", dv=True)
+    rb = tb.apply_cdc(batch, "k", order_col="seq", dv=False)
+    assert (ra["upserted"], ra["deleted"]) == (rb["upserted"], rb["deleted"]) == (2, 1)
+    a = sorted(map(tuple, ta.read().collect()))
+    b = sorted(map(tuple, tb.read().collect()))
+    assert a == b
+    assert ta.read().filter(F.col("k") == 7).count() == 0
+    assert ta.read().filter(F.col("k") == 3).collect()[0]["v"] == 77
+    # dv mode wrote sidecars, not rewrites
+    assert os.path.isdir(ta._dv_dir) and len(os.listdir(ta._dv_dir)) >= 1
