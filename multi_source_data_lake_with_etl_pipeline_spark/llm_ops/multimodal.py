@@ -4,14 +4,17 @@ columns with typed metadata, processed via Arrow-batched
 
 The Spark-side plumbing (schemas, batch iteration, partition-parallel
 decode fan-out) is real and tested. Decode itself is REAL for the
-uncompressed container formats the standard library + numpy can parse
-— PPM (P6) images and PCM WAV audio (``_decode_ppm``/``_decode_wav``,
-dispatched by payload magic) — and STUBBED for compressed codecs
-(PNG/JPEG/MP3/MP4: this container ships no image/audio libraries)
-behind ``_decode_*_stub``, which produce deterministic fakes so the
-pipeline shape stays exercisable end-to-end. Swap the stubs for
-PIL/torchaudio/ffmpeg in a real deployment — the UDF signature and
-partitioning strategy do not change.
+formats the standard library + numpy can parse — PPM (P6) images,
+8-bit truecolor PNG (stdlib zlib inflate + scanline-filter
+reconstruction, ``_decode_png``), and PCM WAV audio
+(``_decode_ppm``/``_decode_wav``, dispatched by payload magic) — and
+STUBBED for the remaining compressed codecs (JPEG/MP3/MP4: this
+container ships no image/audio libraries) behind ``_decode_*_stub``,
+which produce deterministic fakes so the pipeline shape stays
+exercisable end-to-end. A PNG outside the supported subset rejects
+LOUDLY (never a silent fake). Swap the stubs for PIL/torchaudio/
+ffmpeg in a real deployment — the UDF signature and partitioning
+strategy do not change.
 
 Scale notes: decode is CPU-heavy per row, so the pattern is
 ``repartition`` to core-count granularity BEFORE the mapInPandas stage
