@@ -155,8 +155,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .union(ori.select(F.col("b").alias("node")))
         .agg(F.count_distinct(F.col("node")).alias("n_nodes"))
     )
-    return stats.crossJoin(tri).select(
+    out = stats.crossJoin(tri).select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
     )
+    # one row out — materialize it and release the oriented edge cache
+    # (three consumers above share it; the caller can never unpersist)
+    out = out.localCheckpoint(eager=True)
+    ori.unpersist()
+    return out
