@@ -207,7 +207,6 @@ def incremental_span_profile(
         new_docs, k, text_col, id_col
     )
     idx_grams = spark.read.parquet(index_path).select("gram").distinct()
-    vs_index = pos.join(idx_grams, "gram", "left_semi")
     batch_shared = (
         pos.select("gram", id_col)
         .distinct()
@@ -216,12 +215,13 @@ def incremental_span_profile(
         .filter(F.col("nd") >= 2)
         .select("gram")
     )
-    vs_batch = pos.join(batch_shared, "gram", "left_semi")
-    dup = (
-        vs_index.select(id_col, "pos")
-        .union(vs_batch.select(id_col, "pos"))
-        .distinct()
-    )
+    # ONE semi-join of positions against the UNION of duplicated gram
+    # keys (index ∪ batch-shared) — gram keys are far smaller than
+    # positions, and each (id, pos) occurs once in ``pos``, so the old
+    # two-semi-join + union + positions-distinct plan spent an extra
+    # exchange deduplicating rows that were never duplicated.
+    dup_keys = idx_grams.unionByName(batch_shared).distinct()
+    dup = pos.join(dup_keys, "gram", "left_semi").select(id_col, "pos")
     out = _profile_from_positions(new_docs, dup, k, text_col, id_col)
     if append:
         out = out.localCheckpoint(eager=True)  # materialize before the index grows
