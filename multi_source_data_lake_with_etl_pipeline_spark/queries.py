@@ -10032,3 +10032,108 @@ def dv_merge_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# TPC-H Q4 shape (order priority checking), adapted to this schema
+# (no commit/receipt dates — "late" = any line shipped > 60 days after
+# the order date): EXISTS decorrelates to a left-semi join on
+# l_orderkey with the date comparison as the join-side filter;
+# Catalyst never executes a per-row subquery. One semi-join shuffle +
+# one small groupBy.
+@register(
+    "late_order_priority_counts",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# TPC-H Q7 shape (volume shipping): discounted revenue flowing between
+# two DIFFERENT nations (supplier nation ≠ customer nation) by year.
+# The nation dimension is joined twice under different roles — both
+# broadcast (25 rows); the fact-side joins stay hash joins on the
+# integer keys. Revenue is per-row integer cents (the
+# floor(sum(double)) 1-ulp trap does not exist for integer sums).
+@register(
+    "nation_pair_shipping_volume",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey != n2.n_nationkey
+      AND n1.n_nationkey < 4 AND n2.n_nationkey < 4
+      AND year(l_shipdate) IN (1996, 1997)
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    yr = F.year("l_shipdate")
+    return (
+        li.filter(yr.isin(1996, 1997))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("s_nationkey") != F.col("c_nationkey"))
+            & (F.col("s_nationkey") < 4)
+            & (F.col("c_nationkey") < 4)
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .groupBy("supp_nation", "cust_nation", yr.cast("long").alias("l_year"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).cast("long").alias("revenue_c")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
