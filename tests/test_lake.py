@@ -1518,3 +1518,34 @@ def test_apply_cdc_dv_mode_matches_rewrite(spark, tmp_path):
     assert ta.read().filter(F.col("k") == 3).collect()[0]["v"] == 77
     # dv mode wrote sidecars, not rewrites
     assert os.path.isdir(ta._dv_dir) and len(os.listdir(ta._dv_dir)) >= 1
+
+
+def test_dv_entries_survive_checkpoint_replay(spark, tmp_path):
+    """DV references ride the checkpoint: after enough commits to fire
+    the checkpoint cadence, snapshot discovery goes through
+    _last_checkpoint + the checkpoint file — the dv fields in its
+    active entries must reconstruct the same DV-applied reads as a
+    full log replay."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=50, files=2)
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(5)], "k long"), "k", dv=True
+    )
+    # push past the checkpoint cadence with appends
+    for i in range(10):
+        t.append(spark.createDataFrame([(1000 + i, 1)], "k long, v long"))
+    ptr = os.path.join(t._log_dir, "_last_checkpoint")
+    assert os.path.exists(ptr)
+    ck_v = _json.load(open(ptr))["version"]
+    ck = _json.load(
+        open(os.path.join(t._log_dir, f"_checkpoint.{ck_v}.json"))
+    )
+    assert any(a.get("dv") for a in ck["active"]), "checkpoint lost dv refs"
+    # fresh handle resolves through the pointer fast path
+    from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.read().count() == 50 - 5 + 10
+    assert t2.read().filter(F.col("k") < 5).count() == 0
+    assert t2.rows() == 55
