@@ -358,6 +358,55 @@ class LakeTable:
                     os.unlink(lock)
         return version
 
+    def _commit_checked(
+        self,
+        base_v: int,
+        op: str,
+        adds: list[dict],
+        removes: list[str],
+        schema: StructType,
+        touched_entries: list[dict],
+        max_rebase: int = 5,
+    ) -> int:
+        """Commit with Delta-style CONFLICT DETECTION instead of blind
+        failure: when another writer claims our version first, re-read
+        the head and REBASE if the interleaved commits are disjoint
+        from our read set — every entry we read (``touched_entries``)
+        must still be active and byte-identical (same path, same dv
+        state). A concurrent append, or a delete/merge on OTHER files,
+        then retries cleanly at the new head; a commit that touched
+        the same files (or evolved the schema) raises CommitConflict,
+        because our outputs were derived from data that is no longer
+        current. Appends don't need this (commutative — they blind-
+        retry in _commit); this is the read-set validation the
+        non-commutative ops (DELETE/MERGE) need to be safely
+        concurrent."""
+        v = base_v + 1
+        for _ in range(max_rebase + 1):
+            try:
+                return self._commit(v, op, adds, removes, schema)
+            except CommitConflict:
+                latest = self.latest_version()
+                _, active, cur_schema = self._snapshot(latest)
+                if cur_schema.jsonValue() != schema.jsonValue():
+                    raise CommitConflict(
+                        f"version {v} taken and the schema evolved "
+                        "concurrently — re-run against the new head"
+                    ) from None
+                by_path = {a["path"]: a for a in active}
+                for e in touched_entries:
+                    if by_path.get(e["path"]) != e:
+                        raise CommitConflict(
+                            f"version {v} taken and a concurrent commit "
+                            f"modified {e['path']} — re-run against the "
+                            "new head"
+                        ) from None
+                v = latest + 1
+        raise CommitConflict(
+            f"gave up after {max_rebase} rebases (heavy concurrent write "
+            "traffic) — re-run against the new head"
+        )
+
     # ---------------------------------------------------------- data I/O
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Materialize ``df`` as immutable data files; returns their add
@@ -852,7 +901,9 @@ class LakeTable:
             affected = self._read_entries(t_entries, schema)
             keep = affected.join(ks, key, "left_anti")
             adds = self._write_files(keep) if keep.limit(1).count() else []
-            new_v = self._commit(v + 1, "delete", adds, touched, schema)
+            new_v = self._commit_checked(
+                v, "delete", adds, touched, schema, t_entries
+            )
             rewritten = len(touched)
         self._write_cdf(
             new_v,
@@ -921,8 +972,8 @@ class LakeTable:
         # 100%-dead file (Delta does the same)
         adds = [a for a in adds if a["dv"]["ndel"] < int(a.get("rows", 0))]
         adds = adds + (extra_adds or [])
-        new_v = self._commit(
-            v + 1, op, adds, [a["path"] for a in t_entries], schema
+        new_v = self._commit_checked(
+            v, op, adds, [a["path"] for a in t_entries], schema, t_entries
         )
         return adds, new_v
 
@@ -1014,14 +1065,18 @@ class LakeTable:
                     v, t_entries, matched_old, schema,
                     op="merge", extra_adds=new_files,
                 )
-            else:
-                new_v = self._commit(v + 1, "merge", new_files, [], schema)
+            else:  # pure insert — empty read set, rebases freely
+                new_v = self._commit_checked(
+                    v, "merge", new_files, [], schema, []
+                )
             touched = []  # nothing rewritten — report 0 like delete dv
         else:
             full_affected = self._read_entries(t_entries, schema)
             merged = merge_upsert_df(full_affected, src, key)
             adds = self._write_files(merged)
-            new_v = self._commit(v + 1, "merge", adds, touched, schema)
+            new_v = self._commit_checked(
+                v, "merge", adds, touched, schema, t_entries
+            )
         # CDF capture: O(source rows), written after the commit wins its
         # version (a conflict raises above, so no stray change files).
         affected_keys = affected.select(key).distinct()
@@ -1075,7 +1130,9 @@ class LakeTable:
             affected = self._read_entries(t_entries, schema)
             keep = affected.filter(~cond)
             adds = self._write_files(keep) if keep.limit(1).count() else []
-            new_v = self._commit(v + 1, "delete", adds, touched, schema)
+            new_v = self._commit_checked(
+                v, "delete", adds, touched, schema, t_entries
+            )
             rewritten = len(touched)
         self._write_cdf(
             new_v,

@@ -1253,16 +1253,20 @@ def test_vacuum_dry_run(spark, tmp_path):
 
 
 def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
-    """delete_keys uses the non-commuting commit path: a writer that
-    lands the next version BETWEEN delete_keys' snapshot and its commit
-    (injected via the _write_files hook — the realistic race window,
-    since the rewrite is the slow step) surfaces CommitConflict instead
-    of silently clobbering (same contract as merge/delete)."""
+    """delete_keys uses the read-set-validated commit path: a writer
+    that lands the next version BETWEEN delete_keys' snapshot and its
+    commit (injected via the _write_files hook — the realistic race
+    window, since the rewrite is the slow step) and REMOVES the very
+    file being rewritten surfaces CommitConflict instead of silently
+    resurrecting/clobbering; a DISJOINT racer (plain append) instead
+    rebases cleanly (test_commit_conflict_rebase_on_disjoint)."""
     import json as _json
 
     t = _mk(spark, tmp_path, rows=20, files=1)
+    victim = t._snapshot()[1][0]["path"]
     racer = {
-        "version": 1, "op": "append", "ts": 0, "add": [], "remove": [],
+        "version": 1, "op": "delete", "ts": 0, "add": [],
+        "remove": [victim],  # the racer rewrites-away the touched file
         "schema": t._read_commit(0)["schema"],
     }
     orig = t._write_files
@@ -1275,10 +1279,11 @@ def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
 
     t._write_files = hooked
     keys = spark.createDataFrame([(5,)], "k long")
-    with pytest.raises(CommitConflict):
+    with pytest.raises(CommitConflict, match="modified"):
         t.delete_keys(keys, "k")
     t._write_files = orig
-    assert t.read().count() == 20  # table state untouched by the loser
+    # the loser committed nothing on top of the racer's state
+    assert t.latest_version() == 1
 
 
 def test_checkpoint_pointer_under_concurrent_appends(spark, tmp_path):
@@ -1549,3 +1554,56 @@ def test_dv_entries_survive_checkpoint_replay(spark, tmp_path):
     assert t2.read().count() == 50 - 5 + 10
     assert t2.read().filter(F.col("k") < 5).count() == 0
     assert t2.rows() == 55
+
+
+def test_commit_conflict_rebase_on_disjoint(spark, tmp_path):
+    """Delta-parity conflict detection (round 6): a DELETE whose read
+    set is untouched by an interleaved commit REBASES onto the new
+    head instead of failing; one that lost its read set (file
+    rewritten under it) raises CommitConflict."""
+    t = _mk(spark, tmp_path, rows=40, files=2)
+    v, active, schema = t._snapshot()
+    by_path = {a["path"]: a for a in active}
+    touched = [next(iter(by_path.values()))]
+    # interleave a DISJOINT commit (append) after our snapshot
+    t.append(spark.createDataFrame([(999, 9)], "k long, v long"))
+    assert t.latest_version() == v + 1
+    new_v = t._commit_checked(v, "delete", [], [touched[0]["path"]], schema, touched)
+    assert new_v == v + 2  # rebased, not failed
+    assert t.read().count() == 40 + 1 - 20  # one of two 20-row files dropped
+    # now a CONFLICTING interleave: stale read set vs a rewrite
+    v2, active2, schema2 = t._snapshot()
+    target = next(a for a in active2 if int(a["rows"]) == 20)  # k 20-39 file
+    t.delete_keys(
+        spark.createDataFrame([(25,)], "k long"), "k"
+    )  # rewrites the file `target` points at
+    with pytest.raises(CommitConflict, match="modified"):
+        t._commit_checked(v2, "delete", [], [target["path"]], schema2, [target])
+
+
+def test_concurrent_disjoint_dv_deletes(spark, tmp_path):
+    """Two writers dv-deleting keys in DIFFERENT files both succeed
+    (the loser rebases); every requested key is gone, no key deleted
+    twice, counts coherent."""
+    import threading
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    t = _mk_from(
+        spark, tmp_path / "t", df.repartitionByRange(2, "k")
+    )  # k<50 and k>=50 land in different files
+    errs = []
+
+    def worker(keys):
+        try:
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "k long"), "k", dv=True
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th1 = threading.Thread(target=worker, args=([1, 2, 3],))
+    th2 = threading.Thread(target=worker, args=([97, 98, 99],))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    assert t.read().count() == 94 and t.rows() == 94
+    assert t.read().filter(F.col("k").isin(1, 2, 3, 97, 98, 99)).count() == 0
