@@ -1607,3 +1607,72 @@ def test_concurrent_disjoint_dv_deletes(spark, tmp_path):
     assert not errs, errs
     assert t.read().count() == 94 and t.rows() == 94
     assert t.read().filter(F.col("k").isin(1, 2, 3, 97, 98, 99)).count() == 0
+
+
+def test_lake_model_random_op_sequences(spark, tmp_path):
+    """Model-based randomized test: a seeded random sequence of lake
+    operations (append / dv + rewrite delete_keys / dv + rewrite merge
+    / compact / restore) applied to BOTH a LakeTable and an in-memory
+    dict model; after every op the table contents must equal the
+    model, rows() must equal the scan count, and a remembered earlier
+    version must still time-travel to its remembered state."""
+    import random
+
+    rng = random.Random(20260815)
+    df0 = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t = _mk_from(spark, tmp_path / "model_t", df0.repartition(3))
+    model: dict[int, int] = {int(i): int(i) * 3 for i in range(60)}
+    history: list[tuple[int, dict[int, int]]] = [(0, dict(model))]
+    next_key = 1000
+
+    def table_state() -> dict[int, int]:
+        return {int(r["k"]): int(r["v"]) for r in t.read().collect()}
+
+    for step in range(24):
+        op = rng.choice(
+            ["append", "del_dv", "del_rw", "merge_dv", "merge_rw",
+             "compact", "restore"]
+        )
+        if op == "append":
+            rows = [(next_key + i, rng.randrange(1000)) for i in range(3)]
+            next_key += 3
+            t.append(spark.createDataFrame(rows, "k long, v long"))
+            model.update(dict(rows))
+        elif op in ("del_dv", "del_rw"):
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(4, len(model)))
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                "k",
+                dv=op == "del_dv",
+            )
+            for k in keys:
+                model.pop(k, None)
+        elif op in ("merge_dv", "merge_rw"):
+            upd = rng.sample(sorted(model), min(2, len(model))) if model else []
+            rows = [(k, rng.randrange(1000)) for k in upd]
+            rows.append((next_key, rng.randrange(1000)))
+            next_key += 1
+            t.merge(
+                spark.createDataFrame(rows, "k long, v long"),
+                "k",
+                dv=op == "merge_dv",
+            )
+            model.update(dict(rows))
+        elif op == "compact":
+            t.compact(target_files=2)
+        else:  # restore to a remembered version
+            ver, snap = rng.choice(history)
+            t.restore(ver)
+            model = dict(snap)
+        history.append((t.latest_version(), dict(model)))
+        got = table_state()
+        assert got == model, f"step {step} op {op}: table != model"
+        assert t.rows() == len(model), f"step {step} op {op}: rows() drift"
+    # time travel to every remembered version reproduces its state
+    for ver, snap in rng.sample(history, min(6, len(history))):
+        got = {int(r["k"]): int(r["v"]) for r in t.read(ver).collect()}
+        assert got == snap, f"time travel to v{ver} diverged"
