@@ -91,5 +91,41 @@ def main() -> None:
     spark.stop()
 
 
+def tax_growth() -> None:
+    """Read-tax growth under stacked DVs: N successive small dv
+    deletes, read cost after each, then compaction folding."""
+    import tempfile as _tf
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("dv-probe-tax")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = load_table(spark, sf_dir, "lineitem")
+    root = _tf.mkdtemp(prefix="dvprobe_tax_")
+    t = LakeTable.create(spark, root + "/t", li.repartition(4))
+    keys = [r["l_orderkey"] for r in li.select("l_orderkey").distinct().limit(100).collect()]
+    print("stacked dv deletes (10 keys each):")
+    for i in range(10):
+        batch = spark.createDataFrame([(k,) for k in keys[i * 10 : (i + 1) * 10]], "l_orderkey long")
+        t.delete_keys(batch, "l_orderkey", dv=True)
+        t0 = time.perf_counter()
+        n = t.read().count()
+        dt = time.perf_counter() - t0
+        ndv = len(os.listdir(t._dv_dir))
+        if i in (0, 4, 9):
+            print(f"  after {i+1:2d} deletes: read={dt:5.2f}s rows={n} sidecars={ndv}")
+    t0 = time.perf_counter()
+    t.compact(target_files=4)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = t.read().count()
+    rt = time.perf_counter() - t0
+    print(f"  compact({dt:.2f}s) folds all vectors: read={rt:5.2f}s rows={n}")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DV_PROBE_TAX"):
+        tax_growth()
+    else:
+        main()
