@@ -601,6 +601,36 @@ class TestLakeStreamMerge:
         assert all(after[f] == h for f, h in before.items())
         assert t.read(0).count() == 100  # pre-merge version intact
 
+    def test_cdc_stream_merge_dv_mode(self, spark, tmp_path):
+        """stream_merge_lake(dv=True): the CDC trickle's micro-batch
+        merges run in deletion-vector mode — NO pre-existing data file
+        is rewritten OR removed (sidecars only), yet the final state is
+        identical to rewrite-mode merge semantics."""
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+            stream_merge_lake,
+        )
+
+        t = _mk(spark, tmp_path, rows=100, files=4)
+        before = _file_md5s(t)
+        src = tmp_path / "cdc_dv"
+        spark.createDataFrame(
+            [(7, -1, 1), (7, -2, 2), (500, 9, 1)], "k long, v long, seq long"
+        ).coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema("k long, v long, seq long").parquet(str(src))
+        stream_merge_lake(
+            stream, str(tmp_path / "t"), "k", str(tmp_path / "ck_dv"),
+            order_col="seq", dv=True,
+        )
+        cur = t.read()
+        assert cur.count() == 101 and t.rows() == 101
+        assert cur.filter("k = 7").collect()[0].v == -2
+        assert cur.filter("k = 500").collect()[0].v == 9
+        # dv mode: every pre-existing file still present AND byte-identical
+        after = _file_md5s(t)
+        assert all(after[f] == h for f, h in before.items())
+        assert set(before) <= set(after)  # nothing rewritten away
+        assert os.path.isdir(t._dv_dir) and len(os.listdir(t._dv_dir)) == 1
+
 
 class TestLakeModelProperty:
     def test_random_op_sequences_match_model(self, spark, tmp_path):
