@@ -1706,3 +1706,23 @@ def test_lake_model_random_op_sequences(spark, tmp_path):
     for ver, snap in rng.sample(history, min(6, len(history))):
         got = {int(r["k"]): int(r["v"]) for r in t.read(ver).collect()}
         assert got == snap, f"time travel to v{ver} diverged"
+
+
+def test_dv_read_plan_shapes(spark, tmp_path):
+    """Plan contract for the DV read path: a snapshot with NO vectors
+    reads as a plain parquet scan (zero overhead — no join anywhere);
+    a vectored snapshot applies the sidecar as a BROADCAST anti-join
+    (the build side is deleted-rows-sized and the hint is driven by
+    the entries' recorded ndel, not a guess)."""
+    t = _mk(spark, tmp_path, rows=50, files=2)
+    plan0 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0, "dv-free read gained a join"
+    t.delete_keys(spark.createDataFrame([(3,)], "k long"), "k", dv=True)
+    plan1 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan1
+    assert "BroadcastHashJoin" in plan1 or "BroadcastNestedLoop" not in plan1
+    assert "BroadcastHashJoin" in plan1, "dv anti-join not broadcast"
+    # compaction folds the vector: plain scan again
+    t.compact(target_files=1)
+    plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan2
