@@ -10137,3 +10137,51 @@ def nation_pair_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# Semi-structured payload rollup through Spark 4's VARIANT type: the
+# JSON props column is parsed ONCE to a variant (binary-encoded,
+# fields extracted without re-parsing text per access — the open
+# lakehouse answer to schema-on-read JSON columns), then shredded
+# with typed variant_get paths inside an ordinary grouped aggregate.
+# try_parse_json / try_variant_get give NULL-safe extraction (a
+# malformed payload degrades to NULLs, never a job failure — at
+# 100 TB some payloads WILL be malformed). The oracle recomputes the
+# same rollup with DuckDB's JSON functions on the raw text.
+@register(
+    "variant_props_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS n_with_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) // 10)
+                AS BIGINT) AS n_k_decades
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(_v, '$.k', 'bigint')")
+    return (
+        e.select("event_type", F.try_parse_json("props").alias("_v"))
+        .select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.count_distinct(F.expr("_k div 10")).alias("n_k_decades"),
+        )
+        .orderBy("event_type")
+    )
