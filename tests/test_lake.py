@@ -1726,3 +1726,27 @@ def test_dv_read_plan_shapes(spark, tmp_path):
     t.compact(target_files=1)
     plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan2
+
+
+def test_shallow_clone_of_dv_table(spark, tmp_path):
+    """Cloning a vectored table: the clone's absolute-path entries
+    carry the source's DV references, so the clone reads the SAME
+    logical rows; the clone then diverges with its own (clone-local)
+    vectors without touching the source."""
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    src = _mk_from(spark, tmp_path / "src", df.repartition(2))
+    src.delete_keys(
+        spark.createDataFrame([(i,) for i in range(10)], "k long"), "k", dv=True
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.read().count() == 90 and clone.rows() == 90
+    assert clone.read().filter(F.col("k") < 10).count() == 0
+    # clone diverges with its own dv delete; source unaffected
+    clone.delete_keys(spark.createDataFrame([(50,)], "k long"), "k", dv=True)
+    assert clone.read().count() == 89
+    assert src.read().count() == 90
+    assert src.read().filter(F.col("k") == 50).count() == 1
+    # and the source can keep dv-deleting without affecting the clone
+    src.delete_keys(spark.createDataFrame([(60,)], "k long"), "k", dv=True)
+    assert src.read().count() == 89
+    assert clone.read().filter(F.col("k") == 60).count() == 1
