@@ -673,30 +673,62 @@ class LakeTable:
         )
 
     def optimize_if_needed(
-        self, small_file_bytes: int = 32 * 1024 * 1024, min_small_files: int = 8
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        min_small_files: int = 8,
+        max_dv_fraction: float = 0.3,
     ) -> dict:
-        """Compaction policy: rewrite only when the snapshot holds at
-        least ``min_small_files`` files under ``small_file_bytes`` —
-        the maintenance loop's guard so OPTIMIZE runs are need-driven,
-        not scheduled blind rewrites of 100 TB. When it does fire, it
-        rewrites ONLY the small files (reads just their add entries,
-        bins them into ~threshold-sized files, commits adds + removes
-        limited to those paths) — the already-large files are untouched,
-        so the rewrite cost is O(small bytes), not O(table). Returns
-        what happened."""
+        """Compaction policy: rewrite when the snapshot holds at least
+        ``min_small_files`` files under ``small_file_bytes`` (the
+        small-file problem) OR any file whose deletion-vector covers ≥
+        ``max_dv_fraction`` of its rows (the tombstone-ratio problem:
+        a mostly-dead file pays full scan cost for a sliver of live
+        rows, and its anti-join build side keeps growing) — the
+        maintenance loop's guards so OPTIMIZE runs are need-driven,
+        not scheduled blind rewrites of 100 TB. When it fires, it
+        rewrites ONLY the qualifying files (reads just their add
+        entries — vectors fold into the rewrite — bins them into
+        ~threshold-sized files, commits adds + removes limited to
+        those paths); every other file is untouched, so the rewrite
+        cost is O(qualifying bytes), not O(table). Returns what
+        happened."""
         v0, active, schema = self._snapshot()
         small = [a for a in active if int(a.get("bytes", 0)) < small_file_bytes]
-        if len(small) < min_small_files:
-            return {"compacted": False, "small_files": len(small)}
-        small_paths = [a["path"] for a in small]
-        total_small = sum(int(a.get("bytes", 0)) for a in small)
-        target = max(1, total_small // max(small_file_bytes, 1))
+        dv_heavy = [
+            a
+            for a in active
+            if a.get("dv")
+            and int(a.get("bytes", 0)) >= small_file_bytes
+            and int(a["dv"].get("ndel", 0))
+            >= max_dv_fraction * max(int(a.get("rows", 0)), 1)
+        ]
+        if len(small) < min_small_files and not dv_heavy:
+            return {
+                "compacted": False,
+                "small_files": len(small),
+                "dv_heavy_files": 0,
+            }
+        targets = (small if len(small) >= min_small_files else []) + dv_heavy
+        target_paths = [a["path"] for a in targets]
+        live_bytes = sum(
+            int(a.get("bytes", 0))
+            * (1 - int(a.get("dv", {}).get("ndel", 0)) / max(int(a.get("rows", 0)), 1))
+            for a in targets
+        )
+        nfiles = max(1, int(live_bytes) // max(small_file_bytes, 1))
         # DV-aware read: compacting a vectored file folds its deletions
         # into the rewrite (the new files carry no dv entry)
-        df = self._read_entries(small, schema)
-        adds = self._write_files(df.coalesce(int(target)))
-        v = self._commit(v0 + 1, "compact", adds, small_paths, schema)
-        return {"compacted": True, "small_files": len(small), "version": v}
+        df = self._read_entries(targets, schema)
+        adds = self._write_files(df.coalesce(int(nfiles)))
+        v = self._commit_checked(
+            v0, "compact", adds, target_paths, schema, targets
+        )
+        return {
+            "compacted": True,
+            "small_files": len(small),
+            "dv_heavy_files": len(dv_heavy),
+            "version": v,
+        }
 
     # ---------------------------------------------------------- writes
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:

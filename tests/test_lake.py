@@ -1750,3 +1750,27 @@ def test_shallow_clone_of_dv_table(spark, tmp_path):
     src.delete_keys(spark.createDataFrame([(60,)], "k long"), "k", dv=True)
     assert src.read().count() == 89
     assert clone.read().filter(F.col("k") == 60).count() == 1
+
+
+def test_optimize_if_needed_dv_fraction_trigger(spark, tmp_path):
+    """The tombstone-ratio maintenance guard: a LARGE file whose
+    deletion vector covers >= max_dv_fraction of its rows triggers a
+    targeted rewrite (folding the vector) even when there is no
+    small-file problem; below the fraction, OPTIMIZE stays idle."""
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t = _mk_from(spark, tmp_path / "t", df.coalesce(1))
+    # no small files (threshold below the file size), light dv: idle
+    t.delete_keys(
+        spark.createDataFrame([(1,), (2,)], "k long"), "k", dv=True
+    )
+    r = t.optimize_if_needed(small_file_bytes=1, max_dv_fraction=0.3)
+    assert r["compacted"] is False and r["dv_heavy_files"] == 0
+    # vector 40% of the file: the dv-fraction guard fires
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(400)], "k long"), "k", dv=True
+    )
+    r = t.optimize_if_needed(small_file_bytes=1, max_dv_fraction=0.3)
+    assert r["compacted"] is True and r["dv_heavy_files"] == 1
+    _, active, _ = t._snapshot()
+    assert not any(a.get("dv") for a in active)
+    assert t.read().count() == t.rows() == 600
