@@ -10185,3 +10185,73 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# DV maintenance audit: the tombstone-ratio compaction loop end to
+# end — dv-delete ~39% of a one-file orders table, verify the
+# dv-fraction guard fires (and the light-delete case does NOT), and
+# that the folded snapshot is row-identical to the pre-compaction
+# vectored read. Emits oracle-checkable aggregates of the surviving
+# rows plus the policy decisions as 0/1 flags.
+@register(
+    "dv_maintenance_audit",
+    """
+    WITH d AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), kept AS (
+      SELECT * FROM d WHERE k % 13 != 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM d WHERE k % 13 = 0) AS BIGINT)
+             AS n_deleted,
+           CAST(0 AS BIGINT) AS idle_fired,
+           CAST(1 AS BIGINT) AS dv_guard_fired,
+           CAST(0 AS BIGINT) AS residual_dv_entries,
+           CAST(0 AS BIGINT) AS fold_mismatches,
+           CAST(sum(tp_c) AS BIGINT) AS sum_tp_c
+    FROM kept
+    """,
+)
+def dv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_c"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="lake_dvm2_")
+    t = LakeTable.create(spark, root + "/t", d.coalesce(1))
+    # light delete first: the 30% guard must NOT fire (~7.7% of keys)
+    r1 = t.delete_keys(
+        d.filter(F.col("k") % 13 == 0).select("k"), "k", dv=True
+    )
+    idle = t.optimize_if_needed(small_file_bytes=1, max_dv_fraction=0.3)
+    pre = {tuple(r) for r in t.read().collect()}
+    # lower the bar so the same vector now crosses it: guard fires
+    fired = t.optimize_if_needed(small_file_bytes=1, max_dv_fraction=0.05)
+    post = {tuple(r) for r in t.read().collect()}
+    _, active, _ = t._snapshot()
+    residual = sum(1 for a in active if a.get("dv"))
+    out = t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(r1["deleted"]).cast("long").alias("n_deleted"),
+        F.lit(int(idle["compacted"])).cast("long").alias("idle_fired"),
+        F.lit(int(fired["compacted"] and fired["dv_heavy_files"] == 1))
+        .cast("long")
+        .alias("dv_guard_fired"),
+        F.lit(residual).cast("long").alias("residual_dv_entries"),
+        F.lit(len(pre ^ post)).cast("long").alias("fold_mismatches"),
+        F.sum("tp_c").cast("long").alias("sum_tp_c"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

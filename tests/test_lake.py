@@ -890,7 +890,7 @@ def test_rows_is_metadata_only_and_exact(spark, tmp_path):
 def test_optimize_if_needed_policy(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=100, files=10)  # 10 tiny files
     r = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=20)
-    assert r == {"compacted": False, "small_files": 10}
+    assert r == {"compacted": False, "small_files": 10, "dv_heavy_files": 0}
     r = t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=8)
     assert r["compacted"] and t.read().count() == 100
     # post-compaction the policy goes quiet at the same thresholds...
