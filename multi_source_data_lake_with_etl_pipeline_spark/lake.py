@@ -332,10 +332,16 @@ class LakeTable:
                 except FileExistsError:
                     # A crashed writer must not pin the pointer forever:
                     # break locks older than 60 s (the critical section
-                    # is two tiny-file I/Os), then retry once.
+                    # is two tiny-file I/Os), then retry once. The break
+                    # is a RENAME, not an unlink — rename succeeds for
+                    # exactly ONE breaker (the loser's rename raises
+                    # FileNotFoundError), and it can never delete a
+                    # fresh lock another breaker just re-created the
+                    # way unlink-after-stat could (the TOCTOU where two
+                    # breakers both enter the critical section).
                     try:
                         if time.time() - os.path.getmtime(lock) > 60:
-                            os.unlink(lock)
+                            os.rename(lock, lock + f".stale.{uuid.uuid4().hex}")
                             continue
                     except OSError:
                         pass
@@ -472,7 +478,14 @@ class LakeTable:
         survives joins (``input_file_name()`` does not)."""
         paths = [self._abs(a["path"]) for a in entries]
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if keep_meta:  # empty table still honors the meta contract
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_dv_base"),
+                    F.lit(None).cast("long").alias("_dv_pos"),
+                )
+            return df
         df = self.spark.read.schema(schema).parquet(*paths)
         dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
         if not dv_rels and not keep_meta:
@@ -917,7 +930,7 @@ class LakeTable:
         ks = keys.select(key).distinct().persist()
         cur = self._read_entries(active, schema, keep_meta=True)
         matched = cur.join(ks, key, "left_semi").persist()
-        touched = self._touched_files(matched, col="_dv_base")
+        touched = self._touched_files(matched, col="_dv_base", active=active)
         if not touched:
             for f in (ks, matched):
                 f.unpersist()
@@ -1038,7 +1051,12 @@ class LakeTable:
             cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema
         )
 
-    def _touched_files(self, marker: DataFrame, col: str = "_f") -> list[str]:
+    def _touched_files(
+        self,
+        marker: DataFrame,
+        col: str = "_f",
+        active: list[dict] | None = None,
+    ) -> list[str]:
         """STORED path strings of active files containing ≥1 marker
         row. ``marker`` carries either a ``_f`` column captured with
         input_file_name() AT SCAN TIME (the expression is thread-local
@@ -1047,13 +1065,23 @@ class LakeTable:
         which read through ``_read_entries(keep_meta=True)`` — the
         ``_dv_base`` column, whose values survive joins.
 
+        ``active``: the CALLER'S snapshot entries. Resolving against
+        the caller's snapshot (not the latest) matters for the rebase
+        path: if a concurrent commit rewrites a touched file between
+        our snapshot and here, latest-resolution would silently DROP
+        that file from the read set and _commit_checked's validation
+        would pass — a lost delete/update. Against our own snapshot
+        the file stays in the read set and the validation raises
+        CommitConflict, as it must.
+
         Identity goes through the file's basename (uuid4 — globally
         unique) mapped back to the snapshot's stored path, NOT by
         substring-parsing the URI: a shallow clone's snapshot stores
         some files as ABSOLUTE paths into the source table, and those
         must resolve to their stored absolute string so commit remove
         lists match the active set."""
-        _, active, _ = self._snapshot()
+        if active is None:
+            _, active, _ = self._snapshot()
         by_base = {os.path.basename(a["path"]): a["path"] for a in active}
         rows = marker.select(col).distinct().collect()
         out = {
@@ -1083,7 +1111,7 @@ class LakeTable:
         src = source.persist()
         src_keys = src.select(key).distinct()
         matched_old = cur.join(src_keys, key, "left_semi").persist()
-        touched = self._touched_files(matched_old, col="_dv_base")
+        touched = self._touched_files(matched_old, col="_dv_base", active=active)
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
@@ -1147,7 +1175,7 @@ class LakeTable:
         cond = F.expr(f"coalesce(({predicate}), false)")
         cur = self._read_entries(active, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
-        touched = self._touched_files(matched, col="_dv_base")
+        touched = self._touched_files(matched, col="_dv_base", active=active)
         if not touched:
             matched.unpersist()
             return {"deleted": 0, "rewritten_files": 0, "version": v}
@@ -1317,4 +1345,9 @@ class LakeTable:
         for d in os.listdir(self.path):
             if d.startswith("_tmp_"):
                 shutil.rmtree(os.path.join(self.path, d))
+        # broken-lock debris: stale _last_checkpoint locks are renamed
+        # aside (rename is the single-winner break), never referenced
+        for f in os.listdir(self._log_dir):
+            if ".lock.stale." in f:
+                os.remove(os.path.join(self._log_dir, f))
         return removed

@@ -171,6 +171,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
                 width, height, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
+                if width == 0 or height == 0:
+                    # the spec requires nonzero dims; a 0x0 "image"
+                    # would silently emit NaN features downstream
+                    raise ValueError(f"png: invalid dimensions {width}x{height}")
                 if depth != 8 or color not in (2, 6):
                     raise NotImplementedError(
                         f"png: only 8-bit RGB/RGBA supported "

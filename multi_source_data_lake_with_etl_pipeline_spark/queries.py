@@ -146,11 +146,12 @@ def _eager_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     memory, and eviction churn (the round-5 broad-drift suspect).
     Eagerly finalizing (localCheckpoint runs the plan now; the result
     is result-rows-sized) bounds each query's footprint to its output
-    and lets the wide caches drop immediately."""
-    out = out.localCheckpoint(eager=True)
-    for f in cached:
-        f.unpersist()
-    return out
+    and lets the wide caches drop immediately. One implementation
+    (operators/quality._finalize_release) serves both the operator
+    layer and this registry — keep it that way."""
+    from .operators.quality import _finalize_release
+
+    return _finalize_release(out, *cached)
 
 
 _DRAINED: dict[tuple[int, str], str] = {}

@@ -49,9 +49,11 @@ def main() -> None:
         t0 = time.perf_counter()
         r = t.delete_keys(kdf, "l_orderkey", dv=dv)
         dt = time.perf_counter() - t0
-        written = _dir_bytes(t._data_dir) + _dir_bytes(
-            t._dv_dir if os.path.isdir(t._dv_dir) else t._data_dir
-        ) - base_bytes - (0 if not os.path.isdir(t._dv_dir) else 0)
+        written = (
+            _dir_bytes(t._data_dir)
+            + (_dir_bytes(t._dv_dir) if os.path.isdir(t._dv_dir) else 0)
+            - base_bytes
+        )
         t1 = time.perf_counter()
         cnt = t.read().count()
         read_s = time.perf_counter() - t1

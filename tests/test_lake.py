@@ -1422,9 +1422,20 @@ def test_deletion_vectors_end_to_end(spark, tmp_path):
     t.delete("k IN (1, 2)", dv=True)
     assert t.read().count() == 488 and t.rows() == 488
     _, active, _ = t._snapshot()
-    assert all(
-        len({a["dv"]["path"]}) == 1 for a in active if a.get("dv")
-    )
+    # the union invariant is PER ENTRY: each vectored entry references
+    # exactly ONE sidecar whose rows for that file cover ALL of the
+    # file's stacked deletions (ndel matches the sidecar's row count
+    # for that basename) — never a per-delete sidecar list
+    for a in active:
+        if not a.get("dv"):
+            continue
+        base = os.path.basename(a["path"])
+        in_side = (
+            spark.read.parquet(t._abs(a["dv"]["path"]))
+            .filter(F.col("_dv_base") == base)
+            .count()
+        )
+        assert in_side == a["dv"]["ndel"], (base, in_side, a["dv"])
     # pruned + null-skipping readers apply DVs too (no side door)
     assert t.read_pruned("k", 0, 10).filter(F.col("k") == 5).count() == 0
     assert t.read_where_null("k", want_null=False).count() == 488
@@ -1720,8 +1731,8 @@ def test_dv_read_plan_shapes(spark, tmp_path):
     t.delete_keys(spark.createDataFrame([(3,)], "k long"), "k", dv=True)
     plan1 = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan1
-    assert "BroadcastHashJoin" in plan1 or "BroadcastNestedLoop" not in plan1
     assert "BroadcastHashJoin" in plan1, "dv anti-join not broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan1
     # compaction folds the vector: plain scan again
     t.compact(target_files=1)
     plan2 = t.read()._jdf.queryExecution().executedPlan().toString()
@@ -1774,3 +1785,72 @@ def test_optimize_if_needed_dv_fraction_trigger(spark, tmp_path):
     _, active, _ = t._snapshot()
     assert not any(a.get("dv") for a in active)
     assert t.read().count() == t.rows() == 600
+
+
+def test_ops_on_emptied_table(spark, tmp_path):
+    """Review finding (r6): merge/delete/delete_keys/apply_cdc on a
+    table whose active set is EMPTY (everything deleted) must behave
+    as pure inserts / no-ops — the keep_meta read path previously
+    dropped its meta columns on the empty branch and crashed with
+    UNRESOLVED_COLUMN `_dv_base`."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    t = _mk_from(spark, tmp_path / "t", df.coalesce(1))
+    t.delete("k >= 0")  # empty the table
+    assert t.read().count() == 0
+    # merge on empty = pure insert
+    m = t.merge(spark.createDataFrame([(1, 5)], "k long, v long"), "k")
+    assert (m["inserted"], m["updated"]) == (1, 0)
+    assert t.read().count() == 1
+    t.delete("k >= 0", dv=True)
+    assert t.read().count() == 0
+    # dv merge on empty, delete on empty, delete_keys on empty
+    m2 = t.merge(spark.createDataFrame([(2, 6)], "k long, v long"), "k", dv=True)
+    assert (m2["inserted"], m2["updated"]) == (1, 0)
+    t.delete_keys(spark.createDataFrame([(2,)], "k long"), "k")
+    assert t.read().count() == 0
+    r = t.delete("k = 9")  # no-op on empty
+    assert r["deleted"] == 0
+    r2 = t.delete_keys(spark.createDataFrame([(9,)], "k long"), "k", dv=True)
+    assert r2["deleted"] == 0
+    cdc = t.apply_cdc(
+        spark.createDataFrame([(3, 7, "I", 1)], "k long, v long, op string, seq long"),
+        "k", order_col="seq", dv=True,
+    )
+    assert cdc["upserted"] == 1 and t.read().count() == 1
+
+
+def test_rebase_raises_when_concurrent_rewrite_steals_touched_file(spark, tmp_path):
+    """Review finding (r6): _touched_files resolves against the
+    OPERATION'S snapshot. A concurrent commit that rewrites a touched
+    file between our snapshot and our commit must surface as
+    CommitConflict — resolving against the LATEST snapshot would drop
+    the file from the read set and silently LOSE the delete."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=20, files=1)
+    victim = t._snapshot()[1][0]
+    orig = t._write_files
+
+    def hooked(df):
+        adds = orig(df)
+        # the racer compacts the victim into a new file mid-rewrite
+        racer = {
+            "version": 1, "op": "compact", "ts": 0,
+            "add": [{**victim, "path": victim["path"] + ".moved.parquet"}],
+            "remove": [victim["path"]],
+            "schema": t._read_commit(0)["schema"],
+        }
+        try:
+            with open(os.path.join(t._log_dir, f"{1:020d}.json"), "x") as f:
+                _json.dump(racer, f)
+        except FileExistsError:
+            pass
+        return adds
+
+    t._write_files = hooked
+    with pytest.raises(CommitConflict, match="modified"):
+        t.delete_keys(spark.createDataFrame([(5,)], "k long"), "k")
+    t._write_files = orig
+    assert t.latest_version() == 1  # only the racer's commit landed
