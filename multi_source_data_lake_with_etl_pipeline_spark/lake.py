@@ -216,6 +216,27 @@ class LakeTable:
             )
         return out
 
+    def details(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL parity: one metadata-only dict summarizing a
+        snapshot — version, file/byte/row counts, deletion-vector
+        footprint (vectored files, deleted rows, live rows), tag names,
+        and column names. O(files) driver work, zero data scanned —
+        the operational health check a maintenance loop reads before
+        deciding whether to OPTIMIZE or VACUUM."""
+        v, active, schema = self._snapshot(version)
+        ndel = sum(int(a.get("dv", {}).get("ndel", 0)) for a in active)
+        return {
+            "version": v,
+            "num_files": len(active),
+            "total_bytes": sum(int(a.get("bytes", 0)) for a in active),
+            "total_rows": sum(int(a.get("rows", 0)) for a in active),
+            "live_rows": self.rows(v),
+            "dv_files": sum(1 for a in active if a.get("dv")),
+            "dv_deleted_rows": ndel,
+            "tags": sorted(self.tags()),
+            "columns": [f.name for f in schema.fields],
+        }
+
     def _checkpoint_at_or_before(self, v: int) -> tuple[int, list[dict]] | None:
         # O(1) fast path (Delta's _last_checkpoint parity): the pointer
         # names the newest checkpoint, so the common latest-snapshot

@@ -1854,3 +1854,25 @@ def test_rebase_raises_when_concurrent_rewrite_steals_touched_file(spark, tmp_pa
         t.delete_keys(spark.createDataFrame([(5,)], "k long"), "k")
     t._write_files = orig
     assert t.latest_version() == 1  # only the racer's commit landed
+
+
+def test_details_describe_detail_parity(spark, tmp_path):
+    """details(): one metadata-only snapshot summary — counts agree
+    with the scan, DV footprint surfaces, time travel shows the older
+    snapshot's detail."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    t = _mk_from(spark, tmp_path / "t", df.repartition(2))
+    t.tag("rel")
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(5)], "k long"), "k", dv=True
+    )
+    d = t.details()
+    assert d["version"] == 1 and d["num_files"] == 2
+    assert d["total_rows"] == 100 and d["live_rows"] == 95
+    assert d["dv_files"] >= 1 and d["dv_deleted_rows"] == 5
+    assert d["tags"] == ["rel"] and d["columns"] == ["k", "v"]
+    assert d["live_rows"] == t.read().count()
+    d0 = t.details(0)
+    assert d0["live_rows"] == 100 and d0["dv_files"] == 0
