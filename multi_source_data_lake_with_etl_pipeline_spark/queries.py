@@ -62,24 +62,30 @@ def register(name: str, oracle: str | None):
 # the same harness at sf0.001 in CI).
 
 
-def _driver_checked() -> tuple[set[str], set[str]]:
+def _driver_checked() -> tuple[set[str], set[str], dict[str, int]]:
     """Names the external harness has recorded, split into (passed,
-    failed). A query counts as *passed* only if its LATEST recorded row
-    has rows/schema/hash all true, or is a by-design ``no_oracle``
+    failed), plus the round number of each name's LATEST row. A query
+    counts as *passed* only if its LATEST recorded row has
+    rows/schema/hash all true, or is a by-design ``no_oracle``
     rows-only row; anything with an explicit false stays *failed* so
     the rotation re-serves it after a fix (otherwise a red row would be
     pushed out of the 50-entry window forever and never re-verified)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
                     latest[name] = row if isinstance(row, dict) else {}
+                    latest_round[name] = rnd
         except Exception:  # unreadable snapshot — skip, never break queries()
             pass
     passed: set[str] = set()
@@ -97,23 +103,35 @@ def _driver_checked() -> tuple[set[str], set[str]]:
             failed.add(name)
         else:  # all-true green row, or no_oracle rows-only row
             passed.add(name)
-    return passed, failed
+    return passed, failed, latest_round
 
 
 def _ordered_names() -> list[str]:
-    passed, failed = _driver_checked()
+    passed, failed, latest_round = _driver_checked()
     seen = passed | failed
-    # Window priority: previously-FAILED oracled queries first (so the
-    # external harness re-verifies fixes), then never-checked oracled
-    # queries in registration order, then never-checked rows-only
-    # queries (their weaker no_oracle row is still external evidence
-    # the query runs — without fronting they never enter the window),
-    # then everything already green.
+    # Window priority: previously-FAILED queries first (oracled before
+    # rows-only — the stronger re-check leads, but a crashed rows-only
+    # row must re-enter the window too or its fix is never re-verified
+    # externally), then never-checked oracled queries in registration
+    # order, then never-checked rows-only queries (their weaker
+    # no_oracle row is still external evidence the query runs — without
+    # fronting they never enter the window). Everything already green
+    # follows STALEST-FIRST: ordered by the round of its latest
+    # CORRECTNESS row (ties broken by registration order), so the
+    # 50-slot window is a rolling freshness sweep — an r1 green with
+    # five rounds of engine churn behind it re-verifies before an r6
+    # green (VERDICT r6 item 3).
     refresh = [n for n in _REGISTRY if n in failed and _REGISTRY[n][1] is not None]
+    refresh_rows_only = [n for n in _REGISTRY if n in failed and _REGISTRY[n][1] is None]
     fresh = [n for n in _REGISTRY if n not in seen and _REGISTRY[n][1] is not None]
     fresh_rows_only = [n for n in _REGISTRY if n not in seen and _REGISTRY[n][1] is None]
-    head = refresh + fresh + fresh_rows_only
-    rest = [n for n in _REGISTRY if n not in set(head)]
+    head = refresh + refresh_rows_only + fresh + fresh_rows_only
+    head_set = set(head)
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    rest = sorted(
+        (n for n in _REGISTRY if n not in head_set),
+        key=lambda n: (latest_round.get(n, 0), reg_pos[n]),
+    )
     return head + rest
 
 
@@ -1574,14 +1592,19 @@ def segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # §2.5 superset: approximate aggregates (HLL++ distinct, quantile
 # sketch) — the 100 TB cardinality path. No oracle: sketch results are
-# engine-specific by design (driver does the rows-only check).
+# engine-specific by design (driver does the rows-only check). Scalar
+# quantile columns, not one array column: the external harness
+# canonicalizes rows-only output through pandas sort_values, which
+# can't hash list cells (VERDICT r6 item 1).
 @register("approx_events_profile", None)
 def approx_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_type").alias("approx_event_types"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+        F.percentile_approx("value", 0.5).alias("value_p50"),
+        F.percentile_approx("value", 0.95).alias("value_p95"),
+        F.percentile_approx("value", 0.99).alias("value_p99"),
     )
 
 

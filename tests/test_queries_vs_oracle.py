@@ -27,22 +27,27 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 def test_driver_window_rotation_contract():
     """The external correctness harness snapshots the FIRST 50 registry
-    entries; the rotation must fill that window with (a) oracled
-    queries whose LATEST committed CORRECTNESS_r*.json row FAILED (so
-    fixes get re-verified externally), then (b) oracled queries no
-    snapshot has seen yet — so each round contributes 50 externally
-    meaningful rows."""
+    entries; the rotation must fill that window with (a) queries whose
+    LATEST committed CORRECTNESS_r*.json row FAILED (oracled first, but
+    crashed rows-only rows re-enter too), then (b) queries no snapshot
+    has seen yet (oracled before rows-only), then (c) already-green
+    queries STALEST-FIRST by latest-row round — so each round's 50 rows
+    are the most externally meaningful ones available."""
     import glob
     import json
     import os
+    import re
 
     names = list(q.spark_queries())
     oracled = set(q.oracle_queries())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
+    latest_round: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
         for name, row in json.load(open(p)).items():
             latest[name] = row if isinstance(row, dict) else {}
+            latest_round[name] = rnd
     failed = {
         n
         for n, row in latest.items()
@@ -58,22 +63,28 @@ def test_driver_window_rotation_contract():
             )
         )
     }
-    refresh = [n for n in names if n in failed and n in oracled]
-    fresh = [n for n in names if n in oracled and n not in latest]
-    fresh_rows_only = [n for n in names if n not in oracled and n not in latest]
-    head_available = refresh + fresh + fresh_rows_only
-    window = names[: min(50, len(head_available))]
-    # failed queries lead the window; the rest of the window is unseen,
-    # oracled entries before rows-only ones (the stronger check first)
-    assert window[: len([n for n in window if n in failed])] == [
-        n for n in window if n in failed
-    ]
-    assert all(n in failed or n not in latest for n in window)
-    unseen = [n for n in window if n not in failed]
+    n_failed = len([n for n in names if n in failed])
+    n_unseen = len([n for n in names if n not in latest])
+    # failed queries lead the window, oracled failures before rows-only
+    head_failed = names[:n_failed]
+    assert set(head_failed) == failed & set(names)
+    first_ro_fail = next(
+        (i for i, n in enumerate(head_failed) if n not in oracled),
+        len(head_failed),
+    )
+    assert all(n not in oracled for n in head_failed[first_ro_fail:])
+    # then never-checked queries, oracled before rows-only
+    unseen = names[n_failed : n_failed + n_unseen]
+    assert all(n not in latest for n in unseen)
     first_rows_only = next(
         (i for i, n in enumerate(unseen) if n not in oracled), len(unseen)
     )
     assert all(n not in oracled for n in unseen[first_rows_only:])
+    # then already-green queries, stalest latest-round first: rounds
+    # monotonically non-decreasing behind the refresh/fresh head
+    rest = names[n_failed + n_unseen :]
+    rest_rounds = [latest_round[n] for n in rest]
+    assert rest_rounds == sorted(rest_rounds)
     # and nothing is lost: the full registry is still served
     assert set(names) == set(q.spark_queries())
 
