@@ -55,6 +55,21 @@ _LOG = "_log"
 _DATA = "data"
 _CDF = "_cdf"
 _DV = "dv"  # deletion-vector sidecars: (base, pos) parquet per delete
+# Internal column names the DV read path injects at scan time. A user
+# column with either name would become ambiguous inside delete/merge
+# and corrupt vector application, so they are rejected at every schema
+# entry point (create/append/overwrite) — the same reservation Delta
+# makes for _change_type.
+_RESERVED_COLS = ("_dv_base", "_dv_pos")
+
+
+def _check_reserved(schema: StructType) -> None:
+    bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved for the lake's deletion-"
+            "vector metadata — rename them before writing"
+        )
 _CHECKPOINT_EVERY = 10
 # Footer stats only for types whose min/max compare unambiguously
 # across engines (skip strings: parquet truncates binary stats).
@@ -63,6 +78,12 @@ _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "date"
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first."""
+
+
+class ConstraintViolation(ValueError):
+    """A batch (or the existing table, for ADD CONSTRAINT) violates a
+    CHECK constraint — the commit is rejected whole, the table state is
+    untouched."""
 
 
 def _ver_name(v: int) -> str:
@@ -138,6 +159,7 @@ class LakeTable:
     # ---------------------------------------------------------- creation
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "LakeTable":
+        _check_reserved(df.schema)
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -179,7 +201,9 @@ class LakeTable:
             }
             for a in active
         ]
-        t._commit(0, "create", adds, [], schema)
+        # constraints (and any other table properties) travel with the
+        # clone — a GDPR/quality invariant must hold on both sides
+        t._commit(0, "create", adds, [], schema, props=self.props(version))
         return t
 
     # ---------------------------------------------------------- log I/O
@@ -236,6 +260,123 @@ class LakeTable:
             "tags": sorted(self.tags()),
             "columns": [f.name for f in schema.fields],
         }
+
+    # ---------------------------------------------------------- properties
+    def props(self, version: int | None = None) -> dict:
+        """Table properties at ``version`` (default latest) — the
+        metadata dict CHECK constraints live in (Delta's
+        ``delta.constraints.*`` configuration parity). Carried by the
+        commit log: the newest commit at-or-before ``version`` with a
+        ``props`` key holds the complete current dict; commits that
+        don't change properties don't repeat them. Versioned like the
+        schema — time travel to before ADD CONSTRAINT sees no
+        constraint."""
+        v = self.latest_version() if version is None else version
+        for cv in range(v, -1, -1):
+            try:
+                c = self._read_commit(cv)
+            except FileNotFoundError:
+                continue
+            if "props" in c:
+                return dict(c["props"])
+        return {}
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Named CHECK constraints at ``version``: {name: sql_pred}."""
+        pfx = "constraint."
+        return {
+            k[len(pfx):]: p
+            for k, p in self.props(version).items()
+            if k.startswith(pfx)
+        }
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (predicate) — Delta
+        protocol parity. The EXISTING table must already satisfy the
+        predicate (scanned now; violators reject the constraint, with a
+        sample), then every later append/merge/CDC batch is validated
+        at commit time: a violating batch rejects the WHOLE commit —
+        table state bit-identical afterward — never silently drops
+        rows. SQL CHECK semantics: only rows where the predicate is
+        explicitly FALSE violate (NULL passes — use an explicit
+        ``x IS NOT NULL`` constraint for NOT NULL enforcement, see
+        ``add_not_null``). Metadata-only commit; survives schema
+        evolution and clone; concurrency-safe via the rebase path (a
+        concurrent append of violating rows conflicts instead of
+        slipping under the new constraint)."""
+        if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]{0,63}", name):
+            raise ValueError(f"invalid constraint name: {name!r}")
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        v, active, schema = self._snapshot()
+        violated = F.expr(f"coalesce(not ({predicate}), false)")
+        sample = (
+            self._read_entries(active, schema).filter(violated).limit(3).collect()
+        )
+        if sample:
+            raise ConstraintViolation(
+                f"cannot add CHECK constraint {name!r} ({predicate}): "
+                f"existing rows violate it, e.g. {[r.asDict() for r in sample]}"
+            )
+        props = self.props(v)
+        props[f"constraint.{name}"] = predicate
+        # rebase guard: a concurrent append that lands between our scan
+        # and our commit must not contain violating rows
+        probe = (
+            lambda ents: self._read_entries(ents, schema)
+            .filter(violated)
+            .limit(1)
+            .count()
+            > 0
+        )
+        return self._commit_checked(
+            v, "setprops", [], [], schema, [], read_probe=probe, props=props
+        )
+
+    def add_not_null(self, col: str) -> int:
+        """NOT NULL enforcement as a named CHECK constraint (the
+        predicate `col IS NOT NULL` is FALSE for NULLs, so NULL rows
+        reject the commit — SQL CHECK's null-passes rule doesn't
+        exempt them)."""
+        return self.add_constraint(f"{col}_not_null", f"{col} IS NOT NULL")
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"no such constraint: {name!r}")
+        v = self.latest_version()
+        props = self.props(v)
+        del props[f"constraint.{name}"]
+        _, _, schema = self._snapshot(v)
+        return self._commit(v + 1, "setprops", [], [], schema, props=props)
+
+    def _check_constraints(
+        self, df: DataFrame, cons: dict[str, str] | None = None
+    ) -> None:
+        """Validate a write batch against the table's CHECK constraints
+        BEFORE any file or commit is written — one aggregate pass over
+        the batch for all constraints (violation counts), plus one
+        sample scan only on the failure path."""
+        cons = self.constraints() if cons is None else cons
+        if not cons:
+            return
+        viol = {
+            n: F.expr(f"coalesce(not ({p}), false)") for n, p in cons.items()
+        }
+        counts = df.agg(
+            *[F.sum(v.cast("bigint")).alias(n) for n, v in viol.items()]
+        ).collect()[0]
+        bad = {n: int(counts[n] or 0) for n in cons if counts[n]}
+        if not bad:
+            return
+        first = next(iter(bad))
+        sample = df.filter(viol[first]).limit(3).collect()
+        raise ConstraintViolation(
+            f"CHECK constraint(s) violated, commit rejected: "
+            + ", ".join(
+                f"{n} ({cons[n]}): {c} row(s)" for n, c in bad.items()
+            )
+            + f"; sample for {first!r}: {[r.asDict() for r in sample]}"
+        )
 
     def _checkpoint_at_or_before(self, v: int) -> tuple[int, list[dict]] | None:
         # O(1) fast path (Delta's _last_checkpoint parity): the pointer
@@ -303,6 +444,7 @@ class LakeTable:
         schema: StructType,
         retries: int = 0,
         txn: dict | None = None,
+        props: dict | None = None,
     ) -> int:
         rec = {
             "version": version,
@@ -314,6 +456,8 @@ class LakeTable:
         }
         if txn is not None:
             rec["txn"] = txn
+        if props is not None:
+            rec["props"] = props
         target = os.path.join(self._log_dir, _ver_name(version))
         while True:
             try:
@@ -394,30 +538,55 @@ class LakeTable:
         schema: StructType,
         touched_entries: list[dict],
         max_rebase: int = 5,
+        read_probe=None,
+        props: dict | None = None,
     ) -> int:
         """Commit with Delta-style CONFLICT DETECTION instead of blind
         failure: when another writer claims our version first, re-read
         the head and REBASE if the interleaved commits are disjoint
         from our read set — every entry we read (``touched_entries``)
         must still be active and byte-identical (same path, same dv
-        state). A concurrent append, or a delete/merge on OTHER files,
-        then retries cleanly at the new head; a commit that touched
-        the same files (or evolved the schema) raises CommitConflict,
-        because our outputs were derived from data that is no longer
-        current. Appends don't need this (commutative — they blind-
-        retry in _commit); this is the read-set validation the
-        non-commutative ops (DELETE/MERGE) need to be safely
-        concurrent."""
+        state), AND no concurrently-ADDED file may contain rows that
+        match the operation's read predicate/keys. The second check is
+        ``read_probe``: a callable given the interleaved ADD entries
+        (files active at the new head that were not active at
+        ``base_v``) that returns True when any of their rows fall in
+        this operation's read set — exact, because it re-scans just
+        the new files, which is O(interleaved bytes) on the rare
+        rebase path. Without it a merge rebasing over an append that
+        inserted the same key would commit duplicate keys, and a
+        rebased delete would silently leave concurrently-appended
+        matching rows alive — Delta raises ConcurrentAppendException
+        for exactly this case. A concurrent append of NON-matching
+        rows, or a delete/merge on other files, retries cleanly at the
+        new head; a hit raises CommitConflict, because our outputs
+        were derived from a read set that is no longer current.
+
+        ``read_probe=None`` means interleaved appends are known
+        disjoint by construction (compaction: its read set is exactly
+        its target files, and fresh appends can never land in them) —
+        NOT a safe default for predicate/key-scoped ops. Appends
+        themselves don't come through here (commutative — they
+        blind-retry in _commit)."""
         v = base_v + 1
+        base_paths: set[str] | None = None
         for _ in range(max_rebase + 1):
             try:
-                return self._commit(v, op, adds, removes, schema)
+                return self._commit(v, op, adds, removes, schema, props=props)
             except CommitConflict:
                 latest = self.latest_version()
                 _, active, cur_schema = self._snapshot(latest)
                 if cur_schema.jsonValue() != schema.jsonValue():
                     raise CommitConflict(
                         f"version {v} taken and the schema evolved "
+                        "concurrently — re-run against the new head"
+                    ) from None
+                # table properties (constraints) changed concurrently:
+                # our batch was validated against the OLD set — conflict
+                # rather than slip under the new rules
+                if self.props(latest) != self.props(base_v):
+                    raise CommitConflict(
+                        f"version {v} taken and table properties changed "
                         "concurrently — re-run against the new head"
                     ) from None
                 by_path = {a["path"]: a for a in active}
@@ -427,6 +596,20 @@ class LakeTable:
                             f"version {v} taken and a concurrent commit "
                             f"modified {e['path']} — re-run against the "
                             "new head"
+                        ) from None
+                if read_probe is not None:
+                    if base_paths is None:
+                        _, base_active, _ = self._snapshot(base_v)
+                        base_paths = {a["path"] for a in base_active}
+                    interleaved = [
+                        a for a in active if a["path"] not in base_paths
+                    ]
+                    if interleaved and read_probe(interleaved):
+                        raise CommitConflict(
+                            f"version {v} taken and a concurrent append "
+                            "added rows matching this operation's read "
+                            "set — re-run against the new head "
+                            "(ConcurrentAppendException parity)"
                         ) from None
                 v = latest + 1
         raise CommitConflict(
@@ -523,6 +706,15 @@ class LakeTable:
             dv = self.spark.read.schema("_dv_base string, _dv_pos long").parquet(
                 *[self._abs(p) for p in dv_rels]
             )
+            # A shared sidecar physically holds positions for every file
+            # the same historical delete/merge touched; a pruned read of
+            # one entry must not load (or broadcast) the rest. Filtering
+            # to the read set's basenames also makes the metadata ndel
+            # estimate match the actual build side.
+            bases = [
+                os.path.basename(a["path"]) for a in entries if a.get("dv")
+            ]
+            dv = dv.filter(F.col("_dv_base").isin(bases))
             ndel = sum(int(a["dv"].get("ndel", 0)) for a in entries if a.get("dv"))
             if ndel <= 2_000_000:  # metadata-known build size → broadcast
                 dv = F.broadcast(dv)
@@ -728,11 +920,15 @@ class LakeTable:
         happened."""
         v0, active, schema = self._snapshot()
         small = [a for a in active if int(a.get("bytes", 0)) < small_file_bytes]
+        # The tombstone-ratio test applies to EVERY vectored file, small
+        # or large: a small file with a ~100% vector would otherwise
+        # never qualify while the small-file count stays below
+        # min_small_files, and its sidecar + anti-join tax would persist
+        # indefinitely (only the small-file clause is count-gated).
         dv_heavy = [
             a
             for a in active
             if a.get("dv")
-            and int(a.get("bytes", 0)) >= small_file_bytes
             and int(a["dv"].get("ndel", 0))
             >= max_dv_fraction * max(int(a.get("rows", 0)), 1)
         ]
@@ -742,7 +938,11 @@ class LakeTable:
                 "small_files": len(small),
                 "dv_heavy_files": 0,
             }
-        targets = (small if len(small) >= min_small_files else []) + dv_heavy
+        take_small = small if len(small) >= min_small_files else []
+        small_paths = {a["path"] for a in take_small}
+        targets = take_small + [
+            a for a in dv_heavy if a["path"] not in small_paths
+        ]
         target_paths = [a["path"] for a in targets]
         live_bytes = sum(
             int(a.get("bytes", 0))
@@ -806,15 +1006,28 @@ class LakeTable:
                 StructType(list(cur.fields) + new_fields) if new_fields else cur
             )
 
+        _check_reserved(df.schema)
+        # The base version is PINNED BEFORE validation and the target
+        # is never re-read inside _commit: any commit interleaving
+        # after this point forces the except-branch, which re-validates
+        # against the NEW head's schema AND constraints — a racing
+        # ADD CONSTRAINT can't let an already-validated violating
+        # batch slip under it
+        v = self.latest_version() + 1
+        cons = self.constraints(v - 1)
+        self._check_constraints(df, cons)
         schema = _union_schema()
         adds = self._write_files(df)
         for _ in range(21):
             try:
-                return self._commit(
-                    self.latest_version() + 1, "append", adds, [], schema
-                )
+                return self._commit(v, "append", adds, [], schema)
             except CommitConflict:
                 schema = _union_schema()  # re-merge vs the racing commit
+                latest_cons = self.constraints()
+                if latest_cons != cons:  # racing ADD CONSTRAINT: re-check
+                    self._check_constraints(df, latest_cons)
+                    cons = latest_cons
+                v = self.latest_version() + 1
         raise CommitConflict("append lost 21 consecutive commit races")
 
     def last_committed_batch(self, app_id: str) -> int | None:
@@ -836,26 +1049,37 @@ class LakeTable:
         restarts — sees its batch id already in the log and becomes a
         no-op, upgrading the sink to exactly-once. Returns the commit
         version, or None if the batch was already applied."""
+        _check_reserved(df.schema)
+        v = self.latest_version()  # pinned BEFORE validation (see append)
+        cons = self.constraints(v)
+        self._check_constraints(df, cons)
         last = self.last_committed_batch(app_id)
         if last is not None and batch_id <= last:
             return None
-        v = self.latest_version()
         adds = self._write_files(df)
         # The txn marker rides the commit record itself, so a crash can
         # never separate "data visible" from "batch recorded" — replay
         # after any crash point is correct (either the commit exists
         # with its marker, or neither does and the batch re-applies).
-        return self._commit(
-            v + 1,
-            "append",
-            adds,
-            [],
-            df.schema,
-            retries=20,
-            txn={"app": app_id, "batch": int(batch_id)},
+        # Retries live HERE (not in _commit) so a lost race re-checks
+        # constraints a concurrent ADD CONSTRAINT may have added.
+        txn = {"app": app_id, "batch": int(batch_id)}
+        for _ in range(21):
+            try:
+                return self._commit(v + 1, "append", adds, [], df.schema, txn=txn)
+            except CommitConflict:
+                latest_cons = self.constraints()
+                if latest_cons != cons:
+                    self._check_constraints(df, latest_cons)
+                    cons = latest_cons
+                v = self.latest_version()
+        raise CommitConflict(
+            "append_stream_batch lost 21 consecutive commit races"
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        _check_reserved(df.schema)
+        self._check_constraints(df)
         v, active, _ = self._snapshot()
         adds = self._write_files(df)
         return self._commit(
@@ -960,15 +1184,27 @@ class LakeTable:
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
         deleted = matched.count()
+        # Rebase guard: a file appended AFTER our snapshot may contain a
+        # key we're purging — rebasing past it would leave those rows
+        # alive (a silently incomplete GDPR erasure).
+        probe = (
+            lambda ents: self._read_entries(ents, schema)
+            .join(ks, key, "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
         if dv:
-            adds, new_v = self._commit_dv(v, t_entries, matched, schema)
+            adds, new_v = self._commit_dv(
+                v, t_entries, matched, schema, read_probe=probe
+            )
             rewritten = 0
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.join(ks, key, "left_anti")
             adds = self._write_files(keep) if keep.limit(1).count() else []
             new_v = self._commit_checked(
-                v, "delete", adds, touched, schema, t_entries
+                v, "delete", adds, touched, schema, t_entries, read_probe=probe
             )
             rewritten = len(touched)
         self._write_cdf(
@@ -989,6 +1225,7 @@ class LakeTable:
         schema: StructType,
         op: str = "delete",
         extra_adds: list[dict] | None = None,
+        read_probe=None,
     ) -> tuple[list[dict], int]:
         """Shared DV-mode commit: union the touched entries' EXISTING
         vectors with the newly matched (base, pos) rows into ONE new
@@ -1039,7 +1276,8 @@ class LakeTable:
         adds = [a for a in adds if a["dv"]["ndel"] < int(a.get("rows", 0))]
         adds = adds + (extra_adds or [])
         new_v = self._commit_checked(
-            v, op, adds, [a["path"] for a in t_entries], schema, t_entries
+            v, op, adds, [a["path"] for a in t_entries], schema, t_entries,
+            read_probe=read_probe,
         )
         return adds, new_v
 
@@ -1053,7 +1291,12 @@ class LakeTable:
 
         Restoring past the vacuum horizon is refused up front (Delta
         RESTORE's missing-file check): every target add entry must still
-        exist on disk, else the new head would read broken."""
+        exist on disk, else the new head would read broken.
+
+        CHECK constraints added AFTER the target version are NOT
+        re-validated against the restored rows (Delta RESTORE parity:
+        restore is metadata-only by design) — drop or re-add the
+        constraint if the rollback may predate it."""
         cur_v, cur_active, _ = self._snapshot()
         _, active, schema = self._snapshot(version)
         missing = [
@@ -1130,6 +1373,14 @@ class LakeTable:
         v, active, schema = self._snapshot()
         cur = self._read_entries(active, schema, keep_meta=True)
         src = source.persist()
+        # merge output rows are exactly the source rows (source wins on
+        # match) plus untouched old rows — validating the source batch
+        # covers every row the commit can introduce
+        try:
+            self._check_constraints(src)
+        except ConstraintViolation:
+            src.unpersist()
+            raise
         src_keys = src.select(key).distinct()
         matched_old = cur.join(src_keys, key, "left_semi").persist()
         touched = self._touched_files(matched_old, col="_dv_base", active=active)
@@ -1139,16 +1390,28 @@ class LakeTable:
         affected = matched_old.select(*data_cols)
         updated = src.join(affected.select(key).distinct(), key, "left_semi").count()
         inserted = src.count() - updated
+        # Rebase guard: an append interleaving one of OUR source keys
+        # means this merge's matched/unmatched split is stale — a blind
+        # rebase would commit duplicate keys (our "insert" of a key the
+        # append just added, or an update that misses the appended row).
+        # Probe against ALL source keys, not just matched ones.
+        probe = (
+            lambda ents: self._read_entries(ents, schema)
+            .join(src_keys, key, "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
         if dv:
             new_files = self._write_files(src.select(*data_cols))
             if touched:
                 adds, new_v = self._commit_dv(
                     v, t_entries, matched_old, schema,
-                    op="merge", extra_adds=new_files,
+                    op="merge", extra_adds=new_files, read_probe=probe,
                 )
-            else:  # pure insert — empty read set, rebases freely
+            else:  # pure insert — empty read set; still probe appends
                 new_v = self._commit_checked(
-                    v, "merge", new_files, [], schema, []
+                    v, "merge", new_files, [], schema, [], read_probe=probe
                 )
             touched = []  # nothing rewritten — report 0 like delete dv
         else:
@@ -1156,7 +1419,7 @@ class LakeTable:
             merged = merge_upsert_df(full_affected, src, key)
             adds = self._write_files(merged)
             new_v = self._commit_checked(
-                v, "merge", adds, touched, schema, t_entries
+                v, "merge", adds, touched, schema, t_entries, read_probe=probe
             )
         # CDF capture: O(source rows), written after the commit wins its
         # version (a conflict raises above, so no stray change files).
@@ -1204,15 +1467,26 @@ class LakeTable:
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
         deleted = matched.count()
+        # Rebase guard: concurrently-appended rows matching the
+        # predicate must conflict, not silently survive the delete.
+        probe = (
+            lambda ents: self._read_entries(ents, schema)
+            .filter(cond)
+            .limit(1)
+            .count()
+            > 0
+        )
         if dv:
-            _, new_v = self._commit_dv(v, t_entries, matched, schema)
+            _, new_v = self._commit_dv(
+                v, t_entries, matched, schema, read_probe=probe
+            )
             rewritten = 0
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.filter(~cond)
             adds = self._write_files(keep) if keep.limit(1).count() else []
             new_v = self._commit_checked(
-                v, "delete", adds, touched, schema, t_entries
+                v, "delete", adds, touched, schema, t_entries, read_probe=probe
             )
             rewritten = len(touched)
         self._write_cdf(

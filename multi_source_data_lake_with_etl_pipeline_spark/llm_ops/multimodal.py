@@ -56,6 +56,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()), # audio, else null
         T.StructField("duration_s", T.FloatType()),    # audio/video, else null
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # per-row decode failure (corrupt payload, or a real PNG outside
+        # the supported 8-bit RGB/RGBA subset): the row is QUARANTINED —
+        # metadata nulled, the reason kept loud — instead of one bad
+        # asset failing the whole mapInPandas stage at scale
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -320,24 +325,35 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
             ):
                 payload = bytes(payload) if payload is not None else b""
                 w = h = nf = sr = None
-                dur = None
-                if mod == "audio":
-                    real = _decode_wav(payload)
-                    if real is not None:
-                        sr, dur, feat = real
+                dur = feat = err = None
+                try:
+                    if mod == "audio":
+                        real = _decode_wav(payload)
+                        if real is not None:
+                            sr, dur, feat = real
+                        else:
+                            sr, dur, feat = _decode_audio_stub(payload)
+                    elif mod == "video":
+                        w, h, nf, dur, feat = _decode_video_stub(payload)
                     else:
-                        sr, dur, feat = _decode_audio_stub(payload)
-                elif mod == "video":
-                    w, h, nf, dur, feat = _decode_video_stub(payload)
-                else:
-                    real_im = _decode_png(payload)
-                    if real_im is None:
-                        real_im = _decode_ppm(payload)
-                    if real_im is not None:
-                        w, h, feat = real_im
-                    else:
-                        w, h, feat = _decode_image_stub(payload)
-                rows.append((aid, mod, len(payload), w, h, nf, sr, dur, feat))
+                        real_im = _decode_png(payload)
+                        if real_im is None:
+                            real_im = _decode_ppm(payload)
+                        if real_im is not None:
+                            w, h, feat = real_im
+                        else:
+                            w, h, feat = _decode_image_stub(payload)
+                except (ValueError, NotImplementedError) as exc:
+                    # quarantine, don't fail the stage: one palette /
+                    # 16-bit / truncated asset in a scraped corpus must
+                    # not kill a 100 TB job — the loud signal moves from
+                    # the stage failure to the decode_error column
+                    w = h = nf = sr = None
+                    dur = feat = None
+                    err = f"{type(exc).__name__}: {exc}"
+                rows.append(
+                    (aid, mod, len(payload), w, h, nf, sr, dur, feat, err)
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )

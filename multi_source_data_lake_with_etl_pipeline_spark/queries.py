@@ -2574,6 +2574,7 @@ def multimodal_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("modality") == "image") & (F.col("width").isNull() | F.col("height").isNull()))
         | ((F.col("modality") == "audio") & (F.col("sample_rate").isNull() | F.col("duration_s").isNull()))
         | ((F.col("modality") == "video") & (F.col("n_frames").isNull() | F.col("duration_s").isNull()))
+        | F.col("decode_error").isNotNull()  # synth assets all decode
     )
     return j.agg(
         (F.sum(bad.cast("bigint")) + F.abs(F.count(F.lit(1)) - F.lit(64))).alias("violations")
@@ -10275,6 +10276,93 @@ def dv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(residual).cast("long").alias("residual_dv_entries"),
         F.lit(len(pre ^ post)).cast("long").alias("fold_mismatches"),
         F.sum("tp_c").cast("long").alias("sum_tp_c"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Lake CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity,
+# VERDICT r6 item 5): table-level invariants enforced at COMMIT time —
+# a violating batch rejects the WHOLE commit (even its conforming
+# rows), leaving the table bit-identical; a conforming batch lands
+# normally; NOT NULL rides the same mechanism. The audit row proves
+# both rejections fired and the row multiset was unchanged by them.
+@register(
+    "lake_constraint_enforcement",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
+      FROM orders WHERE o_orderkey <= 2000
+    ), extra AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
+      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+    ), final AS (
+      SELECT * FROM base UNION ALL SELECT * FROM extra
+    )
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(tp_c) AS BIGINT) AS sum_tp_c
+    FROM final GROUP BY prio
+    UNION ALL
+    SELECT '_audit', CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import ConstraintViolation, LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_constraints_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 2000"))
+    t.add_constraint("tp_pos", "tp_c > 0")
+    t.add_not_null("prio")
+    pre_v = t.latest_version()
+    pre_rows = {tuple(r) for r in t.read().collect()}
+    caught = 0
+    # batch 1: one negated price among otherwise-good rows — the WHOLE
+    # commit must reject (good rows must not land either)
+    bad1 = o.filter("k > 2000 AND k <= 3000").withColumn(
+        "tp_c", F.when(F.col("k") % 500 == 0, -F.col("tp_c")).otherwise(F.col("tp_c"))
+    )
+    try:
+        t.append(bad1)
+    except ConstraintViolation:
+        caught += 1
+    # batch 2: a NULL in the NOT NULL column
+    bad2 = o.filter("k > 2000 AND k <= 3000").withColumn(
+        "prio", F.when(F.col("k") % 500 == 0, F.lit(None)).otherwise(F.col("prio"))
+    )
+    try:
+        t.append(bad2)
+    except ConstraintViolation:
+        caught += 1
+    bit_identical = int(
+        t.latest_version() == pre_v
+        and {tuple(r) for r in t.read().collect()} == pre_rows
+    )
+    # the conforming batch lands
+    t.append(o.filter("k > 2000 AND k <= 3000"))
+    out = (
+        t.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tp_c").cast("long").alias("sum_tp_c"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("_audit", caught, bit_identical)],
+                "prio string, n long, sum_tp_c long",
+            )
+        )
     )
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from multi_source_data_lake_with_etl_pipeline_spark.lake import (
     CommitConflict,
+    ConstraintViolation,
     LakeTable,
 )
 
@@ -1876,3 +1877,348 @@ def test_details_describe_detail_parity(spark, tmp_path):
     assert d["live_rows"] == t.read().count()
     d0 = t.details(0)
     assert d0["live_rows"] == 100 and d0["dv_files"] == 0
+
+
+def test_reserved_dv_column_names_rejected(spark, tmp_path):
+    """ADVICE r6: a user column named _dv_base/_dv_pos would collide
+    with the scan-time metadata the DV read path injects and corrupt
+    vector application inside delete/merge — rejected at every schema
+    entry point, like Delta reserves _change_type."""
+    bad = spark.createDataFrame([(1, "x")], "k long, _dv_base string")
+    with pytest.raises(ValueError, match="reserved"):
+        LakeTable.create(spark, str(tmp_path / "t0"), bad)
+    t = _mk(spark, tmp_path, rows=10, files=1)
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(
+            spark.createDataFrame([(1, 2, 3)], "k long, v long, _dv_pos long"),
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        t.overwrite(bad)
+    assert t.latest_version() == 0  # nothing landed
+
+
+def _racer_append_hook(t, racer_adds):
+    """Patch t._write_files so the FIRST real write also lands a racing
+    append commit at version latest+1 — the concurrent-append interleave
+    the rebase path must probe."""
+    import json as _json
+
+    orig = type(t)._write_files
+
+    def hooked(df):
+        adds = orig(t, df)
+        v = t.latest_version() + 1
+        racer = {
+            "version": v, "op": "append", "ts": 0,
+            "add": racer_adds, "remove": [],
+            "schema": t._read_commit(0)["schema"],
+        }
+        try:
+            with open(os.path.join(t._log_dir, f"{v:020d}.json"), "x") as f:
+                _json.dump(racer, f)
+        except FileExistsError:
+            pass
+        return adds
+
+    t._write_files = hooked
+    return orig
+
+
+def test_rebase_conflicts_on_concurrent_append_of_matching_rows(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): rebasing a DELETE past a concurrent append
+    that inserted MATCHING rows would silently leave them alive (an
+    incomplete GDPR purge); rebasing a MERGE past an append of the same
+    key would commit duplicate keys. Both must raise CommitConflict —
+    Delta's ConcurrentAppendException — while appends of NON-matching
+    rows still rebase cleanly."""
+    # --- delete_keys vs matching concurrent append: conflict
+    t = _mk(spark, tmp_path / "a", rows=20, files=1)
+    racer_adds = t._write_files(
+        spark.createDataFrame([(5, 111)], "k long, v long")
+    )
+    orig = _racer_append_hook(t, racer_adds)
+    with pytest.raises(CommitConflict, match="concurrent append"):
+        t.delete_keys(spark.createDataFrame([(5,)], "k long"), "k")
+    t._write_files = orig.__get__(t)
+    # the racer's row is intact and the delete did NOT land
+    assert t.read().filter("k = 5").count() == 2
+
+    # --- delete_keys vs disjoint concurrent append: clean rebase
+    t2 = _mk(spark, tmp_path / "b", rows=20, files=1)
+    racer2 = t2._write_files(
+        spark.createDataFrame([(999, 1)], "k long, v long")
+    )
+    orig2 = _racer_append_hook(t2, racer2)
+    out = t2.delete_keys(spark.createDataFrame([(5,)], "k long"), "k")
+    t2._write_files = orig2.__get__(t2)
+    assert out["deleted"] == 1
+    assert t2.read().filter("k = 5").count() == 0
+    assert t2.read().filter("k = 999").count() == 1  # append survived
+
+    # --- merge vs concurrent append of the same key: conflict (both
+    # the update path and the pure-insert path would duplicate the key)
+    t3 = _mk(spark, tmp_path / "c", rows=20, files=1)
+    racer3 = t3._write_files(
+        spark.createDataFrame([(100, 1)], "k long, v long")
+    )
+    orig3 = _racer_append_hook(t3, racer3)
+    with pytest.raises(CommitConflict, match="concurrent append"):
+        t3.merge(
+            spark.createDataFrame([(100, 2)], "k long, v long"), "k"
+        )
+    t3._write_files = orig3.__get__(t3)
+    # no duplicate key 100: only the racer's copy exists
+    assert t3.read().filter("k = 100").count() == 1
+
+    # --- predicate delete (dv mode) vs matching append: conflict too.
+    # DV mode never rewrites data files, so interleave the racer via
+    # _touched_files (called between snapshot and commit).
+    import json as _json
+
+    t4 = _mk(spark, tmp_path / "d", rows=20, files=1)
+    racer4 = t4._write_files(
+        spark.createDataFrame([(7, 70)], "k long, v long")
+    )
+    orig_tf = type(t4)._touched_files
+
+    def hooked_tf(marker, col="_f", active=None):
+        out = orig_tf(t4, marker, col=col, active=active)
+        v = t4.latest_version() + 1
+        racer = {
+            "version": v, "op": "append", "ts": 0,
+            "add": racer4, "remove": [],
+            "schema": t4._read_commit(0)["schema"],
+        }
+        try:
+            with open(os.path.join(t4._log_dir, f"{v:020d}.json"), "x") as f:
+                _json.dump(racer, f)
+        except FileExistsError:
+            pass
+        return out
+
+    t4._touched_files = hooked_tf
+    with pytest.raises(CommitConflict, match="concurrent append"):
+        t4.delete("k = 7", dv=True)
+    del t4._touched_files
+    assert t4.read().filter("k = 7").count() == 2
+
+
+def test_small_dv_heavy_file_qualifies_for_compaction(spark, tmp_path):
+    """ADVICE r6: the tombstone-ratio guard applies to ALL vectored
+    files — a file under the small-file threshold with a heavy deletion
+    vector must compact (folding the vector) even when the small-file
+    COUNT stays below min_small_files; otherwise its sidecar anti-join
+    tax persists forever."""
+    t = _mk(spark, tmp_path, rows=100, files=1)  # one tiny file
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(40)], "k long"),
+        "k",
+        dv=True,
+    )
+    _, active, _ = t._snapshot()
+    assert any(a.get("dv") for a in active)  # vector present pre-compact
+    out = t.optimize_if_needed(min_small_files=8, max_dv_fraction=0.3)
+    assert out["compacted"] is True and out["dv_heavy_files"] == 1
+    _, active, _ = t._snapshot()
+    assert not any(a.get("dv") for a in active)  # vector folded
+    assert t.read().count() == 60 and t.rows() == 60
+
+
+def test_pruned_dv_read_filters_shared_sidecar(spark, tmp_path):
+    """ADVICE r6: one delete touching two files writes ONE shared
+    sidecar; a pruned read of a single entry must filter the sidecar
+    frame to that entry's basename before the broadcast/anti-join (the
+    build side is the entry's deletions, not the whole sidecar)."""
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    t = _mk_from(spark, tmp_path / "t", df.repartitionByRange(2, "k"))
+    t.delete_keys(
+        spark.createDataFrame([(1,), (2,), (98,), (99,)], "k long"), "k", dv=True
+    )
+    _, active, schema = t._snapshot()
+    assert len({a["dv"]["path"] for a in active if a.get("dv")}) == 1  # shared
+    one = [a for a in active if a.get("dv")][0]
+    sub = t._read_entries([one], schema)
+    assert sub.count() == int(one["rows"]) - int(one["dv"]["ndel"])
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    # the pushed filter on the sidecar scan names the entry's basename
+    # (EqualTo(_dv_base,<base>) — the data-file scan can also contain
+    # the basename, so match the filter form specifically)
+    base = f"_dv_base,{os.path.basename(one['path'])}"
+    assert base in plan, (
+        "pruned DV read no longer filters the shared sidecar to the "
+        "read set's basenames (expected a pushed filter on the entry's "
+        "basename in the sidecar scan)"
+    )
+
+
+def _state_fingerprint(t):
+    """(version, sorted active paths+dv, row multiset hash) — the
+    'bit-identical table state' witness for rejected commits."""
+    v, active, _ = t._snapshot()
+    files = sorted(
+        (a["path"], a.get("dv", {}).get("path"), a.get("dv", {}).get("ndel"))
+        for a in active
+    )
+    rows = sorted(map(str, t.read().collect()))
+    return v, files, hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+class TestCheckConstraints:
+    def test_lifecycle_enforced_on_append(self, spark, tmp_path):
+        """VERDICT r6 item 5: add_constraint validates existing data,
+        then every violating append rejects the WHOLE commit with the
+        table state bit-identical; drop_constraint lifts it; time
+        travel sees the pre-constraint property set."""
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        assert t.constraints() == {}
+        v_before = t.latest_version()
+        t.add_constraint("v_bounded", "v >= 0 AND v < 10000")
+        assert t.constraints() == {"v_bounded": "v >= 0 AND v < 10000"}
+        assert t.constraints(v_before) == {}  # versioned like the schema
+        fp = _state_fingerprint(t)
+        bad = spark.createDataFrame([(50, 100), (51, -1)], "k long, v long")
+        with pytest.raises(ConstraintViolation, match="v_bounded"):
+            t.append(bad)
+        assert _state_fingerprint(t) == fp  # nothing landed, bit-identical
+        t.append(spark.createDataFrame([(50, 100)], "k long, v long"))
+        assert t.read().count() == 11
+        t.drop_constraint("v_bounded")
+        t.append(spark.createDataFrame([(51, -1)], "k long, v long"))
+        assert t.read().filter("v = -1").count() == 1
+
+    def test_add_rejected_when_existing_rows_violate(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)  # v = k*10, includes 0
+        with pytest.raises(ConstraintViolation, match="existing rows"):
+            t.add_constraint("v_pos", "v > 0")
+        assert t.constraints() == {}
+        assert t.latest_version() == 0  # no metadata commit either
+
+    def test_merge_and_cdc_enforced(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        t.add_constraint("v_nonneg", "v >= 0")
+        fp = _state_fingerprint(t)
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            t.merge(
+                spark.createDataFrame([(3, -5)], "k long, v long"), "k"
+            )
+        assert _state_fingerprint(t) == fp
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            t.apply_cdc(
+                spark.createDataFrame(
+                    [(3, -5, "U")], "k long, v long, op string"
+                ),
+                "k",
+            )
+        assert _state_fingerprint(t) == fp
+        # a conforming merge still works (update + insert)
+        out = t.merge(
+            spark.createDataFrame([(3, 77), (100, 1)], "k long, v long"), "k"
+        )
+        assert out["updated"] == 1 and out["inserted"] == 1
+
+    def test_sql_null_semantics_and_not_null(self, spark, tmp_path):
+        """SQL CHECK: only rows where the predicate is explicitly FALSE
+        violate — NULL passes. NOT NULL needs its own constraint."""
+        t = _mk_from(
+            spark,
+            tmp_path / "t",
+            spark.createDataFrame([(1, 5)], "k long, v long"),
+        )
+        t.add_constraint("v_gt0", "v > 0")
+        # NULL v: `v > 0` is NULL -> passes the plain CHECK
+        t.append(spark.createDataFrame([(2, None)], "k long, v long"))
+        assert t.read().count() == 2
+        with pytest.raises(ConstraintViolation, match="existing rows"):
+            t.add_not_null("v")  # existing NULL blocks it
+        t.delete("v IS NULL")
+        t.add_not_null("v")
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            t.append(spark.createDataFrame([(3, None)], "k long, v long"))
+
+    def test_survives_schema_evolution_and_clone(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        t.add_constraint("v_nonneg", "v >= 0")
+        t.append(
+            spark.createDataFrame([(90, 1, "x")], "k long, v long, w string"),
+            merge_schema=True,
+        )
+        with pytest.raises(ConstraintViolation):  # still enforced after
+            t.append(
+                spark.createDataFrame(
+                    [(91, -1, "y")], "k long, v long, w string"
+                )
+            )
+        c = t.clone_to(str(tmp_path / "clone"))
+        assert c.constraints() == {"v_nonneg": "v >= 0"}
+        with pytest.raises(ConstraintViolation):
+            c.append(
+                spark.createDataFrame(
+                    [(92, -2, "z")], "k long, v long, w string"
+                )
+            )
+
+    def test_concurrent_append_vs_add_constraint(self, spark, tmp_path):
+        """Rebase-path concurrency (VERDICT r6 item 5): an append that
+        interleaves VIOLATING rows between add_constraint's scan and
+        its commit must make add_constraint conflict (the probe); and
+        an append racing a freshly-committed constraint re-validates on
+        its retry and rejects itself."""
+        import json as _json
+
+        # (a) add_constraint loses to an interleaved violating append
+        t = _mk(spark, tmp_path / "a", rows=5, files=1)
+        racer_adds = t._write_files(
+            spark.createDataFrame([(50, -1)], "k long, v long")
+        )
+
+        orig_snap = type(t)._snapshot
+        fired = []
+
+        def land_racer():
+            if fired:
+                return
+            fired.append(1)
+            v = t.latest_version() + 1
+            racer = {
+                "version": v, "op": "append", "ts": 0,
+                "add": racer_adds, "remove": [],
+                "schema": t._read_commit(0)["schema"],
+            }
+            with open(os.path.join(t._log_dir, f"{v:020d}.json"), "x") as f:
+                _json.dump(racer, f)
+
+        # hook the constraint's pre-commit scan: racer lands right
+        # after add_constraint takes its snapshot
+        def hooked_snap(version=None):
+            out = orig_snap(t, version)
+            land_racer()
+            return out
+
+        t._snapshot = hooked_snap
+        with pytest.raises(CommitConflict, match="concurrent append"):
+            t.add_constraint("v_nonneg", "v >= 0")
+        del t._snapshot
+        assert t.constraints() == {}  # constraint did not land
+
+        # (b) append racing a fresh constraint re-validates and rejects
+        t2 = _mk(spark, tmp_path / "b", rows=5, files=1)
+        orig_wf = type(t2)._write_files
+
+        def hooked_wf(df):
+            adds = orig_wf(t2, df)
+            if not t2.constraints():
+                # the "other writer": commits v_nonneg while our append
+                # is writing its (violating) files
+                v = t2.latest_version()
+                props = {"constraint.v_nonneg": "v >= 0"}
+                t2._commit(v + 1, "setprops", [], [], t2._snapshot()[2], props=props)
+            return adds
+
+        t2._write_files = hooked_wf
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            t2.append(spark.createDataFrame([(50, -1)], "k long, v long"))
+        del t2._write_files
+        assert t2.read().filter("v < 0").count() == 0

@@ -617,3 +617,37 @@ def test_winnow_index_build_and_incremental_probe(spark):
         for r in winnow_leakage_probe(batch, idx, prints=bp).collect()
     }
     assert flagged2 == flagged
+
+
+def test_decode_error_quarantined_per_row(spark):
+    """ADVICE r6: a real PNG outside the supported subset (palette /
+    16-bit / truncated) must QUARANTINE its row — decode_error set,
+    metadata nulled — never fail the whole mapInPandas stage; the
+    healthy rows of the same batch decode normally."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        ASSET_SCHEMA,
+        make_png,
+    )
+
+    import numpy as np
+
+    good = make_png(np.full((2, 3, 3), 17, dtype=np.uint8))
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16  # magic + garbage
+    gray16 = bytearray(make_png(np.full((2, 2, 3), 5, dtype=np.uint8)))
+    # IHDR bit depth byte (offset 24) 8 -> 16: real PNG header shape,
+    # outside the 8-bit subset -> NotImplementedError inside the decoder
+    gray16[24] = 16
+    rows = [
+        (1, "image", "image/png", good, {}),
+        (2, "image", "image/png", corrupt, {}),
+        (3, "image", "image/png", bytes(gray16), {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert len(feats) == 3  # stage survived the bad rows
+    assert feats[1]["decode_error"] is None
+    assert (feats[1]["width"], feats[1]["height"]) == (3, 2)
+    assert feats[2]["decode_error"] and feats[2]["width"] is None
+    assert feats[2]["feature"] is None
+    assert "NotImplementedError" in feats[3]["decode_error"]
+    assert feats[3]["n_bytes"] == len(gray16)  # length still recorded
