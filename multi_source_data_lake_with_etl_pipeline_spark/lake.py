@@ -49,7 +49,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG = "_log"
 _DATA = "data"
@@ -144,6 +144,41 @@ def _json_safe(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+# --------------------------------------------------------------- column
+# mapping (Delta column-mapping "name mode" parity): every field MAY
+# carry StructField metadata {"lake.physical": <parquet column name>}.
+# The physical name is assigned when the column is born and NEVER
+# changes; RENAME swaps only the logical name (metadata-only commit)
+# and DROP removes the field while tombstoning its physical name in
+# table props ("colmap.dropped") so a later re-add of the same logical
+# name gets a FRESH physical name instead of resurrecting dropped bytes
+# from old files. A field without the metadata key has physical ==
+# logical (tables never renamed pay zero overhead and stay readable).
+_PHYS_KEY = "lake.physical"
+_DROPPED_PROP = "colmap.dropped"
+
+
+def _phys(f) -> str:
+    """Physical (parquet) column name of a schema field."""
+    md = f.metadata or {}
+    return md.get(_PHYS_KEY, f.name)
+
+
+def _is_mapped(schema: StructType) -> bool:
+    return any(_phys(f) != f.name for f in schema.fields)
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    return StructType(
+        [StructField(_phys(f), f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def _ident_refs(predicate: str, name: str) -> bool:
+    """Conservative: does the SQL text reference ``name`` as a word?"""
+    return re.search(rf"(?i)(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])", predicate) is not None
 
 
 class LakeTable:
@@ -348,6 +383,71 @@ class LakeTable:
         del props[f"constraint.{name}"]
         _, _, schema = self._snapshot(v)
         return self._commit(v + 1, "setprops", [], [], schema, props=props)
+
+    # ------------------------------------------------- schema evolution
+    _COL_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def _reject_constrained(self, col: str, op: str) -> None:
+        for cname, pred in self.constraints().items():
+            if _ident_refs(pred, col):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: CHECK constraint "
+                    f"{cname!r} ({pred}) references it — drop the "
+                    "constraint first (Delta parity)"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (Delta column-mapping parity): a
+        METADATA-ONLY commit over immutable parquet — no data file is
+        touched at any size. The field keeps its stable physical name
+        (its name at birth) in StructField metadata; reads alias
+        physical→logical at scan time, so files written before AND
+        after the rename resolve identically, deletion vectors stay
+        positional (untouched), footer-stat skipping keys by physical
+        name, and TIME TRAVEL to a pre-rename version reads under the
+        old name because each commit's schema carries its own mapping.
+        Renaming a column referenced by a CHECK constraint is rejected
+        (the predicate text would silently dangle). A concurrent commit
+        raises CommitConflict — re-run against the new head."""
+        v, _, schema = self._snapshot()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in _RESERVED_COLS or not self._COL_RE.match(new):
+            raise ValueError(f"invalid column name: {new!r}")
+        self._reject_constrained(old, "rename")
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md[_PHYS_KEY] = _phys(f)
+                fields.append(StructField(new, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        return self._commit(v + 1, "rename_column", [], [], StructType(fields))
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN: metadata-only — the field leaves
+        the logical schema; its bytes stay in the immutable files
+        (readable via time travel) but its PHYSICAL name is tombstoned
+        in table props, so a later add of the same logical name gets a
+        fresh physical name instead of resurrecting the dropped data.
+        Rejected while a CHECK constraint references the column."""
+        v, _, schema = self._snapshot()
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the table's only column")
+        self._reject_constrained(name, "drop")
+        props = self.props(v)
+        dropped = set(json.loads(props.get(_DROPPED_PROP, "[]")))
+        dropped.add(_phys(field))
+        props[_DROPPED_PROP] = json.dumps(sorted(dropped))
+        rest = StructType([f for f in schema.fields if f.name != name])
+        return self._commit(v + 1, "drop_column", [], [], rest, props=props)
 
     def _check_constraints(
         self, df: DataFrame, cons: dict[str, str] | None = None
@@ -618,10 +718,26 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------- data I/O
-    def _write_files(self, df: DataFrame) -> list[dict]:
+    def _write_files(
+        self, df: DataFrame, schema: StructType | None = None
+    ) -> list[dict]:
         """Materialize ``df`` as immutable data files; returns their add
         entries (with footer stats). Files land under data/ with UUID
-        names so concurrent writers can never collide."""
+        names so concurrent writers can never collide.
+
+        ``schema``: the commit's table schema. When it carries column
+        mapping, ``df``'s LOGICAL column names are rewritten to their
+        stable PHYSICAL names before the parquet write — footer stats
+        are therefore keyed by physical name, matching every file in
+        the table regardless of renames before or after."""
+        if schema is not None and _is_mapped(schema):
+            by_logical = {f.name: _phys(f) for f in schema.fields}
+            df = df.select(
+                *[
+                    F.col(c).alias(by_logical.get(c, c))
+                    for c in df.columns
+                ]
+            )
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         adds = []
@@ -690,13 +806,27 @@ class LakeTable:
                     F.lit(None).cast("long").alias("_dv_pos"),
                 )
             return df
-        df = self.spark.read.schema(schema).parquet(*paths)
+        # Column mapping: files store PHYSICAL names (stable across
+        # renames); scan with the physical schema and alias each column
+        # back to its snapshot-version logical name. Files written
+        # before a column was born lack its physical column and fill
+        # NULL (parquet missing-column semantics) — same as additive
+        # schema evolution.
+        mapped = _is_mapped(schema)
+        df = self.spark.read.schema(
+            _physical_schema(schema) if mapped else schema
+        ).parquet(*paths)
+        logical = (
+            [F.col(_phys(f)).alias(f.name) for f in schema.fields]
+            if mapped
+            else [F.col(c) for c in df.columns]
+        )
         dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
         if not dv_rels and not keep_meta:
-            return df
-        data_cols = df.columns
+            return df.select(*logical) if mapped else df
+        data_cols = [f.name for f in schema.fields]
         df = df.select(
-            *data_cols,
+            *logical,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
                 "_dv_base"
             ),
@@ -818,8 +948,11 @@ class LakeTable:
     def files_overlapping(self, col: str, lo, hi) -> list[str]:
         """File-level data skipping: relative paths of active files
         whose footer [min,max] for ``col`` intersects [lo, hi]. Files
-        without stats for the column are conservatively kept."""
-        _, active, _ = self._snapshot()
+        without stats for the column are conservatively kept. ``col``
+        is the LOGICAL name; stats are keyed by the stable physical
+        name, so skipping keeps working across renames."""
+        _, active, schema = self._snapshot()
+        col = next((_phys(f) for f in schema.fields if f.name == col), col)
         out = []
         for a in active:
             st = a.get("stats", {}).get(col)
@@ -864,7 +997,8 @@ class LakeTable:
         conservatively kept. The IS NULL side is the one range stats
         can never serve; at 100 TB a sparse column's null probe drops
         from a table scan to the handful of files that carry nulls."""
-        _, active, _ = self._snapshot()
+        _, active, schema = self._snapshot()
+        col = next((_phys(f) for f in schema.fields if f.name == col), col)
         out = []
         for a in active:
             n = a.get("nulls", {}).get(col)
@@ -953,7 +1087,7 @@ class LakeTable:
         # DV-aware read: compacting a vectored file folds its deletions
         # into the rewrite (the new files carry no dv entry)
         df = self._read_entries(targets, schema)
-        adds = self._write_files(df.coalesce(int(nfiles)))
+        adds = self._write_files(df.coalesce(int(nfiles)), schema)
         v = self._commit_checked(
             v0, "compact", adds, target_paths, schema, targets
         )
@@ -984,18 +1118,46 @@ class LakeTable:
         merge_schema append just added (the snapshot schema is always
         the last commit's)."""
 
+        # Physical names assigned to NEW columns (column mapping): a new
+        # column whose name collides with any physical name in use — or
+        # TOMBSTONED by a past DROP — gets a uniquified physical name,
+        # so old files' bytes under the recycled name can never
+        # resurrect. The dict keeps assignments stable across commit
+        # retries (files are written once).
+        assigned: dict[str, str] = {}
+
         def _union_schema() -> StructType:
-            _, _, cur = self._snapshot()
-            cur_types = {f.name: f.dataType for f in cur.fields}
+            v_, _, cur = self._snapshot()
+            cur_by_name = {f.name: f for f in cur.fields}
+            used = {_phys(f) for f in cur.fields} | set(
+                json.loads(self.props(v_).get(_DROPPED_PROP, "[]"))
+            )
             new_fields = []
             for f in df.schema.fields:
-                have = cur_types.get(f.name)
+                have = cur_by_name.get(f.name)
                 if have is None:
+                    p = assigned.get(f.name)
+                    if p is None:
+                        p = (
+                            f.name
+                            if f.name not in used
+                            else f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                        )
+                        assigned[f.name] = p
+                    elif p in used:  # a racing writer claimed our name
+                        raise CommitConflict(
+                            f"concurrent schema change claimed physical "
+                            f"column {p!r} — re-run against the new head"
+                        )
+                    if p != f.name:
+                        f = StructField(
+                            f.name, f.dataType, f.nullable, {_PHYS_KEY: p}
+                        )
                     new_fields.append(f)
-                elif have != f.dataType:
+                elif have.dataType != f.dataType:
                     raise ValueError(
                         f"append schema mismatch on '{f.name}': table has "
-                        f"{have.simpleString()}, batch has {f.dataType.simpleString()}"
+                        f"{have.dataType.simpleString()}, batch has {f.dataType.simpleString()}"
                     )
             if new_fields and not merge_schema:
                 raise ValueError(
@@ -1017,12 +1179,29 @@ class LakeTable:
         cons = self.constraints(v - 1)
         self._check_constraints(df, cons)
         schema = _union_schema()
-        adds = self._write_files(df)
+        # physical names the files are written with — pinned; a retry
+        # whose recomputed schema maps any batch column elsewhere (a
+        # concurrent drop+re-add recycled the logical name) must
+        # conflict, not silently commit files the mapping can't see
+        wrote = {
+            f.name: _phys(f) for f in schema.fields if f.name in df.columns
+        }
+        adds = self._write_files(df, schema)
         for _ in range(21):
             try:
                 return self._commit(v, "append", adds, [], schema)
             except CommitConflict:
                 schema = _union_schema()  # re-merge vs the racing commit
+                now = {
+                    f.name: _phys(f)
+                    for f in schema.fields
+                    if f.name in df.columns
+                }
+                if now != wrote:
+                    raise CommitConflict(
+                        "column mapping changed concurrently (rename/drop "
+                        "raced this append) — re-run against the new head"
+                    ) from None
                 latest_cons = self.constraints()
                 if latest_cons != cons:  # racing ADD CONSTRAINT: re-check
                     self._check_constraints(df, latest_cons)
@@ -1056,7 +1235,27 @@ class LakeTable:
         last = self.last_committed_batch(app_id)
         if last is not None and batch_id <= last:
             return None
-        adds = self._write_files(df)
+        # Commit the TABLE's schema, not the batch's: the batch may
+        # carry a column subset (missing columns read back NULL), and
+        # the table schema is what carries column-mapping metadata — a
+        # batch-schema commit would both narrow the table and orphan
+        # renamed columns' physical names.
+        _, _, schema = self._snapshot(v)
+        by_name = {f.name: f for f in schema.fields}
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                raise ValueError(
+                    f"stream batch adds unknown column {f.name!r}; evolve "
+                    "the table schema with append(merge_schema=True) first"
+                )
+            if have.dataType != f.dataType:
+                raise ValueError(
+                    f"stream batch schema mismatch on '{f.name}': table has "
+                    f"{have.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()}"
+                )
+        adds = self._write_files(df, schema)
         # The txn marker rides the commit record itself, so a crash can
         # never separate "data visible" from "batch recorded" — replay
         # after any crash point is correct (either the commit exists
@@ -1064,15 +1263,33 @@ class LakeTable:
         # Retries live HERE (not in _commit) so a lost race re-checks
         # constraints a concurrent ADD CONSTRAINT may have added.
         txn = {"app": app_id, "batch": int(batch_id)}
+        batch_cols = set(df.columns)
+        wrote = {
+            f.name: _phys(f) for f in schema.fields if f.name in batch_cols
+        }
         for _ in range(21):
             try:
-                return self._commit(v + 1, "append", adds, [], df.schema, txn=txn)
+                return self._commit(v + 1, "append", adds, [], schema, txn=txn)
             except CommitConflict:
                 latest_cons = self.constraints()
                 if latest_cons != cons:
                     self._check_constraints(df, latest_cons)
                     cons = latest_cons
                 v = self.latest_version()
+                # rebase onto the new head's schema (a concurrent
+                # widening append must not be reverted by our retry);
+                # conflict only if OUR batch columns moved or vanished
+                _, _, schema = self._snapshot(v)
+                now = {
+                    f.name: _phys(f)
+                    for f in schema.fields
+                    if f.name in batch_cols
+                }
+                if now != wrote:
+                    raise CommitConflict(
+                        "schema or column mapping changed concurrently — "
+                        "the stream batch will re-apply on restart"
+                    ) from None
         raise CommitConflict(
             "append_stream_batch lost 21 consecutive commit races"
         )
@@ -1082,6 +1299,16 @@ class LakeTable:
         self._check_constraints(df)
         v, active, _ = self._snapshot()
         adds = self._write_files(df)
+        # A full replace resets column mapping (physical == logical for
+        # the new files) and releases the drop tombstones: no active
+        # file predates this commit, so recycled names can't collide —
+        # old snapshots keep their own schemas for time travel.
+        props = self.props(v)
+        if props.pop(_DROPPED_PROP, None) is not None:
+            return self._commit(
+                v + 1, "overwrite", adds, [a["path"] for a in active],
+                df.schema, props=props,
+            )
         return self._commit(
             v + 1, "overwrite", adds, [a["path"] for a in active], df.schema
         )
@@ -1202,7 +1429,7 @@ class LakeTable:
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.join(ks, key, "left_anti")
-            adds = self._write_files(keep) if keep.limit(1).count() else []
+            adds = self._write_files(keep, schema) if keep.limit(1).count() else []
             new_v = self._commit_checked(
                 v, "delete", adds, touched, schema, t_entries, read_probe=probe
             )
@@ -1212,6 +1439,7 @@ class LakeTable:
             matched.select(*data_cols).withColumn(
                 "_change_type", F.lit("delete")
             ),
+            schema,
         )
         for f in (ks, matched):
             f.unpersist()
@@ -1403,7 +1631,7 @@ class LakeTable:
             > 0
         )
         if dv:
-            new_files = self._write_files(src.select(*data_cols))
+            new_files = self._write_files(src.select(*data_cols), schema)
             if touched:
                 adds, new_v = self._commit_dv(
                     v, t_entries, matched_old, schema,
@@ -1417,7 +1645,7 @@ class LakeTable:
         else:
             full_affected = self._read_entries(t_entries, schema)
             merged = merge_upsert_df(full_affected, src, key)
-            adds = self._write_files(merged)
+            adds = self._write_files(merged, schema)
             new_v = self._commit_checked(
                 v, "merge", adds, touched, schema, t_entries, read_probe=probe
             )
@@ -1441,6 +1669,7 @@ class LakeTable:
                     "_change_type", F.lit("insert")
                 )
             ),
+            schema,
         )
         src.unpersist()
         matched_old.unpersist()
@@ -1484,7 +1713,7 @@ class LakeTable:
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.filter(~cond)
-            adds = self._write_files(keep) if keep.limit(1).count() else []
+            adds = self._write_files(keep, schema) if keep.limit(1).count() else []
             new_v = self._commit_checked(
                 v, "delete", adds, touched, schema, t_entries, read_probe=probe
             )
@@ -1494,12 +1723,24 @@ class LakeTable:
             matched.select(*data_cols).withColumn(
                 "_change_type", F.lit("delete")
             ),
+            schema,
         )
         matched.unpersist()
         return {"deleted": deleted, "rewritten_files": rewritten, "version": new_v}
 
     # ---------------------------------------------------------- CDF
-    def _write_cdf(self, version: int, df: DataFrame) -> None:
+    def _write_cdf(
+        self, version: int, df: DataFrame, schema: StructType | None = None
+    ) -> None:
+        """Change files are stored under PHYSICAL column names (plus
+        ``_change_type``), so a later rename doesn't strand historical
+        change rows under a stale logical name — ``changes()`` aliases
+        them back through the current mapping exactly like data files."""
+        if schema is not None and _is_mapped(schema):
+            by_logical = {f.name: _phys(f) for f in schema.fields}
+            df = df.select(
+                *[F.col(c).alias(by_logical.get(c, c)) for c in df.columns]
+            )
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _CDF, f"{version:020d}")
         )
@@ -1542,10 +1783,28 @@ class LakeTable:
             elif op in ("merge", "delete"):
                 cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
                 if os.path.isdir(cdf_dir):
+                    # change files carry PHYSICAL names (see _write_cdf)
+                    # — read with the physical schema (missing columns,
+                    # added later, fill NULL; columns dropped since are
+                    # simply not selected) and alias back to the feed's
+                    # logical names.
+                    from pyspark.sql.types import StringType
+
+                    cdf_schema = StructType(
+                        list(_physical_schema(schema).fields)
+                        + [StructField("_change_type", StringType())]
+                    )
                     parts.append(
-                        self.spark.read.parquet(cdf_dir).withColumn(
-                            "_commit_version", F.lit(v).cast("long")
+                        self.spark.read.schema(cdf_schema)
+                        .parquet(cdf_dir)
+                        .select(
+                            *[
+                                F.col(_phys(f)).alias(f.name)
+                                for f in schema.fields
+                            ],
+                            "_change_type",
                         )
+                        .withColumn("_commit_version", F.lit(v).cast("long"))
                     )
                 continue
             else:  # compact: physical rearrangement, no logical change
@@ -1592,7 +1851,7 @@ class LakeTable:
             df = df.repartitionByRange(target_files, F.col(col)).sortWithinPartitions(col)
         else:
             df = df.coalesce(target_files)
-        adds = self._write_files(df)
+        adds = self._write_files(df, schema)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 
     def vacuum(self, keep_versions: int = 0, dry_run: bool = False) -> int:

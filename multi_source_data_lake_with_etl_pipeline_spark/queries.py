@@ -8341,6 +8341,98 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lake column mapping (Delta name-mapping parity): RENAME and DROP are
+# metadata-only commits over immutable parquet — the field keeps its
+# stable physical name, reads alias physical→logical per snapshot, and
+# a re-added column name gets a FRESH physical name so dropped bytes
+# never resurrect. Four stages audit the full round trip: the current
+# snapshot under the new name (after a post-rename append + a DV
+# delete), TIME TRAVEL to the pre-rename version under the OLD name,
+# footer-stat pruning keyed through the mapping, and the
+# non-resurrection proof (only post-re-add rows carry the re-added
+# column; a mapping bug would leak the dropped values back as non-NULL).
+@register(
+    "lake_rename_timetravel_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      WHERE o_orderkey <= 800
+    ), mid AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey > 800 AND o_orderkey <= 1100
+    ), late AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      WHERE o_orderkey > 1100 AND o_orderkey <= 1400
+    ), cur AS (
+      SELECT o_orderkey, o_custkey, NULL AS ship FROM base
+      WHERE o_orderkey NOT BETWEEN 200 AND 300
+      UNION ALL SELECT o_orderkey, o_custkey, NULL FROM mid
+      UNION ALL SELECT o_orderkey, o_custkey, o_orderpriority FROM late
+    )
+    SELECT 'current' AS stage, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM cur
+    UNION ALL
+    SELECT 'pre_rename', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'pruned', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM cur
+    WHERE o_orderkey BETWEEN 400 AND 450
+    UNION ALL
+    SELECT 'readd', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM cur WHERE ship IS NOT NULL
+    """,
+)
+def lake_rename_timetravel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lake_map_")
+    t = LakeTable.create(
+        spark,
+        root + "/orders",
+        o.filter("o_orderkey <= 800").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ),
+    )
+    v_pre = t.latest_version()
+    t.rename_column("o_custkey", "cust")
+    t.drop_column("o_orderpriority")
+    t.append(
+        o.filter("o_orderkey > 800 AND o_orderkey <= 1100").select(
+            "o_orderkey", F.col("o_custkey").alias("cust")
+        )
+    )
+    t.delete("o_orderkey BETWEEN 200 AND 300", dv=True)
+    # re-add the dropped name: gets a FRESH physical column — earlier
+    # files' dropped bytes stay invisible (NULL), not resurrected
+    t.append(
+        o.filter("o_orderkey > 1100 AND o_orderkey <= 1400").select(
+            "o_orderkey", F.col("o_custkey").alias("cust"), "o_orderpriority"
+        ),
+        merge_schema=True,
+    )
+    cur = t.read()
+
+    def _stage(df, label, cust_col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cust_col).alias("sum_cust")
+        ).select(F.lit(label).alias("stage"), "n", "sum_cust")
+
+    return (
+        _stage(cur, "current", "cust")
+        .unionByName(_stage(t.read(v_pre), "pre_rename", "o_custkey"))
+        .unionByName(
+            _stage(t.read_pruned("o_orderkey", 400, 450), "pruned", "cust")
+        )
+        .unionByName(
+            _stage(cur.filter(F.col("o_orderpriority").isNotNull()), "readd", "cust")
+        )
+    )
+
+
 # Streaming ingestion through a Spark 4 PYTHON streaming data source
 # (sources/pyds.SensorFeedDataSource — the MQTT/OPC-UA stand-in, T4):
 # one availableNow drain of the deterministic bounded topic into a
@@ -10294,11 +10386,11 @@ def dv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT o_orderpriority AS prio,
              CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
-      FROM orders WHERE o_orderkey <= 2000
+      FROM orders WHERE o_orderkey <= 1000
     ), extra AS (
       SELECT o_orderpriority AS prio,
              CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
-      FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+      FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1400
     ), final AS (
       SELECT * FROM base UNION ALL SELECT * FROM extra
     )
@@ -10321,7 +10413,7 @@ def lake_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_c"),
     )
     root = tempfile.mkdtemp(prefix="lake_constraints_")
-    t = LakeTable.create(spark, root + "/t", o.filter("k <= 2000"))
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 1000"))
     t.add_constraint("tp_pos", "tp_c > 0")
     t.add_not_null("prio")
     pre_v = t.latest_version()
@@ -10329,16 +10421,16 @@ def lake_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught = 0
     # batch 1: one negated price among otherwise-good rows — the WHOLE
     # commit must reject (good rows must not land either)
-    bad1 = o.filter("k > 2000 AND k <= 3000").withColumn(
-        "tp_c", F.when(F.col("k") % 500 == 0, -F.col("tp_c")).otherwise(F.col("tp_c"))
+    bad1 = o.filter("k > 1000 AND k <= 1400").withColumn(
+        "tp_c", F.when(F.col("k") % 100 == 0, -F.col("tp_c")).otherwise(F.col("tp_c"))
     )
     try:
         t.append(bad1)
     except ConstraintViolation:
         caught += 1
     # batch 2: a NULL in the NOT NULL column
-    bad2 = o.filter("k > 2000 AND k <= 3000").withColumn(
-        "prio", F.when(F.col("k") % 500 == 0, F.lit(None)).otherwise(F.col("prio"))
+    bad2 = o.filter("k > 1000 AND k <= 1400").withColumn(
+        "prio", F.when(F.col("k") % 100 == 0, F.lit(None)).otherwise(F.col("prio"))
     )
     try:
         t.append(bad2)
@@ -10349,7 +10441,7 @@ def lake_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
         and {tuple(r) for r in t.read().collect()} == pre_rows
     )
     # the conforming batch lands
-    t.append(o.filter("k > 2000 AND k <= 3000"))
+    t.append(o.filter("k > 1000 AND k <= 1400"))
     out = (
         t.read()
         .groupBy("prio")

@@ -1302,8 +1302,8 @@ def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
     }
     orig = t._write_files
 
-    def hooked(df):
-        adds = orig(df)
+    def hooked(df, schema=None):
+        adds = orig(df, schema)
         with open(os.path.join(t._log_dir, f"{1:020d}.json"), "x") as f:
             _json.dump(racer, f)  # the racer wins version 1 mid-rewrite
         return adds
@@ -1834,8 +1834,8 @@ def test_rebase_raises_when_concurrent_rewrite_steals_touched_file(spark, tmp_pa
     victim = t._snapshot()[1][0]
     orig = t._write_files
 
-    def hooked(df):
-        adds = orig(df)
+    def hooked(df, schema=None):
+        adds = orig(df, schema)
         # the racer compacts the victim into a new file mid-rewrite
         racer = {
             "version": 1, "op": "compact", "ts": 0,
@@ -1906,8 +1906,8 @@ def _racer_append_hook(t, racer_adds):
 
     orig = type(t)._write_files
 
-    def hooked(df):
-        adds = orig(t, df)
+    def hooked(df, schema=None):
+        adds = orig(t, df, schema)
         v = t.latest_version() + 1
         racer = {
             "version": v, "op": "append", "ts": 0,
@@ -2207,8 +2207,8 @@ class TestCheckConstraints:
         t2 = _mk(spark, tmp_path / "b", rows=5, files=1)
         orig_wf = type(t2)._write_files
 
-        def hooked_wf(df):
-            adds = orig_wf(t2, df)
+        def hooked_wf(df, schema=None):
+            adds = orig_wf(t2, df, schema)
             if not t2.constraints():
                 # the "other writer": commits v_nonneg while our append
                 # is writing its (violating) files
@@ -2222,3 +2222,273 @@ class TestCheckConstraints:
             t2.append(spark.createDataFrame([(50, -1)], "k long, v long"))
         del t2._write_files
         assert t2.read().filter("v < 0").count() == 0
+
+
+class TestColumnMapping:
+    """RENAME/DROP COLUMN via column mapping (Delta name-mapping
+    parity): metadata-only commits over immutable parquet — the field
+    keeps its stable physical name, reads alias physical→logical per
+    snapshot version, and a re-added name gets a fresh physical name."""
+
+    def test_rename_is_metadata_only_and_time_travels(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=20, files=2)
+        before = _file_md5s(t)
+        v_pre = t.latest_version()
+        t.rename_column("v", "val")
+        # not a single data byte moved
+        assert _file_md5s(t) == before
+        assert t.read().columns == ["k", "val"]
+        got = {int(r["k"]): int(r["val"]) for r in t.read().collect()}
+        assert got == {i: i * 10 for i in range(20)}
+        # time travel reads the OLD name with the old schema
+        old = t.read(v_pre)
+        assert old.columns == ["k", "v"]
+        assert old.filter("v = 50").count() == 1
+
+    def test_writes_after_rename_are_coherent(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        t.rename_column("v", "val")
+        t.append(spark.createDataFrame([(100, 1000)], "k long, val long"))
+        t.merge(
+            spark.createDataFrame([(0, -1), (101, 1010)], "k long, val long"),
+            "k",
+        )
+        t.delete("val = 10", dv=True)  # predicate on the NEW name
+        got = {int(r["k"]): int(r["val"]) for r in t.read().collect()}
+        assert got[0] == -1 and got[100] == 1000 and got[101] == 1010
+        assert 1 not in got  # val=10 was k=1
+        assert t.rows() == t.read().count() == len(got)
+        # CDF renders under the current logical names across the mix of
+        # pre- and post-rename commits
+        ch = t.changes(0)
+        assert "val" in ch.columns and "v" not in ch.columns
+        assert ch.filter("_change_type = 'delete' AND val = 10").count() == 1
+
+    def test_file_skipping_keys_through_mapping(self, spark, tmp_path):
+        df = spark.range(0, 100, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        t = _mk_from(spark, tmp_path / "t", df.repartitionByRange(4, "k"))
+        t.compact(4, cluster_by="k")
+        t.rename_column("k", "key")
+        pruned = t.files_overlapping("key", 10, 12)
+        assert 0 < len(pruned) < t.details()["num_files"]
+        got = sorted(int(r["key"]) for r in t.read_pruned("key", 10, 12).collect())
+        assert got == [10, 11, 12]
+
+    def test_drop_then_readd_gets_fresh_physical(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=10, files=1)
+        v_pre = t.latest_version()
+        t.drop_column("v")
+        assert t.read().columns == ["k"]
+        # time travel still sees the dropped column's values
+        assert t.read(v_pre).filter("v = 30").count() == 1
+        # re-add the same logical name: old bytes must NOT resurrect
+        t.append(
+            spark.createDataFrame([(200, 7)], "k long, v long"),
+            merge_schema=True,
+        )
+        got = {int(r["k"]): r["v"] for r in t.read().collect()}
+        assert got[200] == 7
+        assert all(got[k] is None for k in range(10))
+        # and the new field's physical name is uniquified in metadata
+        _, _, schema = t._snapshot()
+        f = next(f for f in schema.fields if f.name == "v")
+        assert (f.metadata or {}).get("lake.physical", "v") != "v"
+
+    def test_validation_and_constraint_interlock(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        with pytest.raises(ValueError, match="no such column"):
+            t.rename_column("zz", "a")
+        with pytest.raises(ValueError, match="already exists"):
+            t.rename_column("v", "k")
+        with pytest.raises(ValueError, match="invalid column name"):
+            t.rename_column("v", "_dv_base")
+        with pytest.raises(ValueError, match="only column"):
+            tt = _mk_from(
+                spark, tmp_path / "one", spark.createDataFrame([(1,)], "x long")
+            )
+            tt.drop_column("x")
+        t.add_constraint("v_nonneg", "v >= 0")
+        with pytest.raises(ValueError, match="constraint"):
+            t.rename_column("v", "val")
+        with pytest.raises(ValueError, match="constraint"):
+            t.drop_column("v")
+        t.drop_constraint("v_nonneg")
+        t.rename_column("v", "val")  # now allowed
+
+    def test_clone_and_stream_batch_carry_mapping(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=6, files=1)
+        t.rename_column("v", "val")
+        c = t.clone_to(str(tmp_path / "clone"))
+        assert c.read().columns == ["k", "val"]
+        assert c.read().count() == 6
+        # streaming append on the renamed table writes under the stable
+        # physical name and never narrows the schema
+        t.append_stream_batch(
+            spark.createDataFrame([(300, 3)], "k long, val long"), "app", 0
+        )
+        assert t.read().filter("k = 300").collect()[0]["val"] == 3
+        with pytest.raises(ValueError, match="unknown column"):
+            t.append_stream_batch(
+                spark.createDataFrame([(1, 1)], "k long, v long"), "app", 1
+            )
+
+    def test_append_conflicts_when_mapping_changes_midflight(
+        self, spark, tmp_path
+    ):
+        """A drop+re-add recycling a logical name between an append's
+        write and its commit must CONFLICT (the files were written
+        under a physical name the new mapping no longer points at)."""
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        orig = type(t)._write_files
+
+        def hooked(df, schema=None):
+            adds = orig(t, df, schema)
+            if not hasattr(t, "_raced"):
+                t._raced = True
+                t2 = LakeTable.load(spark, t.path)
+                t2.drop_column("v")
+                t2.append(
+                    spark.createDataFrame([(900, 9)], "k long, v long"),
+                    merge_schema=True,
+                )
+            return adds
+
+        t._write_files = hooked
+        with pytest.raises(CommitConflict):
+            t.append(spark.createDataFrame([(10, 100)], "k long, v long"))
+        del t._write_files
+        # the loser left no partial state: v values are the racer's
+        got = {int(r["k"]): r["v"] for r in t.read().collect()}
+        assert got[900] == 9 and 10 not in got
+
+    def test_overwrite_resets_mapping_and_tombstones(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        t.rename_column("v", "val")
+        t.drop_column("val")
+        t.overwrite(spark.createDataFrame([(1, 5)], "k long, val long"))
+        assert "colmap.dropped" not in t.props()
+        _, _, schema = t._snapshot()
+        assert all((f.metadata or {}).get("lake.physical") is None for f in schema.fields)
+        assert t.read().collect()[0]["val"] == 5
+
+
+def test_lake_model_random_ops_with_column_mapping(spark, tmp_path):
+    """Model-based randomized test extended with RENAME/DROP ops: a
+    seeded random sequence of append / merge (dv + rewrite) /
+    delete_keys (dv + rewrite) / rename / drop+re-add / compact /
+    restore, mirrored against an in-memory model; after every op the
+    table equals the model under the CURRENT column names, and time
+    travel to remembered versions reproduces their remembered state
+    under their remembered names."""
+    import random
+
+    rng = random.Random(20260816)
+    df0 = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    t = _mk_from(spark, tmp_path / "cm_model", df0.repartition(2))
+    model: dict[int, int] = {int(i): int(i) * 7 for i in range(40)}
+    vcol = "v"  # current logical name of the value column
+    extra: dict[int, int] | None = None  # None = column absent
+    # history: (version, model snapshot, vcol, extra snapshot)
+    history = [(0, dict(model), vcol, None)]
+    next_key = 1000
+
+    def table_state():
+        rows = t.read().collect()
+        got_v = {int(r["k"]): int(r[vcol]) for r in rows}
+        got_x = (
+            {int(r["k"]): (None if r["x"] is None else int(r["x"])) for r in rows}
+            if extra is not None
+            else None
+        )
+        return got_v, got_x
+
+    for step in range(28):
+        op = rng.choice(
+            ["append", "del_dv", "del_rw", "merge_dv", "merge_rw",
+             "rename", "dropx", "compact", "restore"]
+        )
+        cols = f"k long, {vcol} long" + (", x long" if extra is not None else "")
+        if op == "append":
+            rows = [
+                (next_key + i, rng.randrange(500))
+                + ((rng.randrange(500),) if extra is not None else ())
+                for i in range(3)
+            ]
+            next_key += 3
+            t.append(spark.createDataFrame(rows, cols))
+            for r in rows:
+                model[r[0]] = r[1]
+                if extra is not None:
+                    extra[r[0]] = r[2]
+        elif op in ("del_dv", "del_rw"):
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(4, len(model)))
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                "k", dv=op == "del_dv",
+            )
+            for k in keys:
+                model.pop(k, None)
+                if extra is not None:
+                    extra.pop(k, None)
+        elif op in ("merge_dv", "merge_rw"):
+            upd = rng.sample(sorted(model), min(2, len(model))) if model else []
+            rows = [
+                (k, rng.randrange(500))
+                + ((rng.randrange(500),) if extra is not None else ())
+                for k in upd + [next_key]
+            ]
+            next_key += 1
+            t.merge(spark.createDataFrame(rows, cols), "k", dv=op == "merge_dv")
+            for r in rows:
+                model[r[0]] = r[1]
+                if extra is not None:
+                    extra[r[0]] = r[2]
+        elif op == "rename":
+            new = "v2" if vcol == "v" else "v"
+            t.rename_column(vcol, new)
+            vcol = new
+        elif op == "dropx":
+            if extra is None:  # add the column (NULL for existing rows)
+                rows = [(next_key, rng.randrange(500), rng.randrange(500))]
+                next_key += 1
+                t.append(
+                    spark.createDataFrame(rows, f"k long, {vcol} long, x long"),
+                    merge_schema=True,
+                )
+                extra = {k: None for k in model}
+                model[rows[0][0]] = rows[0][1]
+                extra[rows[0][0]] = rows[0][2]
+            else:
+                t.drop_column("x")
+                extra = None
+        elif op == "compact":
+            t.compact(target_files=2)
+        else:  # restore
+            ver, snap, vc, xs = rng.choice(history)
+            t.restore(ver)
+            model, vcol = dict(snap), vc
+            extra = dict(xs) if xs is not None else None
+        history.append(
+            (t.latest_version(), dict(model), vcol,
+             dict(extra) if extra is not None else None)
+        )
+        got_v, got_x = table_state()
+        assert got_v == model, f"step {step} op {op}: values diverged"
+        if extra is not None:
+            assert got_x == extra, f"step {step} op {op}: extra col diverged"
+        assert t.rows() == len(model), f"step {step} op {op}: rows() drift"
+    # time travel: remembered versions reproduce their remembered state
+    # under their remembered column names
+    for ver, snap, vc, xs in rng.sample(history, min(6, len(history))):
+        rows = t.read(ver).collect()
+        got = {int(r["k"]): int(r[vc]) for r in rows}
+        assert got == snap, f"time travel to v{ver} diverged"
+        if xs is not None:
+            gx = {int(r["k"]): (None if r["x"] is None else int(r["x"])) for r in rows}
+            assert gx == xs, f"time travel to v{ver}: extra col diverged"
