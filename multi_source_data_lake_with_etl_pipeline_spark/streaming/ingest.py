@@ -360,6 +360,8 @@ def stream_merge_lake(
     order_col: str | None = None,
     timeout_s: int = 300,
     dv: bool = False,
+    maintain_every: int = 0,
+    maintenance: dict | None = None,
 ) -> None:
     """CDC-style continuous MERGE into a versioned lake table: each
     micro-batch is collapsed to one row per key (max ``order_col``
@@ -372,7 +374,17 @@ def stream_merge_lake(
     each micro-batch's merge in deletion-vector mode — the natural fit
     for a CDC trickle (many tiny batches, each touching a sliver of
     large files): per-batch cost drops to O(changed rows), and the
-    maintenance compaction folds the accumulated vectors."""
+    maintenance compaction folds the accumulated vectors.
+
+    ``maintain_every=N`` runs ``optimize_if_needed`` (kwargs from
+    ``maintenance``) inside the loop every N micro-batches — without
+    it, a continuous DV trickle monotonically accumulates sidecars and
+    small insert files, and every reader pays a growing anti-join +
+    listing tax; with it the read tax stays FLAT because compaction
+    folds vectors and bins small files on the same cadence the stream
+    creates them (probed over a 50-batch run in SCALE.md). The
+    maintenance commit competes like any writer: its _commit_checked
+    rebase keeps it safely concurrent with the merges."""
     from ..lake import LakeTable
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -390,6 +402,8 @@ def stream_merge_lake(
         # CDC payloads carry ordering metadata (seq/ts) that is not part
         # of the table — project to the target's columns post-collapse
         t.merge(b.select(*t.read().columns), key, dv=dv)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            t.optimize_if_needed(**(maintenance or {}))
 
     q = (
         df.writeStream.foreachBatch(_apply)

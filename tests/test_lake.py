@@ -632,6 +632,60 @@ class TestLakeStreamMerge:
         assert set(before) <= set(after)  # nothing rewritten away
         assert os.path.isdir(t._dv_dir) and len(os.listdir(t._dv_dir)) == 1
 
+    def test_dv_trickle_maintenance_bounds_read_tax(self, spark, tmp_path):
+        """Continuous CDC in DV mode accumulates one sidecar + one tiny
+        insert file per batch; ``maintain_every`` runs
+        optimize_if_needed inside the foreachBatch loop so the ACTIVE
+        footprint (vectored entries, deleted-row backlog, file count)
+        stays bounded instead of growing with batch count — the flat
+        read-tax contract a month-long CDC stream needs."""
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.ingest import (
+            stream_merge_lake,
+        )
+
+        n_batches = 8
+        for mode, maintain in (("plain", 0), ("maint", 3)):
+            t = _mk(spark, tmp_path / mode, rows=200, files=2)
+            src = tmp_path / f"cdc_{mode}"
+            os.makedirs(src)
+            # one file per micro-batch: each updates 3 existing keys
+            # (vectoring rows out of big files) and inserts 1 new key
+            for b in range(n_batches):
+                spark.createDataFrame(
+                    [(3 * b, -b, b), (3 * b + 1, -b, b), (3 * b + 2, -b, b),
+                     (1000 + b, b, b)],
+                    "k long, v long, seq long",
+                ).coalesce(1).write.mode("append").parquet(str(src))
+            stream = (
+                spark.readStream.schema("k long, v long, seq long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            stream_merge_lake(
+                stream, str(tmp_path / mode / "t"), "k",
+                str(tmp_path / f"ck_{mode}"), order_col="seq", dv=True,
+                maintain_every=maintain,
+                maintenance=dict(
+                    small_file_bytes=1 << 20, min_small_files=4,
+                    max_dv_fraction=0.05,
+                ),
+            )
+            d = t.details()
+            # identical logical state either way
+            assert t.rows() == 200 + n_batches
+            got = {int(r["k"]): int(r["v"]) for r in t.read().collect()}
+            assert got[0] == 0 and got[21] == -7 and got[1007] == 7
+            if mode == "plain":
+                plain = d
+            else:
+                maint = d
+        # the unmaintained trickle's backlog grows with batch count; the
+        # maintained one is bounded by the cadence, not the stream length
+        assert plain["dv_deleted_rows"] >= 3 * (n_batches - 1)
+        assert maint["dv_deleted_rows"] <= 3 * 3  # ≤ one cadence window
+        assert maint["dv_files"] <= 2
+        assert maint["num_files"] < plain["num_files"]
+
 
 class TestLakeModelProperty:
     def test_random_op_sequences_match_model(self, spark, tmp_path):
