@@ -638,6 +638,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.5,
     append: bool = True,
     banded_new: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: all verified pairs INVOLVING the new batch
     — new×index candidates plus new×new — without touching the signed
@@ -651,7 +652,10 @@ def minhash_lsh_incremental(
     side of the batch boundary each pair straddles.
 
     ``banded_new``: precomputed, MATERIALIZED keys for ``new_docs``
-    (see minhash_lsh_pairs)."""
+    (see minhash_lsh_pairs). ``sets``: an already-persisted
+    ``(id, _sh)`` shingle-set table covering the pair participants
+    (see verify_pairs_exact) — a caller verifying several legs over
+    the same corpus builds the sets once instead of per leg."""
     spark = new_docs.sparkSession
     new_docs = _with_min_words(new_docs, text_col, n)
     if banded_new is None:
@@ -680,7 +684,7 @@ def minhash_lsh_incremental(
     docs = base_docs.select(id_col, text_col).unionByName(
         new_docs.select(id_col, text_col)
     )
-    out = verify_pairs_exact(docs, cand, text_col, id_col, n, threshold)
+    out = verify_pairs_exact(docs, cand, text_col, id_col, n, threshold, sets=sets)
     if append:
         out = out.localCheckpoint(eager=True)  # materialize before the index grows
         nb.write.mode("append").parquet(index_path)

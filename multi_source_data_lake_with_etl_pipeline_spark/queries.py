@@ -4474,11 +4474,13 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     from .llm_ops.dedup import (
+        _shingle_set_table,
         _with_min_words,
         banded_signatures,
         minhash_index_build,
         minhash_lsh_incremental,
         minhash_lsh_pairs,
+        verify_pairs_exact,
     )
 
     # The audit runs THREE full LSH pipelines; take a fixed 20%
@@ -4489,16 +4491,18 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     base = d.filter(F.col("doc_id") % 10 == 0)
     delta = d.filter(F.col("doc_id") % 10 == 1)
     idx = tempfile.mkdtemp(prefix="mh_idx_") + "/index"
-    # Sign the audit corpus ONCE: signatures are row-local, so the
+    # Sign the audit corpus ONCE (signatures are row-local, so the
     # base/delta/batch legs each take a FILTER of one shared banded
-    # table instead of re-folding shingles three times (the
-    # er_golden_customers signature-reuse pattern; parity is about
-    # banding + verification + the batch-boundary split, which all
-    # still run per leg).
-    banded_all = banded_signatures(
-        _with_min_words(d, "text", 3), "text", "doc_id", 3, 32, 16
-    ).persist()
+    # table), and build ONE shared shingle-set table for BOTH verify
+    # legs — the shingle fold is the corpus-linear cost and the legs'
+    # participant sets overlap almost entirely, so per-leg set builds
+    # paid it twice. Parity is about banding + verification + the
+    # batch-boundary split, which all still run per leg.
+    docs3 = _with_min_words(d, "text", 3)
+    banded_all = banded_signatures(docs3, "text", "doc_id", 3, 32, 16).persist()
     banded_all.count()
+    sets = _shingle_set_table(docs3, "text", "doc_id", 3).persist()
+    sets.count()
     minhash_index_build(base, idx, banded=banded_all.filter(F.col("doc_id") % 10 == 0))
     inc = minhash_lsh_incremental(
         delta,
@@ -4506,21 +4510,24 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
         idx,
         append=False,
         banded_new=banded_all.filter(F.col("doc_id") % 10 == 1),
+        sets=sets,
     ).persist()
     inc.count()
     # pairs(base) ≡ batch pairs with BOTH ids in base — no third
     # pipeline run needed; parity reduces to:
     # incremental == batch pairs with at least one delta-side id.
-    batch_delta = (
-        minhash_lsh_pairs(d, banded=banded_all)
-        .filter((F.col("id_1") % 10 == 1) | (F.col("id_2") % 10 == 1))
-        .persist()
+    # The delta-involving filter is pushed BEFORE exact verification
+    # (it is on candidate ids alone), so base-base candidates — a
+    # quarter of the batch leg — never reach the jaccard join.
+    batch_cand = minhash_lsh_pairs(d, banded=banded_all, verify=False).filter(
+        (F.col("id_1") % 10 == 1) | (F.col("id_2") % 10 == 1)
     )
+    batch_delta = verify_pairs_exact(docs3, batch_cand, sets=sets).persist()
     batch_delta.count()
     keys = ["id_1", "id_2", "jaccard"]
     missing = batch_delta.join(inc, keys, "left_anti").count()
     extra = inc.join(batch_delta, keys, "left_anti").count()
-    for f in (banded_all, inc, batch_delta):  # all consumers ran above
+    for f in (banded_all, sets, inc, batch_delta):  # all consumers ran
         f.unpersist()
     return spark.createDataFrame([(missing + extra,)], "violations long")
 
