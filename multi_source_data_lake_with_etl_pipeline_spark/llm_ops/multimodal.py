@@ -6,15 +6,18 @@ The Spark-side plumbing (schemas, batch iteration, partition-parallel
 decode fan-out) is real and tested. Decode itself is REAL for the
 formats the standard library + numpy can parse — PPM (P6) images,
 8-bit truecolor PNG (stdlib zlib inflate + scanline-filter
-reconstruction, ``_decode_png``), and PCM WAV audio
-(``_decode_ppm``/``_decode_wav``, dispatched by payload magic) — and
-STUBBED for the remaining compressed codecs (JPEG/MP3/MP4: this
-container ships no image/audio libraries) behind ``_decode_*_stub``,
+reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL JPEG (marker
+parse + Huffman entropy decode + dequant/iDCT + YCbCr→RGB,
+``_decode_jpeg``; grayscale and 4:4:4/4:2:2/4:2:0 color), and PCM WAV
+audio (``_decode_ppm``/``_decode_wav``, dispatched by payload magic) —
+and STUBBED for the remaining compressed codecs (MP3/MP4: this
+container ships no audio/video libraries) behind ``_decode_*_stub``,
 which produce deterministic fakes so the pipeline shape stays
-exercisable end-to-end. A PNG outside the supported subset rejects
-LOUDLY (never a silent fake). Swap the stubs for PIL/torchaudio/
-ffmpeg in a real deployment — the UDF signature and partitioning
-strategy do not change.
+exercisable end-to-end. A PNG/JPEG outside the supported subset
+(palette/16-bit/interlaced PNG; progressive/arithmetic/CMYK JPEG)
+rejects LOUDLY (never a silent fake) and is quarantined per row. Swap
+the decoders for PIL/torchaudio/ffmpeg in a real deployment — the UDF
+signature and partitioning strategy do not change.
 
 Scale notes: decode is CPU-heavy per row, so the pattern is
 ``repartition`` to core-count granularity BEFORE the mapInPandas stage
@@ -243,6 +246,275 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
     return width, height, feat
 
 
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 8x8 zigzag scan sequence, generated (not hardcoded): walk
+    anti-diagonals; even diagonals run bottom-left→top-right, odd ones
+    top-right→bottom-left (ITU T.81 Figure 5 traversal)."""
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2:
+            rng = reversed(list(rng))
+        out.extend((r, s - r) for r in rng)
+    return out
+
+
+_JPEG_ZZ = _zigzag_order()
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)uπ/16); idct2(B) = AᵀBA
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    de-stuffing; RST/EOI markers end the current run (the caller
+    re-syncs at restart boundaries)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("jpeg: truncated entropy stream")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("jpeg: marker inside entropy segment")
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume a 2-byte marker (restart sync)."""
+        self.n = 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and self.d[self.pos + 1] != 0x00:
+                m = self.d[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        raise ValueError("jpeg: expected restart marker")
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL image decode for BASELINE-SEQUENTIAL JPEG (ITU T.81),
+    dependency-free: marker parse, canonical-Huffman entropy decode,
+    dequantize, inverse zigzag, 8x8 iDCT (numpy basis multiply), and
+    YCbCr→RGB (BT.601) with nearest-neighbor chroma upsampling for any
+    integer sampling ratio (4:4:4 / 4:2:2 / 4:2:0). Grayscale (1
+    component) and YCbCr (3 components) supported; restart markers
+    honored.
+
+    Dispatch contract (same as ``_decode_png``): returns ``None`` only
+    when the payload is not a JPEG (no SOI magic). A real JPEG outside
+    the subset — progressive (SOF2), arithmetic-coded (SOF9/13),
+    hierarchical, 12-bit, or CMYK (4 components) — raises
+    NotImplementedError loudly; corrupt streams raise ValueError.
+    ``extract_features`` quarantines either per row.
+
+    Feature: the shared 8-float image feature (RGB channel means +
+    5-bucket luminance histogram). Pure-Python huffman decode is
+    thumbnail-speed — swap for a C codec in a real deployment; the UDF
+    signature does not change."""
+    if not payload.startswith(b"\xff\xd8"):
+        return None
+    import struct
+
+    try:
+        return _decode_jpeg_inner(payload, struct)
+    except (IndexError, KeyError, struct.error) as exc:
+        # corrupt streams surface as ValueError so the mapInPandas
+        # quarantine path catches them uniformly
+        raise ValueError(f"jpeg: malformed stream ({type(exc).__name__})") from None
+
+
+def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] | None = None
+    w = h = 0
+    restart = 0
+    scan: list[tuple[dict, int, int]] | None = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: lost marker sync")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI before SOS — no image
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("jpeg: truncated segment")
+        pos += 2 + seglen
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                q = np.ones((8, 8))
+                for k, (r, c) in enumerate(_JPEG_ZZ):
+                    q[r, c] = seg[i + 1 + k]
+                qt[tq] = q
+                i += 65
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"jpeg: {prec}-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"jpeg: {nc}-component (CMYK?) unsupported"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("jpeg: zero dimension")
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "h": seg[7 + 3 * i] >> 4,
+                    "v": seg[7 + 3 * i] & 15,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(nc)
+            ]
+        elif m == 0xC2:
+            raise NotImplementedError("jpeg: progressive (SOF2) unsupported")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: non-baseline SOF{m - 0xC0} unsupported"
+            )
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                syms = seg[i + 17 : i + 17 + sum(counts)]
+                code, si, table = 0, 0, {}
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            scan = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((by_id[cid], tabs >> 4, tabs & 15))
+            break  # entropy-coded data follows
+        # APPn / COM / others: skipped via seglen
+    if scan is None:
+        raise ValueError("jpeg: no scan found")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((my * 8 * c["v"], mx * 8 * c["h"]))
+        for c in comps
+    }
+    bits = _JpegBits(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    for mcu in range(mx * my):
+        if restart and mcu and mcu % restart == 0:
+            mk = bits.align_to_marker()
+            if not (0xD0 <= mk <= 0xD7):
+                raise ValueError(f"jpeg: bad restart marker {mk:#x}")
+            pred = {c["id"]: 0 for c in comps}
+        myy, mxx = divmod(mcu, mx)
+        for comp, dc_t, ac_t in scan:
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coef = np.zeros((8, 8))
+                    t = _huff_decode(bits, huff[(0, dc_t)])
+                    diff = _extend(bits.bits(t), t) if t else 0
+                    pred[comp["id"]] += diff
+                    coef[0, 0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, huff[(1, ac_t)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        coef[_JPEG_ZZ[k]] = _extend(bits.bits(s), s)
+                        k += 1
+                    block = _DCT_A.T @ (coef * qt[comp["tq"]]) @ _DCT_A + 128.0
+                    y0 = (myy * comp["v"] + by) * 8
+                    x0 = (mxx * comp["h"] + bx) * 8
+                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255) / 255.0
+        rgb = np.stack([g, g, g], axis=-1).reshape(-1, 3)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).reshape(
+            -1, 3
+        ) / 255.0
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(lum, bins=5, range=(0.0, 1.0 + 1e-9))[0] / len(lum)
+    feat = [round(float(v), 6) for v in rgb.mean(axis=0)] + [
+        round(float(v), 6) for v in hist
+    ]
+    return w, h, feat
+
+
 def _decode_wav(payload: bytes) -> tuple[int, float, list[float]] | None:
     """REAL audio decode for PCM WAV — the stdlib ``wave`` module plus
     numpy. Returns (sample_rate, duration_s, feature) or None for
@@ -337,6 +609,8 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                         w, h, nf, dur, feat = _decode_video_stub(payload)
                     else:
                         real_im = _decode_png(payload)
+                        if real_im is None:
+                            real_im = _decode_jpeg(payload)
                         if real_im is None:
                             real_im = _decode_ppm(payload)
                         if real_im is not None:
@@ -471,6 +745,157 @@ def make_png(
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def make_jpeg(
+    pixels: "np.ndarray", quant: int = 16, subsample: bool = False
+) -> bytes:
+    """Serialize an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    REAL baseline-sequential JPEG, dependency-free — the encoder
+    counterpart of ``_decode_jpeg`` for tests. Flat quantization table
+    (``quant`` everywhere, written to DQT); Huffman tables are built
+    canonically from the stream's actual symbols (JPEG carries its
+    tables in DHT — no reliance on the spec's example tables);
+    ``subsample=True`` emits 4:2:0 chroma (2x2-averaged), exercising
+    the decoder's upsampling path."""
+    import struct
+
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+
+    def _plane_blocks(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+        ph = -(-p.shape[0] // bh) * bh
+        pw = -(-p.shape[1] // bw) * bw
+        out = np.empty((ph, pw))
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    if gray:
+        comps = [(px.astype(np.float64), 1, 1)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = _plane_blocks(cb, ph, pw)[:ph, :pw]
+            crp = _plane_blocks(cr, ph, pw)[:ph, :pw]
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps = [(y, 2, 2), (cb, 1, 1), (cr, 1, 1)]
+        else:
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    q = np.full((8, 8), float(quant))
+    zz_flat = [r * 8 + c for r, c in _JPEG_ZZ]
+    # quantized zigzag coefficients for every block, in MCU interleave
+    # order (the exact order the decoder consumes)
+    padded = [
+        _plane_blocks(p, my * 8 * cv, mx * 8 * ch)
+        for p, ch, cv in comps
+    ]
+    tokens = []  # ("dc", cat, val) | ("ac", rs, s, val)
+    preds = [0] * len(comps)
+    for mcu in range(mx * my):
+        myy, mxx = divmod(mcu, mx)
+        for ci, (p, ch, cv) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (myy * cv + by) * 8
+                    x0 = (mxx * ch + bx) * 8
+                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = np.round((_DCT_A @ blk @ _DCT_A.T) / q).astype(int)
+                    zz = coef.flatten()[zz_flat]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    cat = int(abs(diff)).bit_length()
+                    tokens.append(("dc", cat, diff))
+                    run = 0
+                    last_nz = max(
+                        (k for k in range(1, 64) if zz[k]), default=0
+                    )
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            if run == 16:
+                                tokens.append(("ac", 0xF0, 0, 0))  # ZRL
+                                run = 0
+                            continue
+                        s = abs(v).bit_length()
+                        tokens.append(("ac", (run << 4) | s, s, v))
+                        run = 0
+                    if last_nz < 63:
+                        tokens.append(("ac", 0x00, 0, 0))  # EOB
+
+    def _canonical(symbols: list[int]) -> tuple[dict, bytes]:
+        syms = sorted(set(symbols))
+        length = max((len(syms)).bit_length(), 2)  # last code < all-ones
+        table = {s: (length, i) for i, s in enumerate(syms)}
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        return table, bytes(counts) + bytes(syms)
+
+    dc_tab, dc_spec = _canonical([t[1] for t in tokens if t[0] == "dc"])
+    ac_tab, ac_spec = _canonical([t[1] for t in tokens if t[0] == "ac"])
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    zz_q = bytes([0]) + bytes(int(q[r, c]) for r, c in _JPEG_ZZ)
+    seg(0xDB, zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (_, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + dc_spec)  # DC table 0
+    seg(0xC4, bytes([0x10]) + ac_spec)  # AC table 0
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    buf, nbits = 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (buf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        buf &= (1 << nbits) - 1
+
+    for t in tokens:
+        if t[0] == "dc":
+            _, cat, diff = t
+            ln, code = dc_tab[cat]
+            put(code, ln)
+            if cat:
+                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        else:
+            _, rs, s, v = t
+            ln, code = ac_tab[rs]
+            put(code, ln)
+            if s:
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def make_wav(sample_rate: int, seconds: float, freq_hz: float = 440.0) -> bytes:
