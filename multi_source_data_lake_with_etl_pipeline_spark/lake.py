@@ -158,6 +158,19 @@ def _json_safe(v):
 # logical (tables never renamed pay zero overhead and stay readable).
 _PHYS_KEY = "lake.physical"
 _DROPPED_PROP = "colmap.dropped"
+# Generated columns (Delta GENERATED ALWAYS AS parity): the generation
+# expression rides in StructField metadata, so it is versioned with the
+# schema (time travel sees the rules of its era) and travels with
+# clone. Values are MATERIALIZED at write (so filters and footer stats
+# work) and computed on read for files predating the column's birth
+# (coalesce is identity for materialized rows — a deterministic expr
+# recomputes the same value).
+_GEN_KEY = "lake.generated"
+
+
+def _gen_expr(f) -> str | None:
+    md = f.metadata or {}
+    return md.get(_GEN_KEY)
 
 
 def _phys(f) -> str:
@@ -271,6 +284,9 @@ class LakeTable:
                     "ts": c["ts"],
                     "added_files": len(c["add"]),
                     "removed_files": len(c["remove"]),
+                    # DESCRIBE HISTORY operationMetrics parity: row/file
+                    # counts the operation recorded at commit time
+                    "metrics": c.get("metrics", {}),
                 }
             )
         return out
@@ -294,6 +310,11 @@ class LakeTable:
             "dv_deleted_rows": ndel,
             "tags": sorted(self.tags()),
             "columns": [f.name for f in schema.fields],
+            "constraints": sorted(self.constraints(v)),
+            "column_mapped": _is_mapped(schema),
+            "generated_columns": sorted(
+                f.name for f in schema.fields if _gen_expr(f)
+            ),
         }
 
     # ---------------------------------------------------------- properties
@@ -395,6 +416,103 @@ class LakeTable:
                     f"{cname!r} ({pred}) references it — drop the "
                     "constraint first (Delta parity)"
                 )
+        _, _, schema = self._snapshot()
+        for f in schema.fields:
+            e = _gen_expr(f)
+            if e and f.name != col and _ident_refs(e, col):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: generated column "
+                    f"{f.name!r} (GENERATED ALWAYS AS {e}) references it "
+                    "— drop the generated column first"
+                )
+
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) —
+        Delta generated-column parity, metadata-only. The expression
+        (over existing non-generated columns) rides in the new field's
+        StructField metadata, so it is versioned with the schema and
+        survives clone. Every later write MATERIALIZES the column
+        (computed when the batch omits it, VALIDATED row-for-row when
+        the batch supplies it — a mismatch rejects the whole commit),
+        so filters and footer-stat skipping work on it like any stored
+        column; rows in files that PREDATE the column compute it on
+        read (and a compaction rewrite materializes them physically).
+        The column's type is inferred from the expression at analysis
+        time — no data is scanned."""
+        v, _, schema = self._snapshot()
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        if name in _RESERVED_COLS or not self._COL_RE.match(name):
+            raise ValueError(f"invalid column name: {name!r}")
+        for f in schema.fields:
+            if _gen_expr(f) and _ident_refs(expr, f.name):
+                raise ValueError(
+                    f"generation expression may not reference another "
+                    f"generated column ({f.name!r})"
+                )
+        # analysis-time type inference + expression validation (lazy —
+        # an empty frame, nothing scanned); unknown columns, bad syntax
+        # surface here instead of on the first write
+        dt = (
+            self.spark.createDataFrame([], schema)
+            .select(F.expr(expr).alias(name))
+            .schema[0]
+            .dataType
+        )
+        used = {_phys(f) for f in schema.fields} | set(
+            json.loads(self.props(v).get(_DROPPED_PROP, "[]"))
+        )
+        md = {_GEN_KEY: expr}
+        if name in used:
+            md[_PHYS_KEY] = f"{name}__p{uuid.uuid4().hex[:8]}"
+        fields = list(schema.fields) + [StructField(name, dt, True, md)]
+        return self._commit(
+            v + 1, "add_generated_column", [], [], StructType(fields),
+            metrics={"column": name},
+        )
+
+    def _apply_generated(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Materialize the schema's generated columns into a write
+        batch: compute the ones the batch omits; VALIDATE the ones it
+        supplies (null-safe equality against the expression, one
+        aggregate pass for all of them) — a divergent value rejects the
+        whole commit, Delta's GENERATED ALWAYS AS contract."""
+        gens = [
+            (f.name, _gen_expr(f), f.dataType)
+            for f in schema.fields
+            if _gen_expr(f)
+        ]
+        if not gens:
+            return df
+        checks = []
+        for name, expr, dt in gens:
+            if name in df.columns:
+                checks.append((name, expr, dt))
+            else:
+                df = df.withColumn(name, F.expr(expr).cast(dt))
+        if checks:
+            viol = {
+                n: ~F.col(n).eqNullSafe(F.expr(e).cast(dt))
+                for n, e, dt in checks
+            }
+            counts = df.agg(
+                *[F.sum(v.cast("bigint")).alias(n) for n, v in viol.items()]
+            ).collect()[0]
+            bad = {n for n, _, _ in checks if counts[n]}
+            if bad:
+                first = next(iter(sorted(bad)))
+                sample = df.filter(viol[first]).limit(3).collect()
+                exprs = {n: e for n, e, _ in checks}
+                raise ConstraintViolation(
+                    "generated column(s) supplied with divergent values, "
+                    "commit rejected: "
+                    + ", ".join(
+                        f"{n} (GENERATED ALWAYS AS {exprs[n]})" for n in sorted(bad)
+                    )
+                    + f"; sample: {[r.asDict() for r in sample]}"
+                )
+        return df
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN (Delta column-mapping parity): a
@@ -545,6 +663,7 @@ class LakeTable:
         retries: int = 0,
         txn: dict | None = None,
         props: dict | None = None,
+        metrics: dict | None = None,
     ) -> int:
         rec = {
             "version": version,
@@ -558,6 +677,8 @@ class LakeTable:
             rec["txn"] = txn
         if props is not None:
             rec["props"] = props
+        if metrics is not None:
+            rec["metrics"] = metrics
         target = os.path.join(self._log_dir, _ver_name(version))
         while True:
             try:
@@ -640,6 +761,7 @@ class LakeTable:
         max_rebase: int = 5,
         read_probe=None,
         props: dict | None = None,
+        metrics: dict | None = None,
     ) -> int:
         """Commit with Delta-style CONFLICT DETECTION instead of blind
         failure: when another writer claims our version first, re-read
@@ -672,7 +794,9 @@ class LakeTable:
         base_paths: set[str] | None = None
         for _ in range(max_rebase + 1):
             try:
-                return self._commit(v, op, adds, removes, schema, props=props)
+                return self._commit(
+                    v, op, adds, removes, schema, props=props, metrics=metrics
+                )
             except CommitConflict:
                 latest = self.latest_version()
                 _, active, cur_schema = self._snapshot(latest)
@@ -821,16 +945,32 @@ class LakeTable:
             if mapped
             else [F.col(c) for c in df.columns]
         )
+
+        def _fill_gen(d: DataFrame) -> DataFrame:
+            # generated columns: files predating the column's birth read
+            # NULL — compute from the stored expression (identity for
+            # materialized rows: same deterministic expr, same value)
+            for f in schema.fields:
+                e = _gen_expr(f)
+                if e:
+                    d = d.withColumn(
+                        f.name,
+                        F.coalesce(F.col(f.name), F.expr(e).cast(f.dataType)),
+                    )
+            return d
+
         dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
         if not dv_rels and not keep_meta:
-            return df.select(*logical) if mapped else df
+            return _fill_gen(df.select(*logical) if mapped else df)
         data_cols = [f.name for f in schema.fields]
-        df = df.select(
-            *logical,
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "_dv_base"
-            ),
-            F.col("_metadata.row_index").alias("_dv_pos"),
+        df = _fill_gen(
+            df.select(
+                *logical,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_base"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
         )
         if dv_rels:
             dv = self.spark.read.schema("_dv_base string, _dv_pos long").parquet(
@@ -1169,6 +1309,10 @@ class LakeTable:
             )
 
         _check_reserved(df.schema)
+        # generated columns materialize (or validate) against the
+        # pre-append schema, BEFORE constraint validation (constraints
+        # may reference them)
+        df = self._apply_generated(df, self._snapshot()[2])
         # The base version is PINNED BEFORE validation and the target
         # is never re-read inside _commit: any commit interleaving
         # after this point forces the except-branch, which re-validates
@@ -1187,9 +1331,13 @@ class LakeTable:
             f.name: _phys(f) for f in schema.fields if f.name in df.columns
         }
         adds = self._write_files(df, schema)
+        n_appended = sum(int(a.get("rows", 0)) for a in adds)
         for _ in range(21):
             try:
-                return self._commit(v, "append", adds, [], schema)
+                return self._commit(
+                    v, "append", adds, [], schema,
+                    metrics={"rows_appended": n_appended},
+                )
             except CommitConflict:
                 schema = _union_schema()  # re-merge vs the racing commit
                 now = {
@@ -1230,17 +1378,18 @@ class LakeTable:
         version, or None if the batch was already applied."""
         _check_reserved(df.schema)
         v = self.latest_version()  # pinned BEFORE validation (see append)
-        cons = self.constraints(v)
-        self._check_constraints(df, cons)
-        last = self.last_committed_batch(app_id)
-        if last is not None and batch_id <= last:
-            return None
         # Commit the TABLE's schema, not the batch's: the batch may
         # carry a column subset (missing columns read back NULL), and
         # the table schema is what carries column-mapping metadata — a
         # batch-schema commit would both narrow the table and orphan
         # renamed columns' physical names.
         _, _, schema = self._snapshot(v)
+        df = self._apply_generated(df, schema)
+        cons = self.constraints(v)
+        self._check_constraints(df, cons)
+        last = self.last_committed_batch(app_id)
+        if last is not None and batch_id <= last:
+            return None
         by_name = {f.name: f for f in schema.fields}
         for f in df.schema.fields:
             have = by_name.get(f.name)
@@ -1267,9 +1416,13 @@ class LakeTable:
         wrote = {
             f.name: _phys(f) for f in schema.fields if f.name in batch_cols
         }
+        n_appended = sum(int(a.get("rows", 0)) for a in adds)
         for _ in range(21):
             try:
-                return self._commit(v + 1, "append", adds, [], schema, txn=txn)
+                return self._commit(
+                    v + 1, "append", adds, [], schema, txn=txn,
+                    metrics={"rows_appended": n_appended},
+                )
             except CommitConflict:
                 latest_cons = self.constraints()
                 if latest_cons != cons:
@@ -1361,7 +1514,13 @@ class LakeTable:
         # upserts must carry exactly the table's columns — op/order
         # metadata stays in the feed, not the table
         _, _, schema = self._snapshot()
-        cols = [f.name for f in schema.fields]
+        # generated columns may be absent from the feed — merge() will
+        # materialize them; every other table column must be present
+        cols = [
+            f.name
+            for f in schema.fields
+            if not (_gen_expr(f) and f.name not in b.columns)
+        ]
         ups = b.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*cols)
         dels = b.filter(F.upper(F.col(op_col)) == "D").select(key)
         if dels.filter(F.col(key).isNull()).limit(1).count():
@@ -1423,7 +1582,8 @@ class LakeTable:
         )
         if dv:
             adds, new_v = self._commit_dv(
-                v, t_entries, matched, schema, read_probe=probe
+                v, t_entries, matched, schema, read_probe=probe,
+                metrics={"rows_deleted": deleted, "files_rewritten": 0},
             )
             rewritten = 0
         else:
@@ -1431,7 +1591,8 @@ class LakeTable:
             keep = affected.join(ks, key, "left_anti")
             adds = self._write_files(keep, schema) if keep.limit(1).count() else []
             new_v = self._commit_checked(
-                v, "delete", adds, touched, schema, t_entries, read_probe=probe
+                v, "delete", adds, touched, schema, t_entries, read_probe=probe,
+                metrics={"rows_deleted": deleted, "files_rewritten": len(touched)},
             )
             rewritten = len(touched)
         self._write_cdf(
@@ -1454,6 +1615,7 @@ class LakeTable:
         op: str = "delete",
         extra_adds: list[dict] | None = None,
         read_probe=None,
+        metrics: dict | None = None,
     ) -> tuple[list[dict], int]:
         """Shared DV-mode commit: union the touched entries' EXISTING
         vectors with the newly matched (base, pos) rows into ONE new
@@ -1505,7 +1667,7 @@ class LakeTable:
         adds = adds + (extra_adds or [])
         new_v = self._commit_checked(
             v, op, adds, [a["path"] for a in t_entries], schema, t_entries,
-            read_probe=read_probe,
+            read_probe=read_probe, metrics=metrics,
         )
         return adds, new_v
 
@@ -1540,7 +1702,8 @@ class LakeTable:
                 f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
             )
         return self._commit(
-            cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema
+            cur_v + 1, "overwrite", active, [a["path"] for a in cur_active], schema,
+            metrics={"restored_to_version": version},
         )
 
     def _touched_files(
@@ -1599,6 +1762,7 @@ class LakeTable:
         from .sinks.merge import merge_upsert_df
 
         v, active, schema = self._snapshot()
+        source = self._apply_generated(source, schema)
         cur = self._read_entries(active, schema, keep_meta=True)
         src = source.persist()
         # merge output rows are exactly the source rows (source wins on
@@ -1630,16 +1794,23 @@ class LakeTable:
             .count()
             > 0
         )
+        m_metrics = {
+            "rows_inserted": inserted,
+            "rows_updated": updated,
+            "files_rewritten": 0 if dv else len(touched),
+        }
         if dv:
             new_files = self._write_files(src.select(*data_cols), schema)
             if touched:
                 adds, new_v = self._commit_dv(
                     v, t_entries, matched_old, schema,
                     op="merge", extra_adds=new_files, read_probe=probe,
+                    metrics=m_metrics,
                 )
             else:  # pure insert — empty read set; still probe appends
                 new_v = self._commit_checked(
-                    v, "merge", new_files, [], schema, [], read_probe=probe
+                    v, "merge", new_files, [], schema, [], read_probe=probe,
+                    metrics=m_metrics,
                 )
             touched = []  # nothing rewritten — report 0 like delete dv
         else:
@@ -1647,7 +1818,8 @@ class LakeTable:
             merged = merge_upsert_df(full_affected, src, key)
             adds = self._write_files(merged, schema)
             new_v = self._commit_checked(
-                v, "merge", adds, touched, schema, t_entries, read_probe=probe
+                v, "merge", adds, touched, schema, t_entries, read_probe=probe,
+                metrics=m_metrics,
             )
         # CDF capture: O(source rows), written after the commit wins its
         # version (a conflict raises above, so no stray change files).
@@ -1707,7 +1879,8 @@ class LakeTable:
         )
         if dv:
             _, new_v = self._commit_dv(
-                v, t_entries, matched, schema, read_probe=probe
+                v, t_entries, matched, schema, read_probe=probe,
+                metrics={"rows_deleted": deleted, "files_rewritten": 0},
             )
             rewritten = 0
         else:
@@ -1715,7 +1888,8 @@ class LakeTable:
             keep = affected.filter(~cond)
             adds = self._write_files(keep, schema) if keep.limit(1).count() else []
             new_v = self._commit_checked(
-                v, "delete", adds, touched, schema, t_entries, read_probe=probe
+                v, "delete", adds, touched, schema, t_entries, read_probe=probe,
+                metrics={"rows_deleted": deleted, "files_rewritten": len(touched)},
             )
             rewritten = len(touched)
         self._write_cdf(

@@ -8440,6 +8440,84 @@ def lake_rename_timetravel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lake generated columns (Delta GENERATED ALWAYS AS parity): the
+# expression is table metadata; writes MATERIALIZE the column (computed
+# when omitted, validated row-for-row when supplied — a divergent batch
+# rejects whole), and rows in files PREDATING the column compute it on
+# read. Stages: 'old' (pre-add files, compute-on-read), 'computed'
+# (batch omitted the column), 'validated' (batch supplied it), and the
+# audit row proving the divergent batch was rejected with table state
+# intact.
+@register(
+    "lake_generated_column_audit",
+    """
+    WITH g AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents,
+             CASE WHEN o_orderkey <= 800 THEN 'old'
+                  WHEN o_orderkey <= 1100 THEN 'computed'
+                  ELSE 'validated' END AS stage
+      FROM orders WHERE o_orderkey <= 1400
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(tp_cents) AS BIGINT) AS sum_cents
+    FROM g GROUP BY stage
+    UNION ALL
+    SELECT '_audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_generated_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import ConstraintViolation, LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="lake_gen_")
+    t = LakeTable.create(spark, root + "/t", o.filter("o_orderkey <= 800"))
+    t.add_generated_column(
+        "tp_cents", "CAST(round(o_totalprice * 100) AS BIGINT)"
+    )
+    # batch omits the column — materialized at write
+    t.append(o.filter("o_orderkey > 800 AND o_orderkey <= 1100"))
+    # batch supplies correct values — validated, lands
+    t.append(
+        o.filter("o_orderkey > 1100 AND o_orderkey <= 1400").withColumn(
+            "tp_cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        )
+    )
+    # divergent batch — the WHOLE commit must reject
+    pre_v = t.latest_version()
+    caught = 0
+    try:
+        t.append(
+            o.filter("o_orderkey > 1400 AND o_orderkey <= 1450").withColumn(
+                "tp_cents",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT) + 1"),
+            )
+        )
+    except ConstraintViolation:
+        caught = 1
+    intact = int(t.latest_version() == pre_v)
+    stage = (
+        F.when(F.col("o_orderkey") <= 800, "old")
+        .when(F.col("o_orderkey") <= 1100, "computed")
+        .otherwise("validated")
+    )
+    return (
+        t.read()
+        .groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tp_cents").alias("sum_cents"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("_audit", caught, intact)], "stage string, n long, sum_cents long"
+            )
+        )
+    )
+
+
 # Streaming ingestion through a Spark 4 PYTHON streaming data source
 # (sources/pyds.SensorFeedDataSource — the MQTT/OPC-UA stand-in, T4):
 # one availableNow drain of the deterministic bounded topic into a

@@ -1931,6 +1931,37 @@ def test_details_describe_detail_parity(spark, tmp_path):
     assert d["live_rows"] == t.read().count()
     d0 = t.details(0)
     assert d0["live_rows"] == 100 and d0["dv_files"] == 0
+    # constraint + mapping state surface in the summary
+    assert d["constraints"] == [] and d["column_mapped"] is False
+    t.add_constraint("v_pos", "v > 0")
+    t.rename_column("k", "key")
+    d2 = t.details()
+    assert d2["constraints"] == ["v_pos"] and d2["column_mapped"] is True
+    assert d2["columns"] == ["key", "v"]
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY operationMetrics parity: each commit records
+    the row/file counts its operation computed — append rows, merge
+    insert/update split, delete rows + rewritten files (0 in DV mode),
+    restore target — surfaced through history()."""
+    t = _mk(spark, tmp_path, rows=50, files=2)
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"))
+    t.merge(
+        spark.createDataFrame([(0, -1), (200, 9)], "k long, v long"), "k"
+    )
+    t.delete_keys(spark.createDataFrame([(1,), (2,)], "k long"), "k", dv=True)
+    t.delete("v = 30", dv=False)  # k=3
+    t.restore(1)
+    by_ver = {h["version"]: h for h in t.history()}
+    assert by_ver[1]["metrics"] == {"rows_appended": 2}
+    assert by_ver[2]["metrics"] == {
+        "rows_inserted": 1, "rows_updated": 1, "files_rewritten": 1
+    }
+    assert by_ver[3]["metrics"] == {"rows_deleted": 2, "files_rewritten": 0}
+    assert by_ver[4]["metrics"] == {"rows_deleted": 1, "files_rewritten": 1}
+    assert by_ver[5]["metrics"] == {"restored_to_version": 1}
+    assert by_ver[0]["metrics"] == {}  # create predates metrics — empty
 
 
 def test_reserved_dv_column_names_rejected(spark, tmp_path):
@@ -2546,3 +2577,104 @@ def test_lake_model_random_ops_with_column_mapping(spark, tmp_path):
         if xs is not None:
             gx = {int(r["k"]): (None if r["x"] is None else int(r["x"])) for r in rows}
             assert gx == xs, f"time travel to v{ver}: extra col diverged"
+
+
+class TestGeneratedColumns:
+    """GENERATED ALWAYS AS parity: the expression is schema metadata
+    (versioned, clone-carried); writes materialize or validate the
+    column; pre-add files compute it on read; referenced columns
+    refuse rename/drop."""
+
+    def _mk_priced(self, spark, path):
+        t = _mk_from(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.5)], "id long, price double"
+            ),
+        )
+        t.add_generated_column(
+            "cents", "CAST(round(price * 100) AS BIGINT)"
+        )
+        return t
+
+    def test_compute_on_read_write_and_validate(self, spark, tmp_path):
+        t = self._mk_priced(spark, tmp_path / "t")
+        # pre-add files: computed on read, no rewrite happened
+        assert {r["id"]: r["cents"] for r in t.read().collect()} == {
+            1: 1000, 2: 2050
+        }
+        # omitted -> computed at write; supplied-correct -> validated
+        t.append(spark.createDataFrame([(3, 30.25)], "id long, price double"))
+        t.append(
+            spark.createDataFrame(
+                [(4, 1.11, 111)], "id long, price double, cents long"
+            )
+        )
+        got = {r["id"]: r["cents"] for r in t.read().collect()}
+        assert got[3] == 3025 and got[4] == 111
+        # divergent batch rejects WHOLE commit, table intact
+        pre = t.latest_version()
+        with pytest.raises(ConstraintViolation, match="GENERATED"):
+            t.append(
+                spark.createDataFrame(
+                    [(5, 1.0, 999)], "id long, price double, cents long"
+                )
+            )
+        assert t.latest_version() == pre
+        # merge + CDC materialize it too
+        t.merge(spark.createDataFrame([(1, 99.0)], "id long, price double"), "id")
+        t.apply_cdc(
+            spark.createDataFrame(
+                [(2, 5.0, "U"), (4, 0.0, "D")],
+                "id long, price double, op string",
+            ),
+            "id",
+        )
+        got = {r["id"]: r["cents"] for r in t.read().collect()}
+        assert got == {1: 9900, 2: 500, 3: 3025}
+        # stream batch computes it as well
+        t.append_stream_batch(
+            spark.createDataFrame([(7, 7.0)], "id long, price double"), "app", 0
+        )
+        assert t.read().filter("id = 7").collect()[0]["cents"] == 700
+
+    def test_metadata_versioning_and_interlocks(self, spark, tmp_path):
+        t = self._mk_priced(spark, tmp_path / "t")
+        # time travel to before the add: no such column
+        assert "cents" not in t.read(0).columns
+        # referenced column refuses rename and drop
+        with pytest.raises(ValueError, match="generated column"):
+            t.rename_column("price", "p")
+        with pytest.raises(ValueError, match="generated column"):
+            t.drop_column("price")
+        # a generation expr may not reference another generated column
+        with pytest.raises(ValueError, match="another generated"):
+            t.add_generated_column("c2", "cents + 1")
+        # bad expression fails at add time (analysis), not first write
+        with pytest.raises(Exception):
+            t.add_generated_column("c3", "no_such_col * 2")
+        # the generated column itself renames (rule follows the field)
+        t.rename_column("cents", "price_cents")
+        t.append(spark.createDataFrame([(9, 2.0)], "id long, price double"))
+        assert t.read().filter("id = 9").collect()[0]["price_cents"] == 200
+        # and drops; afterwards the referenced column is free
+        t.drop_column("price_cents")
+        t.rename_column("price", "p")
+        assert t.read().columns == ["id", "p"]
+        # details + clone carry the rule while it existed
+        t2 = self._mk_priced(spark, tmp_path / "t2")
+        assert t2.details()["generated_columns"] == ["cents"]
+        c = t2.clone_to(str(tmp_path / "clone"))
+        c.append(spark.createDataFrame([(8, 4.0)], "id long, price double"))
+        assert c.read().filter("id = 8").collect()[0]["cents"] == 400
+
+    def test_compaction_materializes_old_rows(self, spark, tmp_path):
+        t = self._mk_priced(spark, tmp_path / "t")
+        t.compact(1)
+        # after the rewrite, values are physically stored: footer stats
+        # for the generated column now exist on the new file
+        _, active, _ = t._snapshot()
+        assert any("cents" in a.get("stats", {}) for a in active)
+        assert {r["id"]: r["cents"] for r in t.read().collect()} == {
+            1: 1000, 2: 2050
+        }
