@@ -1852,6 +1852,140 @@ class LakeTable:
             "version": new_v,
         }
 
+    def update(
+        self, predicate: str, assignments: dict[str, str], dv: bool = False
+    ) -> dict:
+        """UPDATE ... SET col = expr WHERE predicate (Delta UPDATE
+        parity): rewrite ONLY files containing a pred=TRUE row, with
+        the assignments applied in a single CASE-WHEN pass (unmatched
+        rows of touched files are copied through byte-equal; untouched
+        files never read). NULL-predicate rows are NOT updated (SQL
+        semantics). Assignment expressions see the PRE-update row (all
+        assignments evaluate simultaneously, standard SQL UPDATE).
+        Generated columns cannot be assigned directly and are
+        RECOMPUTED after assignments (their references may have
+        changed); CHECK constraints validate the post-update rows —
+        a violating update rejects whole. ``dv=True``: matched old
+        rows are vectored out and the updated rows land in fresh files
+        in one atomic commit — O(updated rows), not O(touched bytes).
+        CDF records update_preimage/update_postimage pairs."""
+        v, active, schema = self._snapshot()
+        by_name = {f.name: f for f in schema.fields}
+        for c in assignments:
+            f = by_name.get(c)
+            if f is None:
+                raise ValueError(f"UPDATE: no such column {c!r}")
+            if _gen_expr(f):
+                raise ValueError(
+                    f"UPDATE: column {c!r} is GENERATED ALWAYS AS "
+                    f"({_gen_expr(f)}) — it recomputes automatically"
+                )
+        cond = F.expr(f"coalesce(({predicate}), false)")
+        cur = self._read_entries(active, schema, keep_meta=True)
+        matched = cur.filter(cond).persist()
+        touched = self._touched_files(matched, col="_dv_base", active=active)
+        if not touched:
+            matched.unpersist()
+            return {"updated": 0, "rewritten_files": 0, "version": v}
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
+        data_cols = [f.name for f in schema.fields]
+        n_updated = matched.count()
+
+        def _assigned(df: DataFrame) -> DataFrame:
+            # simultaneous assignment: all exprs bind to the pre-update
+            # row because they evaluate in ONE select over it
+            out = df.select(
+                *[
+                    F.expr(assignments[c]).cast(by_name[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            # recompute generated columns against the new values
+            for f in schema.fields:
+                e = _gen_expr(f)
+                if e:
+                    out = out.withColumn(f.name, F.expr(e).cast(f.dataType))
+            return out
+
+        post = _assigned(matched.select(*data_cols))
+        try:
+            self._check_constraints(post)
+        except ConstraintViolation:
+            matched.unpersist()
+            raise
+        probe = (
+            lambda ents: self._read_entries(ents, schema)
+            .filter(cond)
+            .limit(1)
+            .count()
+            > 0
+        )
+        metrics = {
+            "rows_updated": n_updated,
+            "files_rewritten": 0 if dv else len(touched),
+        }
+        if dv:
+            new_files = self._write_files(post, schema)
+            _, new_v = self._commit_dv(
+                v, t_entries, matched, schema, op="update",
+                extra_adds=new_files, read_probe=probe, metrics=metrics,
+            )
+            rewritten = 0
+        else:
+            affected = self._read_entries(t_entries, schema)
+            # one pass: matching rows take the assignments, the rest
+            # copy through — no union, no second scan. The match marker
+            # is computed IN the same select so the predicate binds to
+            # the PRE-update row even when it references an assigned
+            # column (post-assignment rebinding would mis-gate the
+            # generated-column recompute below).
+            marker = f"_upd_{uuid.uuid4().hex[:8]}"
+            rewritten_df = affected.select(
+                cond.alias(marker),
+                *[
+                    F.when(
+                        cond,
+                        F.expr(assignments[c]).cast(by_name[c].dataType),
+                    ).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in data_cols
+                ],
+            )
+            for f in schema.fields:
+                e = _gen_expr(f)
+                if e:
+                    rewritten_df = rewritten_df.withColumn(
+                        f.name,
+                        F.when(
+                            F.col(marker), F.expr(e).cast(f.dataType)
+                        ).otherwise(F.col(f.name)),
+                    )
+            adds = self._write_files(rewritten_df.drop(marker), schema)
+            new_v = self._commit_checked(
+                v, "update", adds, touched, schema, t_entries,
+                read_probe=probe, metrics=metrics,
+            )
+            rewritten = len(touched)
+        self._write_cdf(
+            new_v,
+            matched.select(*data_cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            ),
+            schema,
+        )
+        matched.unpersist()
+        return {
+            "updated": n_updated,
+            "rewritten_files": rewritten,
+            "version": new_v,
+        }
+
     def delete(self, predicate: str, dv: bool = False) -> dict:
         """DELETE WHERE predicate: rewrite only files containing a
         pred=TRUE row. NULL-predicate rows are KEPT (SQL semantics).
@@ -1954,7 +2088,7 @@ class LakeTable:
                 prev_by_path = {a["path"]: a for a in prev_active}
                 removed = [prev_by_path.get(p, {"path": p}) for p in c["remove"]]
                 tagged = [(removed, "delete"), (c["add"], "insert")]
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "update"):
                 cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
                 if os.path.isdir(cdf_dir):
                     # change files carry PHYSICAL names (see _write_cdf)

@@ -8518,6 +8518,72 @@ def lake_generated_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lake UPDATE (Delta UPDATE parity): UPDATE ... SET ... WHERE as a
+# file-granular single-pass rewrite, then a second update in
+# deletion-vector mode — both against the same table, with time travel
+# proving the pre-update state intact. The oracle reconstructs both
+# updates relationally (CASE over the key ranges).
+@register(
+    "lake_update_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 1200
+    ), cur AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 100 AND 300 THEN o_custkey + 1000000
+                  WHEN o_orderkey BETWEEN 400 AND 500 THEN o_custkey * 2
+                  ELSE o_custkey END AS cust,
+             CASE WHEN o_orderkey BETWEEN 100 AND 300 THEN 'rewrite_updated'
+                  WHEN o_orderkey BETWEEN 400 AND 500 THEN 'dv_updated'
+                  ELSE 'untouched' END AS stage
+      FROM base
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cust) AS BIGINT) AS sum_cust
+    FROM cur GROUP BY stage
+    UNION ALL
+    SELECT '_pre_update', CAST(count(*) AS BIGINT),
+           CAST(sum(o_custkey) AS BIGINT) FROM base
+    """,
+)
+def lake_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="lake_upd_")
+    t = LakeTable.create(spark, root + "/t", o.filter("o_orderkey <= 1200"))
+    v_pre = t.latest_version()
+    t.update(
+        "o_orderkey BETWEEN 100 AND 300",
+        {"o_custkey": "o_custkey + 1000000"},
+    )
+    t.update(
+        "o_orderkey BETWEEN 400 AND 500", {"o_custkey": "o_custkey * 2"},
+        dv=True,
+    )
+    stage = (
+        F.when(F.col("o_orderkey").between(100, 300), "rewrite_updated")
+        .when(F.col("o_orderkey").between(400, 500), "dv_updated")
+        .otherwise("untouched")
+    )
+    return (
+        t.read()
+        .groupBy(stage.alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("sum_cust"),
+        )
+        .unionByName(
+            t.read(v_pre).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_custkey").alias("sum_cust"),
+            ).select(F.lit("_pre_update").alias("stage"), "n", "sum_cust")
+        )
+    )
+
+
 # Streaming ingestion through a Spark 4 PYTHON streaming data source
 # (sources/pyds.SensorFeedDataSource — the MQTT/OPC-UA stand-in, T4):
 # one availableNow drain of the deterministic bounded topic into a

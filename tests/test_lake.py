@@ -2678,3 +2678,93 @@ class TestGeneratedColumns:
         assert {r["id"]: r["cents"] for r in t.read().collect()} == {
             1: 1000, 2: 2050
         }
+
+
+class TestLakeUpdate:
+    """UPDATE ... SET ... WHERE (Delta UPDATE parity): file-granular
+    single-pass rewrite or DV mode, simultaneous assignments bound to
+    the pre-update row, generated-column recompute, constraint
+    enforcement, CDF pre/post images."""
+
+    def test_update_file_granular_and_dv_parity(self, spark, tmp_path):
+        for mode, dv in (("rw", False), ("dv", True)):
+            t = _mk(spark, tmp_path / mode, rows=100, files=4)
+            before = _file_md5s(t)
+            r = t.update("k < 10", {"v": "v + 1"}, dv=dv)
+            assert r["updated"] == 10
+            assert r["rewritten_files"] == (0 if dv else 1)
+            got = {int(x["k"]): int(x["v"]) for x in t.read().collect()}
+            assert got == {
+                i: i * 10 + (1 if i < 10 else 0) for i in range(100)
+            }
+            assert t.rows() == 100
+            after = _file_md5s(t)
+            # untouched pre-existing files byte-identical; dv mode never
+            # rewrites any pre-existing file
+            same = sum(1 for f, h in before.items() if after.get(f) == h)
+            assert same >= (4 if dv else 3)
+            # time travel + CDF images
+            assert t.read(0).filter("v = 0").count() == 1
+            ch = t.changes(0)
+            pre = ch.filter("_change_type = 'update_preimage'")
+            post = ch.filter("_change_type = 'update_postimage'")
+            assert pre.count() == post.count() == 10
+            assert post.filter("k = 0 AND v = 1").count() == 1
+
+    def test_simultaneous_assignment_semantics(self, spark, tmp_path):
+        # swap two columns: both exprs must see the PRE-update row
+        t = _mk_from(
+            spark, tmp_path / "t",
+            spark.createDataFrame([(1, 10, 20)], "k long, a long, b long"),
+        )
+        t.update("k = 1", {"a": "b", "b": "a"})
+        r = t.read().collect()[0]
+        assert (r["a"], r["b"]) == (20, 10)
+
+    def test_update_recomputes_generated_and_checks_constraints(
+        self, spark, tmp_path
+    ):
+        t = _mk_from(
+            spark, tmp_path / "t",
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.0)], "id long, price double"
+            ),
+        )
+        t.add_generated_column("cents", "CAST(round(price * 100) AS BIGINT)")
+        t.compact(1)  # materialize, so stale values would be visible
+        # predicate references the ASSIGNED column: recompute must gate
+        # on the pre-update match, not the post-assignment value
+        t.update("price = 10.0", {"price": "price * 2"})
+        got = {r["id"]: (r["price"], r["cents"]) for r in t.read().collect()}
+        assert got == {1: (20.0, 2000), 2: (20.0, 2000)}
+        with pytest.raises(ValueError, match="GENERATED"):
+            t.update("id = 1", {"cents": "0"})
+        t.add_constraint("price_pos", "price > 0")
+        pre = t.latest_version()
+        with pytest.raises(ConstraintViolation, match="price_pos"):
+            t.update("id = 1", {"price": "-price"})
+        assert t.latest_version() == pre  # rejected whole
+        with pytest.raises(ValueError, match="no such column"):
+            t.update("id = 1", {"zz": "1"})
+
+    def test_update_dv_on_renamed_column(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=20, files=2)
+        t.rename_column("v", "val")
+        t.update("val = 50", {"val": "-1"}, dv=True)
+        got = {int(r["k"]): int(r["val"]) for r in t.read().collect()}
+        assert got[5] == -1 and got[6] == 60
+        assert t.rows() == 20
+
+    def test_update_conflicts_on_concurrent_matching_append(
+        self, spark, tmp_path
+    ):
+        t = _mk(spark, tmp_path, rows=20, files=1)
+        racer_adds = t._write_files(
+            spark.createDataFrame([(5, 999)], "k long, v long")
+        )
+        orig = _racer_append_hook(t, racer_adds)
+        with pytest.raises(CommitConflict, match="concurrent append"):
+            t.update("k = 5", {"v": "0"})
+        t._write_files = orig.__get__(t)
+        # the concurrently-appended k=5 row was not silently missed
+        assert t.read().filter("k = 5 AND v = 999").count() == 1
