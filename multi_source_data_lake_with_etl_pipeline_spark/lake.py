@@ -189,9 +189,24 @@ def _physical_schema(schema: StructType) -> StructType:
     )
 
 
+def _to_physical(df: DataFrame, schema: StructType | None) -> DataFrame:
+    """Rewrite a frame's LOGICAL column names to their stable PHYSICAL
+    names per ``schema``'s column mapping — the single projection every
+    data/CDF file write goes through, so any future mapping rule lands
+    on all writers by construction."""
+    if schema is None or not _is_mapped(schema):
+        return df
+    by_logical = {f.name: _phys(f) for f in schema.fields}
+    return df.select(
+        *[F.col(c).alias(by_logical.get(c, c)) for c in df.columns]
+    )
+
+
 def _ident_refs(predicate: str, name: str) -> bool:
     """Conservative: does the SQL text reference ``name`` as a word?"""
-    return re.search(rf"(?i)(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])", predicate) is not None
+    # backticks are NOT part of the boundary classes: a quoted
+    # identifier (`col`) must still count as a reference to col
+    return re.search(rf"(?i)(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])", predicate) is not None
 
 
 class LakeTable:
@@ -212,7 +227,7 @@ class LakeTable:
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
         adds = t._write_files(df)
-        t._commit(0, "create", adds, [], df.schema)
+        t._commit(0, "create", adds, [], df.schema, props={})
         return t
 
     @classmethod
@@ -326,16 +341,28 @@ class LakeTable:
         ``props`` key holds the complete current dict; commits that
         don't change properties don't repeat them. Versioned like the
         schema — time travel to before ADD CONSTRAINT sees no
-        constraint."""
+        constraint.
+
+        The backward walk is FLOORED by the nearest checkpoint (which
+        records the props current at its version): without the floor a
+        props-less stretch of history makes every props() call O(all
+        versions) of driver file I/O, and props() runs several times
+        per write. Checkpoints written before props-recording existed
+        fall back to the full walk; create() seeds props at version 0,
+        so tables written by this code never walk past creation."""
         v = self.latest_version() if version is None else version
-        for cv in range(v, -1, -1):
+        floor, ck_props = -1, None
+        ckpt = self._checkpoint_at_or_before(v)
+        if ckpt is not None and ckpt[2] is not None:
+            floor, ck_props = ckpt[0], ckpt[2]
+        for cv in range(v, floor, -1):
             try:
                 c = self._read_commit(cv)
             except FileNotFoundError:
                 continue
             if "props" in c:
                 return dict(c["props"])
-        return {}
+        return dict(ck_props) if ck_props is not None else {}
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Named CHECK constraints at ``version``: {name: sql_pred}."""
@@ -596,7 +623,9 @@ class LakeTable:
             + f"; sample for {first!r}: {[r.asDict() for r in sample]}"
         )
 
-    def _checkpoint_at_or_before(self, v: int) -> tuple[int, list[dict]] | None:
+    def _checkpoint_at_or_before(
+        self, v: int
+    ) -> tuple[int, list[dict], dict | None] | None:
         # O(1) fast path (Delta's _last_checkpoint parity): the pointer
         # names the newest checkpoint, so the common latest-snapshot
         # read never lists the log directory — at 1M commits a listdir
@@ -610,7 +639,8 @@ class LakeTable:
                 with open(
                     os.path.join(self._log_dir, f"_checkpoint.{last}.json")
                 ) as f:
-                    return last, json.load(f)["active"]
+                    d = json.load(f)
+                    return last, d["active"], d.get("props")
         except (FileNotFoundError, KeyError, ValueError):
             pass
         # fallback scan: time travel to before the last checkpoint, or
@@ -624,7 +654,8 @@ class LakeTable:
         if best is None:
             return None
         with open(os.path.join(self._log_dir, f"_checkpoint.{best}.json")) as f:
-            return best, json.load(f)["active"]
+            d = json.load(f)
+            return best, d["active"], d.get("props")
 
     def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], StructType]:
         """(version, active add-entries, schema) at ``version`` (default
@@ -696,10 +727,24 @@ class LakeTable:
                 target = os.path.join(self._log_dir, _ver_name(version))
         if version % _CHECKPOINT_EVERY == 0 and version > 0:
             _, active, _ = self._snapshot(version)
-            with open(
-                os.path.join(self._log_dir, f"_checkpoint.{version}.json"), "w"
-            ) as f:
-                json.dump({"version": version, "active": active}, f)
+            # props ride the checkpoint so props() walks are floored by
+            # the checkpoint cadence, never O(history). Computed BEFORE
+            # the file exists, and published by ATOMIC rename — a
+            # reader's fallback directory scan must never see a torn or
+            # empty checkpoint (props() itself scans checkpoints, so a
+            # non-atomic write here would deadlock on its own debris).
+            ck_path = os.path.join(
+                self._log_dir, f"_checkpoint.{version}.json"
+            )
+            ck_rec = {
+                "version": version,
+                "active": active,
+                "props": self.props(version),
+            }
+            ck_tmp = ck_path + f".tmp.{uuid.uuid4().hex}"
+            with open(ck_tmp, "w") as f:
+                json.dump(ck_rec, f)
+            os.replace(ck_tmp, ck_path)
             # Advance the O(1) discovery pointer under a short-lived
             # O_EXCL lock so the read-compare-write can't interleave
             # between two checkpointing writers (A reads cur, B writes
@@ -854,14 +899,7 @@ class LakeTable:
         stable PHYSICAL names before the parquet write — footer stats
         are therefore keyed by physical name, matching every file in
         the table regardless of renames before or after."""
-        if schema is not None and _is_mapped(schema):
-            by_logical = {f.name: _phys(f) for f in schema.fields}
-            df = df.select(
-                *[
-                    F.col(c).alias(by_logical.get(c, c))
-                    for c in df.columns
-                ]
-            )
+        df = _to_physical(df, schema)
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         adds = []
@@ -1328,7 +1366,9 @@ class LakeTable:
         # concurrent drop+re-add recycled the logical name) must
         # conflict, not silently commit files the mapping can't see
         wrote = {
-            f.name: _phys(f) for f in schema.fields if f.name in df.columns
+            f.name: (_phys(f), _gen_expr(f))
+            for f in schema.fields
+            if f.name in df.columns
         }
         adds = self._write_files(df, schema)
         n_appended = sum(int(a.get("rows", 0)) for a in adds)
@@ -1341,14 +1381,18 @@ class LakeTable:
             except CommitConflict:
                 schema = _union_schema()  # re-merge vs the racing commit
                 now = {
-                    f.name: _phys(f)
+                    f.name: (_phys(f), _gen_expr(f))
                     for f in schema.fields
                     if f.name in df.columns
                 }
                 if now != wrote:
+                    # mapping moved, or one of OUR columns became
+                    # GENERATED mid-flight (a racing
+                    # add_generated_column): the files were never
+                    # validated against the new expression
                     raise CommitConflict(
-                        "column mapping changed concurrently (rename/drop "
-                        "raced this append) — re-run against the new head"
+                        "column mapping or generated columns changed "
+                        "concurrently — re-run against the new head"
                     ) from None
                 latest_cons = self.constraints()
                 if latest_cons != cons:  # racing ADD CONSTRAINT: re-check
@@ -1414,7 +1458,9 @@ class LakeTable:
         txn = {"app": app_id, "batch": int(batch_id)}
         batch_cols = set(df.columns)
         wrote = {
-            f.name: _phys(f) for f in schema.fields if f.name in batch_cols
+            f.name: (_phys(f), _gen_expr(f))
+            for f in schema.fields
+            if f.name in batch_cols
         }
         n_appended = sum(int(a.get("rows", 0)) for a in adds)
         for _ in range(21):
@@ -1424,6 +1470,14 @@ class LakeTable:
                     metrics={"rows_appended": n_appended},
                 )
             except CommitConflict:
+                # a RACING WRITER with the same (app_id, batch_id) — a
+                # zombie driver beside its replacement — may have just
+                # committed this very batch; committing again would
+                # double-apply it, so the dedup check re-runs on every
+                # retry, not only at entry
+                last = self.last_committed_batch(app_id)
+                if last is not None and batch_id <= last:
+                    return None
                 latest_cons = self.constraints()
                 if latest_cons != cons:
                     self._check_constraints(df, latest_cons)
@@ -1431,10 +1485,12 @@ class LakeTable:
                 v = self.latest_version()
                 # rebase onto the new head's schema (a concurrent
                 # widening append must not be reverted by our retry);
-                # conflict only if OUR batch columns moved or vanished
+                # conflict only if OUR batch columns moved, vanished, or
+                # became GENERATED (our files were never validated
+                # against the new expression)
                 _, _, schema = self._snapshot(v)
                 now = {
-                    f.name: _phys(f)
+                    f.name: (_phys(f), _gen_expr(f))
                     for f in schema.fields
                     if f.name in batch_cols
                 }
@@ -1448,22 +1504,45 @@ class LakeTable:
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        """Full replace. Table METADATA survives the replace (Delta
+        INSERT OVERWRITE parity): CHECK constraints keep enforcing (via
+        props) and GENERATED ALWAYS AS rules re-attach to the new
+        schema — the batch's generated columns are computed when
+        omitted and validated when supplied, exactly like append; a
+        generation expression whose referenced column vanished from
+        the batch fails analysis loudly. Column mapping resets
+        (physical == logical for the all-new files) and drop
+        tombstones are released: no active file predates this commit,
+        so recycled names can't collide — old snapshots keep their own
+        schemas for time travel."""
         _check_reserved(df.schema)
+        v, active, cur = self._snapshot()
+        gen_fields = [f for f in cur.fields if _gen_expr(f)]
+        if gen_fields:
+            df = self._apply_generated(df, StructType(gen_fields))
         self._check_constraints(df)
-        v, active, _ = self._snapshot()
         adds = self._write_files(df)
-        # A full replace resets column mapping (physical == logical for
-        # the new files) and releases the drop tombstones: no active
-        # file predates this commit, so recycled names can't collide —
-        # old snapshots keep their own schemas for time travel.
+        schema = df.schema
+        if gen_fields:
+            gmap = {f.name: _gen_expr(f) for f in gen_fields}
+            schema = StructType(
+                [
+                    StructField(
+                        f.name, f.dataType, f.nullable, {_GEN_KEY: gmap[f.name]}
+                    )
+                    if f.name in gmap
+                    else f
+                    for f in df.schema.fields
+                ]
+            )
         props = self.props(v)
         if props.pop(_DROPPED_PROP, None) is not None:
             return self._commit(
                 v + 1, "overwrite", adds, [a["path"] for a in active],
-                df.schema, props=props,
+                schema, props=props,
             )
         return self._commit(
-            v + 1, "overwrite", adds, [a["path"] for a in active], df.schema
+            v + 1, "overwrite", adds, [a["path"] for a in active], schema
         )
 
     def apply_cdc(
@@ -2037,6 +2116,53 @@ class LakeTable:
         return {"deleted": deleted, "rewritten_files": rewritten, "version": new_v}
 
     # ---------------------------------------------------------- CDF
+    def _cdf_lineage(
+        self, era: StructType, v: int, current: StructType
+    ) -> dict[str, str]:
+        """{current logical name: era PHYSICAL column} for every
+        current column whose LINEAGE reaches back to the era at
+        version ``v``. Within one overwrite epoch, lineage is the
+        stable physical name (renames never change it); each OVERWRITE
+        commit between ``v`` and now is bridged by the logical name
+        the column held immediately before the boundary (the
+        overwrite's frame binds columns by name). A column with no
+        surviving lineage simply doesn't appear — its feed values
+        render NULL, never someone else's bytes."""
+        boundaries = [
+            w
+            for w in self._versions()
+            if w > v and self._read_commit(w)["op"] == "overwrite"
+        ]
+        cache: dict[int, StructType] = {}
+
+        def schema_at(x: int) -> StructType:
+            if x not in cache:
+                cache[x] = self._snapshot(x)[2]
+            return cache[x]
+
+        def resolve(p: str) -> str | None:
+            """Follow physical ``p`` from the era forward to a current
+            logical name, hopping each overwrite boundary by name."""
+            for ov in boundaries:
+                pre = schema_at(ov - 1)
+                nm = next((f.name for f in pre.fields if _phys(f) == p), None)
+                if nm is None:
+                    return None  # dropped before the boundary
+                post = schema_at(ov)
+                f2 = next((f for f in post.fields if f.name == nm), None)
+                if f2 is None:
+                    return None  # the overwrite did not carry the name
+                p = _phys(f2)
+            cur = next((f.name for f in current.fields if _phys(f) == p), None)
+            return cur
+
+        out: dict[str, str] = {}
+        for ef in era.fields:
+            tgt = resolve(_phys(ef))
+            if tgt is not None:
+                out[tgt] = _phys(ef)
+        return out
+
     def _write_cdf(
         self, version: int, df: DataFrame, schema: StructType | None = None
     ) -> None:
@@ -2044,11 +2170,7 @@ class LakeTable:
         ``_change_type``), so a later rename doesn't strand historical
         change rows under a stale logical name — ``changes()`` aliases
         them back through the current mapping exactly like data files."""
-        if schema is not None and _is_mapped(schema):
-            by_logical = {f.name: _phys(f) for f in schema.fields}
-            df = df.select(
-                *[F.col(c).alias(by_logical.get(c, c)) for c in df.columns]
-            )
+        df = _to_physical(df, schema)
         df.write.mode("overwrite").parquet(
             os.path.join(self.path, _CDF, f"{version:020d}")
         )
@@ -2091,27 +2213,33 @@ class LakeTable:
             elif op in ("merge", "delete", "update"):
                 cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
                 if os.path.isdir(cdf_dir):
-                    # change files carry PHYSICAL names (see _write_cdf)
-                    # — read with the physical schema (missing columns,
-                    # added later, fill NULL; columns dropped since are
-                    # simply not selected) and alias back to the feed's
-                    # logical names.
+                    # Change files carry the PHYSICAL names of the
+                    # commit that wrote them (see _write_cdf) — read
+                    # each with ITS OWN era's physical schema and align
+                    # to the CURRENT columns by LINEAGE (_cdf_lineage):
+                    # physical names are stable across renames, and an
+                    # overwrite boundary is bridged by the name the
+                    # column held just before it. Reading every era with
+                    # the LATEST mapping would silently NULL renamed
+                    # columns across an overwrite.
                     from pyspark.sql.types import StringType
 
+                    era = StructType.fromJson(json.loads(c["schema"]))
                     cdf_schema = StructType(
-                        list(_physical_schema(schema).fields)
+                        list(_physical_schema(era).fields)
                         + [StructField("_change_type", StringType())]
                     )
+                    src_by_cur = self._cdf_lineage(era, v, schema)
+                    cols = [
+                        F.col(src_by_cur[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in src_by_cur
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
                     parts.append(
                         self.spark.read.schema(cdf_schema)
                         .parquet(cdf_dir)
-                        .select(
-                            *[
-                                F.col(_phys(f)).alias(f.name)
-                                for f in schema.fields
-                            ],
-                            "_change_type",
-                        )
+                        .select(*cols, "_change_type")
                         .withColumn("_commit_version", F.lit(v).cast("long"))
                     )
                 continue

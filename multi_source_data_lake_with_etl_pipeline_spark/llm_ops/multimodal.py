@@ -436,6 +436,13 @@ def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
             if comps is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(comps):
+                # a legal baseline file may carry one scan PER component
+                # (non-interleaved); decoding only the first would hand
+                # back zeroed chroma as if it were real — reject loudly
+                raise NotImplementedError(
+                    "jpeg: non-interleaved multi-scan unsupported"
+                )
             by_id = {c["id"]: c for c in comps}
             scan = []
             for i in range(ns):

@@ -2768,3 +2768,129 @@ class TestLakeUpdate:
         t._write_files = orig.__get__(t)
         # the concurrently-appended k=5 row was not silently missed
         assert t.read().filter("k = 5 AND v = 999").count() == 1
+
+
+class TestRound7ReviewFixes:
+    """Regression pins for the round-7 self-review findings."""
+
+    def test_stream_batch_dedup_rechecked_on_retry(self, spark, tmp_path):
+        """A zombie writer committing the SAME (app_id, batch_id)
+        between our write and our commit must turn our retry into a
+        no-op, never a double-apply."""
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        batch = spark.createDataFrame([(50, 1)], "k long, v long")
+        racer_adds = t._write_files(batch)
+        import json as _json
+
+        orig = type(t)._write_files
+
+        def hooked(df, schema=None):
+            adds = orig(t, df, schema)
+            v = t.latest_version() + 1
+            racer = {
+                "version": v, "op": "append", "ts": 0,
+                "add": racer_adds, "remove": [],
+                "schema": t._read_commit(0)["schema"],
+                "txn": {"app": "app", "batch": 7},
+            }
+            with open(os.path.join(t._log_dir, f"{v:020d}.json"), "x") as f:
+                _json.dump(racer, f)
+            return adds
+
+        t._write_files = hooked
+        out = t.append_stream_batch(batch, "app", 7)
+        t._write_files = orig.__get__(t)
+        assert out is None  # retry detected the racer's marker
+        assert t.read().filter("k = 50").count() == 1  # applied ONCE
+
+    def test_props_floored_by_checkpoint(self, spark, tmp_path):
+        """Constraints (props) survive deep histories: the props walk
+        floors at the checkpoint (which records them), and time travel
+        before ADD CONSTRAINT still sees none."""
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        t.add_constraint("v_nonneg", "v >= 0")
+        for i in range(14):  # cross the every-10 checkpoint
+            t.append(spark.createDataFrame([(100 + i, i)], "k long, v long"))
+        assert t.constraints() == {"v_nonneg": "v >= 0"}
+        with pytest.raises(ConstraintViolation):
+            t.append(spark.createDataFrame([(999, -1)], "k long, v long"))
+        assert t.constraints(0) == {}  # pre-ADD time travel
+        # the checkpoint actually carries them (floor, not luck)
+        ck = t._checkpoint_at_or_before(t.latest_version())
+        assert ck is not None and ck[2] == {"constraint.v_nonneg": "v >= 0"}
+
+    def test_backtick_quoted_references_interlock(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        t.add_constraint("vq", "`v` > -1")
+        with pytest.raises(ValueError, match="constraint"):
+            t.rename_column("v", "val")
+        with pytest.raises(ValueError, match="constraint"):
+            t.drop_column("v")
+
+    def test_append_conflicts_when_column_becomes_generated(
+        self, spark, tmp_path
+    ):
+        """A merge_schema append racing add_generated_column of the
+        same new column must CONFLICT — its files were never validated
+        against the expression."""
+        t = _mk(spark, tmp_path, rows=5, files=1)
+        orig = type(t)._write_files
+
+        def hooked(df, schema=None):
+            adds = orig(t, df, schema)
+            if not hasattr(t, "_raced_gen"):
+                t._raced_gen = True
+                LakeTable.load(spark, t.path).add_generated_column(
+                    "g", "v * 2"
+                )
+            return adds
+
+        t._write_files = hooked
+        with pytest.raises(CommitConflict, match="generated"):
+            t.append(
+                spark.createDataFrame([(10, 1, 999)], "k long, v long, g long"),
+                merge_schema=True,
+            )
+        del t._write_files
+        # nothing landed with an unvalidated g
+        assert t.read().filter("k = 10").count() == 0
+
+    def test_overwrite_preserves_generated_rules(self, spark, tmp_path):
+        t = _mk_from(
+            spark, tmp_path / "t",
+            spark.createDataFrame([(1, 10.0)], "id long, price double"),
+        )
+        t.add_generated_column("cents", "CAST(round(price * 100) AS BIGINT)")
+        # overwrite omitting the column: computed; rule survives
+        t.overwrite(spark.createDataFrame([(2, 5.0)], "id long, price double"))
+        assert t.read().collect()[0]["cents"] == 500
+        assert t.details()["generated_columns"] == ["cents"]
+        # a later append still materializes it
+        t.append(spark.createDataFrame([(3, 7.0)], "id long, price double"))
+        assert t.read().filter("id = 3").collect()[0]["cents"] == 700
+        # overwrite supplying DIVERGENT values rejects whole
+        pre = t.latest_version()
+        with pytest.raises(ConstraintViolation, match="GENERATED"):
+            t.overwrite(
+                spark.createDataFrame(
+                    [(4, 1.0, 999)], "id long, price double, cents long"
+                )
+            )
+        assert t.latest_version() == pre
+
+    def test_cdf_readable_across_rename_and_overwrite(self, spark, tmp_path):
+        """Change files written before a rename (under the old physical
+        name) must still render their values after a later overwrite
+        resets the mapping — era-schema reads, not latest-mapping
+        reads."""
+        t = _mk_from(
+            spark, tmp_path / "t",
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, a long"),
+        )
+        t.update("k = 1", {"a": "11"})         # CDF under physical 'a'
+        t.rename_column("a", "b")
+        t.update("k = 2", {"b": "22"})         # CDF still physical 'a'
+        t.overwrite(spark.createDataFrame([(9, 90)], "k long, b long"))
+        ch = t.changes(0).filter("_change_type = 'update_postimage'")
+        got = {int(r["k"]): r["b"] for r in ch.collect()}
+        assert got == {1: 11, 2: 22}  # no silent NULLs

@@ -737,6 +737,17 @@ def test_multimodal_real_jpeg_decode(spark):
     cmyk[i + 9] = 4  # SOF nc byte: 1 -> 4 components
     with pytest.raises(NotImplementedError, match="component"):
         _decode_jpeg(bytes(cmyk))
+    # non-interleaved multi-scan: a color SOS naming fewer components
+    # than the frame must reject, not decode Y with zeroed chroma
+    color = make_jpeg(smooth, quant=4)
+    j = color.index(b"\xff\xda")
+    single_scan = (
+        color[:j]
+        + b"\xff\xda" + color[j + 2 : j + 4]  # marker + seglen
+        + b"\x01" + color[j + 5 : ]            # ns: 3 -> 1
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        _decode_jpeg(single_scan)
     with pytest.raises(ValueError):
         _decode_jpeg(payload[: len(payload) // 2])  # truncated
     assert _decode_jpeg(b"\x89PNG not a jpeg") is None
