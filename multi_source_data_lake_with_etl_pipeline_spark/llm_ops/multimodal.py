@@ -9,15 +9,18 @@ formats the standard library + numpy can parse — PPM (P6) images,
 reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL JPEG (marker
 parse + Huffman entropy decode + dequant/iDCT + YCbCr→RGB,
 ``_decode_jpeg``; grayscale and 4:4:4/4:2:2/4:2:0 color), and PCM WAV
-audio (``_decode_ppm``/``_decode_wav``, dispatched by payload magic) —
-and STUBBED for the remaining compressed codecs (MP3/MP4: this
-container ships no audio/video libraries) behind ``_decode_*_stub``,
-which produce deterministic fakes so the pipeline shape stays
-exercisable end-to-end. A PNG/JPEG outside the supported subset
-(palette/16-bit/interlaced PNG; progressive/arithmetic/CMYK JPEG)
+audio (``_decode_ppm``/``_decode_wav``, dispatched by payload magic).
+For MP4 and MP3 the container/frame-header METADATA is real —
+``_probe_mp4`` walks the ISO-BMFF box tree for width/height/
+frame-count/duration, ``_probe_mp3`` walks MPEG-1 Layer III frame
+headers for sample-rate/duration — while the codec payload decode
+itself stays STUBBED (no av libraries in this container): features
+fall back to deterministic byte histograms. A PNG/JPEG outside the
+supported subset (palette/16-bit/interlaced PNG;
+progressive/arithmetic/CMYK JPEG) or a corrupt MP4/MP3 structure
 rejects LOUDLY (never a silent fake) and is quarantined per row. Swap
-the decoders for PIL/torchaudio/ffmpeg in a real deployment — the UDF
-signature and partitioning strategy do not change.
+the decode stage for PIL/torchaudio/ffmpeg in a real deployment — the
+UDF signature and partitioning strategy do not change.
 
 Scale notes: decode is CPU-heavy per row, so the pattern is
 ``repartition`` to core-count granularity BEFORE the mapInPandas stage
@@ -557,6 +560,133 @@ def _decode_wav(payload: bytes) -> tuple[int, float, list[float]] | None:
     return sr, duration, feat
 
 
+def _probe_mp4(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL MP4/ISO-BMFF CONTAINER probe, dependency-free: walk the box
+    tree (ftyp/moov/trak/mdia/stbl...) and read the video track's
+    dimensions (tkhd, 16.16 fixed point), duration (mvhd
+    timescale+duration), and frame count (stsz sample count) — the
+    ffprobe-shaped metadata a curation pipeline filters on, extracted
+    without decoding a single frame. Frame DECODE stays stubbed (no
+    codec libraries here); this probe makes width/height/n_frames/
+    duration real. Returns None when the payload is not ISO-BMFF
+    (no ftyp/moov at the top level); malformed boxes raise ValueError
+    (quarantined per row)."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("mp4: truncated largesize box")
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"mp4: bad box size {size} at {pos}")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    top = {t: (a, b) for t, a, b in boxes(payload, 0, len(payload))} if (
+        len(payload) >= 8 and payload[4:8] in (b"ftyp", b"moov")
+    ) else None
+    if not top or b"moov" not in top:
+        return None
+    mv_a, mv_b = top[b"moov"]
+    duration = 0.0
+    width = height = n_frames = 0
+    for t, a, b in boxes(payload, mv_a, mv_b):
+        if t == b"mvhd":
+            ver = payload[a]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", payload[a + 20 : a + 32])
+            else:
+                ts, dur = struct.unpack(">II", payload[a + 12 : a + 20])
+            if ts:
+                duration = round(dur / ts, 6)
+        elif t == b"trak":
+            tw = th = tn = 0
+            is_video = False
+            for t2, a2, b2 in boxes(payload, a, b):
+                if t2 == b"tkhd":
+                    ver = payload[a2]
+                    off = a2 + (96 if ver == 1 else 84)
+                    w16, h16 = struct.unpack(">II", payload[off - 8 : off])
+                    tw, th = w16 >> 16, h16 >> 16
+                elif t2 == b"mdia":
+                    for t3, a3, b3 in boxes(payload, a2, b2):
+                        if t3 == b"hdlr":
+                            is_video = payload[a3 + 8 : a3 + 12] == b"vide"
+                        elif t3 == b"minf":
+                            for t4, a4, b4 in boxes(payload, a3, b3):
+                                if t4 != b"stbl":
+                                    continue
+                                for t5, a5, b5 in boxes(payload, a4, b4):
+                                    if t5 == b"stsz":
+                                        (tn,) = struct.unpack(
+                                            ">I", payload[a5 + 8 : a5 + 12]
+                                        )
+            if is_video:
+                width, height, n_frames = tw, th, tn
+    if width == 0 and height == 0 and n_frames == 0:
+        raise ValueError("mp4: no video track found")
+    return width, height, n_frames, duration
+
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables — ISO 11172-3
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _probe_mp3(payload: bytes) -> tuple[int, float] | None:
+    """REAL MP3 FRAME-HEADER probe: skip an ID3v2 tag (syncsafe size),
+    sync to 0xFFE, then walk MPEG-1 Layer III frame headers —
+    sample rate from the header table, duration = frames × 1152 /
+    rate. The psychoacoustic PCM decode stays stubbed; the metadata a
+    pipeline filters on (rate, duration) is real. Returns None when no
+    valid frame sync is found (not an MP3); a stream that syncs but
+    then corrupts raises ValueError."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    start = pos
+    while pos + 4 <= len(payload):
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+        if pos - start > 4096:  # junk prefix bound: not an MP3
+            return None
+    else:
+        return None
+    frames = 0
+    rate = None
+    while pos + 4 <= len(payload):
+        h = payload[pos : pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            break  # trailing tag/garbage after last frame
+        if (h[1] >> 3) & 0x3 != 0x3 or (h[1] >> 1) & 0x3 != 0x1:
+            raise ValueError("mp3: only MPEG-1 Layer III frames supported")
+        br_idx, sr_idx = h[2] >> 4, (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: bad bitrate/samplerate index")
+        r = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = r
+        flen = 144 * _MP3_BITRATES[br_idx] * 1000 // r + ((h[2] >> 1) & 1)
+        frames += 1
+        pos += flen
+    if frames == 0 or rate is None:
+        return None
+    return rate, round(frames * 1152 / rate, 6)
+
+
 def _byte_hist8(payload: bytes) -> list[float]:
     n = len(payload)
     if n:
@@ -611,9 +741,24 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
                         if real is not None:
                             sr, dur, feat = real
                         else:
-                            sr, dur, feat = _decode_audio_stub(payload)
+                            m = _probe_mp3(payload)
+                            if m is not None:
+                                # frame-header metadata REAL; the
+                                # psychoacoustic PCM decode stays
+                                # stubbed (feature = byte histogram)
+                                sr, dur = m
+                                feat = _byte_hist8(payload)
+                            else:
+                                sr, dur, feat = _decode_audio_stub(payload)
                     elif mod == "video":
-                        w, h, nf, dur, feat = _decode_video_stub(payload)
+                        probe = _probe_mp4(payload)
+                        if probe is not None:
+                            # container metadata REAL; frame decode
+                            # stays stubbed (feature = byte histogram)
+                            w, h, nf, dur = probe
+                            feat = _byte_hist8(payload)
+                        else:
+                            w, h, nf, dur, feat = _decode_video_stub(payload)
                     else:
                         real_im = _decode_png(payload)
                         if real_im is None:
@@ -903,6 +1048,70 @@ def make_jpeg(
         put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def make_mp4(
+    width: int, height: int, n_frames: int, duration_s: float,
+    timescale: int = 1000,
+) -> bytes:
+    """Serialize a minimal, structurally-valid ISO-BMFF container
+    (ftyp + moov with one video trak + empty mdat) — the encoder
+    counterpart of ``_probe_mp4`` for tests. Carries no codec payload;
+    the metadata boxes are real."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    dur = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8  # v0, ctime, mtime
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000) + b"\x01\x00" + b"\x00" * 10
+        + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 8  # v0+flags, ctime, mtime
+        + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", dur)
+        + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", timescale, dur) + b"\x55\xc4\x00\x00",
+    )
+    hdlr = box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    stsd = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 0))
+    stsz = box(
+        b"stsz",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_frames),
+    )
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def make_mp3(seconds: float, rate: int = 44100, bitrate_kbps: int = 128) -> bytes:
+    """Serialize a structurally-valid MPEG-1 Layer III frame stream
+    (correct headers, zeroed payloads — silent, not decodable audio)
+    — the encoder counterpart of ``_probe_mp3`` for tests."""
+    sr_idx = _MP3_RATES.index(rate)
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    n_frames = max(1, int(round(seconds * rate / 1152)))
+    flen = 144 * bitrate_kbps * 1000 // rate
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    frame = hdr + b"\x00" * (flen - 4)
+    return frame * n_frames
 
 
 def make_wav(sample_rate: int, seconds: float, freq_hz: float = 440.0) -> bytes:

@@ -764,3 +764,39 @@ def test_multimodal_real_jpeg_decode(spark):
     assert feats[1]["decode_error"] is None and feats[1]["width"] == 24
     assert "NotImplementedError" in feats[2]["decode_error"]
     assert feats[2]["feature"] is None
+
+
+def test_multimodal_mp4_mp3_metadata_probes(spark):
+    """MP4/MP3 CONTAINER metadata is REAL (box-tree / frame-header
+    walks) while the codec payload decode stays stubbed: dimensions,
+    frame counts, sample rates and durations round-trip exactly
+    through mapInPandas; corrupt structures quarantine per row."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        ASSET_SCHEMA,
+        extract_features,
+        make_mp3,
+        make_mp4,
+    )
+
+    mp4 = make_mp4(640, 360, 240, 10.0)
+    mp3 = make_mp3(2.0)
+    rows = [
+        (1, "video", "video/mp4", mp4, {}),
+        (2, "audio", "audio/mpeg", mp3, {}),
+        (3, "video", "video/mp4", mp4[:40], {}),       # truncated moov
+        (4, "video", "video/mp4", b"\x00" * 64, {}),   # not ISO-BMFF: stub
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(spark.createDataFrame(rows, ASSET_SCHEMA)).collect()
+    }
+    v = out[1]
+    assert (v["width"], v["height"], v["n_frames"]) == (640, 360, 240)
+    assert abs(v["duration_s"] - 10.0) < 1e-6 and v["decode_error"] is None
+    a = out[2]
+    assert a["sample_rate"] == 44100 and abs(a["duration_s"] - 2.0) < 0.03
+    assert a["decode_error"] is None
+    # corrupt container: quarantined, stage survives
+    assert out[3]["decode_error"] and out[3]["width"] is None
+    # non-BMFF bytes: falls to the deterministic stub, no error
+    assert out[4]["decode_error"] is None and out[4]["width"] is not None
