@@ -2494,7 +2494,7 @@ def test_lake_model_random_ops_with_column_mapping(spark, tmp_path):
     for step in range(28):
         op = rng.choice(
             ["append", "del_dv", "del_rw", "merge_dv", "merge_rw",
-             "rename", "dropx", "compact", "restore"]
+             "rename", "dropx", "compact", "restore", "upd_dv", "upd_rw"]
         )
         cols = f"k long, {vcol} long" + (", x long" if extra is not None else "")
         if op == "append":
@@ -2534,6 +2534,18 @@ def test_lake_model_random_ops_with_column_mapping(spark, tmp_path):
                 model[r[0]] = r[1]
                 if extra is not None:
                     extra[r[0]] = r[2]
+        elif op in ("upd_dv", "upd_rw"):
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            delta = rng.randrange(1, 100)
+            t.update(
+                f"k IN ({','.join(str(k) for k in keys)})",
+                {vcol: f"{vcol} + {delta}"},
+                dv=op == "upd_dv",
+            )
+            for k in keys:
+                model[k] += delta
         elif op == "rename":
             new = "v2" if vcol == "v" else "v"
             t.rename_column(vcol, new)
