@@ -2117,7 +2117,11 @@ class LakeTable:
 
     # ---------------------------------------------------------- CDF
     def _cdf_lineage(
-        self, era: StructType, v: int, current: StructType
+        self,
+        era: StructType,
+        v: int,
+        current: StructType,
+        all_overwrites: list[int] | None = None,
     ) -> dict[str, str]:
         """{current logical name: era PHYSICAL column} for every
         current column whose LINEAGE reaches back to the era at
@@ -2128,11 +2132,13 @@ class LakeTable:
         overwrite's frame binds columns by name). A column with no
         surviving lineage simply doesn't appear — its feed values
         render NULL, never someone else's bytes."""
-        boundaries = [
-            w
-            for w in self._versions()
-            if w > v and self._read_commit(w)["op"] == "overwrite"
-        ]
+        if all_overwrites is None:  # caller may hoist the history scan
+            all_overwrites = [
+                w
+                for w in self._versions()
+                if self._read_commit(w)["op"] == "overwrite"
+            ]
+        boundaries = [w for w in all_overwrites if w > v]
         cache: dict[int, StructType] = {}
 
         def schema_at(x: int) -> StructType:
@@ -2195,6 +2201,11 @@ class LakeTable:
         version drops its derivable changes — read the feed first."""
         _, _, schema = self._snapshot()
         hi = self.latest_version() if to_version is None else to_version
+        overwrites = [
+            w
+            for w in self._versions()
+            if self._read_commit(w)["op"] == "overwrite"
+        ]
         parts: list[DataFrame] = []
         for v in range(from_version + 1, hi + 1):
             c = self._read_commit(v)
@@ -2229,7 +2240,7 @@ class LakeTable:
                         list(_physical_schema(era).fields)
                         + [StructField("_change_type", StringType())]
                     )
-                    src_by_cur = self._cdf_lineage(era, v, schema)
+                    src_by_cur = self._cdf_lineage(era, v, schema, overwrites)
                     cols = [
                         F.col(src_by_cur[f.name]).cast(f.dataType).alias(f.name)
                         if f.name in src_by_cur
@@ -2336,8 +2347,10 @@ class LakeTable:
             if d.startswith("_tmp_"):
                 shutil.rmtree(os.path.join(self.path, d))
         # broken-lock debris: stale _last_checkpoint locks are renamed
-        # aside (rename is the single-winner break), never referenced
+        # aside (rename is the single-winner break), never referenced;
+        # a writer that died between checkpoint tmp-write and rename
+        # leaves a .tmp. file nothing references
         for f in os.listdir(self._log_dir):
-            if ".lock.stale." in f:
+            if ".lock.stale." in f or ".json.tmp." in f:
                 os.remove(os.path.join(self._log_dir, f))
         return removed
