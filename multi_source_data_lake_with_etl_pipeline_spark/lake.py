@@ -2301,6 +2301,90 @@ class LakeTable:
         adds = self._write_files(df, schema)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 
+    def verify_integrity(self, version: int | None = None) -> dict:
+        """FSCK for a snapshot: metadata-vs-disk consistency, all from
+        parquet FOOTERS and sidecar reads — no data scan, O(files)
+        driver work. Checks: every active data file and DV sidecar
+        exists; each file's footer row count matches its add entry;
+        each entry's recorded ``ndel`` matches the sidecar's actual
+        position count for that file and every position is in-range;
+        and counts ORPHANS — files on disk no protected snapshot or tag
+        references (vacuumable debris, not corruption). The health
+        check an operator runs before trusting a restore/clone or after
+        an interrupted writer."""
+        import pyarrow.parquet as pq
+
+        v, active, schema = self._snapshot(version)
+        missing: list[str] = []
+        rowcount_bad: list[str] = []
+        dv_bad: list[str] = []
+        dv_cache: dict[str, dict[str, list[int]]] = {}
+        for a in active:
+            ap = self._abs(a["path"])
+            if not os.path.exists(ap):
+                missing.append(a["path"])
+                continue
+            footer_rows = pq.ParquetFile(ap).metadata.num_rows
+            if footer_rows != int(a.get("rows", 0)):
+                rowcount_bad.append(
+                    f"{a['path']}: entry says {a.get('rows')}, footer {footer_rows}"
+                )
+            dv = a.get("dv")
+            if not dv:
+                continue
+            dp = self._abs(dv["path"])
+            if not os.path.exists(dp):
+                missing.append(dv["path"])
+                continue
+            if dv["path"] not in dv_cache:
+                t = pq.read_table(dp)
+                by_base: dict[str, list[int]] = {}
+                for base, pos in zip(
+                    t.column("_dv_base").to_pylist(),
+                    t.column("_dv_pos").to_pylist(),
+                ):
+                    by_base.setdefault(base, []).append(pos)
+                dv_cache[dv["path"]] = by_base
+            base = os.path.basename(a["path"])
+            poss = dv_cache[dv["path"]].get(base, [])
+            if len(poss) != int(dv.get("ndel", 0)):
+                dv_bad.append(
+                    f"{a['path']}: ndel {dv.get('ndel')} but sidecar holds "
+                    f"{len(poss)} positions"
+                )
+            elif poss and (min(poss) < 0 or max(poss) >= footer_rows):
+                dv_bad.append(
+                    f"{a['path']}: DV position out of range "
+                    f"[{min(poss)}, {max(poss)}] for {footer_rows} rows"
+                )
+        # orphans: same protected set vacuum keeps (all retained
+        # versions + tags) — anything else is deletable debris
+        keep: set[str] = set()
+        keep_dv: set[str] = set()
+        for pv in set(self._versions()) | set(self.tags().values()):
+            _, act, _ = self._snapshot(pv)
+            keep.update(a["path"] for a in act)
+            keep_dv.update(a["dv"]["path"] for a in act if a.get("dv"))
+        orphans = sum(
+            1
+            for f in os.listdir(self._data_dir)
+            if f"{_DATA}/{f}" not in keep
+        )
+        if os.path.isdir(self._dv_dir):
+            orphans += sum(
+                1
+                for f in os.listdir(self._dv_dir)
+                if f"{_DV}/{f}" not in keep_dv
+            )
+        return {
+            "version": v,
+            "ok": not (missing or rowcount_bad or dv_bad),
+            "missing_files": missing,
+            "rowcount_mismatches": rowcount_bad,
+            "dv_issues": dv_bad,
+            "orphan_files": orphans,
+        }
+
     def vacuum(self, keep_versions: int = 0, dry_run: bool = False) -> int:
         """Drop data files unreferenced by the snapshots of the last
         ``keep_versions`` + current versions, or by any TAGGED version

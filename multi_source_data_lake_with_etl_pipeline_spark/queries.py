@@ -8584,6 +8584,51 @@ def lake_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lake FSCK: verify_integrity() checks metadata-vs-disk consistency —
+# every active file and sidecar exists, footer row counts match the
+# log entries, DV position counts/ranges match the recorded ndel,
+# orphan files counted — all from parquet footers, no data scan. The
+# audit churns a table through rename + DV delete + DV update +
+# compaction and asserts a clean bill plus the exact surviving row
+# count (the oracle recomputes it relationally).
+@register(
+    "lake_fsck_audit",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_dv_issues, CAST(0 AS BIGINT) AS n_orphans,
+           CAST(1 AS BIGINT) AS ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey <= 1200
+              AND o_orderkey NOT BETWEEN 600 AND 700) AS live_rows
+    """,
+)
+def lake_fsck_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="lake_fsck_")
+    t = LakeTable.create(spark, root + "/t", o.filter("o_orderkey <= 1200"))
+    t.rename_column("o_custkey", "cust")
+    t.delete("o_orderkey BETWEEN 600 AND 700", dv=True)
+    t.update("o_orderkey < 100", {"cust": "cust + 1"}, dv=True)
+    t.optimize_if_needed(small_file_bytes=1 << 20, min_small_files=64)
+    r = t.verify_integrity()
+    return spark.createDataFrame(
+        [(
+            len(r["missing_files"]),
+            len(r["rowcount_mismatches"]),
+            len(r["dv_issues"]),
+            int(r["orphan_files"]),
+            int(r["ok"]),
+            t.rows(),
+        )],
+        "n_missing long, n_mismatch long, n_dv_issues long, "
+        "n_orphans long, ok long, live_rows long",
+    )
+
+
 # Streaming ingestion through a Spark 4 PYTHON streaming data source
 # (sources/pyds.SensorFeedDataSource — the MQTT/OPC-UA stand-in, T4):
 # one availableNow drain of the deterministic bounded topic into a

@@ -2906,3 +2906,38 @@ class TestRound7ReviewFixes:
         ch = t.changes(0).filter("_change_type = 'update_postimage'")
         got = {int(r["k"]): r["b"] for r in ch.collect()}
         assert got == {1: 11, 2: 22}  # no silent NULLs
+
+
+def test_verify_integrity_fsck(spark, tmp_path):
+    """verify_integrity(): healthy tables (through dv/rename/update
+    churn) report ok with empty issue lists; injected damage — stray
+    files, a deleted data file, a tampered ndel — is detected from
+    footers alone."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, rows=60, files=2)
+    t.delete_keys(spark.createDataFrame([(1,), (2,)], "k long"), "k", dv=True)
+    t.rename_column("v", "val")
+    t.update("k = 5", {"val": "-1"}, dv=True)
+    r = t.verify_integrity()
+    assert r["ok"] and r["orphan_files"] == 0
+    assert not (r["missing_files"] or r["rowcount_mismatches"] or r["dv_issues"])
+    # stray (unreferenced) file: an orphan, not corruption
+    with open(os.path.join(t._data_dir, "stray.parquet"), "wb") as f:
+        f.write(b"junk")
+    r = t.verify_integrity()
+    assert r["ok"] and r["orphan_files"] == 1
+    # tamper the latest commit's ndel: detected against the sidecar
+    vpath = os.path.join(t._log_dir, f"{t.latest_version():020d}.json")
+    c = _json.load(open(vpath))
+    for a in c["add"]:
+        if a.get("dv"):
+            a["dv"]["ndel"] += 1
+    _json.dump(c, open(vpath, "w"))
+    r = t.verify_integrity()
+    assert not r["ok"] and r["dv_issues"]
+    # delete an active data file: missing
+    victim = t._snapshot()[1][0]["path"]
+    os.remove(t._abs(victim))
+    r = t.verify_integrity()
+    assert not r["ok"] and victim in r["missing_files"]
