@@ -202,6 +202,47 @@ def _to_physical(df: DataFrame, schema: StructType | None) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- hive
+# partition columns (Delta partitionColumns parity): fixed at CREATE,
+# stored in table props as the columns' stable PHYSICAL names (so
+# RENAME of a partition column stays metadata-only — directories are
+# keyed by physical name and never move). Data files live under
+# hive-style directories data/<phys>=<value>/..., partition values are
+# recorded per add entry AND injected into the entry's footer stats as
+# exact [v, v] ranges + null counts, so every existing skipping path
+# (files_overlapping / read_pruned* / read_where_null) prunes whole
+# partitions from METADATA before any file is listed or scanned —
+# static partition pruning at the same level Delta does it.
+_PART_PROP = "partition.columns"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+# exact, string-round-trippable types only: approximate floats would
+# make dirname→value→dirname lossy, and nested types aren't orderable
+_PARTITIONABLE = (
+    "string", "int", "bigint", "smallint", "tinyint", "boolean", "date",
+    "timestamp", "timestamp_ntz",
+)
+
+
+def _part_converter(dt) -> "callable":
+    """Dirname string → typed value for a partition column — the SAME
+    conversion builds entry stats at write time and predicate frames at
+    prune time, so comparisons are always like-typed."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int
+    if s == "boolean":
+        return lambda v: v if isinstance(v, bool) else v == "true"
+    import datetime as _dt
+
+    if s == "date":
+        return lambda v: v if not isinstance(v, str) else _dt.date.fromisoformat(v)
+    if s.startswith("timestamp"):
+        return lambda v: (
+            v if not isinstance(v, str) else _dt.datetime.fromisoformat(v)
+        )
+    return str
+
+
 def _ident_refs(predicate: str, name: str) -> bool:
     """Conservative: does the SQL text reference ``name`` as a word?"""
     # backticks are NOT part of the boundary classes: a quoted
@@ -221,13 +262,68 @@ class LakeTable:
 
     # ---------------------------------------------------------- creation
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "LakeTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        generated_columns: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """Create the table. ``partition_by``: hive-style partition
+        columns, fixed for the table's lifetime (Delta parity — raise
+        at drop, survive rename metadata-only, recorded as
+        ``partitionColumns`` in details()). ``generated_columns``:
+        {name: sql_expr} GENERATED ALWAYS AS columns born WITH the
+        table, so a generated column can itself be a partition column
+        — the canonical Delta pattern ``partition_by=["event_date"]``
+        with ``event_date GENERATED ALWAYS AS (CAST(ts AS DATE))``:
+        writers supply only ``ts`` and land in the right partition."""
         _check_reserved(df.schema)
+        fields = list(df.schema.fields)
+        for name, expr in (generated_columns or {}).items():
+            if name in {f.name for f in fields}:
+                raise ValueError(f"generated column {name!r} already in the frame")
+            if name in _RESERVED_COLS or not cls._COL_RE.match(name):
+                raise ValueError(f"invalid column name: {name!r}")
+            for other in generated_columns:
+                if other != name and _ident_refs(expr, other):
+                    raise ValueError(
+                        "generation expression may not reference another "
+                        f"generated column ({other!r})"
+                    )
+            dt = df.select(F.expr(expr).alias(name)).schema[0].dataType
+            df = df.withColumn(name, F.expr(expr).cast(dt))
+            fields.append(StructField(name, dt, True, {_GEN_KEY: expr}))
+        schema = StructType(fields)
+        props: dict = {}
+        pp: list[str] = []
+        if partition_by:
+            by_name = {f.name: f for f in schema.fields}
+            if len(set(partition_by)) != len(partition_by):
+                raise ValueError("duplicate partition columns")
+            if len(partition_by) >= len(schema.fields):
+                raise ValueError(
+                    "at least one non-partition data column is required"
+                )
+            for c in partition_by:
+                f = by_name.get(c)
+                if f is None:
+                    raise ValueError(f"partition column {c!r} not in schema")
+                s = f.dataType.simpleString()
+                if s not in _PARTITIONABLE:
+                    raise ValueError(
+                        f"partition column {c!r}: type {s} is not "
+                        "partitionable (exact string-round-trippable "
+                        "scalars only)"
+                    )
+            pp = [_phys(by_name[c]) for c in partition_by]
+            props[_PART_PROP] = json.dumps(pp)
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
-        adds = t._write_files(df)
-        t._commit(0, "create", adds, [], df.schema, props={})
+        adds = t._write_files(df, schema, partition_phys=pp)
+        t._commit(0, "create", adds, [], schema, props=props)
         return t
 
     @classmethod
@@ -329,6 +425,14 @@ class LakeTable:
             "column_mapped": _is_mapped(schema),
             "generated_columns": sorted(
                 f.name for f in schema.fields if _gen_expr(f)
+            ),
+            "partition_columns": self.partition_columns(v),
+            "num_partitions": len(
+                {
+                    json.dumps(a.get("partition"), sort_keys=True)
+                    for a in active
+                    if a.get("partition") is not None
+                }
             ),
         }
 
@@ -586,6 +690,11 @@ class LakeTable:
             raise ValueError(f"no such column: {name!r}")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the table's only column")
+        if _phys(field) in self._partition_phys(v):
+            raise ValueError(
+                f"cannot drop partition column {name!r} — partitioning "
+                "is fixed at create (Delta parity)"
+            )
         self._reject_constrained(name, "drop")
         props = self.props(v)
         dropped = set(json.loads(props.get(_DROPPED_PROP, "[]")))
@@ -887,8 +996,30 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------- data I/O
+    def _partition_phys(self, version: int | None = None) -> list[str]:
+        """The table's partition columns (stable PHYSICAL names), or []
+        for an unpartitioned table. Reads props — checkpoint-floored,
+        never O(history)."""
+        try:
+            return list(json.loads(self.props(version).get(_PART_PROP, "[]")))
+        except FileNotFoundError:
+            return []
+
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        """LOGICAL names of the partition columns at ``version`` —
+        the user-facing ``partitionColumns`` (DESCRIBE DETAIL)."""
+        pp = self._partition_phys(version)
+        if not pp:
+            return []
+        _, _, schema = self._snapshot(version)
+        by_phys = {_phys(f): f.name for f in schema.fields}
+        return [by_phys.get(p, p) for p in pp]
+
     def _write_files(
-        self, df: DataFrame, schema: StructType | None = None
+        self,
+        df: DataFrame,
+        schema: StructType | None = None,
+        partition_phys: list[str] | None = None,
     ) -> list[dict]:
         """Materialize ``df`` as immutable data files; returns their add
         entries (with footer stats). Files land under data/ with UUID
@@ -898,30 +1029,108 @@ class LakeTable:
         mapping, ``df``'s LOGICAL column names are rewritten to their
         stable PHYSICAL names before the parquet write — footer stats
         are therefore keyed by physical name, matching every file in
-        the table regardless of renames before or after."""
+        the table regardless of renames before or after.
+
+        ``partition_phys``: hive partition columns (physical names);
+        ``None`` resolves from table props so EVERY writer — append,
+        stream batch, merge, update, delete-rewrite, compaction —
+        lands partitioned by construction. The partition columns are
+        dropped from the files (they live in the directory, Spark
+        partition-discovers them back at read), their values recorded
+        on the add entry and injected into its stats as exact [v, v]
+        ranges + null counts — so partition pruning IS the existing
+        metadata file-skipping, evaluated before any listing."""
         df = _to_physical(df, schema)
+        if partition_phys is None:
+            partition_phys = self._partition_phys()
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
-        adds = []
-        for fname in sorted(os.listdir(tmp)):
-            if not fname.endswith(".parquet"):
-                continue
-            new = f"{uuid.uuid4().hex}.parquet"
-            abs_new = os.path.join(self._data_dir, new)
-            os.rename(os.path.join(tmp, fname), abs_new)
-            rows, stats, nulls = _file_stats(abs_new)
-            if rows == 0:  # empty split — schema lives in the log, skip
-                os.remove(abs_new)
-                continue
-            adds.append(
-                {
-                    "path": f"{_DATA}/{new}",
-                    "rows": rows,
-                    "bytes": os.path.getsize(abs_new),
-                    "stats": stats,
-                    "nulls": nulls,
-                }
+        if not partition_phys:
+            df.write.mode("overwrite").parquet(tmp)
+            adds = []
+            for fname in sorted(os.listdir(tmp)):
+                if not fname.endswith(".parquet"):
+                    continue
+                new = f"{uuid.uuid4().hex}.parquet"
+                abs_new = os.path.join(self._data_dir, new)
+                os.rename(os.path.join(tmp, fname), abs_new)
+                rows, stats, nulls = _file_stats(abs_new)
+                if rows == 0:  # empty split — schema lives in the log, skip
+                    os.remove(abs_new)
+                    continue
+                adds.append(
+                    {
+                        "path": f"{_DATA}/{new}",
+                        "rows": rows,
+                        "bytes": os.path.getsize(abs_new),
+                        "stats": stats,
+                        "nulls": nulls,
+                    }
+                )
+            shutil.rmtree(tmp)
+            return adds
+        from urllib.parse import unquote
+
+        missing = [c for c in partition_phys if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write batch is missing partition column(s) {missing}"
             )
+        types = {f.name: f.dataType for f in df.schema.fields}
+        df.write.partitionBy(*partition_phys).mode("overwrite").parquet(tmp)
+        adds = []
+        for dirpath, _dirs, files in sorted(os.walk(tmp)):
+            segs = [
+                s
+                for s in os.path.relpath(dirpath, tmp).split(os.sep)
+                if s not in (".", "")
+            ]
+            if len(segs) != len(partition_phys):
+                continue  # tmp root / intermediate dirs hold no data
+            part: dict[str, object] = {}
+            for s in segs:
+                name, _, raw = s.partition("=")
+                if raw == _HIVE_NULL:
+                    part[name] = None
+                else:
+                    conv = _part_converter(types[name]) if name in types else str
+                    part[name] = _json_safe(conv(unquote(raw)))
+            rel_dir = "/".join(segs)
+            os.makedirs(os.path.join(self._data_dir, rel_dir), exist_ok=True)
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                new = f"{uuid.uuid4().hex}.parquet"
+                abs_new = os.path.join(self._data_dir, rel_dir, new)
+                os.rename(os.path.join(dirpath, fname), abs_new)
+                rows, stats, nulls = _file_stats(abs_new)
+                if rows == 0:
+                    os.remove(abs_new)
+                    continue
+                # exact partition stats: min == max == the value; NULL
+                # partitions carry nulls == rows so IS NULL skipping
+                # prunes them too. Timestamps are excluded (their
+                # string form is format-ambiguous — a mixed-format
+                # compare could FALSE-skip); booleans aren't rangeable.
+                for p in partition_phys:
+                    v = part[p]
+                    if v is None:
+                        nulls[p] = rows
+                    else:
+                        nulls[p] = 0
+                        if not isinstance(v, bool) and not types[
+                            p
+                        ].simpleString().startswith("timestamp"):
+                            stats[p] = [v, v]
+                adds.append(
+                    {
+                        "path": f"{_DATA}/{rel_dir}/{new}",
+                        "rows": rows,
+                        "bytes": os.path.getsize(abs_new),
+                        "stats": stats,
+                        "nulls": nulls,
+                        "partition": dict(part),
+                    }
+                )
         shutil.rmtree(tmp)
         return adds
 
@@ -974,15 +1183,57 @@ class LakeTable:
         # before a column was born lack its physical column and fill
         # NULL (parquet missing-column semantics) — same as additive
         # schema evolution.
+        #
+        # Partitioned tables: partition column values live in the
+        # hive directory names, not the files — ONE scan per data root
+        # with basePath set lets Spark's own partition discovery fill
+        # them (cast to the provided schema's types), so the read stays
+        # a single native file scan, never a per-partition union. A
+        # shallow clone mixes roots (clone-local + source-absolute
+        # files); each root scans once and the handful union.
         mapped = _is_mapped(schema)
-        df = self.spark.read.schema(
-            _physical_schema(schema) if mapped else schema
-        ).parquet(*paths)
-        logical = (
-            [F.col(_phys(f)).alias(f.name) for f in schema.fields]
-            if mapped
-            else [F.col(c) for c in df.columns]
+        partitioned = any(a.get("partition") is not None for a in entries)
+        dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
+        need_meta = keep_meta or bool(dv_rels)
+        read_schema = _physical_schema(schema) if mapped else schema
+        sel = [F.col(_phys(f)).alias(f.name) for f in schema.fields]
+        meta_cols = (
+            [
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_base"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+            if need_meta
+            else []
         )
+
+        def _scan(ps: list[str], base: str | None) -> DataFrame:
+            r = self.spark.read.schema(read_schema)
+            if base is not None:
+                r = r.option("basePath", base)
+            d = r.parquet(*ps)
+            if mapped or partitioned or need_meta:
+                # meta columns are captured BEFORE any union — hidden
+                # _metadata doesn't survive set operations
+                return d.select(*sel, *meta_cols)
+            return d
+
+        if partitioned:
+            marker = f"{os.sep}{_DATA}{os.sep}"
+            groups: dict[str, list[str]] = {}
+            for p in paths:
+                # rindex: partition VALUES can't contain '/' (escaped
+                # %2F in dirnames), so the LAST /data/ is the data root
+                # even when the table path itself contains one
+                root = p[: p.rindex(marker) + len(marker) - 1]
+                groups.setdefault(root, []).append(p)
+            scans = [_scan(ps, root) for root, ps in sorted(groups.items())]
+            df = scans[0]
+            for d in scans[1:]:
+                df = df.unionByName(d)
+        else:
+            df = _scan(paths, None)
 
         def _fill_gen(d: DataFrame) -> DataFrame:
             # generated columns: files predating the column's birth read
@@ -997,19 +1248,10 @@ class LakeTable:
                     )
             return d
 
-        dv_rels = sorted({a["dv"]["path"] for a in entries if a.get("dv")})
-        if not dv_rels and not keep_meta:
-            return _fill_gen(df.select(*logical) if mapped else df)
+        if not need_meta:
+            return _fill_gen(df)
         data_cols = [f.name for f in schema.fields]
-        df = _fill_gen(
-            df.select(
-                *logical,
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("_dv_base"),
-                F.col("_metadata.row_index").alias("_dv_pos"),
-            )
-        )
+        df = _fill_gen(df)
         if dv_rels:
             dv = self.spark.read.schema("_dv_base string, _dv_pos long").parquet(
                 *[self._abs(p) for p in dv_rels]
@@ -1514,14 +1756,25 @@ class LakeTable:
         (physical == logical for the all-new files) and drop
         tombstones are released: no active file predates this commit,
         so recycled names can't collide — old snapshots keep their own
-        schemas for time travel."""
+        schemas for time travel. PARTITIONING survives the replace
+        (Delta: partition columns are fixed at create): the new files
+        land under the partition columns' CURRENT logical names —
+        which become their post-reset physical names — and the
+        partition prop follows."""
         _check_reserved(df.schema)
         v, active, cur = self._snapshot()
+        part_logical = self.partition_columns(v)
+        missing_part = [c for c in part_logical if c not in df.columns]
+        if missing_part:
+            raise ValueError(
+                f"overwrite batch is missing partition column(s) "
+                f"{missing_part} — partitioning is fixed at create"
+            )
         gen_fields = [f for f in cur.fields if _gen_expr(f)]
         if gen_fields:
             df = self._apply_generated(df, StructType(gen_fields))
         self._check_constraints(df)
-        adds = self._write_files(df)
+        adds = self._write_files(df, partition_phys=part_logical)
         schema = df.schema
         if gen_fields:
             gmap = {f.name: _gen_expr(f) for f in gen_fields}
@@ -1536,13 +1789,156 @@ class LakeTable:
                 ]
             )
         props = self.props(v)
-        if props.pop(_DROPPED_PROP, None) is not None:
+        changed = props.pop(_DROPPED_PROP, None) is not None
+        if part_logical:
+            new_prop = json.dumps(part_logical)  # post-reset physical
+            changed = changed or props.get(_PART_PROP) != new_prop
+            props[_PART_PROP] = new_prop
+        if changed:
             return self._commit(
                 v + 1, "overwrite", adds, [a["path"] for a in active],
                 schema, props=props,
             )
         return self._commit(
             v + 1, "overwrite", adds, [a["path"] for a in active], schema
+        )
+
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """SHOW PARTITIONS parity: the distinct partition value tuples
+        of the snapshot's active files, as {logical name: value} dicts
+        — pure metadata, O(files) driver work, zero scan."""
+        v, active, schema = self._snapshot(version)
+        pp = self._partition_phys(version)
+        if not pp:
+            return []
+        by_phys = {_phys(f): f.name for f in schema.fields}
+        seen: dict[tuple, dict] = {}
+        for a in active:
+            part = a.get("partition", {})
+            key = tuple(part.get(p) for p in pp)
+            if key not in seen:
+                seen[key] = {by_phys.get(p, p): part.get(p) for p in pp}
+        return [seen[k] for k in sorted(seen, key=lambda t: tuple(map(str, t)))]
+
+    def _matching_entries(
+        self, entries: list[dict], predicate: str, schema: StructType
+    ) -> list[dict]:
+        """Entries whose PARTITION VALUES satisfy ``predicate`` — the
+        static-pruning evaluator for replace_where. The predicate is
+        analyzed over a tiny frame of the DISTINCT partition tuples
+        (typed, logical names), so it may reference only partition
+        columns (anything else fails analysis loudly) and the cost is
+        O(distinct partitions), never O(files) Spark work."""
+        pp = self._partition_phys()
+        by_phys = {_phys(f): f for f in schema.fields}
+        part_fields = [
+            StructField(by_phys[p].name, by_phys[p].dataType, True)
+            for p in pp
+        ]
+        convs = [_part_converter(by_phys[p].dataType) for p in pp]
+
+        def key_of(a: dict) -> tuple:
+            part = a.get("partition", {})
+            return tuple(
+                None if part.get(p) is None else convs[i](part.get(p))
+                for i, p in enumerate(pp)
+            )
+
+        uniq = {key_of(a) for a in entries if a.get("partition") is not None}
+        if not uniq:
+            return []
+        pdf = self.spark.createDataFrame(
+            sorted(uniq, key=lambda t: tuple(map(str, t))),
+            StructType(part_fields),
+        )
+        hits = {tuple(r) for r in pdf.filter(F.expr(predicate)).collect()}
+        return [
+            a
+            for a in entries
+            if a.get("partition") is not None and key_of(a) in hits
+        ]
+
+    def replace_where(self, df: DataFrame, predicate: str) -> int:
+        """INSERT OVERWRITE ... replaceWhere (Delta parity): atomically
+        replace exactly the PARTITIONS matching ``predicate`` (over
+        partition columns only) with ``df``. Every incoming row must
+        satisfy the predicate — a row outside the target region rejects
+        the whole commit (Delta's replaceWhere contract), so the
+        operation can never silently leak rows into partitions it
+        didn't claim. File selection is pure metadata (partition values
+        in the add entries — no scan of a 100 TB table); the commit is
+        an ``overwrite`` op restricted to the matched files, so time
+        travel and the change feed (delete+insert derivation) work
+        unchanged. Concurrent appends INTO a matched partition
+        conflict (metadata read-probe); appends elsewhere commute."""
+        v, active, schema = self._snapshot()
+        if not self._partition_phys(v):
+            raise ValueError("replace_where requires a partitioned table")
+        _check_reserved(df.schema)
+        df = self._apply_generated(df, schema)
+        self._check_constraints(df)
+        # NULL predicate rows are OUTSIDE the region (SQL boolean)
+        stray = df.filter(F.expr(f"coalesce(not ({predicate}), true)"))
+        if stray.limit(1).count():
+            sample = [r.asDict() for r in stray.limit(3).collect()]
+            raise ValueError(
+                f"replace_where: batch rows fall outside the predicate "
+                f"region ({predicate}), e.g. {sample}"
+            )
+        targets = self._matching_entries(active, predicate, schema)
+        adds = self._write_files(df, schema)
+        n_rows = sum(int(a.get("rows", 0)) for a in adds)
+        probe = lambda ents: bool(  # noqa: E731 — metadata-only probe
+            self._matching_entries(ents, predicate, schema)
+        )
+        return self._commit_checked(
+            v, "overwrite", adds, [a["path"] for a in targets], schema,
+            targets, read_probe=probe,
+            metrics={
+                "rows_written": n_rows,
+                "partitions_replaced": len(
+                    {json.dumps(a.get("partition"), sort_keys=True) for a in targets}
+                ),
+                "predicate": predicate,
+            },
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite (Spark
+        ``partitionOverwriteMode=dynamic`` / Delta parity): replace
+        exactly the partitions PRESENT IN ``df``, leave every other
+        partition untouched — the idempotent daily-reprocess write (re-
+        running a day's job replaces that day, never truncates the
+        table). One atomic commit; file selection is metadata-only
+        (partition values recorded on add entries); concurrent appends
+        into an overwritten partition conflict, elsewhere commute."""
+        v, active, schema = self._snapshot()
+        pp = self._partition_phys(v)
+        if not pp:
+            raise ValueError(
+                "overwrite_partitions requires a partitioned table"
+            )
+        _check_reserved(df.schema)
+        df = self._apply_generated(df, schema)
+        self._check_constraints(df)
+        adds = self._write_files(df, schema)
+        new_keys = {
+            tuple(a["partition"].get(p) for p in pp) for a in adds
+        }
+        key_of = lambda a: tuple(  # noqa: E731
+            a.get("partition", {}).get(p) for p in pp
+        )
+        targets = [a for a in active if key_of(a) in new_keys]
+        probe = lambda ents: any(  # noqa: E731 — metadata-only probe
+            key_of(e) in new_keys for e in ents
+        )
+        return self._commit_checked(
+            v, "overwrite", adds, [a["path"] for a in targets], schema,
+            targets, read_probe=probe,
+            metrics={
+                "rows_written": sum(int(a.get("rows", 0)) for a in adds),
+                "partitions_replaced": len(new_keys),
+            },
         )
 
     def apply_cdc(
@@ -1931,6 +2327,343 @@ class LakeTable:
             "version": new_v,
         }
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        clauses: list[dict],
+        dv: bool = False,
+    ) -> dict:
+        """General MERGE (Delta ``MERGE INTO`` clause parity — the
+        superset of :meth:`merge`'s upsert-all):
+
+        ``on``: a list of equality key columns, or an arbitrary SQL
+        condition string over the ``src`` / ``tgt`` aliases
+        (``"src.id = tgt.id AND src.region = tgt.region"``). NULL keys
+        never equality-match (SQL semantics).
+
+        ``clauses``: ordered list (FIRST applicable clause wins per
+        row — Delta semantics), each a dict:
+
+        - ``{"when": "matched", "action": "update", "set": {col:
+          expr} | "all", "condition": sql | None}`` — exprs/conditions
+          see both ``src.*`` and ``tgt.*``; ``"all"`` takes every
+          table column from ``src`` by name.
+        - ``{"when": "matched", "action": "delete", "condition": ...}``
+        - ``{"when": "not_matched", "action": "insert", "values":
+          {col: expr} | "all", "condition": ...}`` — exprs see
+          ``src.*``; ``"all"`` inserts the table columns by name;
+          unlisted columns land NULL (generated columns recompute).
+        - ``{"when": "not_matched_by_source", "action": "delete" |
+          "update", "set": ..., "condition": ...}`` — conditions/
+          exprs see ``tgt.*`` only.
+
+        Scale shape: matched/not-matched resolution is ONE join on the
+        ON condition; only files containing an ACTED target row are
+        rewritten (``dv=True``: vectored out, O(acted rows)); inserts
+        land in fresh files. A ``not_matched_by_source`` clause widens
+        the target read to the full table by nature (every row must
+        prove it has a source match) — same as Delta. Multiple source
+        rows acting on one target row raise (Delta's
+        multiple-source-rows-matched error) instead of committing a
+        non-deterministic result. CDC feeds with delete flags in the
+        payload (reference ``base_loaders.py:149-181`` upserts +
+        tombstones) map to matched-delete/matched-update/not-matched-
+        insert with conditions on the flag column."""
+        for c in clauses:
+            when = c.get("when")
+            act = c.get("action")
+            if when not in ("matched", "not_matched", "not_matched_by_source"):
+                raise ValueError(f"bad clause 'when': {when!r}")
+            if (
+                (when == "matched" and act not in ("update", "delete"))
+                or (when == "not_matched" and act != "insert")
+                or (
+                    when == "not_matched_by_source"
+                    and act not in ("update", "delete")
+                )
+            ):
+                raise ValueError(f"bad action {act!r} for when={when!r}")
+        if not clauses:
+            raise ValueError("merge_into requires at least one clause")
+
+        v, active, schema = self._snapshot()
+        data_cols = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        gen_cols = {f.name for f in schema.fields if _gen_expr(f)}
+        for c in clauses:
+            for col in (c.get("set") or {}) if isinstance(c.get("set"), dict) else {}:
+                if col not in by_name:
+                    raise ValueError(f"UPDATE SET: no such column {col!r}")
+                if col in gen_cols:
+                    raise ValueError(
+                        f"column {col!r} is GENERATED ALWAYS AS — it "
+                        "recomputes automatically"
+                    )
+
+        if isinstance(on, (list, tuple)):
+            cond = None
+            for k in on:
+                c_ = F.col(f"tgt.{k}") == F.col(f"src.{k}")
+                cond = c_ if cond is None else cond & c_
+            if cond is None:
+                raise ValueError("empty ON key list")
+        else:
+            cond = F.expr(on)
+
+        nbs_clauses = [c for c in clauses if c["when"] == "not_matched_by_source"]
+        m_clauses = [c for c in clauses if c["when"] == "matched"]
+        i_clauses = [c for c in clauses if c["when"] == "not_matched"]
+
+        src = source.persist()
+        tgt = self._read_entries(active, schema, keep_meta=True)
+        joined = (
+            tgt.alias("tgt")
+            .join(src.withColumn("_src_flag", F.lit(True)).alias("src"), cond, "full_outer")
+            .persist()
+        )
+        is_matched = F.col("tgt._dv_base").isNotNull() & F.col("src._src_flag").isNotNull()
+        is_src_only = F.col("tgt._dv_base").isNull()
+        is_tgt_only = F.col("src._src_flag").isNull()
+
+        def first_action(cl_list: list[dict], base: int) -> F.Column:
+            """Per-row first-applicable clause index (base+i), else -1."""
+            out = F.lit(-1)
+            for i in reversed(range(len(cl_list))):
+                c_ = cl_list[i].get("condition")
+                hit = F.expr(c_) if c_ else F.lit(True)
+                out = F.when(hit, F.lit(base + i)).otherwise(out)
+            return out
+
+        act_col = (
+            F.when(is_matched, first_action(m_clauses, 0))
+            .when(is_tgt_only, first_action(nbs_clauses, 100))
+            .when(is_src_only, first_action(i_clauses, 200))
+            .otherwise(F.lit(-1))
+        )
+        j = joined.withColumn("_act", act_col)
+
+        # ---- target-side acted rows (matched + not-matched-by-source)
+        tgt_acting = j.filter(
+            (is_matched | is_tgt_only) & (F.col("_act") >= 0)
+        ).persist()
+        # Delta parity: >1 source rows acting on one target row is
+        # non-deterministic — refuse (a pure double-delete included;
+        # Delta raises there too).
+        dup = (
+            tgt_acting.groupBy("tgt._dv_base", "tgt._dv_pos")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            for f_ in (src, joined, tgt_acting):
+                f_.unpersist()
+            raise ValueError(
+                "merge_into: multiple source rows match (and act on) the "
+                "same target row — the result would be non-deterministic "
+                "(Delta MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW parity)"
+            )
+
+        all_clauses = {**{i: c for i, c in enumerate(m_clauses)},
+                       **{100 + i: c for i, c in enumerate(nbs_clauses)},
+                       **{200 + i: c for i, c in enumerate(i_clauses)}}
+        upd_codes = [
+            k for k, c in all_clauses.items() if c["action"] == "update"
+        ]
+        del_codes = [
+            k for k, c in all_clauses.items() if c["action"] == "delete"
+        ]
+
+        def _updated_rows(frame: DataFrame) -> DataFrame:
+            """New values for update-action rows: per clause, the SET
+            exprs (simultaneous, pre-update bindings); generated
+            columns recompute after."""
+            if not upd_codes:
+                return None
+            outcols = []
+            for col in data_cols:
+                e = F.col(f"tgt.{col}")
+                for k in upd_codes:
+                    c_ = all_clauses[k]
+                    st = c_.get("set") or "all"
+                    if st == "all":
+                        expr = F.col(f"src.{col}")
+                    elif col in st:
+                        expr = F.expr(st[col])
+                    else:
+                        continue  # this clause keeps col
+                    e = F.when(F.col("_act") == k, expr.cast(by_name[col].dataType)).otherwise(e)
+                outcols.append(e.alias(col))
+            out = frame.filter(F.col("_act").isin(upd_codes)).select(
+                *outcols, F.col("tgt._dv_base").alias("_dv_base"),
+                F.col("tgt._dv_pos").alias("_dv_pos"),
+            )
+            for f in schema.fields:
+                ge = _gen_expr(f)
+                if ge:
+                    out = out.withColumn(f.name, F.expr(ge).cast(f.dataType))
+            return out
+
+        def _insert_rows() -> DataFrame | None:
+            if not i_clauses:
+                return None
+            ins = j.filter(is_src_only & (F.col("_act") >= 200))
+            if ins.limit(1).count() == 0:
+                return None
+            outcols = []
+            for col in data_cols:
+                if col in gen_cols:
+                    continue  # recomputed below
+                e = F.lit(None).cast(by_name[col].dataType)
+                for k in sorted(
+                    k for k in all_clauses if k >= 200
+                ):
+                    c_ = all_clauses[k]
+                    vals = c_.get("values") or "all"
+                    if vals == "all":
+                        expr = F.col(f"src.{col}") if col in source.columns else F.lit(None)
+                    elif col in vals:
+                        expr = F.expr(vals[col])
+                    else:
+                        expr = F.lit(None)
+                    e = F.when(F.col("_act") == k, expr.cast(by_name[col].dataType)).otherwise(e)
+                outcols.append(e.alias(col))
+            out = ins.select(*outcols)
+            return self._apply_generated(out, schema)
+
+        upd_df = _updated_rows(tgt_acting)
+        ins_df = _insert_rows()
+        # constraint validation over every row the commit introduces
+        for frame in (upd_df, ins_df):
+            if frame is not None:
+                try:
+                    self._check_constraints(frame.select(*data_cols) if frame is not upd_df else frame.drop("_dv_base", "_dv_pos"))
+                except ConstraintViolation:
+                    for f_ in (src, joined, tgt_acting):
+                        f_.unpersist()
+                    raise
+
+        touched = self._touched_files(
+            tgt_acting.select(F.col("tgt._dv_base").alias("_dv_base")),
+            col="_dv_base", active=active,
+        )
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
+
+        n_updated = (
+            tgt_acting.filter(F.col("_act").isin(upd_codes)).count()
+            if upd_codes else 0
+        )
+        n_deleted = (
+            tgt_acting.filter(F.col("_act").isin(del_codes)).count()
+            if del_codes else 0
+        )
+        n_inserted = ins_df.count() if ins_df is not None else 0
+
+        # Rebase guard: a concurrent append row is in this merge's read
+        # set if it can match the ON condition against our source — or
+        # unconditionally when a not-matched-by-source clause exists
+        # (every target row's fate depends on the full source).
+        if nbs_clauses:
+            probe = (
+                lambda ents: self._read_entries(ents, schema)
+                .limit(1).count() > 0
+            )
+        else:
+            probe = (
+                lambda ents: self._read_entries(ents, schema)
+                .alias("tgt")
+                .join(src.alias("src"), cond, "left_semi")
+                .limit(1)
+                .count()
+                > 0
+            )
+        metrics = {
+            "rows_inserted": n_inserted,
+            "rows_updated": n_updated,
+            "rows_deleted": n_deleted,
+            "files_rewritten": 0 if dv else len(touched),
+        }
+        new_files = []
+        for frame in (
+            upd_df.drop("_dv_base", "_dv_pos") if upd_df is not None else None,
+            ins_df,
+        ):
+            if frame is not None and frame.limit(1).count():
+                new_files += self._write_files(frame, schema)
+        if dv:
+            acted_pos = tgt_acting.select(
+                F.col("tgt._dv_base").alias("_dv_base"),
+                F.col("tgt._dv_pos").alias("_dv_pos"),
+            )
+            if touched:
+                _, new_v = self._commit_dv(
+                    v, t_entries, acted_pos, schema, op="merge",
+                    extra_adds=new_files, read_probe=probe, metrics=metrics,
+                )
+            else:
+                new_v = self._commit_checked(
+                    v, "merge", new_files, [], schema, [], read_probe=probe,
+                    metrics=metrics,
+                )
+            rewritten = 0
+        else:
+            adds = list(new_files)
+            if touched:
+                affected = self._read_entries(t_entries, schema, keep_meta=True)
+                keep = affected.join(
+                    tgt_acting.select(
+                        F.col("tgt._dv_base").alias("_dv_base"),
+                        F.col("tgt._dv_pos").alias("_dv_pos"),
+                    ),
+                    ["_dv_base", "_dv_pos"],
+                    "left_anti",
+                ).select(*data_cols)
+                if keep.limit(1).count():
+                    adds += self._write_files(keep, schema)
+            new_v = self._commit_checked(
+                v, "merge", adds, touched, schema, t_entries,
+                read_probe=probe, metrics=metrics,
+            )
+            rewritten = len(touched)
+
+        # CDF: pre/post images for updates, delete + insert rows
+        cdf_parts = []
+        if upd_codes:
+            pre = tgt_acting.filter(F.col("_act").isin(upd_codes)).select(
+                *[F.col(f"tgt.{c}").alias(c) for c in data_cols]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = upd_df.drop("_dv_base", "_dv_pos").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            cdf_parts += [pre, post]
+        if del_codes:
+            cdf_parts.append(
+                tgt_acting.filter(F.col("_act").isin(del_codes)).select(
+                    *[F.col(f"tgt.{c}").alias(c) for c in data_cols]
+                ).withColumn("_change_type", F.lit("delete"))
+            )
+        if ins_df is not None:
+            cdf_parts.append(
+                ins_df.withColumn("_change_type", F.lit("insert"))
+            )
+        if cdf_parts:
+            feed = cdf_parts[0]
+            for p_ in cdf_parts[1:]:
+                feed = feed.unionByName(p_)
+            self._write_cdf(new_v, feed, schema)
+        for f_ in (src, joined, tgt_acting):
+            f_.unpersist()
+        return {
+            "inserted": n_inserted,
+            "updated": n_updated,
+            "deleted": n_deleted,
+            "rewritten_files": rewritten,
+            "version": new_v,
+        }
+
     def update(
         self, predicate: str, assignments: dict[str, str], dv: bool = False
     ) -> dict:
@@ -2198,7 +2931,14 @@ class LakeTable:
         change file captured at write time (O(changed rows), like Delta
         CDF). compact is logically a no-op; overwrite derives
         delete+insert from the removed/added file sets. Vacuuming past a
-        version drops its derivable changes — read the feed first."""
+        version drops its derivable changes — read the feed first.
+
+        File-derived entries are read with the ERA schema of the commit
+        that governs them and aligned to the current columns by LINEAGE
+        (_cdf_lineage), exactly like change files: the era's files store
+        era PHYSICAL names, and reading them with the CURRENT mapping
+        would silently NULL a renamed column across an overwrite
+        boundary (overwrite resets physical == logical)."""
         _, _, schema = self._snapshot()
         hi = self.latest_version() if to_version is None else to_version
         overwrites = [
@@ -2206,21 +2946,51 @@ class LakeTable:
             for w in self._versions()
             if self._read_commit(w)["op"] == "overwrite"
         ]
+        schema_json = schema.jsonValue()
+
+        def _era_read(entries: list[dict], era: StructType, era_v: int) -> DataFrame:
+            """Read add entries with their era's schema (physical names
+            of that era), then project onto the CURRENT columns via
+            lineage — a column with no surviving lineage reads NULL,
+            never another column's bytes."""
+            if era.jsonValue() == schema_json:  # common fast path
+                return self._read_entries(entries, schema)
+            src_by_cur = self._cdf_lineage(era, era_v, schema, overwrites)
+            era_log_by_phys = {_phys(f): f.name for f in era.fields}
+            df = self._read_entries(entries, era)
+            cols = []
+            for f in schema.fields:
+                p = src_by_cur.get(f.name)
+                if p is not None and p in era_log_by_phys:
+                    cols.append(
+                        F.col(era_log_by_phys[p]).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols)
+
         parts: list[DataFrame] = []
         for v in range(from_version + 1, hi + 1):
             c = self._read_commit(v)
             op = c["op"]
-            tagged: list[tuple[list[dict], str]] = []
+            era = StructType.fromJson(json.loads(c["schema"]))
+            # (entries, change_type, era schema, era version)
+            tagged: list[tuple[list[dict], str, StructType, int]] = []
             if op in ("create", "append"):
-                tagged = [(c["add"], "insert")]
+                tagged = [(c["add"], "insert", era, v)]
             elif op == "overwrite":
-                # the removed entries' DV state lives in the PRIOR
-                # snapshot — resolve it so a vectored row is not
-                # resurrected into the feed as a phantom delete/insert
-                _, prev_active, _ = self._snapshot(v - 1)
+                # the removed entries' DV state (and schema) lives in
+                # the PRIOR snapshot — resolve both so a vectored row is
+                # not resurrected as a phantom delete/insert and a
+                # renamed column's pre-overwrite bytes read under the
+                # era's physical names, not the reset current mapping
+                _, prev_active, prev_schema = self._snapshot(v - 1)
                 prev_by_path = {a["path"]: a for a in prev_active}
                 removed = [prev_by_path.get(p, {"path": p}) for p in c["remove"]]
-                tagged = [(removed, "delete"), (c["add"], "insert")]
+                tagged = [
+                    (removed, "delete", prev_schema, v - 1),
+                    (c["add"], "insert", era, v),
+                ]
             elif op in ("merge", "delete", "update"):
                 cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
                 if os.path.isdir(cdf_dir):
@@ -2256,11 +3026,11 @@ class LakeTable:
                 continue
             else:  # compact: physical rearrangement, no logical change
                 continue
-            for entries, typ in tagged:
+            for entries, typ, e_schema, e_v in tagged:
                 if not entries:
                     continue
                 parts.append(
-                    self._read_entries(entries, schema)
+                    _era_read(entries, e_schema, e_v)
                     .withColumn("_change_type", F.lit(typ))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -2311,20 +3081,55 @@ class LakeTable:
         and counts ORPHANS — files on disk no protected snapshot or tag
         references (vacuumable debris, not corruption). The health
         check an operator runs before trusting a restore/clone or after
-        an interrupted writer."""
+        an interrupted writer.
+
+        Footer reads are PARALLELIZED (thread pool — pyarrow releases
+        the GIL during file I/O and footer decode), so a 100k-file
+        snapshot checks in seconds, not the minutes a serial driver
+        loop would take; results are re-assembled in entry order so
+        reports are deterministic. The orphan scan accumulates the
+        ever-referenced path set with ONE forward replay of the commit
+        log instead of a per-version snapshot (O(versions × files) on
+        long histories)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         v, active, schema = self._snapshot(version)
         missing: list[str] = []
         rowcount_bad: list[str] = []
         dv_bad: list[str] = []
-        dv_cache: dict[str, dict[str, list[int]]] = {}
-        for a in active:
+
+        def _footer_rows(a: dict) -> tuple[dict, int | None]:
             ap = self._abs(a["path"])
             if not os.path.exists(ap):
+                return a, None
+            return a, pq.ParquetFile(ap).metadata.num_rows
+
+        def _load_dv(rel: str) -> tuple[str, dict[str, list[int]] | None]:
+            dp = self._abs(rel)
+            if not os.path.exists(dp):
+                return rel, None
+            t = pq.read_table(dp)
+            by_base: dict[str, list[int]] = {}
+            for base, pos in zip(
+                t.column("_dv_base").to_pylist(),
+                t.column("_dv_pos").to_pylist(),
+            ):
+                by_base.setdefault(base, []).append(pos)
+            return rel, by_base
+
+        dv_rels = sorted({a["dv"]["path"] for a in active if a.get("dv")})
+        with ThreadPoolExecutor(max_workers=min(32, max(4, len(active) or 1))) as ex:
+            footer_by_path = {
+                a["path"]: rows for a, rows in ex.map(_footer_rows, active)
+            }
+            dv_cache = dict(ex.map(_load_dv, dv_rels))
+        for a in active:
+            footer_rows = footer_by_path[a["path"]]
+            if footer_rows is None:
                 missing.append(a["path"])
                 continue
-            footer_rows = pq.ParquetFile(ap).metadata.num_rows
             if footer_rows != int(a.get("rows", 0)):
                 rowcount_bad.append(
                     f"{a['path']}: entry says {a.get('rows')}, footer {footer_rows}"
@@ -2332,21 +3137,12 @@ class LakeTable:
             dv = a.get("dv")
             if not dv:
                 continue
-            dp = self._abs(dv["path"])
-            if not os.path.exists(dp):
+            sidecar = dv_cache.get(dv["path"])
+            if sidecar is None:
                 missing.append(dv["path"])
                 continue
-            if dv["path"] not in dv_cache:
-                t = pq.read_table(dp)
-                by_base: dict[str, list[int]] = {}
-                for base, pos in zip(
-                    t.column("_dv_base").to_pylist(),
-                    t.column("_dv_pos").to_pylist(),
-                ):
-                    by_base.setdefault(base, []).append(pos)
-                dv_cache[dv["path"]] = by_base
             base = os.path.basename(a["path"])
-            poss = dv_cache[dv["path"]].get(base, [])
+            poss = sidecar.get(base, [])
             if len(poss) != int(dv.get("ndel", 0)):
                 dv_bad.append(
                     f"{a['path']}: ndel {dv.get('ndel')} but sidecar holds "
@@ -2357,18 +3153,32 @@ class LakeTable:
                     f"{a['path']}: DV position out of range "
                     f"[{min(poss)}, {max(poss)}] for {footer_rows} rows"
                 )
-        # orphans: same protected set vacuum keeps (all retained
-        # versions + tags) — anything else is deletable debris
+        # orphans: anything never referenced by any commit or checkpoint
+        # is deletable debris. One forward replay of the log — every
+        # file enters the table via exactly one add entry, so the union
+        # of add paths over all commits (plus checkpoint actives, which
+        # stand in for any log prefix they superseded) IS the union of
+        # all versions' active sets, without O(versions) snapshots.
         keep: set[str] = set()
         keep_dv: set[str] = set()
-        for pv in set(self._versions()) | set(self.tags().values()):
-            _, act, _ = self._snapshot(pv)
-            keep.update(a["path"] for a in act)
-            keep_dv.update(a["dv"]["path"] for a in act if a.get("dv"))
+
+        def _collect(adds: list[dict]) -> None:
+            for a in adds:
+                keep.add(a["path"])
+                if a.get("dv"):
+                    keep_dv.add(a["dv"]["path"])
+
+        for cv in self._versions():
+            _collect(self._read_commit(cv)["add"])
+        for f in os.listdir(self._log_dir):
+            if f.startswith("_checkpoint.") and f.endswith(".json"):
+                with open(os.path.join(self._log_dir, f)) as fh:
+                    _collect(json.load(fh)["active"])
         orphans = sum(
             1
-            for f in os.listdir(self._data_dir)
-            if f"{_DATA}/{f}" not in keep
+            for dirpath, _dirs, files in os.walk(self._data_dir)
+            for f in files
+            if os.path.relpath(os.path.join(dirpath, f), self.path) not in keep
         )
         if os.path.isdir(self._dv_dir):
             orphans += sum(
@@ -2406,12 +3216,20 @@ class LakeTable:
             keep.update(a["path"] for a in active)
             keep_dv.update(a["dv"]["path"] for a in active if a.get("dv"))
         removed = 0
-        for fname in os.listdir(self._data_dir):
-            rel = f"{_DATA}/{fname}"
-            if rel not in keep:
-                if not dry_run:
-                    os.remove(os.path.join(self._data_dir, fname))
-                removed += 1
+        # recursive: partitioned tables nest data files under hive dirs
+        for dirpath, _dirs, files in os.walk(self._data_dir):
+            for fname in files:
+                ap = os.path.join(dirpath, fname)
+                rel = os.path.relpath(ap, self.path)
+                if rel not in keep:
+                    if not dry_run:
+                        os.remove(ap)
+                    removed += 1
+        if not dry_run:
+            # drop now-empty partition directories (bottom-up)
+            for dirpath, _dirs, files in os.walk(self._data_dir, topdown=False):
+                if dirpath != self._data_dir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         # deletion-vector sidecars follow the same retention: a DV
         # referenced by any protected snapshot (or tag) must survive —
         # dropping it would resurrect deleted rows, worse than a
@@ -2433,8 +3251,21 @@ class LakeTable:
         # broken-lock debris: stale _last_checkpoint locks are renamed
         # aside (rename is the single-winner break), never referenced;
         # a writer that died between checkpoint tmp-write and rename
-        # leaves a .tmp. file nothing references
+        # leaves a .tmp. file nothing references. Tmp files are only
+        # removed past a staleness threshold (mtime) — a LIVE writer
+        # sits between its tmp-write and os.replace for milliseconds,
+        # and deleting its tmp in that window would make the writer's
+        # post-commit checkpoint publish raise for a commit that
+        # already landed (same treatment as stale locks).
+        now = time.time()
         for f in os.listdir(self._log_dir):
-            if ".lock.stale." in f or ".json.tmp." in f:
-                os.remove(os.path.join(self._log_dir, f))
+            p = os.path.join(self._log_dir, f)
+            if ".lock.stale." in f:
+                os.remove(p)
+            elif ".json.tmp." in f:
+                try:
+                    if now - os.path.getmtime(p) > 600:
+                        os.remove(p)
+                except OSError:
+                    pass  # the writer just published it — not debris
         return removed

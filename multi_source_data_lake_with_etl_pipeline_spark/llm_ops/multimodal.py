@@ -648,8 +648,11 @@ def _probe_mp3(payload: bytes) -> tuple[int, float] | None:
     sample rate from the header table, duration = frames × 1152 /
     rate. The psychoacoustic PCM decode stays stubbed; the metadata a
     pipeline filters on (rate, duration) is real. Returns None when no
-    valid frame sync is found (not an MP3); a stream that syncs but
-    then corrupts raises ValueError."""
+    valid frame sync is found OR the FIRST synced header isn't MPEG-1
+    Layer III (a 0xFFEx byte pair occurs in arbitrary binaries, and
+    MPEG-2/2.5 files are valid audio this probe simply doesn't cover —
+    both fall back to the stub instead of quarantining the row);
+    ValueError is reserved for corruption AFTER valid frames."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         sz = 0
@@ -672,9 +675,13 @@ def _probe_mp3(payload: bytes) -> tuple[int, float] | None:
         if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
             break  # trailing tag/garbage after last frame
         if (h[1] >> 3) & 0x3 != 0x3 or (h[1] >> 1) & 0x3 != 0x1:
-            raise ValueError("mp3: only MPEG-1 Layer III frames supported")
+            if frames == 0:
+                return None  # first sync isn't MPEG-1 L3: not ours
+            raise ValueError("mp3: non-MPEG-1-L3 frame after valid frames")
         br_idx, sr_idx = h[2] >> 4, (h[2] >> 2) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
+            if frames == 0:
+                return None  # coincidental sync in a non-MP3 payload
             raise ValueError("mp3: bad bitrate/samplerate index")
         r = _MP3_RATES[sr_idx]
         if rate is None:

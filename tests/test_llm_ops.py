@@ -800,3 +800,39 @@ def test_multimodal_mp4_mp3_metadata_probes(spark):
     assert out[3]["decode_error"] and out[3]["width"] is None
     # non-BMFF bytes: falls to the deterministic stub, no error
     assert out[4]["decode_error"] is None and out[4]["width"] is not None
+
+
+def test_mp3_probe_non_mpeg1_sync_falls_back_to_stub(spark):
+    """A payload that syncs on 0xFFEx but whose FIRST header isn't
+    MPEG-1 Layer III (an MPEG-2 file, or a coincidental sync pattern
+    in arbitrary bytes) is NOT-an-MP3 for this probe: it falls back to
+    the stub instead of quarantining with decode_error. ValueError is
+    reserved for corruption AFTER valid frames."""
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        ASSET_SCHEMA,
+        _probe_mp3,
+        extract_features,
+        make_mp3,
+    )
+
+    mpeg2 = b"\xff\xf3\x90\x00" + b"\x00" * 200   # MPEG-2 Layer III
+    badbr = b"\xff\xfb\xf0\x00" + b"\x00" * 200   # MPEG-1 L3, bitrate=15
+    assert _probe_mp3(mpeg2) is None
+    assert _probe_mp3(badbr) is None
+    # corruption AFTER a valid frame still raises (and quarantines)
+    good = make_mp3(0.1)
+    with pytest.raises(ValueError):
+        _probe_mp3(good + b"\xff\xf3\x90\x00")
+    rows = [
+        (1, "audio", "audio/mpeg", mpeg2, {}),
+        (2, "audio", "audio/mpeg", badbr, {}),
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    for aid in (1, 2):
+        assert out[aid]["decode_error"] is None       # stub, not quarantine
+        assert out[aid]["sample_rate"] is not None
