@@ -76,6 +76,29 @@ _CHECKPOINT_EVERY = 10
 _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "date")
 
 
+# Table protocol (Delta reader-features parity): every commit stamps
+# the features a reader MUST understand to read the table correctly
+# from that commit on ("reader_features" in the record, cumulative
+# union carried by checkpoints). A reader accumulates the stamps over
+# its replay and REFUSES unknown names loudly — the alternative is an
+# old reader silently misreading, e.g. resolving column-mapped
+# physical names as missing columns (all-NULL data) or resurrecting
+# DV-deleted rows. Logs written before stamping existed carry no
+# stamps and read fine (backward compatible).
+_READER_FEATURES = frozenset(
+    {
+        "column-mapping",
+        "deletion-vectors",
+        "generated-columns",
+        "partition-columns",
+    }
+)
+
+
+class UnsupportedTableFeature(RuntimeError):
+    """The table requires reader features this build doesn't know."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first."""
 
@@ -427,6 +450,7 @@ class LakeTable:
                 f.name for f in schema.fields if _gen_expr(f)
             ),
             "partition_columns": self.partition_columns(v),
+            "reader_features": sorted(self._replay(v)[3]),
             "num_partitions": len(
                 {
                     json.dumps(a.get("partition"), sort_keys=True)
@@ -734,7 +758,7 @@ class LakeTable:
 
     def _checkpoint_at_or_before(
         self, v: int
-    ) -> tuple[int, list[dict], dict | None] | None:
+    ) -> tuple[int, list[dict], dict | None, list[str]] | None:
         # O(1) fast path (Delta's _last_checkpoint parity): the pointer
         # names the newest checkpoint, so the common latest-snapshot
         # read never lists the log directory — at 1M commits a listdir
@@ -749,7 +773,7 @@ class LakeTable:
                     os.path.join(self._log_dir, f"_checkpoint.{last}.json")
                 ) as f:
                     d = json.load(f)
-                    return last, d["active"], d.get("props")
+                    return last, d["active"], d.get("props"), d.get("features", [])
         except (FileNotFoundError, KeyError, ValueError):
             pass
         # fallback scan: time travel to before the last checkpoint, or
@@ -764,19 +788,37 @@ class LakeTable:
             return None
         with open(os.path.join(self._log_dir, f"_checkpoint.{best}.json")) as f:
             d = json.load(f)
-            return best, d["active"], d.get("props")
+            return best, d["active"], d.get("props"), d.get("features", [])
 
     def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], StructType]:
         """(version, active add-entries, schema) at ``version`` (default
         latest). Replays from the nearest checkpoint — O(files), not
-        O(history)."""
+        O(history). Accumulates the commits' reader-feature stamps over
+        the replay (checkpoints carry the cumulative union) and REFUSES
+        unknown features loudly — an old reader must never silently
+        misread a table written with a protocol it doesn't know."""
+        v, active, schema, feats = self._replay(version)
+        unknown = feats - _READER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeature(
+                f"table at {self.path} requires reader feature(s) "
+                f"{sorted(unknown)}; this build supports "
+                f"{sorted(_READER_FEATURES)} — upgrade the reader"
+            )
+        return v, active, schema
+
+    def _replay(
+        self, version: int | None = None
+    ) -> tuple[int, list[dict], StructType, set[str]]:
         v = self.latest_version() if version is None else version
         start = 0
         active: dict[str, dict] = {}
+        feats: set[str] = set()
         ckpt = self._checkpoint_at_or_before(v)
         if ckpt is not None:
             start = ckpt[0] + 1
             active = {a["path"]: a for a in ckpt[1]}
+            feats = set(ckpt[3])
         schema_json = None
         for cv in range(start, v + 1):
             try:
@@ -787,11 +829,12 @@ class LakeTable:
                 active.pop(r, None)
             for a in c["add"]:
                 active[a["path"]] = a
+            feats.update(c.get("reader_features", []))
             schema_json = c["schema"]
         if schema_json is None:  # checkpoint covered everything
             schema_json = self._read_commit(v)["schema"]
         schema = StructType.fromJson(json.loads(schema_json))
-        return v, list(active.values()), schema
+        return v, list(active.values()), schema, feats
 
     def _commit(
         self,
@@ -819,6 +862,21 @@ class LakeTable:
             rec["props"] = props
         if metrics is not None:
             rec["metrics"] = metrics
+        # protocol stamp: features a reader of THIS commit's content
+        # must understand (readers union stamps over their replay)
+        feats = set()
+        if _is_mapped(schema):
+            feats.add("column-mapping")
+        if any(_gen_expr(f) for f in schema.fields):
+            feats.add("generated-columns")
+        if any(a.get("dv") for a in adds):
+            feats.add("deletion-vectors")
+        if any(a.get("partition") is not None for a in adds) or (
+            props or {}
+        ).get(_PART_PROP):
+            feats.add("partition-columns")
+        if feats:
+            rec["reader_features"] = sorted(feats)
         target = os.path.join(self._log_dir, _ver_name(version))
         while True:
             try:
@@ -835,7 +893,11 @@ class LakeTable:
                 rec["version"] = version
                 target = os.path.join(self._log_dir, _ver_name(version))
         if version % _CHECKPOINT_EVERY == 0 and version > 0:
-            _, active, _ = self._snapshot(version)
+            # _replay, not _snapshot: the WRITER just stamped these
+            # features, no reader check needed; the checkpoint carries
+            # the cumulative union so later readers starting from it
+            # still see every feature stamped before it
+            _, active, _, ck_feats = self._replay(version)
             # props ride the checkpoint so props() walks are floored by
             # the checkpoint cadence, never O(history). Computed BEFORE
             # the file exists, and published by ATOMIC rename — a
@@ -849,6 +911,7 @@ class LakeTable:
                 "version": version,
                 "active": active,
                 "props": self.props(version),
+                "features": sorted(ck_feats),
             }
             ck_tmp = ck_path + f".tmp.{uuid.uuid4().hex}"
             with open(ck_tmp, "w") as f:
@@ -1948,6 +2011,7 @@ class LakeTable:
         op_col: str = "op",
         order_col: str | None = None,
         dv: bool = False,
+        atomic: bool = False,
     ) -> dict:
         """Apply a Debezium-style CDC batch: rows tagged I/U/D in
         ``op_col`` (insert/update collapse to upsert — the lake is
@@ -1959,7 +2023,13 @@ class LakeTable:
         of small CDC batches against large files then costs
         O(changed rows) per batch instead of O(touched bytes), with
         compaction folding the vectors on the maintenance cadence.
-        """
+
+        ``atomic=True`` applies the WHOLE batch as ONE ``merge_into``
+        commit (matched-delete on the flag, matched-update, insert) —
+        a reader can never observe the upserts without the deletes
+        (the default two-commit path has a visible intermediate
+        version between them; Delta MERGE-based CDC is single-commit,
+        and so is this mode). Same result, one version."""
         from pyspark.sql import Window as W
 
         b = batch
@@ -2001,6 +2071,26 @@ class LakeTable:
         if dels.filter(F.col(key).isNull()).limit(1).count():
             b.unpersist()
             raise ValueError("apply_cdc: delete row with NULL key")
+        if atomic:
+            src = b.select(
+                *cols, F.upper(F.col(op_col)).alias("_cdc_op")
+            )
+            r = self.merge_into(src, [key], clauses=[
+                {"when": "matched", "action": "delete",
+                 "condition": "src._cdc_op = 'D'"},
+                {"when": "matched", "action": "update",
+                 "set": {c: f"src.{c}" for c in cols if c != key},
+                 "condition": "src._cdc_op <> 'D'"},
+                {"when": "not_matched", "action": "insert",
+                 "values": {c: f"src.{c}" for c in cols},
+                 "condition": "src._cdc_op <> 'D'"},
+            ], dv=dv)
+            b.unpersist()
+            return {
+                "upserted": r["updated"] + r["inserted"],
+                "deleted": r["deleted"],
+                "version": r["version"],
+            }
         out: dict = {"upserted": 0, "deleted": 0}
         if ups.limit(1).count():
             m = self.merge(ups, key, dv=dv)
@@ -2384,6 +2474,18 @@ class LakeTable:
                 )
             ):
                 raise ValueError(f"bad action {act!r} for when={when!r}")
+            if (
+                when == "not_matched_by_source"
+                and act == "update"
+                and not isinstance(c.get("set"), dict)
+            ):
+                # Delta parity: whenNotMatchedBySourceUpdate has no
+                # "update all" form — there IS no source row; the
+                # implicit src.* reads would silently write NULLs
+                raise ValueError(
+                    "not_matched_by_source update requires an explicit "
+                    "'set' dict (no source row exists for 'all')"
+                )
         if not clauses:
             raise ValueError("merge_into requires at least one clause")
 
@@ -2416,7 +2518,41 @@ class LakeTable:
         i_clauses = [c for c in clauses if c["when"] == "not_matched"]
 
         src = source.persist()
-        tgt = self._read_entries(active, schema, keep_meta=True)
+        # Partition-pruned merge (the Delta optimization that makes a
+        # per-partition CDC feed O(source partitions), not O(table)):
+        # when the ON keys cover every partition column and no
+        # not-matched-by-source clause widens the read to the full
+        # table, only files whose partition tuple appears in the
+        # SOURCE can contain a matched row — everything else is
+        # untouched metadata. Semantically safe: partition-column
+        # equality in ON means a target row outside the source's
+        # partitions can never match.
+        read_set = active
+        pruned_files = 0
+        pp = self._partition_phys(v)
+        if (
+            pp
+            and not nbs_clauses
+            and isinstance(on, (list, tuple))
+            and set(self.partition_columns(v)) <= set(on)
+        ):
+            by_phys = {_phys(f): f for f in schema.fields}
+            plog = [by_phys[p].name for p in pp]
+            convs = [_part_converter(by_phys[p].dataType) for p in pp]
+            src_parts = {
+                tuple(r) for r in src.select(*plog).distinct().collect()
+            }
+
+            def _key(a: dict) -> tuple:
+                part = a.get("partition", {})
+                return tuple(
+                    None if part.get(p) is None else convs[i](part.get(p))
+                    for i, p in enumerate(pp)
+                )
+
+            read_set = [a for a in active if _key(a) in src_parts]
+            pruned_files = len(active) - len(read_set)
+        tgt = self._read_entries(read_set, schema, keep_meta=True)
         joined = (
             tgt.alias("tgt")
             .join(src.withColumn("_src_flag", F.lit(True)).alias("src"), cond, "full_outer")
@@ -2585,6 +2721,7 @@ class LakeTable:
             "rows_updated": n_updated,
             "rows_deleted": n_deleted,
             "files_rewritten": 0 if dv else len(touched),
+            "files_partition_pruned": pruned_files,
         }
         new_files = []
         for frame in (
@@ -3046,7 +3183,10 @@ class LakeTable:
 
     # ---------------------------------------------------------- upkeep
     def compact(
-        self, target_files: int = 1, cluster_by: str | list[str] | None = None
+        self,
+        target_files: int = 1,
+        cluster_by: str | list[str] | None = None,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the active file set into ``target_files``
         files (small-file compaction; old files stay for time travel
@@ -3056,8 +3196,42 @@ class LakeTable:
         but the hit files. With a LIST of columns, Z-ORDER: interleave
         them into a Morton key (sinks/maintenance.zorder_value) so file
         stats stay tight on every listed column and multi-dimension
-        range predicates prune on each."""
+        range predicates prune on each.
+
+        ``where``: OPTIMIZE ... WHERE parity — a predicate over the
+        PARTITION COLUMNS restricts the rewrite to matching partitions
+        (selection is pure metadata, ``_matching_entries``); a daily
+        maintenance job compacts yesterday's partition, never the
+        100 TB table. Commits through the conflict-checked path so a
+        concurrent rewrite of a target file conflicts instead of
+        resurrecting it."""
         v, active, schema = self._snapshot()
+        if where is not None:
+            if not self._partition_phys(v):
+                raise ValueError(
+                    "compact(where=...) requires a partitioned table"
+                )
+            targets = self._matching_entries(active, where, schema)
+            if not targets:
+                return v
+            df = self._read_entries(targets, schema)
+            if isinstance(cluster_by, list) and len(cluster_by) > 1:
+                from .sinks.maintenance import zorder_by
+
+                df = zorder_by(df, cluster_by, target_files)
+            elif cluster_by:
+                col = cluster_by[0] if isinstance(cluster_by, list) else cluster_by
+                df = df.repartitionByRange(
+                    target_files, F.col(col)
+                ).sortWithinPartitions(col)
+            else:
+                df = df.coalesce(target_files)
+            adds = self._write_files(df, schema)
+            return self._commit_checked(
+                v, "compact", adds, [a["path"] for a in targets], schema,
+                targets,
+                metrics={"files_compacted": len(targets), "predicate": where},
+            )
         df = self.read(v)
         if isinstance(cluster_by, list) and len(cluster_by) > 1:
             from .sinks.maintenance import zorder_by
@@ -3071,7 +3245,9 @@ class LakeTable:
         adds = self._write_files(df, schema)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 
-    def verify_integrity(self, version: int | None = None) -> dict:
+    def verify_integrity(
+        self, version: int | None = None, io_threads: int = 0
+    ) -> dict:
         """FSCK for a snapshot: metadata-vs-disk consistency, all from
         parquet FOOTERS and sidecar reads — no data scan, O(files)
         driver work. Checks: every active data file and DV sidecar
@@ -3083,16 +3259,17 @@ class LakeTable:
         check an operator runs before trusting a restore/clone or after
         an interrupted writer.
 
-        Footer reads are PARALLELIZED (thread pool — pyarrow releases
-        the GIL during file I/O and footer decode), so a 100k-file
-        snapshot checks in seconds, not the minutes a serial driver
-        loop would take; results are re-assembled in entry order so
-        reports are deterministic. The orphan scan accumulates the
-        ever-referenced path set with ONE forward replay of the commit
-        log instead of a per-version snapshot (O(versions × files) on
-        long histories)."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        ``io_threads``: footer fetch parallelism. Default 0 = serial —
+        MEASURED faster on local/page-cached storage, where the
+        per-file cost is a ~180 µs GIL-bound Thrift parse and a thread
+        pool is pure dispatch overhead (alternating A/B at 5k files:
+        serial 0.8-1.0 s vs 32-thread pool 2.3-2.7 s — SCALE.md r8).
+        On OBJECT STORAGE, where each footer fetch is a multi-ms GET
+        the GIL releases for, pass e.g. ``io_threads=32`` to overlap
+        the latency. The orphan scan accumulates the ever-referenced
+        path set with ONE forward replay of the commit log instead of
+        a per-version snapshot (O(versions × files) on long
+        histories)."""
         import pyarrow.parquet as pq
 
         v, active, schema = self._snapshot(version)
@@ -3120,11 +3297,19 @@ class LakeTable:
             return rel, by_base
 
         dv_rels = sorted({a["dv"]["path"] for a in active if a.get("dv")})
-        with ThreadPoolExecutor(max_workers=min(32, max(4, len(active) or 1))) as ex:
+        if io_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=io_threads) as ex:
+                footer_by_path = {
+                    a["path"]: rows for a, rows in ex.map(_footer_rows, active)
+                }
+                dv_cache = dict(ex.map(_load_dv, dv_rels))
+        else:
             footer_by_path = {
-                a["path"]: rows for a, rows in ex.map(_footer_rows, active)
+                a["path"]: rows for a, rows in map(_footer_rows, active)
             }
-            dv_cache = dict(ex.map(_load_dv, dv_rels))
+            dv_cache = dict(map(_load_dv, dv_rels))
         for a in active:
             footer_rows = footer_by_path[a["path"]]
             if footer_rows is None:
@@ -3205,7 +3390,16 @@ class LakeTable:
         ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` parity) reports
         the would-be deletion count without touching a byte — the
         pre-flight an operator runs before an irreversible retention
-        pass. Returns count of (would-be) deleted files."""
+        pass. Returns count of (would-be) deleted files.
+
+        CHANGE-FEED RETENTION rides the same horizon: _cdf change
+        directories for versions OLDER than the horizon are dropped
+        (their row-level changes are no longer derivable anyway once
+        their era's files can go) — without this, a long-lived CDC
+        table accumulates one change dir per merge/delete/update
+        forever. ``changes()`` over a dropped version simply skips it,
+        exactly as documented: read the feed before vacuuming past
+        it."""
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
         keep: set[str] = set()
@@ -3240,6 +3434,18 @@ class LakeTable:
                 if rel not in keep_dv:
                     if not dry_run:
                         os.remove(os.path.join(self._dv_dir, fname))
+                    removed += 1
+        # change-feed retention: drop _cdf dirs older than the horizon
+        cdf_root = os.path.join(self.path, _CDF)
+        if os.path.isdir(cdf_root):
+            for d in os.listdir(cdf_root):
+                try:
+                    cv = int(d)
+                except ValueError:
+                    continue
+                if cv < horizon:
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(cdf_root, d))
                     removed += 1
         if dry_run:
             return removed

@@ -5,22 +5,23 @@ columns with typed metadata, processed via Arrow-batched
 The Spark-side plumbing (schemas, batch iteration, partition-parallel
 decode fan-out) is real and tested. Decode itself is REAL for the
 formats the standard library + numpy can parse — PPM (P6) images,
-8-bit truecolor PNG (stdlib zlib inflate + scanline-filter
-reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL JPEG (marker
-parse + Huffman entropy decode + dequant/iDCT + YCbCr→RGB,
-``_decode_jpeg``; grayscale and 4:4:4/4:2:2/4:2:0 color), and PCM WAV
-audio (``_decode_ppm``/``_decode_wav``, dispatched by payload magic).
-For MP4 and MP3 the container/frame-header METADATA is real —
-``_probe_mp4`` walks the ISO-BMFF box tree for width/height/
-frame-count/duration, ``_probe_mp3`` walks MPEG-1 Layer III frame
-headers for sample-rate/duration — while the codec payload decode
-itself stays STUBBED (no av libraries in this container): features
-fall back to deterministic byte histograms. A PNG/JPEG outside the
-supported subset (palette/16-bit/interlaced PNG;
-progressive/arithmetic/CMYK JPEG) or a corrupt MP4/MP3 structure
-rejects LOUDLY (never a silent fake) and is quarantined per row. Swap
-the decode stage for PIL/torchaudio/ffmpeg in a real deployment — the
-UDF signature and partitioning strategy do not change.
+PNG across the full non-interlaced spec matrix (grayscale 1-16 bit,
+palette-indexed, truecolor, alpha variants; stdlib zlib inflate +
+scanline-filter reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL
+JPEG (marker parse + Huffman entropy decode + dequant/iDCT +
+YCbCr→RGB, ``_decode_jpeg``; grayscale and 4:4:4/4:2:2/4:2:0 color),
+and PCM WAV audio (``_decode_ppm``/``_decode_wav``, dispatched by
+payload magic). For MP4 and MP3 the container/frame-header METADATA
+is real — ``_probe_mp4`` walks the ISO-BMFF box tree for width/
+height/frame-count/duration, ``_probe_mp3`` walks MPEG-1 Layer III
+frame headers for sample-rate/duration — while the codec payload
+decode itself stays STUBBED (no av libraries in this container):
+features fall back to deterministic byte histograms. A PNG/JPEG
+outside the supported subset (interlaced Adam7 PNG; progressive/
+arithmetic/CMYK JPEG) or a corrupt MP4/MP3 structure rejects LOUDLY
+(never a silent fake) and is quarantined per row. Swap the decode
+stage for PIL/torchaudio/ffmpeg in a real deployment — the UDF
+signature and partitioning strategy do not change.
 
 Scale notes: decode is CPU-heavy per row, so the pattern is
 ``repartition`` to core-count granularity BEFORE the mapInPandas stage
@@ -142,18 +143,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
     """REAL image decode for PNG, dependency-free (stdlib ``zlib``
-    inflate + per-scanline filter reconstruction). Subset: 8-bit
-    truecolor, color type 2 (RGB) or 6 (RGBA), non-interlaced — the
-    shape virtually every ML-pipeline PNG takes. Returns
+    inflate + per-scanline filter reconstruction). Subset: every
+    non-interlaced spec combination — grayscale (1/2/4/8/16-bit),
+    truecolor (8/16), PALETTE indexed (1/2/4/8-bit, PLTE lookup),
+    gray+alpha and RGBA (8/16) — the shapes scraped-corpus PNGs
+    actually take; tRNS transparency is accepted and ignored (features
+    ignore alpha throughout, matching ``_decode_ppm``). Returns
     (width, height, feature) with the same 8-float feature as
-    ``_decode_ppm`` (RGB channel means + 5-bucket luminance histogram;
-    alpha is ignored for both).
+    ``_decode_ppm`` (RGB channel means + 5-bucket luminance
+    histogram).
 
     Dispatch contract: returns ``None`` only when the payload is NOT a
     PNG (no magic — caller falls back to the stub). A real PNG outside
-    the subset (palette, 16-bit, grayscale, interlaced) or a corrupt
-    one raises loudly — silently handing a *decodable-looking* fake to
-    a curation pipeline would poison downstream features.
+    the subset (interlaced Adam7) or a corrupt one raises loudly —
+    silently handing a *decodable-looking* fake to a curation pipeline
+    would poison downstream features.
 
     Speed: the filter reconstruction is pure Python per scanline
     (Sub/Average/Paeth are sequential recurrences along the row); fine
@@ -169,6 +173,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
     pos = len(_PNG_MAGIC)
     width = height = None
     idat = bytearray()
+    plte: bytes | None = None
+    # spec-legal (color type → bit depths), PNG 1.2 table 11.1
+    _LEGAL = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
     try:
         while pos + 8 <= len(payload):
             (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
@@ -186,25 +194,34 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
                     # the spec requires nonzero dims; a 0x0 "image"
                     # would silently emit NaN features downstream
                     raise ValueError(f"png: invalid dimensions {width}x{height}")
-                if depth != 8 or color not in (2, 6):
-                    raise NotImplementedError(
-                        f"png: only 8-bit RGB/RGBA supported "
-                        f"(bit depth {depth}, color type {color})"
+                if color not in _LEGAL or depth not in _LEGAL[color]:
+                    raise ValueError(
+                        f"png: illegal bit depth {depth} for color type {color}"
                     )
                 if interlace != 0:
                     raise NotImplementedError("png: interlaced (Adam7) unsupported")
                 if comp != 0 or filt != 0:
                     raise ValueError("png: unknown compression/filter method")
+            elif ctype == b"PLTE":
+                if length % 3:
+                    raise ValueError("png: PLTE length not divisible by 3")
+                plte = bytes(data)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
                 break
+            # tRNS / ancillary chunks: accepted, ignored (alpha is
+            # ignored for features throughout)
     except struct.error:
         raise ValueError("png: malformed chunk structure") from None
     if width is None or not idat:
         raise ValueError("png: missing IHDR or IDAT")
-    bpp = 3 if color == 2 else 4
-    stride = width * bpp
+    if color == 3 and plte is None:
+        raise ValueError("png: palette image missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_px = channels * depth
+    stride = (width * bits_px + 7) // 8  # packed scanline bytes
+    bpp = max(1, bits_px // 8)  # filter distance, spec-defined
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -239,8 +256,35 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
             raise ValueError(f"png: unknown filter type {ftype} at row {y}")
         out[y] = rec
         prev = rec
-    px = out.reshape(height, width, bpp)[:, :, :3].reshape(-1, 3)
-    rgb = px.astype(np.float64) / 255.0
+    # unpacked (height, width, channels) INTEGER sample values
+    if depth == 16:
+        vals = (
+            out.reshape(height, stride)
+            .view(">u2")
+            .reshape(height, width, channels)
+            .astype(np.int64)
+        )
+    elif depth == 8:
+        vals = out.reshape(height, width, channels).astype(np.int64)
+    else:  # 1/2/4-bit gray or palette indices, MSB-first packed
+        bits = np.unpackbits(out, axis=1)[:, : width * depth].reshape(
+            height, width, depth
+        )
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits * weights).sum(axis=2)[..., None]
+    scale = float((1 << depth) - 1)
+    if color == 3:  # palette: raw indices, never scaled
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = vals[..., 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("png: palette index out of range")
+        rgb = pal[idx].reshape(-1, 3).astype(np.float64) / 255.0
+    elif color in (0, 4):  # gray / gray+alpha → replicate channel 0
+        rgb = np.repeat(
+            vals[..., :1].reshape(-1, 1).astype(np.float64) / scale, 3, axis=1
+        )
+    else:  # RGB / RGBA → drop alpha
+        rgb = vals[..., :3].reshape(-1, 3).astype(np.float64) / scale
     lum = rgb @ np.array([0.299, 0.587, 0.114])
     hist = np.histogram(lum, bins=5, range=(0.0, 1.0 + 1e-9))[0] / len(lum)
     feat = [round(float(v), 6) for v in rgb.mean(axis=0)] + [

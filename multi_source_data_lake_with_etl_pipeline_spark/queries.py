@@ -10655,3 +10655,349 @@ def lake_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# Lake partition columns (round 8 — Delta partitionColumns parity):
+# hive-layout create with a GENERATED partition column (writers supply
+# only the base column), static partition pruning from add-entry
+# metadata (the audit row proves the pruned read listed ONLY matching
+# partition directories), replaceWhere (out-of-region rows reject),
+# dynamic partition overwrite, and time travel across both. The
+# oracle reconstructs every stage relationally from orders.
+@register(
+    "lake_partition_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS bucket
+      FROM orders WHERE o_orderkey <= 1000
+    ), repl2 AS (
+      SELECT o_orderkey AS k, o_custkey AS c, 2 AS bucket
+      FROM orders WHERE o_orderkey BETWEEN 1001 AND 1200 AND o_orderkey % 4 = 2
+    ), repl3 AS (
+      SELECT o_orderkey AS k, o_custkey AS c, 3 AS bucket
+      FROM orders WHERE o_orderkey BETWEEN 1201 AND 1400 AND o_orderkey % 4 = 3
+    ), cur AS (
+      SELECT * FROM base WHERE bucket IN (0, 1)
+      UNION ALL SELECT * FROM repl2
+      UNION ALL SELECT * FROM repl3
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM cur GROUP BY bucket
+    UNION ALL
+    SELECT -1, (SELECT CAST(count(*) AS BIGINT) FROM base WHERE bucket = 1),
+           (SELECT CAST(sum(c) AS BIGINT) FROM base WHERE bucket = 1)
+    UNION ALL
+    SELECT -2, (SELECT CAST(count(*) AS BIGINT) FROM base),
+           CAST(1 AS BIGINT)
+    """,
+)
+def lake_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_part_")
+    t = LakeTable.create(
+        spark, root + "/t", o.filter("k <= 1000"),
+        partition_by=["bucket"],
+        generated_columns={"bucket": "CAST(k % 4 AS BIGINT)"},
+    )
+    v_pre = t.latest_version()
+    # static pruning: the bucket=1 read must list ONLY bucket=1 dirs
+    pruned = t.read_pruned("bucket", 1, 1)
+    pruned_only = int(
+        all("/bucket=1/" in f for f in pruned.inputFiles())
+        and bool(pruned.inputFiles())
+    )
+    p_n, p_sum = pruned.agg(
+        F.count(F.lit(1)), F.sum("c")
+    ).collect()[0]
+    # replaceWhere bucket=2; stray row (bucket 3) must reject whole
+    stray_rejected = 0
+    try:
+        t.replace_where(
+            o.filter("k BETWEEN 1201 AND 1203 AND k % 4 = 3"), "bucket = 2"
+        )
+    except ValueError:
+        stray_rejected = 1
+    t.replace_where(
+        o.filter("k BETWEEN 1001 AND 1200 AND k % 4 = 2"), "bucket = 2"
+    )
+    # dynamic partition overwrite: only bucket=3 replaced
+    t.overwrite_partitions(o.filter("k BETWEEN 1201 AND 1400 AND k % 4 = 3"))
+    out = (
+        t.read()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, int(p_n), int(p_sum))], "bucket long, n long, sum_c long"
+            )
+        )
+        .unionByName(
+            t.read(v_pre)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(-2).cast("long").alias("bucket"),
+                "n",
+                F.lit(pruned_only * stray_rejected).cast("long").alias("sum_c"),
+            )
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# General MERGE clauses (round 8 — Delta MERGE INTO parity): ordered
+# first-match-wins clauses in ONE atomic commit — matched-delete on a
+# flag, CONDITIONAL matched-update with src+tgt expressions,
+# conditional not-matched-insert with a value map, and
+# not-matched-by-source delete. The oracle reconstructs the final
+# table AND the per-action counts relationally.
+@register(
+    "lake_merge_clauses_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders WHERE o_orderkey <= 1000
+    ), cur AS (
+      SELECT k,
+             CASE WHEN k BETWEEN 501 AND 1000 AND k % 10 <> 0 AND k % 4 = 1
+                  THEN c + 7 ELSE c END AS c,
+             CASE WHEN k < 501 THEN 'kept_unmatched'
+                  WHEN k % 10 <> 0 AND k % 4 = 1 THEN 'updated'
+                  ELSE 'kept_matched' END AS stage
+      FROM base
+      WHERE NOT (k BETWEEN 501 AND 1000 AND k % 10 = 0) AND k >= 100
+      UNION ALL
+      SELECT o_orderkey, o_custkey + 7, 'inserted'
+      FROM orders
+      WHERE o_orderkey BETWEEN 1001 AND 1500 AND o_orderkey % 10 <> 0
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_c
+    FROM cur GROUP BY stage
+    UNION ALL
+    SELECT '_audit',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey BETWEEN 501 AND 1000 AND o_orderkey % 10 <> 0
+              AND o_orderkey % 4 = 1),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE (o_orderkey BETWEEN 501 AND 1000 AND o_orderkey % 10 = 0)
+               OR o_orderkey < 100)
+    """,
+)
+def lake_merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_mrg_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 1000"))
+    src = o.filter("k BETWEEN 501 AND 1500").select(
+        "k", (F.col("c") + 7).alias("nc"),
+        F.when(F.col("k") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    r = t.merge_into(src, ["k"], clauses=[
+        {"when": "matched", "action": "delete", "condition": "src.op = 'D'"},
+        {"when": "matched", "action": "update",
+         "set": {"c": "src.nc"}, "condition": "src.k % 4 = 1"},
+        {"when": "not_matched", "action": "insert",
+         "values": {"k": "src.k", "c": "src.nc"},
+         "condition": "src.op <> 'D'"},
+        {"when": "not_matched_by_source", "action": "delete",
+         "condition": "tgt.k < 100"},
+    ])
+    stage = (
+        F.when(F.col("k") < 501, "kept_unmatched")
+        .when(F.col("k") > 1000, "inserted")
+        .when((F.col("k") % 10 != 0) & (F.col("k") % 4 == 1), "updated")
+        .otherwise("kept_matched")
+    )
+    out = (
+        t.read()
+        .groupBy(stage.alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .unionByName(
+            spark.createDataFrame(
+                [("_audit", r["updated"], r["deleted"])],
+                "stage string, n long, sum_c long",
+            )
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Lake CDF as a STREAMING SOURCE (round 8): the change feed of a lake
+# table consumed through the Spark 4 Python streaming data source
+# (streaming/cdf_source — checkpoint-owned version cursor, one input
+# partition per change-carrying file), drained with availableNow into
+# a per-change-type rollup. Every image kind (insert, update pre/post,
+# delete) is value-checked against the relational reconstruction.
+@register(
+    "lake_cdf_stream_rollup",
+    """
+    WITH ins AS (
+      SELECT o_custkey AS c FROM orders WHERE o_orderkey <= 400
+      UNION ALL
+      SELECT o_custkey + 3 FROM orders WHERE o_orderkey BETWEEN 401 AND 450
+    ), pre AS (
+      SELECT o_custkey AS c FROM orders WHERE o_orderkey BETWEEN 101 AND 200
+    ), post AS (
+      SELECT o_custkey + 5 AS c FROM orders WHERE o_orderkey BETWEEN 101 AND 200
+    ), del AS (
+      SELECT o_custkey AS c FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c FROM ins
+    UNION ALL
+    SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT) FROM pre
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT) FROM post
+    UNION ALL
+    SELECT 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT) FROM del
+    """,
+)
+def lake_cdf_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .streaming.cdf_source import lake_cdf_stream
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_cdfs_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 400"))
+    t.update("k BETWEEN 101 AND 200", {"c": "c + 5"}, dv=True)
+    t.merge(
+        o.filter("k BETWEEN 401 AND 450").select("k", (F.col("c") + 3).alias("c")),
+        "k",
+    )
+    t.delete("k <= 50")
+    sink = f"lake_cdf_stream_{abs(hash((id(spark), sf_dir))) % 99999}"
+    ck = tempfile.mkdtemp(prefix="ck_cdfs_")
+    q = (
+        lake_cdf_stream(spark, t.path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = (
+        spark.table(sink)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
+# Partition-scoped maintenance + single-commit CDC (round 8):
+# OPTIMIZE ... WHERE compacts ONLY the fragmented partition (other
+# partitions' files byte-identical), apply_cdc(atomic=True) lands a
+# mixed upsert+tombstone batch as ONE merge_into commit (no visible
+# intermediate version between upserts and deletes), and the
+# partition-pruned merge path restricts the target read to the
+# source's partitions. The oracle reconstructs the final state and
+# the audit booleans relationally.
+@register(
+    "lake_partition_maintenance_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 3 AS b
+      FROM orders WHERE o_orderkey <= 600
+    ), frag AS (  -- the five fragment appends land in bucket 1
+      SELECT 10000 + g AS k, CAST(g AS BIGINT) AS c, 1 AS b
+      FROM (SELECT unnest(generate_series(0, 4)) AS g)
+    ), cur AS (   -- upserts: 100..200 minus the %50 tombstone keys
+      SELECT k, CASE WHEN k BETWEEN 100 AND 200 THEN c + 9 ELSE c END AS c, b
+      FROM base WHERE NOT (k % 50 = 0)
+      UNION ALL SELECT * FROM frag
+    )
+    SELECT CAST(b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM cur GROUP BY b
+    UNION ALL
+    SELECT -1, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_partition_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_maint_")
+    t = LakeTable.create(
+        spark, root + "/t",
+        o.filter("k <= 600").withColumn("b", (F.col("k") % 3).cast("long")),
+        partition_by=["b"],
+    )
+    # fragment bucket 1 with five 1-row appends
+    for g in range(5):
+        t.append(
+            spark.createDataFrame([(10000 + g, g, 1)], "k long, c long, b long")
+        )
+    other_before = {
+        a["path"] for a in t._snapshot()[1] if a["partition"]["b"] != 1
+    }
+    n1_before = sum(1 for a in t._snapshot()[1] if a["partition"]["b"] == 1)
+    t.compact(target_files=1, where="b = 1")
+    active = t._snapshot()[1]
+    compacted_ok = int(
+        sum(1 for a in active if a["partition"]["b"] == 1) < n1_before
+        and {a["path"] for a in active if a["partition"]["b"] != 1}
+        == other_before
+    )
+    # single-commit CDC: upserts + tombstones, one version
+    batch = (
+        o.filter("k BETWEEN 100 AND 200 AND k % 50 != 0")
+        .select("k", (F.col("c") + 9).alias("c"),
+                (F.col("k") % 3).cast("long").alias("b"),
+                F.lit("U").alias("op"))
+        .unionByName(
+            o.filter("k <= 600 AND k % 50 = 0")
+            .select("k", F.col("c"),
+                    (F.col("k") % 3).cast("long").alias("b"),
+                    F.lit("D").alias("op"))
+        )
+    )
+    v_pre = t.latest_version()
+    r = t.apply_cdc(batch, "k", atomic=True, dv=True)
+    atomic_ok = int(r["version"] == v_pre + 1)
+    out = (
+        t.read()
+        .groupBy(F.col("b").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, compacted_ok, atomic_ok)],
+                "bucket long, n long, sum_c long",
+            )
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

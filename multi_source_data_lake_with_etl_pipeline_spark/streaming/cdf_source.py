@@ -1,0 +1,281 @@
+"""Lake change-data-feed as a Structured Streaming SOURCE — the
+Delta-parity ``readStream.format("delta").option("readChangeFeed",
+"true")`` slot, built on Spark 4's Python Data Source API so
+lake → stream → lake pipelines close end-to-end (reference analog:
+the incremental extraction the DAG's high-watermark pattern implies,
+``airflow/dags/multi_source_ingestion_dag.py``; batch counterpart:
+``LakeTable.changes()`` + ``sources/incremental.py``).
+
+Design (scale-first):
+
+- The OFFSET is the lake commit version: ``{"v": N}`` — monotone,
+  replayable, and owned by the streaming CHECKPOINT, so exactly-once
+  across restarts is Structured Streaming's usual contract (offset
+  log + idempotent sink; ``lake.append_stream_batch`` downstream
+  makes the whole loop exactly-once). The commit log is immutable, so
+  ``partitions(start, end)`` is deterministic for any replayed range
+  — the readBetweenOffsets guarantee, for free.
+- One ``InputPartition`` per CHANGE-CARRYING FILE (add file, removed
+  file, or CDF change file), so a micro-batch over a burst of commits
+  scans in parallel across executors — the driver only reads the
+  commit JSONs; all parquet bytes are read executor-side via pyarrow.
+- Schema = the table's CURRENT logical columns + ``_change_type`` +
+  ``_commit_version`` (same contract as ``changes()``). Era files are
+  projected through the SAME column-lineage rule ``changes()`` uses:
+  each partition ships its {output column → era physical column} map
+  computed on the driver; a column with no surviving lineage reads
+  NULL, never another column's bytes. Partitioned tables ship the
+  file's hive partition values and fill them as constants.
+
+Limitations (documented, loud):
+
+- Generated columns in files that PREDATE the column's birth stream
+  as NULL (the batch ``changes()`` recomputes them at read; a
+  streaming executor has no SQL evaluator). Tables whose generated
+  columns were born at create are unaffected — values are
+  materialized in every file.
+- Vacuuming past a version that a checkpoint has not yet consumed
+  breaks the stream (same as Delta CDF + VACUUM) — retention must
+  outlive consumer lag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..lake import LakeTable, _CDF, _part_converter, _phys
+
+
+def _col_spec(era: StructType, lineage: dict[str, str], out_fields) -> list:
+    """[(era physical column or None)] aligned to the output fields."""
+    era_phys = {_phys(f) for f in era.fields}
+    out = []
+    for f in out_fields:
+        p = lineage.get(f.name)
+        out.append(p if p is not None and p in era_phys else None)
+    return out
+
+
+class _CdfPartition(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+class LakeCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, from_version: int, out_schema: StructType):
+        self.path = path
+        self.from_version = from_version
+        self.out_schema = out_schema
+
+    # ------------------------------------------------------- offsets
+    def initialOffset(self) -> dict:
+        return {"v": int(self.from_version)}
+
+    def latestOffset(self) -> dict:
+        log_dir = os.path.join(self.path, "_log")
+        vs = [
+            int(f[:-5])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and not f.startswith("_")
+        ]
+        return {"v": max(vs) if vs else int(self.from_version)}
+
+    # ---------------------------------------------------- partitions
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # LakeTable's log/metadata machinery is pure driver file I/O —
+        # no SparkSession needed (micro-batch planning threads may not
+        # carry an active session)
+        t = LakeTable(None, self.path)
+        lo, hi = int(start["v"]), int(end["v"])
+        _, _, current = t._snapshot(hi)
+        overwrites = [
+            w for w in t._versions() if t._read_commit(w)["op"] == "overwrite"
+        ]
+        out_fields = [f for f in self.out_schema.fields][:-2]  # minus meta
+        parts: list[InputPartition] = []
+
+        def file_parts(entries, typ, era, era_v, version):
+            lin = t._cdf_lineage(era, era_v, current, overwrites)
+            spec_cols = _col_spec(era, lin, out_fields)
+            # hive partition values ship as TYPED constants (dates/
+            # timestamps parse on the driver once per file, not per row)
+            conv = {_phys(f): _part_converter(f.dataType) for f in era.fields}
+            for a in entries:
+                dv = a.get("dv")
+                parts.append(
+                    _CdfPartition(
+                        {
+                            "kind": "file",
+                            "path": t._abs(a["path"]),
+                            "cols": spec_cols,
+                            "part_values": {
+                                # keyed by era physical name
+                                k: (None if v is None else conv.get(k, str)(v))
+                                for k, v in (a.get("partition") or {}).items()
+                            },
+                            "change": typ,
+                            "version": version,
+                            "dv_path": t._abs(dv["path"]) if dv else None,
+                            "dv_base": os.path.basename(a["path"]) if dv else None,
+                        }
+                    )
+                )
+
+        for v in range(lo + 1, hi + 1):
+            try:
+                c = t._read_commit(v)
+            except FileNotFoundError:
+                continue
+            op = c["op"]
+            era = StructType.fromJson(json.loads(c["schema"]))
+            if op in ("create", "append"):
+                file_parts(c["add"], "insert", era, v, v)
+            elif op == "overwrite":
+                _, prev_active, prev_schema = t._snapshot(v - 1)
+                prev_by_path = {a["path"]: a for a in prev_active}
+                removed = [
+                    prev_by_path.get(p, {"path": p}) for p in c["remove"]
+                ]
+                file_parts(removed, "delete", prev_schema, v - 1, v)
+                file_parts(c["add"], "insert", era, v, v)
+            elif op in ("merge", "delete", "update"):
+                cdf_dir = os.path.join(self.path, _CDF, f"{v:020d}")
+                if not os.path.isdir(cdf_dir):
+                    continue
+                lin = t._cdf_lineage(era, v, current, overwrites)
+                spec_cols = _col_spec(era, lin, out_fields)
+                for fname in sorted(os.listdir(cdf_dir)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    parts.append(
+                        _CdfPartition(
+                            {
+                                "kind": "cdf",
+                                "path": os.path.join(cdf_dir, fname),
+                                "cols": spec_cols,
+                                "part_values": {},
+                                "version": v,
+                            }
+                        )
+                    )
+            # compact: physical rearrangement — no logical change
+        return parts
+
+    # ----------------------------------------------------- executor
+    def read(self, partition: _CdfPartition):
+        """Executor-side: pyarrow scan of ONE parquet file, era→current
+        projection, DV anti-filter for overwrite-removed files, hive
+        partition constants — yields tuples in output-schema order."""
+        import pyarrow.parquet as pq
+
+        spec = partition.spec
+        pf = pq.ParquetFile(spec["path"])
+        names = set(pf.schema_arrow.names)
+        n = pf.metadata.num_rows
+        want = [c for c in spec["cols"] if c is not None and c in names]
+        if spec["kind"] == "cdf":
+            want = want + ["_change_type"]
+        table = (
+            pq.read_table(spec["path"], columns=sorted(set(want)))
+            if want
+            else None
+        )
+        keep = None
+        if spec.get("dv_path"):
+            dv = pq.read_table(
+                spec["dv_path"], columns=["_dv_base", "_dv_pos"]
+            )
+            dead = {
+                int(p)
+                for b, p in zip(
+                    dv.column("_dv_base").to_pylist(),
+                    dv.column("_dv_pos").to_pylist(),
+                )
+                if b == spec["dv_base"]
+            }
+            keep = [i for i in range(n) if i not in dead]
+        cols_out = []
+        for c in spec["cols"]:
+            if c is not None and c in names:
+                vals = table.column(c).to_pylist()
+            elif c is not None and c in spec["part_values"]:
+                vals = [spec["part_values"][c]] * n
+            elif c is None:
+                vals = [None] * n
+            else:
+                # partition column absent from the file bytes
+                vals = [spec["part_values"].get(c)] * n
+            cols_out.append(vals)
+        if spec["kind"] == "cdf":
+            change = table.column("_change_type").to_pylist()
+        else:
+            change = [spec["change"]] * n
+        version = spec["version"]
+        rows = range(n) if keep is None else keep
+        for i in rows:
+            yield tuple(col[i] for col in cols_out) + (change[i], version)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint owns the cursor; the log is immutable
+
+
+class LakeCdfDataSource(DataSource):
+    """``spark.readStream.format("lakecdf")`` — options: ``path`` (the
+    lake table), ``from_version`` (exclusive lower bound; default -1 =
+    stream from the create commit)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakecdf"
+
+    def _table_schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lakecdf requires a 'path' option")
+        _, _, schema = LakeTable(None, path)._snapshot()
+        return schema
+
+    def schema(self) -> str:
+        schema = self._table_schema()
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return f"{cols}, `_change_type` string, `_commit_version` long"
+
+    def streamReader(self, schema: StructType) -> LakeCdfStreamReader:
+        return LakeCdfStreamReader(
+            self.options["path"],
+            int(self.options.get("from_version", -1)),
+            schema,
+        )
+
+
+def register_lakecdf_datasource(spark: SparkSession) -> None:
+    """Idempotent registration of the ``lakecdf`` streaming format."""
+    spark.dataSource.register(LakeCdfDataSource)
+
+
+def lake_cdf_stream(
+    spark: SparkSession, path: str, from_version: int = -1
+) -> DataFrame:
+    """The lake table's change feed as an unbounded streaming
+    DataFrame: every commit past ``from_version`` (exclusive) arrives
+    as rows tagged ``_change_type`` / ``_commit_version``; the
+    checkpoint owns the version cursor, so ``availableNow`` drains +
+    restarts consume each commit exactly once."""
+    register_lakecdf_datasource(spark)
+    return (
+        spark.readStream.format("lakecdf")
+        .option("path", path)
+        .option("from_version", str(from_version))
+        .load()
+    )

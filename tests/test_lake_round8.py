@@ -1,0 +1,207 @@
+"""Round-8 lake scale features: partition-pruned MERGE, partition-
+scoped OPTIMIZE (compact where=), and change-feed retention in
+vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+
+def _mk_part(spark, path, rows=40, buckets=4):
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % buckets).cast("long").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    return LakeTable.create(
+        spark, str(path), df.repartition(2), partition_by=["p"]
+    )
+
+
+class TestPartitionPrunedMerge:
+    def test_merge_into_prunes_target_read_to_source_partitions(
+        self, spark, tmp_path
+    ):
+        """ON covering the partition column + no not-matched-by-source
+        clause → only files in the SOURCE's partitions are read or
+        touched; the rest of the table is untouched metadata (the
+        files_partition_pruned metric records it)."""
+        t = _mk_part(spark, tmp_path / "t")
+        before = {
+            a["path"]
+            for a in t._snapshot()[1]
+            if a["partition"]["p"] != 1
+        }
+        src = spark.createDataFrame(
+            [(5, 1, -5), (900, 1, -9)], "k long, p long, v long"
+        )
+        r = t.merge_into(src, ["k", "p"], clauses=[
+            {"when": "matched", "action": "update", "set": "all"},
+            {"when": "not_matched", "action": "insert", "values": "all"},
+        ])
+        assert r["updated"] == 1 and r["inserted"] == 1
+        # other partitions' files byte-identical (same entries active)
+        after = {
+            a["path"]
+            for a in t._snapshot()[1]
+            if a["partition"]["p"] != 1
+        }
+        assert after == before
+        m = t.history()[0]["metrics"]
+        assert m["files_partition_pruned"] > 0
+        got = {row["k"]: row["v"] for row in t.read().collect()}
+        assert got[5] == -5 and got[900] == -9 and got[6] == 60
+
+    def test_no_pruning_with_nbs_or_condition_on(self, spark, tmp_path):
+        """A not-matched-by-source clause (full-table semantics) or a
+        string ON condition must NOT prune — correctness first."""
+        t = _mk_part(spark, tmp_path / "t", rows=12)
+        src = spark.createDataFrame([(0, 0, 0)], "k long, p long, v long")
+        r = t.merge_into(src, ["k", "p"], clauses=[
+            {"when": "matched", "action": "update", "set": "all"},
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "tgt.k >= 10"},
+        ])
+        assert r["deleted"] == 2  # k=10, 11 — in OTHER partitions
+        assert t.history()[0]["metrics"]["files_partition_pruned"] == 0
+        r2 = t.merge_into(src, "src.k = tgt.k AND src.p = tgt.p", clauses=[
+            {"when": "matched", "action": "update", "set": "all"},
+        ])
+        assert t.history()[0]["metrics"]["files_partition_pruned"] == 0
+
+    def test_pruned_merge_matches_unpruned_result(self, spark, tmp_path):
+        """Parity: the same merge on two identical tables — one keyed
+        to engage pruning (ON includes p), one not (ON = k only) —
+        converges to the same table when the source is consistent."""
+        ta = _mk_part(spark, tmp_path / "a")
+        tb = _mk_part(spark, tmp_path / "b")
+        src = spark.createDataFrame(
+            [(7, 3, -7), (901, 2, -1)], "k long, p long, v long"
+        )
+        clauses = [
+            {"when": "matched", "action": "update", "set": "all"},
+            {"when": "not_matched", "action": "insert", "values": "all"},
+        ]
+        ra = ta.merge_into(src, ["k", "p"], clauses)   # pruned
+        rb = tb.merge_into(src, ["k"], clauses)        # unpruned
+        assert ra["updated"] == rb["updated"] == 1
+        assert sorted(map(tuple, ta.read().collect())) == sorted(
+            map(tuple, tb.read().collect())
+        )
+        assert ta.history()[0]["metrics"]["files_partition_pruned"] > 0
+        assert tb.history()[0]["metrics"]["files_partition_pruned"] == 0
+
+
+class TestCompactWhere:
+    def test_partition_scoped_compaction(self, spark, tmp_path):
+        t = _mk_part(spark, tmp_path / "t")
+        for i in range(4):  # fragment partition p=1
+            t.append(
+                spark.createDataFrame(
+                    [(100 + i, 1, 1)], "k long, p long, v long"
+                )
+            )
+        other_before = {
+            a["path"] for a in t._snapshot()[1] if a["partition"]["p"] != 1
+        }
+        n1_before = sum(
+            1 for a in t._snapshot()[1] if a["partition"]["p"] == 1
+        )
+        t.compact(target_files=1, where="p = 1")
+        active = t._snapshot()[1]
+        n1_after = sum(1 for a in active if a["partition"]["p"] == 1)
+        assert n1_after < n1_before
+        # other partitions untouched
+        assert {
+            a["path"] for a in active if a["partition"]["p"] != 1
+        } == other_before
+        assert t.read().count() == 44
+        m = t.history()[0]["metrics"]
+        assert m["files_compacted"] == n1_before and m["predicate"] == "p = 1"
+        # unpartitioned tables reject where=
+        u = LakeTable.create(
+            spark, str(tmp_path / "u"),
+            spark.createDataFrame([(1, 2)], "k long, v long"),
+        )
+        with pytest.raises(ValueError, match="partitioned"):
+            u.compact(where="k = 1")
+        # no matching partitions: no-op at the current version
+        v0 = t.latest_version()
+        assert t.compact(where="p = 99") == v0
+
+
+class TestCdfRetention:
+    def test_vacuum_drops_change_dirs_past_horizon(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+        t.merge(spark.createDataFrame([(1, 11)], "k long, v long"), "k")  # v1
+        t.merge(spark.createDataFrame([(2, 22)], "k long, v long"), "k")  # v2
+        t.delete("k = 1")                                                  # v3
+        cdf_root = os.path.join(t.path, "_cdf")
+        assert len(os.listdir(cdf_root)) == 3
+        # dry run counts them, touches nothing
+        would = t.vacuum(keep_versions=1, dry_run=True)
+        assert len(os.listdir(cdf_root)) == 3
+        removed = t.vacuum(keep_versions=1)  # horizon = v2
+        assert removed == would and removed > 0
+        kept = sorted(int(d) for d in os.listdir(cdf_root))
+        assert kept == [2, 3]  # v1's change dir dropped
+        # feed over the retained range still renders; dropped version
+        # contributes nothing (documented contract)
+        ch = t.changes(1)
+        assert ch.filter("_commit_version = 2").count() == 2
+        assert t.changes(0).filter("_commit_version = 1").count() == 0
+
+
+def test_nbs_update_all_rejected(spark, tmp_path):
+    """whenNotMatchedBySourceUpdate has no 'all' form (no source row
+    exists) — an implicit src.* read would write NULLs; refuse."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+    )
+    with pytest.raises(ValueError, match="explicit 'set'"):
+        t.merge_into(
+            spark.createDataFrame([(2,)], "k long"), ["k"],
+            clauses=[{"when": "not_matched_by_source", "action": "update"}],
+        )
+
+
+class TestAtomicCdc:
+    def test_atomic_matches_two_commit_path_in_one_version(self, spark, tmp_path):
+        """apply_cdc(atomic=True) = ONE merge_into commit for the
+        whole batch — bit-identical table vs the two-commit path, but
+        no intermediate version where upserts are visible without the
+        tombstones."""
+        base = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+        )
+        ta = LakeTable.create(spark, str(tmp_path / "a"), base)
+        tb = LakeTable.create(spark, str(tmp_path / "b"), base)
+        batch = spark.createDataFrame(
+            [(2, 22, "U"), (3, 0, "D"), (9, 90, "I"), (99, 0, "D")],
+            "k long, v long, op string",
+        )
+        va = ta.latest_version()
+        ra = ta.apply_cdc(batch, "k", atomic=True, dv=True)
+        rb = tb.apply_cdc(batch, "k", dv=True)
+        assert ra["version"] == va + 1           # single commit
+        assert tb.latest_version() == 2          # merge + delete
+        assert ra["upserted"] == rb["upserted"] == 2
+        assert ra["deleted"] == rb["deleted"] == 1  # k=99 absent: no-op
+        assert sorted(map(tuple, ta.read().collect())) == sorted(
+            map(tuple, tb.read().collect())
+        ) == [(1, 10), (2, 22), (4, 40), (9, 90)]
+        # replay safety with order_col: the latest change per key wins
+        seq = spark.createDataFrame(
+            [(2, 1, "D", 1), (2, 222, "U", 2)], "k long, v long, op string, seq long"
+        )
+        ta.apply_cdc(seq, "k", order_col="seq", atomic=True)
+        assert {r["k"]: r["v"] for r in ta.read().collect()}[2] == 222

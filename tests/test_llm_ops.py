@@ -554,19 +554,107 @@ def test_multimodal_real_png_decode(spark):
         )
 
     magic = b"\x89PNG\r\n\x1a\n"
+    # palette without PLTE / truncated bodies: loud ValueError
     palette = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
-    with pytest.raises(NotImplementedError, match="color type 3"):
-        _decode_png(palette)
-    sixteen = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        _decode_png(sixteen)
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(palette + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
     interlaced = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
     with pytest.raises(NotImplementedError, match="Adam7"):
         _decode_png(interlaced)
+    # spec-ILLEGAL depth/color combination rejects
+    bad = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        _decode_png(bad)
     with pytest.raises(ValueError):
         _decode_png(make_png(rgb)[:-20])  # truncated
     # non-PNG magic → None (stub fallback stays for non-PNG payloads)
     assert _decode_png(b"P6 not a png") is None
+
+
+def test_png_palette_gray_16bit_matrix():
+    """Round-8 PNG coverage (VERDICT item 6): palette-indexed (8-bit
+    and 2-bit, with tRNS present-and-ignored), grayscale 8/16/1-bit,
+    gray+alpha, and 16-bit truecolor all decode EXACTLY — channel
+    means match an independent numpy reconstruction — through the
+    same loud-reject dispatch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        _decode_png,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def png(w, h, depth, color, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + s for s in scanlines)  # filter 0 rows
+        return (
+            magic + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # --- palette 8-bit, 3 entries, tRNS present (ignored)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2, 0], [2, 2, 1, 0]], dtype=np.uint8)
+    p8 = png(
+        4, 2, 8, 3, [idx[0].tobytes(), idx[1].tobytes()],
+        extra=chunk(b"PLTE", pal) + chunk(b"tRNS", b"\x80"),
+    )
+    w, h, feat = _decode_png(p8)
+    colors = np.frombuffer(pal, np.uint8).reshape(3, 3)[idx.ravel()] / 255.0
+    exp = [round(float(v), 6) for v in colors.mean(axis=0)]
+    assert (w, h) == (4, 2) and feat[:3] == exp
+    # out-of-range palette index: loud
+    bad_idx = png(2, 1, 8, 3, [bytes([0, 9])], extra=chunk(b"PLTE", pal))
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(bad_idx)
+
+    # --- palette 2-bit packed (MSB-first): indices 0,1,2,1 in one byte
+    packed = bytes([0b00_01_10_01])
+    p2 = png(4, 1, 2, 3, [packed], extra=chunk(b"PLTE", pal))
+    w, h, feat = _decode_png(p2)
+    colors = np.frombuffer(pal, np.uint8).reshape(3, 3)[[0, 1, 2, 1]] / 255.0
+    assert (w, h) == (4, 1)
+    assert feat[:3] == [round(float(v), 6) for v in colors.mean(axis=0)]
+
+    # --- grayscale 8-bit
+    g = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    w, h, feat = _decode_png(png(2, 2, 8, 0, [g[0].tobytes(), g[1].tobytes()]))
+    gm = round(float(g.mean() / 255.0), 6)
+    assert (w, h) == (2, 2) and feat[:3] == [gm, gm, gm]
+
+    # --- grayscale 16-bit big-endian
+    g16 = np.array([[0, 65535], [32768, 16384]], dtype=">u2")
+    w, h, feat = _decode_png(
+        png(2, 2, 16, 0, [g16[0].tobytes(), g16[1].tobytes()])
+    )
+    gm = round(float(g16.astype(np.float64).mean() / 65535.0), 6)
+    assert (w, h) == (2, 2) and feat[:3] == [gm, gm, gm]
+
+    # --- grayscale 1-bit packed: 1,0,1,1 -> 0b1011xxxx
+    w, h, feat = _decode_png(png(4, 1, 1, 0, [bytes([0b1011_0000])]))
+    gm = round(3 / 4, 6)
+    assert (w, h) == (4, 1) and feat[:3] == [gm, gm, gm]
+
+    # --- gray+alpha 8-bit: alpha ignored
+    ga = bytes([10, 0, 200, 255])  # two pixels (g, a)
+    w, h, feat = _decode_png(png(2, 1, 8, 4, [ga]))
+    gm = round((10 + 200) / 2 / 255.0, 6)
+    assert (w, h) == (2, 1) and feat[:3] == [gm, gm, gm]
+
+    # --- truecolor 16-bit
+    row = np.array([65535, 0, 0, 0, 65535, 0], dtype=">u2").tobytes()
+    w, h, feat = _decode_png(png(2, 1, 16, 2, [row]))
+    assert (w, h) == (2, 1) and feat[:3] == [0.5, 0.5, 0.0]
 
 
 def test_winnow_index_build_and_incremental_probe(spark):
@@ -633,14 +721,14 @@ def test_decode_error_quarantined_per_row(spark):
 
     good = make_png(np.full((2, 3, 3), 17, dtype=np.uint8))
     corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16  # magic + garbage
-    gray16 = bytearray(make_png(np.full((2, 2, 3), 5, dtype=np.uint8)))
-    # IHDR bit depth byte (offset 24) 8 -> 16: real PNG header shape,
-    # outside the 8-bit subset -> NotImplementedError inside the decoder
-    gray16[24] = 16
+    adam7 = bytearray(make_png(np.full((2, 2, 3), 5, dtype=np.uint8)))
+    # IHDR interlace byte (offset 28) 0 -> 1: real PNG header shape,
+    # outside the subset (Adam7) -> NotImplementedError in the decoder
+    adam7[28] = 1
     rows = [
         (1, "image", "image/png", good, {}),
         (2, "image", "image/png", corrupt, {}),
-        (3, "image", "image/png", bytes(gray16), {}),
+        (3, "image", "image/png", bytes(adam7), {}),
     ]
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
@@ -650,7 +738,7 @@ def test_decode_error_quarantined_per_row(spark):
     assert feats[2]["decode_error"] and feats[2]["width"] is None
     assert feats[2]["feature"] is None
     assert "NotImplementedError" in feats[3]["decode_error"]
-    assert feats[3]["n_bytes"] == len(gray16)  # length still recorded
+    assert feats[3]["n_bytes"] == len(adam7)  # length still recorded
 
 
 def test_multimodal_real_jpeg_decode(spark):

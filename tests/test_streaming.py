@@ -413,3 +413,130 @@ def test_sensorfeed_offset_continuation_exactly_once(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 120
+
+
+# ===================================================================
+# Lake CDF as a streaming SOURCE (round 8): checkpoint-owned version
+# cursor, one InputPartition per change-carrying file, exactly-once
+# across availableNow restarts, full changes() parity.
+class TestLakeCdfStreamSource:
+    def _drain(self, spark, path, out, ckpt, from_version=-1):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_cdf_stream,
+        )
+
+        q = (
+            lake_cdf_stream(spark, path, from_version)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_exactly_once_restarts_match_batch_changes(self, spark, tmp_path):
+        """Two drains sharing a checkpoint consume each commit exactly
+        once; the union equals batch changes(-1) row-for-row (insert /
+        update pre+post / delete, DV-aware), and an idle third drain
+        adds nothing."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"),
+        )
+        t.merge(spark.createDataFrame([(2, 99), (7, 70)], "k long, v long"), "k")
+        t.delete("k = 1")
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck)
+        assert spark.read.parquet(out).count() == 7
+        t.append(spark.createDataFrame([(8, 80)], "k long, v long"))
+        t.update("k = 3", {"v": "333"}, dv=True)
+        self._drain(spark, t.path, out, ck)
+        got = sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in t.changes(-1).collect()
+        )
+        assert got == want
+        self._drain(spark, t.path, out, ck)  # exhausted: no-op
+        assert spark.read.parquet(out).count() == len(want)
+
+    def test_partitioned_renamed_table_streams_current_names(
+        self, spark, tmp_path
+    ):
+        """Composition: a PARTITIONED table renamed mid-history streams
+        its feed under the CURRENT logical names with partition values
+        filled from the hive directories (typed constants)."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame(
+                [(1, 0, 10), (2, 1, 20)], "k long, p long, v long"
+            ),
+            partition_by=["p"],
+        )
+        t.rename_column("v", "val")
+        t.append(spark.createDataFrame([(3, 0, 30)], "k long, p long, val long"))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck)
+        got = sorted(
+            (r["k"], r["p"], r["val"], r["_change_type"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            (1, 0, 10, "insert"), (2, 1, 20, "insert"), (3, 0, 30, "insert")
+        ]
+
+    def test_lake_to_stream_to_lake_loop(self, spark, tmp_path):
+        """The closed loop: table A's change feed streams into table B
+        through foreachBatch + append_stream_batch — exactly-once on
+        BOTH sides (source cursor in the checkpoint, sink txn markers
+        in B's log), across a restart."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_cdf_stream,
+        )
+
+        a = LakeTable.create(
+            spark, str(tmp_path / "a"),
+            spark.createDataFrame([(1, 5), (2, 6)], "k long, v long"),
+        )
+        b = LakeTable.create(
+            spark, str(tmp_path / "b"),
+            spark.createDataFrame([], "k long, v long, _change_type string"),
+        )
+        ck = str(tmp_path / "ck")
+
+        def sink(batch, batch_id):
+            LakeTable.load(batch.sparkSession, str(tmp_path / "b")).append_stream_batch(
+                batch.select("k", "v", "_change_type"), "cdf_loop", batch_id
+            )
+
+        def drain():
+            q = (
+                lake_cdf_stream(spark, a.path)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        a.merge(spark.createDataFrame([(2, 60), (3, 7)], "k long, v long"), "k")
+        drain()
+        drain()  # replay safety: nothing doubles
+        got = sorted(
+            (r["k"], r["v"], r["_change_type"]) for r in b.read().collect()
+        )
+        assert got == [
+            (1, 5, "insert"), (2, 6, "insert"),
+            (2, 6, "update_preimage"), (2, 60, "update_postimage"),
+            (3, 7, "insert"),
+        ]
