@@ -72,8 +72,32 @@ def _check_reserved(schema: StructType) -> None:
         )
 _CHECKPOINT_EVERY = 10
 # Footer stats only for types whose min/max compare unambiguously
-# across engines (skip strings: parquet truncates binary stats).
+# across engines. Strings are handled separately with SAFE prefix
+# bounds (see _str_upper_bound): parquet may truncate binary stats,
+# so the stored max is treated as a possibly-truncated PREFIX of the
+# true max and widened to an upper bound no real value can exceed.
 _STAT_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double", "date")
+_STR_STAT_PREFIX = 64  # chars kept of string min/max prefixes
+
+
+def _str_upper_bound(prefix: str) -> str | None:
+    """Smallest-effort string STRICTLY GREATER than every string that
+    starts with ``prefix`` (Delta's truncated-stats widening): bump the
+    last incrementable character and drop the tail. None when no safe
+    bound exists (empty prefix, or all chars at the codepoint max) —
+    the caller then records no upper bound and the file is always
+    kept. Lower bounds need no widening: a truncated min prefix sorts
+    <= the true min already."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        # skip the surrogate gap: chr() of D800-DFFF is unorderable
+        # garbage in parquet/UTF-8 terms
+        nxt = c + 1
+        if nxt == 0xD800:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return prefix[:i] + chr(nxt)
+    return None
 
 
 # Table protocol (Delta reader-features parity): every commit stamps
@@ -147,7 +171,29 @@ def _file_stats(abs_path: str) -> tuple[int, dict[str, list], dict[str, int]]:
                 # pyarrow can't decode stats for every logical type —
                 # skip the column; skipping is only an optimization.
                 continue
-            if isinstance(mn, bytes):  # binary/string stats: unreliable
+            if isinstance(mn, bytes):
+                # string/binary stats may be TRUNCATED by the writer:
+                # treat both as prefixes and widen safely — the min
+                # prefix already sorts <= the true min; the max prefix
+                # is bumped past every string it could prefix. Decode
+                # errors="ignore" drops a torn trailing codepoint,
+                # which only SHORTENS the prefix (still safe both
+                # ways). Non-UTF8 binary columns skip (bound games on
+                # raw bytes aren't worth it).
+                if not isinstance(mx, bytes):
+                    continue
+                try:
+                    mn_s = mn.decode("utf-8", errors="ignore")[:_STR_STAT_PREFIX]
+                    mx_p = mx.decode("utf-8", errors="ignore")[:_STR_STAT_PREFIX]
+                except Exception:
+                    continue
+                mx_s = _str_upper_bound(mx_p)
+                if mx_s is None:
+                    continue
+                if name not in mins or mn_s < mins[name]:
+                    mins[name] = mn_s
+                if name not in maxs or mx_s > maxs[name]:
+                    maxs[name] = mx_s
                 continue
             if type(mn).__name__ == "Decimal":
                 # decimal stats: not JSON-round-trippable without
@@ -1433,13 +1479,22 @@ class LakeTable:
         whose footer [min,max] for ``col`` intersects [lo, hi]. Files
         without stats for the column are conservatively kept. ``col``
         is the LOGICAL name; stats are keyed by the stable physical
-        name, so skipping keeps working across renames."""
+        name, so skipping keeps working across renames. STRING columns
+        skip too (round 8): their stored bounds are safe prefix
+        widenings of possibly-truncated parquet stats, so equality and
+        range probes on e.g. an id or status column prune files like
+        numerics do. A type-mismatched probe (int range against a
+        string column) keeps everything rather than raising."""
         _, active, schema = self._snapshot()
         col = next((_phys(f) for f in schema.fields if f.name == col), col)
         out = []
         for a in active:
             st = a.get("stats", {}).get(col)
-            if st is None or not (st[1] < lo or st[0] > hi):
+            try:
+                skip = st is not None and (st[1] < lo or st[0] > hi)
+            except TypeError:
+                skip = False  # mixed-type compare: conservative keep
+            if not skip:
                 out.append(a["path"])
         return out
 
@@ -1503,6 +1558,169 @@ class LakeTable:
         )
         cond = F.col(col).isNull() if want_null else F.col(col).isNotNull()
         return out.filter(cond)
+
+    # ------------------------------------------------- bloom value index
+    _BLOOM_K = 7  # fixed hash count; with m = 10n bits → fpp ≈ 0.8%
+
+    def build_value_index(self, col: str, bits_per_row: int = 10) -> int:
+        """Build (or refresh) a BLOOM point-lookup index for ``col``
+        (Delta/Iceberg bloom-filter parity, maintained ASYNC like
+        Iceberg metadata: a maintenance op, not a write-path tax).
+        One bloom per ACTIVE data file — built distributed (values are
+        hashed JVM-side with xxhash64 double-hashing; an
+        applyInPandas stage ORs the bit array per file), stored as a
+        parquet index (base, m, k, words array<long>) under bloom/,
+        and registered in table props (versioned, travels with clone
+        and time travel). Re-running CARRIES FORWARD blooms of
+        still-active files and computes only the missing ones —
+        O(new files' bytes) per maintenance cycle.
+
+        Strings get exact membership where min/max prefixes can't
+        discriminate (uuid-ish ids whose range spans every file);
+        ``read_where_eq`` consults the index with a pure-SQL bit
+        probe, so only matching file NAMES ever reach the driver."""
+        import pandas as pd
+
+        v, active, schema = self._snapshot()
+        phys = next((_phys(f) for f in schema.fields if f.name == col), None)
+        if phys is None:
+            raise ValueError(f"no such column: {col!r}")
+        props = self.props(v)
+        prev_rel = props.get(f"bloom.{phys}")
+        have: dict[str, object] = {}
+        if prev_rel and os.path.isdir(self._abs(prev_rel)):
+            prev = self.spark.read.parquet(self._abs(prev_rel))
+            bases = {os.path.basename(a["path"]) for a in active}
+            prev = prev.filter(F.col("base").isin(sorted(bases)))
+            have = {r["base"]: True for r in prev.select("base").collect()}
+        todo = [
+            a
+            for a in active
+            if os.path.basename(a["path"]) not in have
+        ]
+        k = self._BLOOM_K
+
+        def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            n = max(len(pdf), 1)
+            m = ((n * bits_per_row + 63) // 64) * 64
+            words = np.zeros(m // 64, dtype=np.uint64)
+            for i in range(k):
+                # int64 % positive follows the divisor's sign in both
+                # numpy and SQL pmod — build and probe agree exactly
+                pos = pdf[f"h{i}"].to_numpy(np.int64) % np.int64(m)
+                np.bitwise_or.at(
+                    words, pos >> 6,
+                    np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
+                )
+            return pd.DataFrame(
+                {
+                    "base": [pdf["base"].iloc[0]],
+                    "m": [int(m)],
+                    "k": [int(k)],
+                    "words": [words.astype(np.int64).tolist()],
+                }
+            )
+
+        parts = []
+        if todo:
+            cur = self._read_entries(todo, schema, keep_meta=True)
+            # k INDEPENDENT seeded hashes (xxhash64 chains the literal
+            # into the seed) — no double-hash arithmetic, so there is
+            # no overflow/wrap semantics to keep in sync across the
+            # JVM, numpy, and ANSI SQL
+            hf = cur.filter(F.col(col).isNotNull()).select(
+                F.col("_dv_base").alias("base"),
+                *[
+                    F.xxhash64(F.col(col), F.lit(i)).alias(f"h{i}")
+                    for i in range(k)
+                ],
+            )
+            parts.append(
+                hf.groupBy("base").applyInPandas(
+                    _build, "base string, m long, k long, words array<long>"
+                )
+            )
+        if have:
+            parts.append(prev)
+        rel = f"bloom/{uuid.uuid4().hex}"
+        out_dir = self._abs(rel)
+        if parts:
+            idx = parts[0]
+            for p_ in parts[1:]:
+                idx = idx.unionByName(p_)
+            idx.write.mode("overwrite").parquet(out_dir)
+        else:  # empty table: empty index frame
+            self.spark.createDataFrame(
+                [], "base string, m long, k long, words array<long>"
+            ).write.mode("overwrite").parquet(out_dir)
+        props[f"bloom.{phys}"] = rel
+        return self._commit(
+            v + 1, "setprops", [], [], schema, props=props,
+            metrics={"bloom_column": col, "files_indexed": len(todo),
+                     "files_carried": len(have)},
+        )
+
+    def read_where_eq(self, col: str, value) -> DataFrame:
+        """Point lookup ``col = value`` through every skipping layer:
+        range/partition stats first, then the bloom index when one
+        exists — the probe is pure SQL over the index parquet (k bit
+        tests on the words array), so the driver only ever receives
+        the MATCHING file basenames. Residual filter keeps results
+        exact; files without a bloom row (added since the last
+        maintenance build) are conservatively kept."""
+        v, active, schema = self._snapshot()
+        field = next((f for f in schema.fields if f.name == col), None)
+        phys = _phys(field) if field is not None else col
+        # the probe literal hashes as the COLUMN's type — a python int
+        # probing a long column must hash identically to stored values
+        lit = (
+            F.lit(value).cast(field.dataType) if field is not None else F.lit(value)
+        )
+        # layer 1: range/partition/null stats
+        paths = set(self.files_overlapping(col, value, value))
+        entries = [a for a in active if a["path"] in paths]
+        rel = self.props(v).get(f"bloom.{phys}")
+        if rel and os.path.isdir(self._abs(rel)) and entries:
+            h = (
+                self.spark.range(1)
+                .select(
+                    *[
+                        F.xxhash64(lit, F.lit(i)).alias(f"h{i}")
+                        for i in range(self._BLOOM_K)
+                    ]
+                )
+                .first()
+            )
+            idx = self.spark.read.parquet(self._abs(rel))
+            cond = F.lit(True)
+            for i in range(self._BLOOM_K):
+                pos = f"pmod({int(h[f'h{i}'])}L, m)"
+                cond = cond & (
+                    F.expr(
+                        f"(shiftrightunsigned(element_at(words, "
+                        f"CAST({pos} DIV 64 AS INT) + 1), "
+                        f"CAST({pos} % 64 AS INT)) & 1) = 1"
+                    )
+                )
+            hit_bases = {
+                r["base"]
+                for r in idx.filter(
+                    (F.col("k") == self._BLOOM_K) & cond
+                ).select("base").collect()
+            }
+            indexed = {
+                r["base"] for r in idx.select("base").collect()
+            }
+            entries = [
+                a
+                for a in entries
+                if os.path.basename(a["path"]) not in indexed
+                or os.path.basename(a["path"]) in hit_bases
+            ]
+        out = self._read_entries(entries, schema)
+        return out.filter(F.col(col) == lit)
 
     def rows(self, version: int | None = None) -> int:
         """Metadata-only COUNT(*): the sum of per-file row counts in
@@ -1920,6 +2138,23 @@ class LakeTable:
             for a in entries
             if a.get("partition") is not None and key_of(a) in hits
         ]
+
+    def _partition_candidates(
+        self, active: list[dict], predicate: str, schema: StructType
+    ) -> list[dict]:
+        """Candidate entries for a predicate-scoped operation: when
+        ``predicate`` ANALYZES over the partition columns alone, the
+        exact matching partitions (metadata-only — a partition-scoped
+        DELETE/UPDATE on a 100 TB table then never lists, scans, or
+        rewrites any other partition's files); otherwise every active
+        entry (conservative — the predicate references data columns,
+        so file location can't be decided from partition values)."""
+        if not self._partition_phys():
+            return active
+        try:
+            return self._matching_entries(active, predicate, schema)
+        except Exception:
+            return active
 
     def replace_where(self, df: DataFrame, predicate: str) -> int:
         """INSERT OVERWRITE ... replaceWhere (Delta parity): atomically
@@ -2646,8 +2881,6 @@ class LakeTable:
             if not i_clauses:
                 return None
             ins = j.filter(is_src_only & (F.col("_act") >= 200))
-            if ins.limit(1).count() == 0:
-                return None
             outcols = []
             for col in data_cols:
                 if col in gen_cols:
@@ -2671,15 +2904,6 @@ class LakeTable:
 
         upd_df = _updated_rows(tgt_acting)
         ins_df = _insert_rows()
-        # constraint validation over every row the commit introduces
-        for frame in (upd_df, ins_df):
-            if frame is not None:
-                try:
-                    self._check_constraints(frame.select(*data_cols) if frame is not upd_df else frame.drop("_dv_base", "_dv_pos"))
-                except ConstraintViolation:
-                    for f_ in (src, joined, tgt_acting):
-                        f_.unpersist()
-                    raise
 
         touched = self._touched_files(
             tgt_acting.select(F.col("tgt._dv_base").alias("_dv_base")),
@@ -2688,15 +2912,37 @@ class LakeTable:
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
 
-        n_updated = (
-            tgt_acting.filter(F.col("_act").isin(upd_codes)).count()
-            if upd_codes else 0
-        )
-        n_deleted = (
-            tgt_acting.filter(F.col("_act").isin(del_codes)).count()
-            if del_codes else 0
-        )
+        # ONE aggregation for both target-side action counts
+        if upd_codes or del_codes:
+            agg_row = tgt_acting.agg(
+                F.sum(
+                    F.col("_act").isin(upd_codes or [-99]).cast("bigint")
+                ).alias("u"),
+                F.sum(
+                    F.col("_act").isin(del_codes or [-99]).cast("bigint")
+                ).alias("d"),
+            ).collect()[0]
+            n_updated = int(agg_row["u"] or 0)
+            n_deleted = int(agg_row["d"] or 0)
+        else:
+            n_updated = n_deleted = 0
         n_inserted = ins_df.count() if ins_df is not None else 0
+        if n_inserted == 0:
+            ins_df = None
+        # constraint validation over every row the commit introduces
+        # (BEFORE any file or commit lands; empty frames skip the pass)
+        check_frames = []
+        if upd_df is not None and n_updated:
+            check_frames.append(upd_df.drop("_dv_base", "_dv_pos"))
+        if ins_df is not None:
+            check_frames.append(ins_df.select(*data_cols))
+        for frame in check_frames:
+            try:
+                self._check_constraints(frame)
+            except ConstraintViolation:
+                for f_ in (src, joined, tgt_acting):
+                    f_.unpersist()
+                raise
 
         # Rebase guard: a concurrent append row is in this merge's read
         # set if it can match the ON condition against our source — or
@@ -2724,11 +2970,14 @@ class LakeTable:
             "files_partition_pruned": pruned_files,
         }
         new_files = []
-        for frame in (
-            upd_df.drop("_dv_base", "_dv_pos") if upd_df is not None else None,
-            ins_df,
+        for frame, n_rows in (
+            (
+                upd_df.drop("_dv_base", "_dv_pos") if upd_df is not None else None,
+                n_updated,
+            ),
+            (ins_df, n_inserted),
         ):
-            if frame is not None and frame.limit(1).count():
+            if frame is not None and n_rows:
                 new_files += self._write_files(frame, schema)
         if dv:
             acted_pos = tgt_acting.select(
@@ -2830,7 +3079,10 @@ class LakeTable:
                     f"({_gen_expr(f)}) — it recomputes automatically"
                 )
         cond = F.expr(f"coalesce(({predicate}), false)")
-        cur = self._read_entries(active, schema, keep_meta=True)
+        # partition-only predicates locate their files from METADATA —
+        # a partition-scoped UPDATE never scans the other partitions
+        cand = self._partition_candidates(active, predicate, schema)
+        cur = self._read_entries(cand, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
         touched = self._touched_files(matched, col="_dv_base", active=active)
         if not touched:
@@ -2941,7 +3193,9 @@ class LakeTable:
         ``dv=True``: deletion-vector mode — see ``delete_keys``."""
         v, active, schema = self._snapshot()
         cond = F.expr(f"coalesce(({predicate}), false)")
-        cur = self._read_entries(active, schema, keep_meta=True)
+        # partition-only predicates prune the read set from metadata
+        cand = self._partition_candidates(active, predicate, schema)
+        cur = self._read_entries(cand, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
         touched = self._touched_files(matched, col="_dv_base", active=active)
         if not touched:
@@ -3359,6 +3613,11 @@ class LakeTable:
             if f.startswith("_checkpoint.") and f.endswith(".json"):
                 with open(os.path.join(self._log_dir, f)) as fh:
                     _collect(json.load(fh)["active"])
+        # registered bloom indexes must exist on disk (a missing index
+        # silently degrades every point lookup to a stats-only prune)
+        for pk, pval in self.props(v).items():
+            if pk.startswith("bloom.") and not os.path.isdir(self._abs(pval)):
+                missing.append(pval)
         orphans = sum(
             1
             for dirpath, _dirs, files in os.walk(self._data_dir)
@@ -3446,6 +3705,21 @@ class LakeTable:
                 if cv < horizon:
                     if not dry_run:
                         shutil.rmtree(os.path.join(cdf_root, d))
+                    removed += 1
+        # bloom index retention: each rebuild writes a fresh index dir
+        # and re-points the prop — drop dirs no protected version's
+        # props reference
+        bloom_root = os.path.join(self.path, "bloom")
+        if os.path.isdir(bloom_root):
+            keep_bloom: set[str] = set()
+            for pv in protected:
+                for pk, pval in self.props(pv).items():
+                    if pk.startswith("bloom."):
+                        keep_bloom.add(pval)
+            for d in os.listdir(bloom_root):
+                if f"bloom/{d}" not in keep_bloom:
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(bloom_root, d))
                     removed += 1
         if dry_run:
             return removed

@@ -5,9 +5,9 @@ columns with typed metadata, processed via Arrow-batched
 The Spark-side plumbing (schemas, batch iteration, partition-parallel
 decode fan-out) is real and tested. Decode itself is REAL for the
 formats the standard library + numpy can parse — PPM (P6) images,
-PNG across the full non-interlaced spec matrix (grayscale 1-16 bit,
-palette-indexed, truecolor, alpha variants; stdlib zlib inflate +
-scanline-filter reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL
+PNG across the full spec matrix (grayscale 1-16 bit, palette-
+indexed, truecolor, alpha variants, Adam7 interlaced; stdlib zlib
+inflate + scanline-filter reconstruction, ``_decode_png``), BASELINE-SEQUENTIAL
 JPEG (marker parse + Huffman entropy decode + dequant/iDCT +
 YCbCr→RGB, ``_decode_jpeg``; grayscale and 4:4:4/4:2:2/4:2:0 color),
 and PCM WAV audio (``_decode_ppm``/``_decode_wav``, dispatched by
@@ -17,8 +17,8 @@ height/frame-count/duration, ``_probe_mp3`` walks MPEG-1 Layer III
 frame headers for sample-rate/duration — while the codec payload
 decode itself stays STUBBED (no av libraries in this container):
 features fall back to deterministic byte histograms. A PNG/JPEG
-outside the supported subset (interlaced Adam7 PNG; progressive/
-arithmetic/CMYK JPEG) or a corrupt MP4/MP3 structure rejects LOUDLY
+outside the supported subset (progressive/arithmetic/CMYK JPEG) or
+a corrupt PNG/MP4/MP3 structure rejects LOUDLY
 (never a silent fake) and is quarantined per row. Swap the decode
 stage for PIL/torchaudio/ffmpeg in a real deployment — the UDF
 signature and partitioning strategy do not change.
@@ -144,7 +144,7 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
     """REAL image decode for PNG, dependency-free (stdlib ``zlib``
     inflate + per-scanline filter reconstruction). Subset: every
-    non-interlaced spec combination — grayscale (1/2/4/8/16-bit),
+    spec combination — grayscale (1/2/4/8/16-bit),
     truecolor (8/16), PALETTE indexed (1/2/4/8-bit, PLTE lookup),
     gray+alpha and RGBA (8/16) — the shapes scraped-corpus PNGs
     actually take; tRNS transparency is accepted and ignored (features
@@ -154,8 +154,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
     histogram).
 
     Dispatch contract: returns ``None`` only when the payload is NOT a
-    PNG (no magic — caller falls back to the stub). A real PNG outside
-    the subset (interlaced Adam7) or a corrupt one raises loudly —
+    PNG (no magic — caller falls back to the stub); Adam7 interlacing
+    deinterlaces through the same filter machinery. A corrupt PNG
+    raises loudly —
     silently handing a *decodable-looking* fake to a curation pipeline
     would poison downstream features.
 
@@ -198,8 +199,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
                     raise ValueError(
                         f"png: illegal bit depth {depth} for color type {color}"
                     )
-                if interlace != 0:
-                    raise NotImplementedError("png: interlaced (Adam7) unsupported")
+                if interlace not in (0, 1):
+                    raise ValueError(f"png: unknown interlace method {interlace}")
                 if comp != 0 or filt != 0:
                     raise ValueError("png: unknown compression/filter method")
             elif ctype == b"PLTE":
@@ -226,52 +227,76 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]] | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"png: IDAT inflate failed ({exc})") from None
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("png: decompressed size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = [0] * stride
-    for y in range(height):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ftype, line = row[0], list(row[1:])
-        if ftype == 0:
-            rec = line
-        elif ftype == 1:  # Sub
-            rec = line[:]
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            rec = [(line[x] + prev[x]) & 0xFF for x in range(stride)]
-        elif ftype == 3:  # Average
-            rec = line[:]
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            rec = line[:]
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + _paeth(left, prev[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"png: unknown filter type {ftype} at row {y}")
-        out[y] = rec
-        prev = rec
-    # unpacked (height, width, channels) INTEGER sample values
-    if depth == 16:
-        vals = (
-            out.reshape(height, stride)
-            .view(">u2")
-            .reshape(height, width, channels)
-            .astype(np.int64)
-        )
-    elif depth == 8:
-        vals = out.reshape(height, width, channels).astype(np.int64)
-    else:  # 1/2/4-bit gray or palette indices, MSB-first packed
-        bits = np.unpackbits(out, axis=1)[:, : width * depth].reshape(
-            height, width, depth
-        )
+    def _unfilter(seg: bytes, h: int, w_stride: int) -> "np.ndarray":
+        o = np.zeros((h, w_stride), dtype=np.uint8)
+        prev = [0] * w_stride
+        for y in range(h):
+            row = seg[y * (w_stride + 1) : (y + 1) * (w_stride + 1)]
+            ftype, line = row[0], list(row[1:])
+            if ftype == 0:
+                rec = line
+            elif ftype == 1:  # Sub
+                rec = line[:]
+                for x in range(bpp, w_stride):
+                    rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                rec = [(line[x] + prev[x]) & 0xFF for x in range(w_stride)]
+            elif ftype == 3:  # Average
+                rec = line[:]
+                for x in range(w_stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                rec = line[:]
+                for x in range(w_stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    rec[x] = (rec[x] + _paeth(left, prev[x], ul)) & 0xFF
+            else:
+                raise ValueError(f"png: unknown filter type {ftype} at row {y}")
+            o[y] = rec
+            prev = rec
+        return o
+
+    def _unpack(o: "np.ndarray", h: int, w: int) -> "np.ndarray":
+        """(h, packed stride) uint8 → (h, w, channels) int64 samples."""
+        if depth == 16:
+            return (
+                o.reshape(h, -1).view(">u2").reshape(h, w, channels).astype(np.int64)
+            )
+        if depth == 8:
+            return o.reshape(h, w, channels).astype(np.int64)
+        bits = np.unpackbits(o, axis=1)[:, : w * depth].reshape(h, w, depth)
         weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = (bits * weights).sum(axis=2)[..., None]
+        return (bits * weights).sum(axis=2)[..., None]
+
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("png: decompressed size mismatch")
+        vals = _unpack(_unfilter(raw, height, stride), height, width)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the (x0, y0, dx, dy) lattice per pass
+        _ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        vals = np.zeros((height, width, channels), dtype=np.int64)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride_p = (wp * bits_px + 7) // 8
+            need = (stride_p + 1) * hp
+            seg = raw[pos : pos + need]
+            if len(seg) < need:
+                raise ValueError("png: decompressed size mismatch (Adam7)")
+            pos += need
+            vals[y0::dy, x0::dx] = _unpack(_unfilter(seg, hp, stride_p), hp, wp)
+        if pos != len(raw):
+            raise ValueError("png: trailing bytes after Adam7 passes")
     scale = float((1 << depth) - 1)
     if color == 3:  # palette: raw indices, never scaled
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
@@ -414,12 +439,163 @@ def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
     comps: list[dict] | None = None
     w = h = 0
     restart = 0
-    scan: list[tuple[dict, int, int]] | None = None
-    while pos + 4 <= len(payload):
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # id → (bh, bw, 64) zz
+    mx = my = 0
+    n_scans = 0
+
+    def _decode_scan(scan, Ss, Se, Ah, Al, start: int) -> int:
+        """Decode ONE entropy-coded scan into the coefficient arrays
+        (T.81 sequential + all four progressive scan kinds: DC
+        first/refine via successive approximation, AC first with EOB
+        runs, AC refinement with correction bits). Returns the offset
+        just past the scan's data. Works for interleaved (ns > 1, MCU
+        order) and non-interleaved (ns == 1, the component's own block
+        grid) scans — which also covers legal BASELINE files carrying
+        one scan per component."""
+        bits = _JpegBits(payload, start)
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        state = {"eobrun": 0}
+
+        def dc_unit(comp, dc_t, cf):
+            if Ah == 0:  # first pass (sequential: Al == 0 too)
+                t = _huff_decode(bits, huff[(0, dc_t)])
+                diff = _extend(bits.bits(t), t) if t else 0
+                pred[comp["id"]] += diff
+                cf[0] = pred[comp["id"]] << Al
+            else:  # refinement: one bit
+                if bits.bit():
+                    cf[0] = int(cf[0]) | (1 << Al)
+
+        def ac_first(ac_t, cf):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(bits, huff[(1, ac_t)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1 + (bits.bits(r) if r else 0)
+                    return
+                k += r
+                if k > Se:
+                    raise ValueError("jpeg: AC index overflow")
+                cf[k] = _extend(bits.bits(s), s) * (1 << Al)
+                k += 1
+
+        def ac_refine(ac_t, cf):
+            plus = 1 << Al
+            k = Ss
+            if state["eobrun"] == 0:
+                while k <= Se:
+                    rs = _huff_decode(bits, huff[(1, ac_t)])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            # EOB run INCLUDES this block (its
+                            # remaining correction bits read below)
+                            state["eobrun"] = (1 << r) + (
+                                bits.bits(r) if r else 0
+                            )
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement size")
+                        val = plus if bits.bit() else -plus
+                    while k <= Se:
+                        if cf[k] != 0:
+                            if bits.bit() and (int(cf[k]) & plus) == 0:
+                                cf[k] += plus if cf[k] > 0 else -plus
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= Se:
+                        cf[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= Se:
+                    if cf[k] != 0:
+                        if bits.bit() and (int(cf[k]) & plus) == 0:
+                            cf[k] += plus if cf[k] > 0 else -plus
+                    k += 1
+                state["eobrun"] -= 1
+
+        def data_unit(comp, dc_t, ac_t, by, bx):
+            cf = coefs[comp["id"]][by, bx]
+            if Ss == 0:
+                dc_unit(comp, dc_t, cf)
+                if Se > 0:  # sequential scan: AC follows in-band
+                    k = 1
+                    while k <= Se:
+                        rs = _huff_decode(bits, huff[(1, ac_t)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        cf[k] = _extend(bits.bits(s), s)
+                        k += 1
+            elif Ah == 0:
+                ac_first(ac_t, cf)
+            else:
+                ac_refine(ac_t, cf)
+
+        def on_restart():
+            mk = bits.align_to_marker()
+            if not (0xD0 <= mk <= 0xD7):
+                raise ValueError(f"jpeg: bad restart marker {mk:#x}")
+            for cid in pred:
+                pred[cid] = 0
+            state["eobrun"] = 0
+
+        if len(scan) > 1:  # interleaved: MCU order
+            for mcu in range(mx * my):
+                if restart and mcu and mcu % restart == 0:
+                    on_restart()
+                myy, mxx = divmod(mcu, mx)
+                for comp, dc_t, ac_t in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            data_unit(
+                                comp, dc_t, ac_t,
+                                myy * comp["v"] + by, mxx * comp["h"] + bx,
+                            )
+        else:  # non-interleaved: the component's own block grid
+            comp, dc_t, ac_t = scan[0]
+            cw = -(-(w * comp["h"]) // hmax)
+            ch_ = -(-(h * comp["v"]) // vmax)
+            bw, bh = -(-cw // 8), -(-ch_ // 8)
+            for n in range(bw * bh):
+                if restart and n and n % restart == 0:
+                    on_restart()
+                data_unit(comp, dc_t, ac_t, n // bw, n % bw)
+        # flush and find the next marker after this scan's data
+        p = bits.pos
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00,) and not (
+                0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(payload)
+
+    hmax = vmax = 1
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: lost marker sync")
         m = payload[pos + 1]
-        if m == 0xD9:  # EOI before SOS — no image
+        if m == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
@@ -437,7 +613,8 @@ def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
                     q[r, c] = seg[i + 1 + k]
                 qt[tq] = q
                 i += 65
-        elif m in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = m == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"jpeg: {prec}-bit precision")
@@ -456,8 +633,14 @@ def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
                 }
                 for i in range(nc)
             ]
-        elif m == 0xC2:
-            raise NotImplementedError("jpeg: progressive (SOF2) unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mx = -(-w // (8 * hmax))
+            my = -(-h // (8 * vmax))
+            coefs = {
+                c["id"]: np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int64)
+                for c in comps
+            }
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: non-baseline SOF{m - 0xC0} unsupported"
@@ -483,65 +666,39 @@ def _decode_jpeg_inner(payload: bytes, struct) -> tuple[int, int, list[float]]:
             if comps is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                # a legal baseline file may carry one scan PER component
-                # (non-interleaved); decoding only the first would hand
-                # back zeroed chroma as if it were real — reject loudly
-                raise NotImplementedError(
-                    "jpeg: non-interleaved multi-scan unsupported"
-                )
             by_id = {c["id"]: c for c in comps}
             scan = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((by_id[cid], tabs >> 4, tabs & 15))
-            break  # entropy-coded data follows
+            Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 15
+            if not progressive and (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                raise ValueError("jpeg: bad sequential scan header")
+            pos = _decode_scan(scan, Ss, Se, Ah, Al, pos)
+            n_scans += 1
         # APPn / COM / others: skipped via seglen
-    if scan is None:
+    if comps is None or coefs is None:
+        raise ValueError("jpeg: no frame found")
+    if n_scans == 0:
         raise ValueError("jpeg: no scan found")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mx = -(-w // (8 * hmax))
-    my = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((my * 8 * c["v"], mx * 8 * c["h"]))
-        for c in comps
-    }
-    bits = _JpegBits(payload, pos)
-    pred = {c["id"]: 0 for c in comps}
-    for mcu in range(mx * my):
-        if restart and mcu and mcu % restart == 0:
-            mk = bits.align_to_marker()
-            if not (0xD0 <= mk <= 0xD7):
-                raise ValueError(f"jpeg: bad restart marker {mk:#x}")
-            pred = {c["id"]: 0 for c in comps}
-        myy, mxx = divmod(mcu, mx)
-        for comp, dc_t, ac_t in scan:
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coef = np.zeros((8, 8))
-                    t = _huff_decode(bits, huff[(0, dc_t)])
-                    diff = _extend(bits.bits(t), t) if t else 0
-                    pred[comp["id"]] += diff
-                    coef[0, 0] = pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(bits, huff[(1, ac_t)])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("jpeg: AC index overflow")
-                        coef[_JPEG_ZZ[k]] = _extend(bits.bits(s), s)
-                        k += 1
-                    block = _DCT_A.T @ (coef * qt[comp["tq"]]) @ _DCT_A + 128.0
-                    y0 = (myy * comp["v"] + by) * 8
-                    x0 = (mxx * comp["h"] + bx) * 8
-                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    # reconstruct: dequant + iDCT per block, once, after ALL scans
+    planes = {}
+    for c in comps:
+        arr = coefs[c["id"]]
+        bh_, bw_ = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        q = qt[c["tq"]]
+        zz_rows = np.array([r for r, _ in _JPEG_ZZ])
+        zz_cols = np.array([cc for _, cc in _JPEG_ZZ])
+        for by in range(bh_):
+            for bx in range(bw_):
+                coef = np.zeros((8, 8))
+                coef[zz_rows, zz_cols] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_A.T @ (coef * q) @ _DCT_A + 128.0
+                )
+        planes[c["id"]] = plane
     # upsample to full resolution, crop, color-convert
     full = []
     for c in comps:
@@ -1097,6 +1254,197 @@ def make_jpeg(
                 put(v if v >= 0 else v + (1 << s) - 1, s)
     if nbits:
         put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def make_progressive_jpeg(pixels: "np.ndarray", quant: int = 16) -> bytes:
+    """Serialize an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    REAL PROGRESSIVE JPEG (SOF2) with a libjpeg-shaped scan script —
+    the encoder counterpart of the decoder's progressive path, for
+    tests. Scans: interleaved DC first pass (successive approximation
+    Al=1), DC refinement, then per component an AC first pass over the
+    full 1..63 band at Al=1 and an AC refinement scan (Ah=1, Al=0)
+    emitting newly-significant coefficients + correction bits — the
+    exact structures T.81 G.1.2 defines and the decoder's
+    ac_first/ac_refine consume. 4:4:4 only (progressive AC scans are
+    non-interleaved per spec; h=v=1 keeps the block grids aligned).
+    Given the same quant table, decoding this progressive stream must
+    reconstruct BIT-IDENTICAL coefficients to the baseline encoding of
+    the same pixels — pinned in tests."""
+    import struct
+
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    q = np.full((8, 8), float(quant))
+    zz_flat = [r_ * 8 + c_ for r_, c_ in _JPEG_ZZ]
+    bw, bh = -(-w // 8), -(-h // 8)
+    # zigzag-quantized coefficients per component, block row-major
+    comps_zz = []
+    for p in planes:
+        pad = np.empty((bh * 8, bw * 8))
+        pad[:h, :w] = p
+        pad[h:, :w] = p[-1:, :]
+        pad[:, w:] = pad[:, w - 1 : w]
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round((_DCT_A @ blk @ _DCT_A.T) / q).astype(int)
+                blocks.append(coef.flatten()[zz_flat])
+        comps_zz.append(blocks)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(int(q[r_, c_]) for r_, c_ in _JPEG_ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0])
+    seg(0xC2, sof)  # SOF2: progressive
+
+    def _canonical(symbols: list[int]) -> tuple[dict, bytes]:
+        syms = sorted(set(symbols)) or [0]
+        length = max((len(syms)).bit_length(), 2)
+        table = {s: (length, i) for i, s in enumerate(syms)}
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        return table, bytes(counts) + bytes(syms)
+
+    class _BW:
+        def __init__(self):
+            self.buf, self.n = 0, 0
+            self.data = bytearray()
+
+        def put(self, code: int, length: int) -> None:
+            self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                self.n -= 8
+                byte = (self.buf >> self.n) & 0xFF
+                self.data.append(byte)
+                if byte == 0xFF:
+                    self.data.append(0x00)
+            self.buf &= (1 << self.n) - 1
+
+        def done(self) -> bytes:
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+            return bytes(self.data)
+
+    def emit_scan(comp_ids, Ss, Se, Ah, Al, tokens, dc_scan):
+        """tokens: list of ("h", sym, extra_bits_value, extra_len) or
+        ("b", bit). Builds the scan's canonical DHT from its own
+        Huffman symbols, then the SOS + entropy data."""
+        hsyms = [t[1] for t in tokens if t[0] == "h"]
+        tab, spec = _canonical(hsyms)
+        if hsyms:
+            seg(0xC4, bytes([0x00 if dc_scan else 0x10]) + spec)
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        seg(0xDA, sos)
+        bwr = _BW()
+        for t in tokens:
+            if t[0] == "h":
+                ln, code = tab[t[1]]
+                bwr.put(code, ln)
+                if t[3]:
+                    bwr.put(t[2], t[3])
+            else:
+                bwr.put(t[1], 1)
+        out.extend(bwr.done())
+
+    nblocks = bw * bh
+    # ---- scan 1: DC first pass, Al=1, interleaved over all comps
+    toks = []
+    preds = [0] * len(planes)
+    for n in range(nblocks):
+        for ci in range(len(planes)):
+            dc = int(comps_zz[ci][n][0]) >> 1  # arithmetic point transform
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = int(abs(diff)).bit_length()
+            toks.append(
+                ("h", cat, diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            )
+    emit_scan(list(range(1, len(planes) + 1)), 0, 0, 0, 1, toks, True)
+    # ---- scan 2: DC refinement (raw bits, no huffman)
+    toks = []
+    for n in range(nblocks):
+        for ci in range(len(planes)):
+            toks.append(("b", int(comps_zz[ci][n][0]) & 1))
+    emit_scan(list(range(1, len(planes) + 1)), 0, 0, 1, 0, toks, True)
+    # ---- per component: AC first (Al=1) then AC refinement (Al=0)
+    for ci in range(len(planes)):
+        toks = []
+        for n in range(nblocks):
+            zz = comps_zz[ci][n]
+            run = 0
+            last_nz = max(
+                (k for k in range(1, 64) if abs(int(zz[k])) >> 1), default=0
+            )
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                coded = (abs(v) >> 1) * (1 if v > 0 else -1)
+                if coded == 0:
+                    run += 1
+                    if run == 16:
+                        toks.append(("h", 0xF0, 0, 0))
+                        run = 0
+                    continue
+                s = abs(coded).bit_length()
+                toks.append(
+                    ("h", (run << 4) | s,
+                     coded if coded >= 0 else coded + (1 << s) - 1, s)
+                )
+                run = 0
+            if last_nz < 63:
+                toks.append(("h", 0x00, 0, 0))  # EOB0
+        emit_scan([ci + 1], 1, 63, 0, 1, toks, False)
+        # refinement: newly-significant (|v| == 1) + correction bits
+        toks = []
+        for n in range(nblocks):
+            zz = comps_zz[ci][n]
+            k = 1
+            while k <= 63:
+                r, corrections, nz_pos, j = 0, [], None, k
+                while j <= 63:
+                    v = int(zz[j])
+                    if abs(v) >= 2:
+                        corrections.append(abs(v) & 1)
+                    elif v == 0:
+                        r += 1
+                        if r == 16:
+                            toks.append(("h", 0xF0, 0, 0))
+                            toks.extend(("b", c) for c in corrections)
+                            r, corrections = 0, []
+                    else:
+                        nz_pos = j
+                        break
+                    j += 1
+                if nz_pos is None:
+                    toks.append(("h", 0x00, 0, 0))  # EOB0 (run = 1)
+                    toks.extend(("b", c) for c in corrections)
+                    break
+                toks.append(("h", (r << 4) | 1, 0, 0))
+                toks.append(("b", 1 if int(zz[nz_pos]) > 0 else 0))
+                toks.extend(("b", c) for c in corrections)
+                k = nz_pos + 1
+        emit_scan([ci + 1], 1, 63, 1, 0, toks, False)
     out.extend(b"\xff\xd9")
     return bytes(out)
 

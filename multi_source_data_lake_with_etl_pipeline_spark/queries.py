@@ -10925,7 +10925,7 @@ def lake_cdf_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 3 AS b
       FROM orders WHERE o_orderkey <= 600
-    ), frag AS (  -- the five fragment appends land in bucket 1
+    ), frag AS (  -- one fragment append lands in bucket 1
       SELECT 10000 + g AS k, CAST(g AS BIGINT) AS c, 1 AS b
       FROM (SELECT unnest(generate_series(0, 4)) AS g)
     ), cur AS (   -- upserts: 100..200 minus the %50 tombstone keys
@@ -10955,11 +10955,19 @@ def lake_partition_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFr
         o.filter("k <= 600").withColumn("b", (F.col("k") % 3).cast("long")),
         partition_by=["b"],
     )
-    # fragment bucket 1 with five 1-row appends
-    for g in range(5):
-        t.append(
-            spark.createDataFrame([(10000 + g, g, 1)], "k long, c long, b long")
+    # fragment bucket 1 with one extra file (2 files -> compacts to 1).
+    # NB: parallelize(rows, 1), NOT createDataFrame(...).coalesce(1) —
+    # coalesce(1) over the default 32 python-backed slices makes ONE
+    # task pay 32 sequential python-worker roundtrips (~7 s for 5
+    # rows, measured; PLANS.md r8)
+    t.append(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(10000 + g, g, 1) for g in range(5)], 1
+            ),
+            "k long, c long, b long",
         )
+    )
     other_before = {
         a["path"] for a in t._snapshot()[1] if a["partition"]["b"] != 1
     }
@@ -10997,6 +11005,72 @@ def lake_partition_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFr
                 "bucket long, n long, sum_c long",
             )
         )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Bloom value index (round 8 — Delta/Iceberg bloom-filter parity,
+# maintained async like Iceberg metadata): uuid-shaped ids span every
+# file's [min,max] so range stats cannot prune; the per-file bloom
+# (xxhash64 k-seeded, SQL-probed — only matching file names reach the
+# driver) reduces a point lookup to the hit file. The audit proves
+# exactness over present AND absent probes plus the pruning bool; the
+# oracle recomputes the lookups relationally.
+@register(
+    "lake_bloom_point_lookup",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, md5(CAST(o_orderkey AS VARCHAR)) AS uid,
+             o_custkey AS c
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT 'present' AS probe, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM t WHERE uid IN (md5('7'), md5('1999'))
+    UNION ALL
+    SELECT 'absent', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT '_audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        F.col("o_custkey").alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_bloom_")
+    t = LakeTable.create(
+        spark, root + "/t", o.filter("k <= 2000").repartition(4)
+    )
+    t.build_value_index("uid")
+    n_files = len(t._snapshot()[1])
+    present = [
+        spark.sql(f"select md5('{x}') v").first()["v"] for x in (7, 1999)
+    ]
+    n = s = 0
+    pruned = 1
+    for p in present:
+        r = t.read_where_eq("uid", p)
+        rows = r.collect()
+        n += len(rows)
+        s += sum(int(x["c"]) for x in rows)
+        pruned &= int(len(r.inputFiles()) < n_files)
+    absent_rows = t.read_where_eq("uid", "no-such-uid-1").count()
+    out = spark.createDataFrame(
+        [
+            ("present", n, s),
+            ("absent", absent_rows, 0),
+            ("_audit", pruned, 1),
+        ],
+        "probe string, n long, sum_c long",
     )
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)

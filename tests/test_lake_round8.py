@@ -205,3 +205,171 @@ class TestAtomicCdc:
         )
         ta.apply_cdc(seq, "k", order_col="seq", atomic=True)
         assert {r["k"]: r["v"] for r in ta.read().collect()}[2] == 222
+
+
+class TestStringFooterStats:
+    def test_string_range_and_equality_skipping(self, spark, tmp_path):
+        """String columns get SAFE prefix-widened footer bounds: a
+        status/range probe lists only files whose [min, widened max]
+        overlap; results stay exact through the residual filter."""
+        df = spark.createDataFrame(
+            [(i, chr(ord("a") + (i // 10)) * 3 + str(i)) for i in range(40)],
+            "k long, tag string",
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df.repartitionByRange(4, "tag")
+        )
+        active = t._snapshot()[1]
+        # every file carries string stats with min <= widened max
+        assert all("tag" in a["stats"] for a in active)
+        files = t.files_overlapping("tag", "ccc20", "ccc29")
+        assert 0 < len(files) < len(active)
+        pr = t.read_pruned("tag", "ccc20", "ccc29")
+        assert sorted(r["k"] for r in pr.collect()) == list(range(20, 30))
+        assert len(pr.inputFiles()) == len(files)
+        # equality probe
+        assert t.read_pruned("tag", "aaa5", "aaa5").count() == 1
+        # type-mismatched probe: conservative keep, never a raise
+        assert len(t.files_overlapping("tag", 0, 9)) == len(active)
+
+    def test_str_upper_bound_properties(self):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import (
+            _str_upper_bound,
+        )
+
+        # the bound exceeds ANY string starting with the prefix
+        for p, tail in [("abc", "zzzzz"), ("z", "a"), ("ab￿", "x")]:
+            ub = _str_upper_bound(p)
+            assert ub is not None and ub > p + tail
+        # surrogate gap is stepped over, not entered
+        ub = _str_upper_bound("x" + chr(0xD7FF))
+        assert ub == "x" + chr(0xE000)
+        # no safe bound for empty / all-max prefixes
+        assert _str_upper_bound("") is None
+        assert _str_upper_bound(chr(0x10FFFF) * 3) is None
+        # a truncated max still bounds the full value
+        full = "prefix-and-a-long-tail"
+        for cut in range(1, len(full)):
+            ub = _str_upper_bound(full[:cut])
+            assert ub is not None and ub > full
+
+
+class TestBloomValueIndex:
+    def test_point_lookup_prunes_to_hit_files(self, spark, tmp_path):
+        """uuid-shaped ids span every file's [min,max] — range stats
+        can't prune; the bloom index reduces a point lookup to the hit
+        file(s), and an absent value to (usually) zero files. The
+        probe is pure SQL over the index; only base names reach the
+        driver."""
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("uid"),
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df.repartition(8))
+        t.build_value_index("uid")
+        probe = spark.sql("select md5('1234') v").first()["v"]
+        r = t.read_where_eq("uid", probe)
+        assert [x["k"] for x in r.collect()] == [1234]
+        assert len(r.inputFiles()) < 8  # pruned (fpp makes == 1 flaky-ish)
+        # absent value
+        r2 = t.read_where_eq("uid", "nope")
+        assert r2.count() == 0 and len(r2.inputFiles()) <= 1
+        # long-column probe with a python int literal
+        t.build_value_index("k")
+        r3 = t.read_where_eq("k", 77)
+        assert [x["k"] for x in r3.collect()] == [77]
+
+    def test_unindexed_files_conservatively_kept_and_refresh(
+        self, spark, tmp_path
+    ):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("uid"),
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df.repartition(4))
+        t.build_value_index("uid")
+        t.append(spark.createDataFrame([(9999, "zz")], "k long, uid string"))
+        # new file lacks a bloom row: kept, lookup still exact
+        assert [x["k"] for x in t.read_where_eq("uid", "zz").collect()] == [9999]
+        t.build_value_index("uid")
+        m = t.history()[0]["metrics"]
+        assert m["files_indexed"] == 1 and m["files_carried"] == 4
+        r = t.read_where_eq("uid", "zz")
+        assert len(r.inputFiles()) == 1
+
+    def test_bloom_survives_rename_and_exactness_vs_full_scan(
+        self, spark, tmp_path
+    ):
+        """The index is keyed by the PHYSICAL column name: a rename is
+        metadata-only and the index keeps serving; every probed value
+        returns exactly the full-scan answer (no false negatives by
+        construction — property-checked over 60 present + 20 absent
+        probes)."""
+        df = spark.range(0, 600).select(
+            F.col("id").alias("k"),
+            F.sha1(F.col("id").cast("string")).alias("uid"),
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df.repartition(5))
+        t.build_value_index("uid")
+        t.rename_column("uid", "doc_uid")
+        full = {r["doc_uid"]: r["k"] for r in t.read().collect()}
+        probes = [
+            spark.sql(f"select sha1('{i}') v").first()["v"] for i in range(60)
+        ] + [f"absent{i}" for i in range(20)]
+        for p in probes:
+            got = [r["k"] for r in t.read_where_eq("doc_uid", p).collect()]
+            want = [full[p]] if p in full else []
+            assert got == want, p
+
+
+def test_bloom_retention_and_fsck(spark, tmp_path):
+    """Rebuilt bloom indexes re-point the prop; vacuum drops index
+    dirs no protected version references; FSCK flags a registered
+    index missing from disk."""
+    import shutil as _sh
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("uid")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.repartition(2))
+    t.build_value_index("uid")
+    t.append(spark.createDataFrame([(999, "zz")], "k long, uid string"))
+    t.build_value_index("uid")   # second index dir
+    bloom_root = os.path.join(t.path, "bloom")
+    assert len(os.listdir(bloom_root)) == 2
+    assert t.verify_integrity()["ok"]
+    t.vacuum(keep_versions=0)    # only the latest props protected
+    assert len(os.listdir(bloom_root)) == 1
+    assert t.verify_integrity()["ok"]
+    assert [r["k"] for r in t.read_where_eq("uid", "zz").collect()] == [999]
+    # registered index deleted out-of-band: FSCK flags it
+    _sh.rmtree(os.path.join(bloom_root, os.listdir(bloom_root)[0]))
+    r = t.verify_integrity()
+    assert not r["ok"] and any("bloom/" in m for m in r["missing_files"])
+    # the read degrades to stats-only pruning, stays exact
+    assert [x["k"] for x in t.read_where_eq("uid", "zz").collect()] == [999]
+
+
+def test_partition_scoped_update_delete_prune_read_set(spark, tmp_path):
+    """A partition-only predicate locates its files from metadata:
+    DELETE/UPDATE of one partition leaves every other partition's
+    files untouched AND never reads them (the read set is the
+    candidate list); data-column predicates conservatively fall back
+    to the full set and stay exact."""
+    t = _mk_part(spark, tmp_path / "t")
+    other_before = {
+        a["path"] for a in t._snapshot()[1] if a["partition"]["p"] != 2
+    }
+    r = t.update("p = 2", {"v": "v + 1000"})
+    assert r["updated"] == 10
+    active = t._snapshot()[1]
+    assert {a["path"] for a in active if a["partition"]["p"] != 2} == other_before
+    got = {row["k"]: row["v"] for row in t.read().collect()}
+    assert got[2] == 1020 and got[1] == 10
+    r2 = t.delete("p = 1")
+    assert r2["deleted"] == 10  # 40 rows, k%4==1 count
+    assert sorted({row["p"] for row in t.read().collect()}) == [0, 2, 3]
+    # data-column predicate after a partition rename: exact fallback
+    t.rename_column("p", "bucket")
+    r3 = t.delete("v >= 1300")  # p=2 rows updated to >= 1000+300
+    assert r3["deleted"] == len([k for k in range(30, 40) if k % 4 == 2])

@@ -558,9 +558,9 @@ def test_multimodal_real_png_decode(spark):
     palette = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
     with pytest.raises(ValueError, match="PLTE"):
         _decode_png(palette + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
-    interlaced = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        _decode_png(interlaced)
+    bad_il = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 7))
+    with pytest.raises(ValueError, match="interlace"):
+        _decode_png(bad_il)
     # spec-ILLEGAL depth/color combination rejects
     bad = magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0))
     with pytest.raises(ValueError, match="illegal bit depth"):
@@ -657,6 +657,63 @@ def test_png_palette_gray_16bit_matrix():
     assert (w, h) == (2, 1) and feat[:3] == [0.5, 0.5, 0.0]
 
 
+def test_png_adam7_interlaced_exact():
+    """Adam7 deinterlacing: an interlaced encoding of a known 9x9 RGB
+    image (pass split computed here, independent of the decoder's
+    lattice code) decodes to EXACTLY the same features as the
+    sequential encoding of the same pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        _decode_png,
+        make_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        for r in range(sub.shape[0]):
+            raw.append(0)  # filter type 0
+            raw += sub[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)  # interlace=1
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, feat = _decode_png(interlaced)
+    w2, h2, feat2 = _decode_png(make_png(px))
+    assert (w, h) == (w2, h2) == (9, 9)
+    assert feat == feat2
+    # truncated interlaced body: loud, never a silent partial image
+    short = raw[: len(raw) // 2]
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(short)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        _decode_png(trunc)
+
+
 def test_winnow_index_build_and_incremental_probe(spark):
     """Recurring-contamination shape (VERDICT r5 #8): the train corpus
     is fingerprinted ONCE into a parquet index; a later batch probes it
@@ -721,14 +778,14 @@ def test_decode_error_quarantined_per_row(spark):
 
     good = make_png(np.full((2, 3, 3), 17, dtype=np.uint8))
     corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16  # magic + garbage
-    adam7 = bytearray(make_png(np.full((2, 2, 3), 5, dtype=np.uint8)))
-    # IHDR interlace byte (offset 28) 0 -> 1: real PNG header shape,
-    # outside the subset (Adam7) -> NotImplementedError in the decoder
-    adam7[28] = 1
+    nonsub = bytearray(make_png(np.full((2, 2, 3), 5, dtype=np.uint8)))
+    # IHDR interlace byte (offset 28) 0 -> 7: real PNG header shape,
+    # spec-illegal interlace method -> ValueError in the decoder
+    nonsub[28] = 7
     rows = [
         (1, "image", "image/png", good, {}),
         (2, "image", "image/png", corrupt, {}),
-        (3, "image", "image/png", bytes(adam7), {}),
+        (3, "image", "image/png", bytes(nonsub), {}),
     ]
     assets = spark.createDataFrame(rows, ASSET_SCHEMA)
     feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
@@ -737,8 +794,8 @@ def test_decode_error_quarantined_per_row(spark):
     assert (feats[1]["width"], feats[1]["height"]) == (3, 2)
     assert feats[2]["decode_error"] and feats[2]["width"] is None
     assert feats[2]["feature"] is None
-    assert "NotImplementedError" in feats[3]["decode_error"]
-    assert feats[3]["n_bytes"] == len(adam7)  # length still recorded
+    assert "ValueError" in feats[3]["decode_error"]
+    assert feats[3]["n_bytes"] == len(nonsub)  # length still recorded
 
 
 def test_multimodal_real_jpeg_decode(spark):
@@ -815,9 +872,11 @@ def test_multimodal_real_jpeg_decode(spark):
     # loud rejections: mutate the SOF0 marker / component count
     payload = make_jpeg(gray)
     i = payload.index(b"\xff\xc0")
-    progressive = payload[:i] + b"\xff\xc2" + payload[i + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        _decode_jpeg(progressive)
+    # relabeled SOF2 over a sequential scan body: decodes IDENTICALLY
+    # through the unified coefficient path (progressive is supported
+    # as of round 8)
+    relabeled = payload[:i] + b"\xff\xc2" + payload[i + 2 :]
+    assert _decode_jpeg(relabeled) == _decode_jpeg(payload)
     arithmetic = payload[:i] + b"\xff\xc9" + payload[i + 2 :]
     with pytest.raises(NotImplementedError, match="non-baseline"):
         _decode_jpeg(arithmetic)
@@ -825,8 +884,8 @@ def test_multimodal_real_jpeg_decode(spark):
     cmyk[i + 9] = 4  # SOF nc byte: 1 -> 4 components
     with pytest.raises(NotImplementedError, match="component"):
         _decode_jpeg(bytes(cmyk))
-    # non-interleaved multi-scan: a color SOS naming fewer components
-    # than the frame must reject, not decode Y with zeroed chroma
+    # a SEQUENTIAL SOS whose spliced header leaves a garbage spectral
+    # range must reject (a progressive-only shape under SOF0)
     color = make_jpeg(smooth, quant=4)
     j = color.index(b"\xff\xda")
     single_scan = (
@@ -834,16 +893,17 @@ def test_multimodal_real_jpeg_decode(spark):
         + b"\xff\xda" + color[j + 2 : j + 4]  # marker + seglen
         + b"\x01" + color[j + 5 : ]            # ns: 3 -> 1
     )
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    with pytest.raises(ValueError, match="scan header"):
         _decode_jpeg(single_scan)
     with pytest.raises(ValueError):
         _decode_jpeg(payload[: len(payload) // 2])  # truncated
     assert _decode_jpeg(b"\x89PNG not a jpeg") is None
 
-    # quarantine: one progressive payload must not fail the stage
+    # quarantine: one unsupported (arithmetic-coded) payload must not
+    # fail the stage
     rows = [
         (1, "image", "image/jpeg", make_jpeg(gray), {}),
-        (2, "image", "image/jpeg", progressive, {}),
+        (2, "image", "image/jpeg", arithmetic, {}),
     ]
     feats = {
         r["asset_id"]: r
@@ -852,6 +912,56 @@ def test_multimodal_real_jpeg_decode(spark):
     assert feats[1]["decode_error"] is None and feats[1]["width"] == 24
     assert "NotImplementedError" in feats[2]["decode_error"]
     assert feats[2]["feature"] is None
+
+
+def test_jpeg_progressive_scan_script_parity(spark):
+    """REAL progressive JPEG (SOF2) decode: a libjpeg-shaped scan
+    script — interleaved DC first pass (Al=1), DC refinement, per-
+    component AC first pass with EOB runs, AC refinement with
+    correction bits — reconstructs coefficients BIT-IDENTICAL to the
+    baseline encoding of the same pixels (same quant table), for
+    grayscale and 4:4:4 color; through mapInPandas end to end."""
+    import numpy as np
+
+    from multi_source_data_lake_with_etl_pipeline_spark.llm_ops.multimodal import (
+        ASSET_SCHEMA,
+        _decode_jpeg,
+        extract_features,
+        make_jpeg,
+        make_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    gray = (
+        np.linspace(0, 255, 24 * 17).reshape(24, 17)
+        + rng.integers(0, 40, (24, 17))
+    ).clip(0, 255).astype(np.uint8)
+    rgbpx = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    assert _decode_jpeg(make_progressive_jpeg(gray)) == _decode_jpeg(
+        make_jpeg(gray)
+    )
+    assert _decode_jpeg(make_progressive_jpeg(rgbpx)) == _decode_jpeg(
+        make_jpeg(rgbpx)
+    )
+    # a high-frequency image exercises ZRL and long zero runs in the
+    # refinement scan
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    assert _decode_jpeg(make_progressive_jpeg(checker, quant=2)) == _decode_jpeg(
+        make_jpeg(checker, quant=2)
+    )
+    rows = [(1, "image", "image/jpeg", make_progressive_jpeg(rgbpx), {})]
+    out = extract_features(
+        spark.createDataFrame(rows, ASSET_SCHEMA)
+    ).collect()[0]
+    assert out["decode_error"] is None
+    assert (out["width"], out["height"]) == (23, 19)
+    # truncated progressive stream: loud per-row quarantine
+    rows2 = [(2, "image", "image/jpeg",
+              make_progressive_jpeg(rgbpx)[:60], {})]
+    out2 = extract_features(
+        spark.createDataFrame(rows2, ASSET_SCHEMA)
+    ).collect()[0]
+    assert out2["decode_error"] is not None
 
 
 def test_multimodal_mp4_mp3_metadata_probes(spark):
