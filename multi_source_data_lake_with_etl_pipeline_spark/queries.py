@@ -11075,3 +11075,61 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# String footer stats (round 8): safe prefix-widened min/max bounds
+# give STRING columns the same file skipping numerics have — a
+# priority-clustered layout prunes an equality probe to the file(s)
+# whose [min, widened-max) covers it, before any scan. The audit
+# proves results exact AND that non-matching files were never listed;
+# the oracle recomputes the probes relationally.
+@register(
+    "lake_string_stats_pruned_scan",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio, o_custkey AS c
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT '5-LOW' AS probe, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM t WHERE prio = '5-LOW'
+    UNION ALL
+    SELECT '1-URGENT', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+    FROM t WHERE prio = '1-URGENT'
+    UNION ALL
+    SELECT '_audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_string_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_sstats_")
+    t = LakeTable.create(
+        spark, root + "/t",
+        o.filter("k <= 3000")
+        .repartitionByRange(5, "prio")
+        .sortWithinPartitions("prio"),
+    )
+    n_files = len(t._snapshot()[1])
+    rows = []
+    pruned = 1
+    for probe in ("5-LOW", "1-URGENT"):
+        r = t.read_pruned("prio", probe, probe)
+        got = r.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+        ).collect()[0]
+        rows.append((probe, int(got["n"]), int(got["s"])))
+        pruned &= int(0 < len(r.inputFiles()) < n_files)
+    rows.append(("_audit", pruned, 1))
+    out = spark.createDataFrame(rows, "probe string, n long, sum_c long")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
