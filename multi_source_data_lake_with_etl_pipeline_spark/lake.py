@@ -497,6 +497,11 @@ class LakeTable:
             ),
             "partition_columns": self.partition_columns(v),
             "reader_features": sorted(self._replay(v)[3]),
+            "bloom_indexes": sorted(
+                k[len("bloom."):]
+                for k in self.props(v)
+                if k.startswith("bloom.")
+            ),
             "num_partitions": len(
                 {
                     json.dumps(a.get("partition"), sort_keys=True)

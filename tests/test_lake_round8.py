@@ -337,6 +337,7 @@ def test_bloom_retention_and_fsck(spark, tmp_path):
     t.build_value_index("uid")   # second index dir
     bloom_root = os.path.join(t.path, "bloom")
     assert len(os.listdir(bloom_root)) == 2
+    assert t.details()["bloom_indexes"] == ["uid"]  # DESCRIBE DETAIL
     assert t.verify_integrity()["ok"]
     t.vacuum(keep_versions=0)    # only the latest props protected
     assert len(os.listdir(bloom_root)) == 1
@@ -373,3 +374,34 @@ def test_partition_scoped_update_delete_prune_read_set(spark, tmp_path):
     t.rename_column("p", "bucket")
     r3 = t.delete("v >= 1300")  # p=2 rows updated to >= 1000+300
     assert r3["deleted"] == len([k for k in range(30, 40) if k % 4 == 2])
+
+
+def test_compact_where_with_zorder_clustering(spark, tmp_path):
+    """OPTIMIZE ... WHERE composes with clustering: a Z-ORDER rewrite
+    of ONE partition leaves other partitions untouched and the
+    rewritten partition's files carry tight per-column footer ranges
+    (multi-column pruning works inside the partition)."""
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("long").alias("p"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.repartition(6), partition_by=["p"]
+    )
+    others = {a["path"] for a in t._snapshot()[1] if a["partition"]["p"] != 1}
+    t.compact(target_files=4, cluster_by=["x", "y"], where="p = 1")
+    active = t._snapshot()[1]
+    assert {a["path"] for a in active if a["partition"]["p"] != 1} == others
+    # the z-ordered partition prunes on BOTH clustered dimensions
+    pr = t.read_pruned_multi([("p", 1, 1), ("x", 0, 7), ("y", 0, 7)])
+    got = sorted(r["k"] for r in pr.collect())
+    want = sorted(
+        k for k in range(4000)
+        if k % 2 == 1 and k % 64 <= 7 and (k * 7) % 64 <= 7
+    )
+    assert got == want
+    p1_files = [a for a in active if a["partition"]["p"] == 1]
+    assert len(pr.inputFiles()) < len(p1_files) + len(others)
+    assert t.read().count() == 4000
