@@ -1510,6 +1510,40 @@ class LakeTable:
         between touching 3 files and 30 000."""
         return self.read_pruned_multi([(col, lo, hi)])
 
+    _GEN_DATE_RE = re.compile(
+        r"(?i)^\s*CAST\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+DATE\s*\)\s*$"
+    )
+
+    def _derived_partition_conds(
+        self, conds: list[tuple[str, object, object]], schema: StructType
+    ) -> list[tuple[str, object, object]]:
+        """Delta generated-partition-filter parity: a range condition
+        on a column X implies a range on a PARTITION column generated
+        as ``CAST(X AS DATE)`` (monotone in X), so a timestamp-range
+        query on a date-partitioned table prunes partitions without
+        the caller naming the partition column. Derived bounds are
+        the ISO date prefixes of the endpoints — exactly the string
+        form the injected partition stats store. Conservative: only
+        the cast-to-date pattern derives; anything else adds no
+        condition (never a wrong skip)."""
+        by_name = {f.name for f in schema.fields}
+        have = {c[0] for c in conds}
+        out = []
+        for f in schema.fields:
+            e = _gen_expr(f)
+            if not e or f.name in have:
+                continue
+            m = self._GEN_DATE_RE.match(e)
+            if not m or m.group(1) not in by_name:
+                continue
+            for col, lo, hi in conds:
+                if col != m.group(1) or lo is None or hi is None:
+                    continue
+                lo_d, hi_d = str(lo)[:10], str(hi)[:10]
+                if len(lo_d) == 10 and len(hi_d) == 10:
+                    out.append((f.name, lo_d, hi_d))
+        return out
+
     def read_pruned_multi(self, conds: list[tuple[str, object, object]]) -> DataFrame:
         """Conjunctive multi-column range read: a file is scanned only
         if its footer [min,max] overlaps EVERY ``(col, lo, hi)``
@@ -1517,12 +1551,16 @@ class LakeTable:
         both dimensions at once (each condition independently knocks
         out most files; the survivors are the small z-box
         neighborhood). Residual filters reapply all conditions; an
-        empty condition list is just an unpruned full read."""
+        empty condition list is just an unpruned full read. Ranges on
+        a column that a GENERATED partition column derives from
+        (``CAST(x AS DATE)``) additionally prune the partitions —
+        the derived bounds skip, the residual stays the caller's."""
         if not conds:
             return self.read()
         _, active, schema = self._snapshot()
+        derived = self._derived_partition_conds(conds, schema)
         paths = set(self.files_overlapping(*conds[0]))
-        for c in conds[1:]:
+        for c in conds[1:] + derived:
             paths &= set(self.files_overlapping(*c))
         out = self._read_entries(
             [a for a in active if a["path"] in paths], schema

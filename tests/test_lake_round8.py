@@ -405,3 +405,44 @@ def test_compact_where_with_zorder_clustering(spark, tmp_path):
     p1_files = [a for a in active if a["partition"]["p"] == 1]
     assert len(pr.inputFiles()) < len(p1_files) + len(others)
     assert t.read().count() == 4000
+
+
+def test_generated_partition_filter_derivation(spark, tmp_path):
+    """Delta parity: a TIMESTAMP-range read on a table partitioned by
+    event_date GENERATED ALWAYS AS CAST(ts AS DATE) prunes the date
+    partitions WITHOUT the caller naming the partition column — the
+    derivation is monotone, results exact, and files of other dates
+    are never listed."""
+    rows = [
+        (i, f"2024-01-{1 + i % 5:02d} {i % 24:02d}:00:00") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string").select(
+        "k", F.col("s").cast("timestamp").alias("ts")
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df,
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    pr = t.read_pruned("ts", "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+    got = sorted(r["k"] for r in pr.collect())
+    want = sorted(i for i in range(200) if 1 + i % 5 in (2, 3))
+    assert got == want
+    files = pr.inputFiles()
+    assert files and all(
+        "event_date=2024-01-02" in f or "event_date=2024-01-03" in f
+        for f in files
+    )
+    # naming the partition column explicitly still works identically
+    pr2 = t.read_pruned("event_date", "2024-01-02", "2024-01-03")
+    assert sorted(r["k"] for r in pr2.collect()) == want
+    # a NON-derivable generated expr never adds a wrong skip
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"),
+        spark.createDataFrame([(1, 5), (2, 50)], "k long, v long"),
+        partition_by=["bucket"],
+        generated_columns={"bucket": "CAST(v % 7 AS BIGINT)"},
+    )
+    assert sorted(
+        r["k"] for r in t2.read_pruned("v", 0, 100).collect()
+    ) == [1, 2]
