@@ -1721,8 +1721,14 @@ class LakeTable:
         lit = (
             F.lit(value).cast(field.dataType) if field is not None else F.lit(value)
         )
-        # layer 1: range/partition/null stats
+        # layer 1: range/partition/null stats, plus partition bounds
+        # DERIVED from generated columns (a ts point-lookup on a
+        # date-partitioned table prunes to one date directory)
         paths = set(self.files_overlapping(col, value, value))
+        for dcol, dlo, dhi in self._derived_partition_conds(
+            [(col, value, value)], schema
+        ):
+            paths &= set(self.files_overlapping(dcol, dlo, dhi))
         entries = [a for a in active if a["path"] in paths]
         rel = self.props(v).get(f"bloom.{phys}")
         if rel and os.path.isdir(self._abs(rel)) and entries:
