@@ -1190,7 +1190,39 @@ class LakeTable:
                 f"write batch is missing partition column(s) {missing}"
             )
         types = {f.name: f.dataType for f in df.schema.fields}
+        # '' in a string partition column is unrepresentable: Spark
+        # writes it as __HIVE_DEFAULT_PARTITION__ — the same dirname as
+        # NULL — so it would silently round-trip as NULL. Fail loudly
+        # instead. The probe is an Observation riding the write job
+        # itself (zero extra scan of the batch).
+        obs = None
+        str_parts = [
+            c
+            for c in partition_phys
+            if c in types and types[c].typeName() == "string"
+        ]
+        if str_parts:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(F.when(F.col(c) == "", 1).otherwise(0)).alias(c)
+                    for c in str_parts
+                ],
+            )
         df.write.partitionBy(*partition_phys).mode("overwrite").parquet(tmp)
+        if obs is not None:
+            bad = [c for c, n in obs.get.items() if n]
+            if bad:
+                shutil.rmtree(tmp)
+                raise ValueError(
+                    f"empty-string value in partition column(s) {bad}: "
+                    "hive layout stores '' as __HIVE_DEFAULT_PARTITION__ "
+                    "(indistinguishable from NULL on read); write NULL or "
+                    "a non-empty sentinel instead"
+                )
         adds = []
         for dirpath, _dirs, files in sorted(os.walk(tmp)):
             segs = [
@@ -1524,17 +1556,27 @@ class LakeTable:
         the caller naming the partition column. Derived bounds are
         the ISO date prefixes of the endpoints — exactly the string
         form the injected partition stats store. Conservative: only
-        the cast-to-date pattern derives; anything else adds no
-        condition (never a wrong skip)."""
-        by_name = {f.name for f in schema.fields}
+        the cast-to-date pattern derives, and only when the SOURCE
+        column is itself a timestamp/date type — for those,
+        ``str(v)[:10]`` is guaranteed the ISO date prefix and the
+        cast is monotone in the column's native order. A STRING
+        source (raw-ingest pattern) derives nothing: string order is
+        not monotone under CAST to DATE ('2024-1-15' sorts after
+        '2024-01-15' but casts earlier), so a derived bound could
+        wrongly exclude a partition. Anything outside the safe set
+        adds no condition (never a wrong skip)."""
+        by_field = {f.name: f for f in schema.fields}
         have = {c[0] for c in conds}
+        safe_src = ("timestamp", "timestamp_ntz", "date")
         out = []
         for f in schema.fields:
             e = _gen_expr(f)
             if not e or f.name in have:
                 continue
             m = self._GEN_DATE_RE.match(e)
-            if not m or m.group(1) not in by_name:
+            if not m or m.group(1) not in by_field:
+                continue
+            if by_field[m.group(1)].dataType.typeName() not in safe_src:
                 continue
             for col, lo, hi in conds:
                 if col != m.group(1) or lo is None or hi is None:
@@ -1759,8 +1801,15 @@ class LakeTable:
                     (F.col("k") == self._BLOOM_K) & cond
                 ).select("base").collect()
             }
+            # a row built with a DIFFERENT k (constant changed across
+            # builds) can never satisfy the k-gated hit filter above —
+            # counting it as "indexed" would silently skip its file
+            # even when it contains the value; treat it as unindexed
             indexed = {
-                r["base"] for r in idx.select("base").collect()
+                r["base"]
+                for r in idx.filter(F.col("k") == self._BLOOM_K)
+                .select("base")
+                .collect()
             }
             entries = [
                 a
@@ -2094,15 +2143,19 @@ class LakeTable:
         _check_reserved(df.schema)
         v, active, cur = self._snapshot()
         part_logical = self.partition_columns(v)
+        gen_fields = [f for f in cur.fields if _gen_expr(f)]
+        # generated columns materialize BEFORE the partition-presence
+        # check: a table partitioned by a generated column (event_date
+        # GENERATED AS CAST(ts AS DATE)) accepts a batch supplying only
+        # ts, exactly like create/append/replace_where
+        if gen_fields:
+            df = self._apply_generated(df, StructType(gen_fields))
         missing_part = [c for c in part_logical if c not in df.columns]
         if missing_part:
             raise ValueError(
                 f"overwrite batch is missing partition column(s) "
                 f"{missing_part} — partitioning is fixed at create"
             )
-        gen_fields = [f for f in cur.fields if _gen_expr(f)]
-        if gen_fields:
-            df = self._apply_generated(df, StructType(gen_fields))
         self._check_constraints(df)
         adds = self._write_files(df, partition_phys=part_logical)
         schema = df.schema
@@ -2356,6 +2409,23 @@ class LakeTable:
             b.unpersist()
             raise ValueError("apply_cdc: delete row with NULL key")
         if atomic:
+            # Generated columns never appear in the merge clauses —
+            # merge_into rejects them in SET (they recompute via
+            # _apply_generated on both the update and insert legs).
+            # A batch that SUPPLIES one is validated against the
+            # expression first, exactly like the non-atomic merge()
+            # path: same contract, one version.
+            gen_supplied = [
+                f for f in schema.fields if _gen_expr(f) and f.name in b.columns
+            ]
+            if gen_supplied:
+                try:
+                    self._apply_generated(ups, StructType(gen_supplied))
+                except Exception:
+                    b.unpersist()
+                    raise
+            gen_names = {f.name for f in schema.fields if _gen_expr(f)}
+            mcols = [c for c in cols if c not in gen_names]
             src = b.select(
                 *cols, F.upper(F.col(op_col)).alias("_cdc_op")
             )
@@ -2363,10 +2433,10 @@ class LakeTable:
                 {"when": "matched", "action": "delete",
                  "condition": "src._cdc_op = 'D'"},
                 {"when": "matched", "action": "update",
-                 "set": {c: f"src.{c}" for c in cols if c != key},
+                 "set": {c: f"src.{c}" for c in mcols if c != key},
                  "condition": "src._cdc_op <> 'D'"},
                 {"when": "not_matched", "action": "insert",
-                 "values": {c: f"src.{c}" for c in cols},
+                 "values": {c: f"src.{c}" for c in mcols},
                  "condition": "src._cdc_op <> 'D'"},
             ], dv=dv)
             b.unpersist()
