@@ -501,34 +501,29 @@ def simhash_signatures(
     # lanes (bits j, j+16, j+32, j+48 live in counter j), so each
     # shingle costs 16 shift/mask/adds instead of 64 branch votes.
     # Lane width 16 ⇒ correct up to 65,535 distinct shingles per doc.
+    # Both the fold and the unpack are COMPACT runtime-loop expressions
+    # (transform/aggregate over sequence literals), not Python-unrolled
+    # 16/64-wide trees: the unrolled form built a 64-deep when-chain
+    # that Catalyst re-analyzed on every run — ~1 s of driver plan time
+    # per execution for a row-local map (the r8 JIT-warmup-frontier
+    # finding; runtime loop bodies JIT once and stay hot).
     assert bits == 64, "SWAR packing is specialized to 64-bit signatures"
-    lane = F.lit(0x0001000100010001)
     base = _shingle_set_table(df, text_col, id_col, 3)
-    counters = F.aggregate(
-        F.col("_sh"),
-        F.array_repeat(F.lit(0).cast("long"), 16),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[F.shiftrightunsigned(h, j).bitwiseAND(lane) for j in range(16)]
-            ),
-            lambda a, b: a + b,
-        ),
+    # lane mask 0x0001000100010001 = 281479271743489
+    counters = F.expr(
+        "aggregate(_sh, array_repeat(0L, 16), (acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 15), j -> shiftrightunsigned(h, j) & "
+        "281479271743489L), (a, b) -> a + b))"
     )
-    # Materialize the fold ONCE behind aliases: the unpack below
-    # references the counters 64 times, and CollapseProject must not
-    # re-inline the aggregate per reference.
     packed = base.select(id_col, counters.alias("_cnt"), F.size("_sh").alias("_n"))
     # Bit i set ⟺ ones-count > half the shingles (vote sum positive).
-    # Sum of disjoint bit values == bitwise OR; bit 63 is -(2**63).
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        ones = F.shiftrightunsigned(F.col("_cnt")[i % 16], 16 * (i // 16)).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-        sig = sig + F.when(
-            ones * 2 > F.col("_n"), F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # Sum of disjoint bit values == bitwise OR; shiftleft(1L, 63) is
+    # -(2**63) under Java shift semantics — no special case needed.
+    sig = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + IF("
+        "(shiftrightunsigned(_cnt[i % 16], 16 * (i DIV 16)) & 65535) * 2 > _n, "
+        "shiftleft(1L, i), 0L))"
+    )
     return packed.select(id_col, sig.alias("simhash"))
 
 

@@ -2350,19 +2350,35 @@ def minhash_lsh_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_sh2"),
         )
     )
+    # Melted pair check (r9, stage-count cut): each pair splits into
+    # its two sides and joins the independent shingle table ONCE, so
+    # ``ind`` is computed inside a single broadcast build instead of
+    # twice (one per join side). A participant missing from the
+    # recompute is itself a violation (left join + null check).
     inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
     union = F.size(F.col("_a")) + F.size(F.col("_b")) - inter
     out = (
-        lsh.join(
-            F.broadcast(ind.select(F.col("doc_id").alias("id_1"), F.col("_sh2").alias("_a"))),
-            "id_1",
+        lsh.select(
+            "id_1", "id_2", "jaccard",
+            F.explode(F.array("id_1", "id_2")).alias("doc_id"),
         )
-        .join(
-            F.broadcast(ind.select(F.col("doc_id").alias("id_2"), F.col("_sh2").alias("_b"))),
-            "id_2",
+        .join(F.broadcast(ind.select("doc_id", "_sh2")), "doc_id", "left")
+        .groupBy("id_1", "id_2", "jaccard")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_1"), F.col("_sh2")),
+                ignorenulls=True,
+            ).alias("_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("id_2"), F.col("_sh2")),
+                ignorenulls=True,
+            ).alias("_b"),
         )
         .filter(
-            (F.round(inter / union, 4) != F.col("jaccard")) | (F.col("jaccard") < 0.5)
+            F.col("_a").isNull()
+            | F.col("_b").isNull()
+            | (F.round(inter / union, 4) != F.col("jaccard"))
+            | (F.col("jaccard") < 0.5)
         )
         .agg(F.count(F.lit(1)).alias("violations"))
     )
@@ -2413,58 +2429,74 @@ def simhash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.count()
     # AUDIT leg: re-derive pair PARTICIPANTS' signatures from raw text
     # through an INDEPENDENT implementation — regexp tokenizer + SQL
-    # string shingles + explode + 64 per-bit conditional vote sums (the
-    # operator uses words/shingles_of_words + a SWAR packed-counter
-    # array fold). Joining the operator's own cached ``sig`` back to
-    # its pairs would compare a value to itself and pass regardless of
+    # string shingles + per-bit UNPACKED 64-long vote counters (the
+    # operator uses words/shingles_of_words + 16 packed 4-lane SWAR
+    # counters). Joining the operator's own cached ``sig`` back to its
+    # pairs would compare a value to itself and pass regardless of
     # signature/banding bugs; this recompute only shares Spark's
     # xxhash64 builtin (which the signature is defined over).
-    # Participants only: 2×|pairs| docs at most, so the naive 64-agg
-    # groupBy is audit-sized, not corpus-sized.
+    # Participants only: 2×|pairs| docs at most. Shape (r9, stage-count
+    # cut): the recompute is ROW-LOCAL (no explode + 65-agg shuffle),
+    # built from compact runtime-loop expressions (no 64-wide unrolled
+    # trees re-analyzed per run), and the pair check MELTS each pair
+    # into its two sides so ``part`` is computed ONCE inside a single
+    # broadcast build instead of twice (one per join side).
     ids = (
         pairs.select(F.col("id_1").alias("doc_id"))
         .union(pairs.select(F.col("id_2").alias("doc_id")))
         .distinct()
     )
-    votes = (
+    part = (
         d.join(ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("_tk"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(transform("
-                    "sequence(1, size(_tk) - 2), "
-                    "i -> concat_ws(' ', _tk[i-1], _tk[i], _tk[i+1])), "
-                    "s -> xxhash64(s)))"
-                )
-            ).alias("_h"),
+            F.expr(
+                "array_distinct(transform(transform("
+                "sequence(1, size(_tk) - 2), "
+                "i -> concat_ws(' ', _tk[i-1], _tk[i], _tk[i+1])), "
+                "s -> xxhash64(s)))"
+            ).alias("_hs"),
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(
-                    F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))
-                ).alias(f"_b{i}")
-                for i in range(64)
-            ],
+        .select(
+            "doc_id",
+            F.size("_hs").alias("_n"),
+            F.expr(
+                "aggregate(_hs, array_repeat(0L, 64), (acc, h) -> "
+                "zip_with(acc, transform(sequence(0, 63), "
+                "i -> shiftrightunsigned(h, i) & 1L), (a, b) -> a + b))"
+            ).alias("_v"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + "
+                "IF(_v[i] * 2 > _n, shiftleft(1L, i), 0L))"
+            ).alias("simhash"),
         )
     )
-    sig2 = F.lit(0).cast("long")
-    for i in range(64):
-        sig2 = sig2 + F.when(
-            F.col(f"_b{i}") * 2 > F.col("_n"),
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    part = votes.select("doc_id", sig2.alias("simhash"))
-    s1 = part.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("_h1"))
-    s2 = part.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("_h2"))
     out = (
-        pairs.join(F.broadcast(s1), "id_1")
-        .join(F.broadcast(s2), "id_2")
+        pairs.select(
+            "id_1", "id_2", "hamming",
+            F.explode(F.array("id_1", "id_2")).alias("doc_id"),
+        )
+        .join(F.broadcast(part), "doc_id", "left")
+        .groupBy("id_1", "id_2", "hamming")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("id_1"), F.col("simhash"))
+            ).alias("_h1"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("id_2"), F.col("simhash"))
+            ).alias("_h2"),
+        )
+        # a participant MISSING from the recompute is itself a
+        # violation (the left join + null check keeps the audit from
+        # silently passing on dropped rows)
         .filter(
-            (F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) != F.col("hamming"))
+            F.col("_h1").isNull()
+            | F.col("_h2").isNull()
+            | (F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) != F.col("hamming"))
             | (F.col("hamming") > 3)
         )
         .agg(F.count(F.lit(1)).alias("violations"))
@@ -4524,12 +4556,21 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     batch_delta = verify_pairs_exact(docs3, batch_cand, sets=sets).persist()
     batch_delta.count()
+    # ONE job for both set-difference directions (r9, stage-count
+    # cut): the two anti-joins over the cached legs union into a
+    # single count instead of two driver-blocking actions.
     keys = ["id_1", "id_2", "jaccard"]
-    missing = batch_delta.join(inc, keys, "left_anti").count()
-    extra = inc.join(batch_delta, keys, "left_anti").count()
-    for f in (banded_all, sets, inc, batch_delta):  # all consumers ran
-        f.unpersist()
-    return spark.createDataFrame([(missing + extra,)], "violations long")
+    out = (
+        batch_delta.join(inc, keys, "left_anti")
+        .select(F.lit(1).alias("_one"))
+        .unionAll(
+            inc.join(batch_delta, keys, "left_anti").select(
+                F.lit(1).alias("_one")
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return _eager_release(out, banded_all, sets, inc, batch_delta)
 
 
 # --- Heuristic corpus-quality filters (C4 / Gopher rule families) ----
