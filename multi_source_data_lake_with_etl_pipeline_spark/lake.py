@@ -118,9 +118,32 @@ _READER_FEATURES = frozenset(
     }
 )
 
+# Writer features (Delta minWriterVersion parity): everything a WRITER
+# must understand to mutate the table without corrupting invariants
+# newer readers rely on — a protocol-ignorant writer could e.g. append
+# files without partition values on a partitioned table, write logical
+# instead of physical names on a mapped table, skip generated-column
+# materialization, or append rows that violate CHECK constraints
+# (which readers never re-verify). Every mutating op replays the
+# table's cumulative writer-feature stamps FIRST and refuses unknown
+# names loudly; reads stay available as long as the READER features
+# are known. Cumulative like reader stamps (a dropped constraint does
+# not retract the stamp — Delta parity).
+_WRITER_FEATURES = frozenset(
+    {
+        "column-mapping",
+        "deletion-vectors",
+        "generated-columns",
+        "partition-columns",
+        "check-constraints",
+    }
+)
+
 
 class UnsupportedTableFeature(RuntimeError):
-    """The table requires reader features this build doesn't know."""
+    """The table requires reader or writer features this build doesn't
+    know (readers refuse on unknown reader features; writers refuse on
+    unknown writer features while reads keep working)."""
 
 
 class CommitConflict(RuntimeError):
@@ -338,6 +361,8 @@ class LakeTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         generated_columns: dict[str, str] | None = None,
+        optimized_write: bool = False,
+        optimized_write_salt: int = 1,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
         columns, fixed for the table's lifetime (Delta parity — raise
@@ -347,7 +372,15 @@ class LakeTable:
         table, so a generated column can itself be a partition column
         — the canonical Delta pattern ``partition_by=["event_date"]``
         with ``event_date GENERATED ALWAYS AS (CAST(ts AS DATE))``:
-        writers supply only ``ts`` and land in the right partition."""
+        writers supply only ``ts`` and land in the right partition.
+
+        ``optimized_write=True`` (Delta autoOptimize.optimizeWrite
+        parity, stored as the ``optimizedWrite`` table property so
+        EVERY later writer honors it): partitioned writes repartition
+        by the partition columns first — ~1 file per partition per
+        write instead of tasks × partitions shards.
+        ``optimized_write_salt`` > 1 splits each partition across that
+        many hash keys (skew guard for a hot partition)."""
         _check_reserved(df.schema)
         fields = list(df.schema.fields)
         for name, expr in (generated_columns or {}).items():
@@ -388,10 +421,27 @@ class LakeTable:
                     )
             pp = [_phys(by_name[c]) for c in partition_by]
             props[_PART_PROP] = json.dumps(pp)
+        if optimized_write:
+            props["optimizedWrite"] = "true"
+            if optimized_write_salt > 1:
+                props["optimizedWrite.salt"] = str(int(optimized_write_salt))
+            if partition_by:
+                # the prop lands in THIS commit — apply the layout to
+                # the create batch directly (later writers resolve it
+                # from props inside _write_files)
+                keys: list = [F.col(c) for c in partition_by]
+                if optimized_write_salt > 1:
+                    keys.append(
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in df.columns]),
+                            F.lit(int(optimized_write_salt)),
+                        )
+                    )
+                df = df.repartition(*keys)
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
-        adds = t._write_files(df, schema, partition_phys=pp)
+        adds = t._write_files(df, schema, partition_phys=pp, optimized=False)
         t._commit(0, "create", adds, [], schema, props=props)
         return t
 
@@ -480,6 +530,7 @@ class LakeTable:
         deciding whether to OPTIMIZE or VACUUM."""
         v, active, schema = self._snapshot(version)
         ndel = sum(int(a.get("dv", {}).get("ndel", 0)) for a in active)
+        _, _, _, rfeats, wfeats = self._replay(v)
         return {
             "version": v,
             "num_files": len(active),
@@ -496,7 +547,8 @@ class LakeTable:
                 f.name for f in schema.fields if _gen_expr(f)
             ),
             "partition_columns": self.partition_columns(v),
-            "reader_features": sorted(self._replay(v)[3]),
+            "reader_features": sorted(rfeats),
+            "writer_features": sorted(wfeats),
             "bloom_indexes": sorted(
                 k[len("bloom."):]
                 for k in self.props(v)
@@ -809,7 +861,7 @@ class LakeTable:
 
     def _checkpoint_at_or_before(
         self, v: int
-    ) -> tuple[int, list[dict], dict | None, list[str]] | None:
+    ) -> tuple[int, list[dict], dict | None, list[str], list[str]] | None:
         # O(1) fast path (Delta's _last_checkpoint parity): the pointer
         # names the newest checkpoint, so the common latest-snapshot
         # read never lists the log directory — at 1M commits a listdir
@@ -824,7 +876,10 @@ class LakeTable:
                     os.path.join(self._log_dir, f"_checkpoint.{last}.json")
                 ) as f:
                     d = json.load(f)
-                    return last, d["active"], d.get("props"), d.get("features", [])
+                    return (
+                        last, d["active"], d.get("props"),
+                        d.get("features", []), d.get("writer_features", []),
+                    )
         except (FileNotFoundError, KeyError, ValueError):
             pass
         # fallback scan: time travel to before the last checkpoint, or
@@ -839,7 +894,10 @@ class LakeTable:
             return None
         with open(os.path.join(self._log_dir, f"_checkpoint.{best}.json")) as f:
             d = json.load(f)
-            return best, d["active"], d.get("props"), d.get("features", [])
+            return (
+                best, d["active"], d.get("props"),
+                d.get("features", []), d.get("writer_features", []),
+            )
 
     def _snapshot(self, version: int | None = None) -> tuple[int, list[dict], StructType]:
         """(version, active add-entries, schema) at ``version`` (default
@@ -848,7 +906,7 @@ class LakeTable:
         the replay (checkpoints carry the cumulative union) and REFUSES
         unknown features loudly — an old reader must never silently
         misread a table written with a protocol it doesn't know."""
-        v, active, schema, feats = self._replay(version)
+        v, active, schema, feats, _ = self._replay(version)
         unknown = feats - _READER_FEATURES
         if unknown:
             raise UnsupportedTableFeature(
@@ -858,18 +916,44 @@ class LakeTable:
             )
         return v, active, schema
 
+    def _check_writer_features(self, version: int | None = None) -> None:
+        """Refuse to WRITE through a protocol this build doesn't know
+        (Delta minWriterVersion parity): replay the table's cumulative
+        ``writer_features`` stamps and raise on unknown names. Reads
+        are untouched — a table is still readable when only its writer
+        features are ahead of this build. Served from the replay cache
+        when the mutating op's own _snapshot just walked the same
+        version (the common path), so the gate adds no metadata I/O."""
+        cached = getattr(self, "_wf_cache", None)
+        if cached is not None and cached[0] == version:
+            wfeats = cached[1]
+        else:
+            _, _, _, _, wfeats = self._replay(version)
+        unknown = wfeats - _WRITER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeature(
+                f"table at {self.path} requires writer feature(s) "
+                f"{sorted(unknown)}; this build supports "
+                f"{sorted(_WRITER_FEATURES)} — upgrade the writer "
+                "(reads keep working while reader features are known)"
+            )
+
     def _replay(
         self, version: int | None = None
-    ) -> tuple[int, list[dict], StructType, set[str]]:
+    ) -> tuple[int, list[dict], StructType, set[str], set[str]]:
         v = self.latest_version() if version is None else version
         start = 0
         active: dict[str, dict] = {}
         feats: set[str] = set()
+        wfeats: set[str] = set()
         ckpt = self._checkpoint_at_or_before(v)
         if ckpt is not None:
             start = ckpt[0] + 1
             active = {a["path"]: a for a in ckpt[1]}
             feats = set(ckpt[3])
+            # pre-writer-protocol checkpoints lack the key; such tables
+            # carry no writer stamps anywhere, so empty is exact
+            wfeats = set(ckpt[4] or [])
         schema_json = None
         for cv in range(start, v + 1):
             try:
@@ -881,11 +965,13 @@ class LakeTable:
             for a in c["add"]:
                 active[a["path"]] = a
             feats.update(c.get("reader_features", []))
+            wfeats.update(c.get("writer_features", []))
             schema_json = c["schema"]
         if schema_json is None:  # checkpoint covered everything
             schema_json = self._read_commit(v)["schema"]
         schema = StructType.fromJson(json.loads(schema_json))
-        return v, list(active.values()), schema, feats
+        self._wf_cache = (v, frozenset(wfeats))
+        return v, list(active.values()), schema, feats, wfeats
 
     def _commit(
         self,
@@ -913,6 +999,11 @@ class LakeTable:
             rec["props"] = props
         if metrics is not None:
             rec["metrics"] = metrics
+        # writer-protocol gate FIRST: a build that doesn't understand
+        # the table's cumulative writer features must not write through
+        # them (version 0 is table creation — nothing to replay)
+        if version > 0:
+            self._check_writer_features(version - 1)
         # protocol stamp: features a reader of THIS commit's content
         # must understand (readers union stamps over their replay)
         feats = set()
@@ -928,6 +1019,14 @@ class LakeTable:
             feats.add("partition-columns")
         if feats:
             rec["reader_features"] = sorted(feats)
+        # writer stamp: everything a reader must know is also a writer
+        # obligation, plus writer-only invariants (CHECK constraints
+        # are enforced at write time; readers never re-verify)
+        wfeats = set(feats)
+        if any(k.startswith("constraint.") for k in (props or {})):
+            wfeats.add("check-constraints")
+        if wfeats:
+            rec["writer_features"] = sorted(wfeats)
         target = os.path.join(self._log_dir, _ver_name(version))
         while True:
             try:
@@ -948,7 +1047,7 @@ class LakeTable:
             # features, no reader check needed; the checkpoint carries
             # the cumulative union so later readers starting from it
             # still see every feature stamped before it
-            _, active, _, ck_feats = self._replay(version)
+            _, active, _, ck_feats, ck_wfeats = self._replay(version)
             # props ride the checkpoint so props() walks are floored by
             # the checkpoint cadence, never O(history). Computed BEFORE
             # the file exists, and published by ATOMIC rename — a
@@ -963,6 +1062,7 @@ class LakeTable:
                 "active": active,
                 "props": self.props(version),
                 "features": sorted(ck_feats),
+                "writer_features": sorted(ck_wfeats),
             }
             ck_tmp = ck_path + f".tmp.{uuid.uuid4().hex}"
             with open(ck_tmp, "w") as f:
@@ -1134,6 +1234,7 @@ class LakeTable:
         df: DataFrame,
         schema: StructType | None = None,
         partition_phys: list[str] | None = None,
+        optimized: bool | None = None,
     ) -> list[dict]:
         """Materialize ``df`` as immutable data files; returns their add
         entries (with footer stats). Files land under data/ with UUID
@@ -1189,6 +1290,35 @@ class LakeTable:
             raise ValueError(
                 f"write batch is missing partition column(s) {missing}"
             )
+        # Optimized writes (Delta autoOptimize.optimizeWrite parity):
+        # repartition the batch BY the partition columns before the
+        # write, so each partition receives ~1 file per write instead
+        # of (tasks × partitions) shards — the classic 32-task ×
+        # 200-dir = 6,400-file explosion (SCALE.md probe). Skew guard:
+        # `optimizedWrite.salt` > 1 hash-splits each partition's rows
+        # across that many shuffle keys (a giant hot date writes salt
+        # files in parallel, not one single-task file). Resolved from
+        # table props so EVERY writer honors it; `optimized` overrides
+        # (create: the prop is being written in the same commit).
+        if optimized is None:
+            try:
+                optimized = self.props().get("optimizedWrite") == "true"
+            except (FileNotFoundError, OSError):
+                optimized = False  # pre-create write: flag arrives explicitly
+        if optimized:
+            try:
+                salt = int(self.props().get("optimizedWrite.salt", "1"))
+            except (FileNotFoundError, OSError):
+                salt = 1
+            keys = [F.col(c) for c in partition_phys]
+            if salt > 1:
+                keys.append(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in df.columns]),
+                        F.lit(salt),
+                    )
+                )
+            df = df.repartition(*keys)
         types = {f.name: f.dataType for f in df.schema.fields}
         # '' in a string partition column is unrepresentable: Spark
         # writes it as __HIVE_DEFAULT_PARTITION__ — the same dirname as
@@ -2777,6 +2907,7 @@ class LakeTable:
         on: str | list[str],
         clauses: list[dict],
         dv: bool = False,
+        evolve_schema: bool = False,
     ) -> dict:
         """General MERGE (Delta ``MERGE INTO`` clause parity — the
         superset of :meth:`merge`'s upsert-all):
@@ -2813,7 +2944,14 @@ class LakeTable:
         non-deterministic result. CDC feeds with delete flags in the
         payload (reference ``base_loaders.py:149-181`` upserts +
         tombstones) map to matched-delete/matched-update/not-matched-
-        insert with conditions on the flag column."""
+        insert with conditions on the flag column.
+
+        ``evolve_schema=True`` (Delta ``MERGE … WITH SCHEMA
+        EVOLUTION``): new SOURCE columns widen the target in the same
+        commit — additive only, reusing append(merge_schema=True)'s
+        rules, composed with column mapping (fresh physical names) and
+        CDF images (preimages read NULL for columns newer than their
+        files)."""
         for c in clauses:
             when = c.get("when")
             act = c.get("action")
@@ -2844,13 +2982,58 @@ class LakeTable:
             raise ValueError("merge_into requires at least one clause")
 
         v, active, schema = self._snapshot()
+        if evolve_schema:
+            # MERGE ... WITH SCHEMA EVOLUTION (Delta parity): new SOURCE
+            # columns widen the target schema in the SAME commit —
+            # additive only, append(merge_schema=True)'s rules (type
+            # changes always reject; fresh PHYSICAL names when a new
+            # logical name collides with a used or drop-tombstoned
+            # physical name). Target files predating the commit read
+            # the new columns as NULL; CDF preimages carry NULL there
+            # too — exactly the widened-read semantics.
+            cur_by_name = {f.name: f for f in schema.fields}
+            used = {_phys(f) for f in schema.fields} | set(
+                json.loads(self.props(v).get(_DROPPED_PROP, "[]"))
+            )
+            new_fields = []
+            for f in source.schema.fields:
+                have = cur_by_name.get(f.name)
+                if have is None:
+                    _check_reserved(StructType([f]))
+                    p = (
+                        f.name
+                        if f.name not in used
+                        else f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                    )
+                    new_fields.append(
+                        StructField(f.name, f.dataType, True, {_PHYS_KEY: p})
+                        if p != f.name
+                        else StructField(f.name, f.dataType, True)
+                    )
+                elif have.dataType != f.dataType:
+                    raise ValueError(
+                        f"merge_into schema mismatch on '{f.name}': table "
+                        f"has {have.dataType.simpleString()}, source has "
+                        f"{f.dataType.simpleString()} — type changes never "
+                        "evolve"
+                    )
+            if new_fields:
+                schema = StructType(list(schema.fields) + new_fields)
         data_cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}
         gen_cols = {f.name for f in schema.fields if _gen_expr(f)}
         for c in clauses:
             for col in (c.get("set") or {}) if isinstance(c.get("set"), dict) else {}:
                 if col not in by_name:
-                    raise ValueError(f"UPDATE SET: no such column {col!r}")
+                    raise ValueError(
+                        f"UPDATE SET: no such column {col!r}"
+                        + (
+                            " (pass evolve_schema=True to widen the "
+                            "target with new source columns)"
+                            if col in source.columns
+                            else ""
+                        )
+                    )
                 if col in gen_cols:
                     raise ValueError(
                         f"column {col!r} is GENERATED ALWAYS AS — it "
@@ -3477,7 +3660,19 @@ class LakeTable:
                     )
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            return df.select(*cols)
+            out = df.select(*cols)
+            # generated columns born AFTER this era read NULL through
+            # lineage — recompute from the stored expression over the
+            # projected (current-name) columns, exactly like the
+            # era==current fast path does via _read_entries' gen fill
+            for f in schema.fields:
+                e = _gen_expr(f)
+                if e:
+                    out = out.withColumn(
+                        f.name,
+                        F.coalesce(F.col(f.name), F.expr(e).cast(f.dataType)),
+                    )
+            return out
 
         parts: list[DataFrame] = []
         for v in range(from_version + 1, hi + 1):
@@ -3527,11 +3722,24 @@ class LakeTable:
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in schema.fields
                     ]
-                    parts.append(
+                    cf = (
                         self.spark.read.schema(cdf_schema)
                         .parquet(cdf_dir)
                         .select(*cols, "_change_type")
-                        .withColumn("_commit_version", F.lit(v).cast("long"))
+                    )
+                    # generated columns born after this change file's
+                    # era recompute (same rule as _era_read above)
+                    for f in schema.fields:
+                        e = _gen_expr(f)
+                        if e:
+                            cf = cf.withColumn(
+                                f.name,
+                                F.coalesce(
+                                    F.col(f.name), F.expr(e).cast(f.dataType)
+                                ),
+                            )
+                    parts.append(
+                        cf.withColumn("_commit_version", F.lit(v).cast("long"))
                     )
                 continue
             else:  # compact: physical rearrangement, no logical change
@@ -3758,7 +3966,12 @@ class LakeTable:
             "orphan_files": orphans,
         }
 
-    def vacuum(self, keep_versions: int = 0, dry_run: bool = False) -> int:
+    def vacuum(
+        self,
+        keep_versions: int = 0,
+        dry_run: bool = False,
+        retain_hours: float | None = None,
+    ) -> int:
         """Drop data files unreferenced by the snapshots of the last
         ``keep_versions`` + current versions, or by any TAGGED version
         (Iceberg parity: a named ref pins its snapshot's files — a
@@ -3770,6 +3983,16 @@ class LakeTable:
         pre-flight an operator runs before an irreversible retention
         pass. Returns count of (would-be) deleted files.
 
+        ``retain_hours`` (Delta ``VACUUM ... RETAIN N HOURS`` parity):
+        every version whose commit timestamp falls within the last N
+        hours survives REGARDLESS of ``keep_versions`` — wall-clock
+        retention is what operators actually configure, and it makes
+        the CDF-stream caveat ("retention must outlive consumer lag")
+        enforceable: set retain_hours above the slowest consumer's lag
+        and a checkpointed stream can never lose underived changes.
+        Composable: the effective horizon is the OLDEST version either
+        rule protects.
+
         CHANGE-FEED RETENTION rides the same horizon: _cdf change
         directories for versions OLDER than the horizon are dropped
         (their row-level changes are no longer derivable anyway once
@@ -3780,6 +4003,15 @@ class LakeTable:
         it."""
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600
+            in_window = [
+                v
+                for v in self._versions()
+                if self._read_commit(v).get("ts", 0) >= cutoff
+            ]
+            if in_window:
+                horizon = min(horizon, min(in_window))
         keep: set[str] = set()
         keep_dv: set[str] = set()
         protected = set(range(horizon, latest + 1)) | set(self.tags().values())

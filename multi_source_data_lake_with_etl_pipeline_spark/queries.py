@@ -10879,6 +10879,100 @@ def lake_merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# MERGE ... WITH SCHEMA EVOLUTION (round 9 — Delta parity): a CDC feed
+# adds a column MID-STREAM; merge_into(evolve_schema=True) widens the
+# target in the same commit. The oracle reconstructs the final state
+# relationally; the _audit row pins the CDF contract (preimages of the
+# evolved commit read NULL in the new column, postimages carry it).
+@register(
+    "lake_merge_evolution_audit",
+    """
+    WITH fin AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey BETWEEN 401 AND 800 THEN o_custkey + 9
+                  WHEN o_orderkey BETWEEN 301 AND 400 THEN o_custkey + 1
+                  ELSE o_custkey END AS c,
+             CASE WHEN o_orderkey BETWEEN 401 AND 800 THEN
+                    (CASE WHEN o_orderkey % 3 = 0 THEN 'eu' ELSE 'us' END)
+                  ELSE NULL END AS region
+      FROM orders WHERE o_orderkey <= 800
+    )
+    SELECT coalesce(region, '_none') AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM fin GROUP BY 1
+    UNION ALL
+    SELECT '_audit',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey BETWEEN 401 AND 600),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey BETWEEN 401 AND 600)
+    """,
+)
+def lake_merge_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_evo_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 600"))
+    # batch 1: plain CDC upsert, pre-evolution schema
+    t.merge_into(
+        o.filter("k BETWEEN 301 AND 500").select("k", (F.col("c") + 1).alias("c")),
+        ["k"],
+        clauses=[
+            {"when": "matched", "action": "update", "set": "all"},
+            {"when": "not_matched", "action": "insert", "values": "all"},
+        ],
+    )
+    v1 = t.latest_version()
+    # batch 2 ADDS `region` mid-stream — widen the target in the SAME
+    # merge commit (additive; old files read NULL)
+    src2 = o.filter("k BETWEEN 401 AND 800").select(
+        "k", (F.col("c") + 9).alias("c"),
+        F.when(F.col("k") % 3 == 0, "eu").otherwise("us").alias("region"),
+    )
+    t.merge_into(
+        src2, ["k"],
+        clauses=[
+            {"when": "matched", "action": "update", "set": "all"},
+            {"when": "not_matched", "action": "insert", "values": "all"},
+        ],
+        evolve_schema=True,
+    )
+    ch = t.changes(v1)
+    audit = ch.agg(
+        F.sum(
+            ((F.col("_change_type") == "update_preimage") & F.col("region").isNull())
+            .cast("long")
+        ).alias("pre_null"),
+        F.sum(
+            (
+                (F.col("_change_type") == "update_postimage")
+                & F.col("region").isNotNull()
+            ).cast("long")
+        ).alias("post_nn"),
+    ).collect()[0]
+    out = (
+        t.read()
+        .groupBy(F.coalesce(F.col("region"), F.lit("_none")).alias("region"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .unionByName(
+            spark.createDataFrame(
+                [("_audit", int(audit["pre_null"]), int(audit["post_nn"]))],
+                "region string, n long, sum_c long",
+            )
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # Lake CDF as a STREAMING SOURCE (round 8): the change feed of a lake
 # table consumed through the Spark 4 Python streaming data source
 # (streaming/cdf_source — checkpoint-owned version cursor, one input

@@ -27,13 +27,16 @@ Design (scale-first):
   NULL, never another column's bytes. Partitioned tables ship the
   file's hive partition values and fill them as constants.
 
+Generated columns: the executor reader has no SQL evaluator, so files
+that PREDATE a generated column's birth yield NULL from the raw
+source — ``lake_cdf_stream`` closes the gap with a post-read
+``coalesce(col, expr)`` projection on the wrapper DataFrame (where
+Spark SQL CAN evaluate), exactly how batch ``changes()`` recomputes
+(``lake.py:_fill_gen``). Identity for materialized rows: the same
+deterministic expression recomputes the same value.
+
 Limitations (documented, loud):
 
-- Generated columns in files that PREDATE the column's birth stream
-  as NULL (the batch ``changes()`` recomputes them at read; a
-  streaming executor has no SQL evaluator). Tables whose generated
-  columns were born at create are unaffected — values are
-  materialized in every file.
 - Vacuuming past a version that a checkpoint has not yet consumed
   breaks the stream (same as Delta CDF + VACUUM) — retention must
   outlive consumer lag.
@@ -271,11 +274,29 @@ def lake_cdf_stream(
     DataFrame: every commit past ``from_version`` (exclusive) arrives
     as rows tagged ``_change_type`` / ``_commit_version``; the
     checkpoint owns the version cursor, so ``availableNow`` drains +
-    restarts consume each commit exactly once."""
+    restarts consume each commit exactly once.
+
+    Generated columns stream with their VALUES in every era (batch
+    ``changes()`` parity): pre-birth files read NULL from the raw
+    source, and a post-read ``coalesce(col, generation expr)``
+    projection here recomputes them — a narrow per-row map on the
+    wrapper DataFrame, so the executor reader stays SQL-free."""
+    from pyspark.sql import functions as F
+
+    from ..lake import _gen_expr
+
     register_lakecdf_datasource(spark)
-    return (
+    out = (
         spark.readStream.format("lakecdf")
         .option("path", path)
         .option("from_version", str(from_version))
         .load()
     )
+    _, _, schema = LakeTable(None, path)._snapshot()
+    for f in schema.fields:
+        e = _gen_expr(f)
+        if e:
+            out = out.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.expr(e).cast(f.dataType))
+            )
+    return out

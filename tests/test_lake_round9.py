@@ -201,3 +201,292 @@ class TestBloomKMismatch:
         shutil.move(idx_dir + "_stale", idx_dir)
         got = [r["k"] for r in t.read_where_eq("u", "u0042").collect()]
         assert got == [42]
+
+
+# ===================================================================
+# Writer-feature protocol (round 9): commits stamp the writer features
+# their table state requires; every mutating op replays the cumulative
+# stamps first and refuses unknown names — Delta minWriterVersion
+# parity — while reads keep working when reader features are known.
+class TestWriterFeatures:
+    def _mk(self, spark, path):
+        return LakeTable.create(
+            spark, str(path),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+
+    def test_stamps_accumulate_and_surface(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        assert t.details()["writer_features"] == []  # plain table
+        t.add_constraint("k_pos", "k > 0")
+        t.rename_column("v", "val")
+        d = t.details()["writer_features"]
+        assert "check-constraints" in d and "column-mapping" in d
+        stamped = set()
+        for v in t._versions():
+            stamped.update(t._read_commit(v).get("writer_features", []))
+        assert {"check-constraints", "column-mapping"} <= stamped
+
+    def test_unknown_writer_feature_blocks_writes_not_reads(
+        self, spark, tmp_path
+    ):
+        """Forward-compat: a commit stamped by a FUTURE build with a
+        writer feature this build doesn't know must refuse every
+        mutation loudly — while read()/changes() keep working because
+        the reader features are all known."""
+        import json as _json
+
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import (
+            UnsupportedTableFeature,
+        )
+
+        t = self._mk(spark, tmp_path / "t")
+        c = t._read_commit(t.latest_version())
+        c["writer_features"] = ["identity-columns"]
+        vpath = os.path.join(t._log_dir, f"{t.latest_version():020d}.json")
+        with open(vpath, "w") as f:
+            _json.dump(c, f)
+        t2 = LakeTable.load(spark, t.path)  # fresh instance, no caches
+        assert sorted(r["k"] for r in t2.read().collect()) == [1, 2]
+        assert t2.changes(-1).count() == 2
+        batch = spark.createDataFrame([(3, 30)], "k long, v long")
+        with pytest.raises(UnsupportedTableFeature, match="identity-columns"):
+            t2.append(batch)
+        with pytest.raises(UnsupportedTableFeature, match="writer feature"):
+            t2.merge(batch, "k")
+        with pytest.raises(UnsupportedTableFeature):
+            t2.delete("k = 1")
+        with pytest.raises(UnsupportedTableFeature):
+            t2.delete("k = 1", dv=True)
+        # nothing committed, table state untouched
+        assert t2.latest_version() == t.latest_version()
+        assert sorted(r["k"] for r in t2.read().collect()) == [1, 2]
+
+    def test_writer_features_survive_checkpoint(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        t.add_constraint("v_pos", "v > 0")
+        for i in range(12):  # cross a checkpoint boundary
+            t.append(spark.createDataFrame([(100 + i, 1)], "k long, v long"))
+        ck = t._checkpoint_at_or_before(t.latest_version())
+        assert ck is not None and "check-constraints" in ck[4]
+        assert "check-constraints" in t.details()["writer_features"]
+
+
+# ===================================================================
+# MERGE ... WITH SCHEMA EVOLUTION (round 9): new source columns widen
+# the target in the SAME commit, additive-only, composed with column
+# mapping and CDF images.
+class TestMergeSchemaEvolution:
+    def _mk(self, spark, path):
+        return LakeTable.create(
+            spark, str(path),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+
+    def test_new_source_column_widens_in_same_commit(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        v0 = t.latest_version()
+        src = spark.createDataFrame(
+            [(2, 99, "eu"), (3, 30, "us")], "k long, v long, region string"
+        )
+        r = t.merge_into(
+            src, ["k"],
+            clauses=[
+                {"when": "matched", "action": "update", "set": "all"},
+                {"when": "not_matched", "action": "insert", "values": "all"},
+            ],
+            evolve_schema=True,
+        )
+        assert t.latest_version() == v0 + 1  # ONE commit
+        got = sorted(
+            (row["k"], row["v"], row["region"]) for row in t.read().collect()
+        )
+        # pre-existing row 1 reads NULL in the new column
+        assert got == [(1, 10, None), (2, 99, "eu"), (3, 30, "us")]
+        assert [f.name for f in t.read().schema.fields] == ["k", "v", "region"]
+        assert r["updated"] == 1 and r["inserted"] == 1
+        # CDF: preimage of row 2 carries NULL region; postimage 'eu'
+        ch = {
+            (row["_change_type"], row["k"]): row["region"]
+            for row in t.changes(v0).collect()
+        }
+        assert ch[("update_preimage", 2)] is None
+        assert ch[("update_postimage", 2)] == "eu"
+        assert ch[("insert", 3)] == "us"
+
+    def test_without_flag_new_set_column_raises(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        src = spark.createDataFrame([(2, 99, "eu")], "k long, v long, region string")
+        with pytest.raises(ValueError, match="evolve_schema"):
+            t.merge_into(
+                src, ["k"],
+                clauses=[{"when": "matched", "action": "update",
+                          "set": {"region": "src.region"}}],
+            )
+
+    def test_type_change_never_evolves(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        src = spark.createDataFrame([(2, "x")], "k long, v string")
+        with pytest.raises(ValueError, match="type changes never evolve"):
+            t.merge_into(
+                src, ["k"],
+                clauses=[{"when": "matched", "action": "update", "set": "all"}],
+                evolve_schema=True,
+            )
+
+    def test_evolution_respects_drop_tombstones(self, spark, tmp_path):
+        """A re-added logical name that matches a DROPPED physical name
+        gets a FRESH physical name — dropped bytes never resurrect."""
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10, 7)], "k long, v long, old long"),
+        )
+        t.drop_column("old")
+        src = spark.createDataFrame([(1, 11, 42)], "k long, v long, old long")
+        t.merge_into(
+            src, ["k"],
+            clauses=[{"when": "matched", "action": "update", "set": "all"}],
+            evolve_schema=True,
+        )
+        got = t.read().collect()
+        assert [(r["k"], r["v"], r["old"]) for r in got] == [(1, 11, 42)]
+        f = next(f for f in t._snapshot()[2].fields if f.name == "old")
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import _phys
+        assert _phys(f) != "old"  # fresh physical name
+
+    def test_evolved_merge_with_dv_mode(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        src = spark.createDataFrame([(1, 100, 5.5)], "k long, v long, w double")
+        t.merge_into(
+            src, ["k"],
+            clauses=[{"when": "matched", "action": "update", "set": "all"}],
+            evolve_schema=True, dv=True,
+        )
+        got = sorted((r["k"], r["v"], r["w"]) for r in t.read().collect())
+        assert got == [(1, 100, 5.5), (2, 20, None)]
+
+
+# ===================================================================
+# Time-based vacuum retention (round 9): VACUUM ... RETAIN N HOURS —
+# versions inside the wall-clock window survive regardless of
+# keep_versions; dry_run parity holds.
+class TestVacuumRetainHours:
+    def _mk_versions(self, spark, path, n=4):
+        t = LakeTable.create(
+            spark, str(path),
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+        )
+        for i in range(1, n):
+            t.overwrite(spark.createDataFrame([(i, i)], "k long, v long"))
+        return t
+
+    def test_recent_versions_survive_regardless_of_count(self, spark, tmp_path):
+        """All commits landed seconds ago: retain_hours=1 protects every
+        version even with keep_versions=0 — nothing is deleted and all
+        time travel still works."""
+        t = self._mk_versions(spark, tmp_path / "t")
+        would = t.vacuum(keep_versions=0, retain_hours=1.0, dry_run=True)
+        assert would == 0
+        removed = t.vacuum(keep_versions=0, retain_hours=1.0)
+        assert removed == 0
+        for v in range(4):
+            assert [r["k"] for r in t.read(v).collect()] == [v]
+
+    def test_expired_window_falls_back_to_keep_versions(self, spark, tmp_path):
+        """Backdate every commit past the window: retain_hours protects
+        nothing extra, so keep_versions=0 drops history exactly like a
+        plain vacuum — and dry_run predicted the same count."""
+        import json as _json
+
+        t = self._mk_versions(spark, tmp_path / "t")
+        for v in t._versions():  # age all commits by 10 hours
+            p = os.path.join(t._log_dir, f"{v:020d}.json")
+            c = _json.load(open(p))
+            c["ts"] = c["ts"] - 36000
+            _json.dump(c, open(p, "w"))
+        would = t.vacuum(keep_versions=0, retain_hours=1.0, dry_run=True)
+        assert would > 0
+        removed = t.vacuum(keep_versions=0, retain_hours=1.0)
+        assert removed == would
+        # current snapshot still reads; old time travel is gone
+        assert [r["k"] for r in t.read().collect()] == [3]
+        with pytest.raises(Exception):
+            t.read(0).collect()
+
+    def test_partial_window_protects_newer_versions_only(self, spark, tmp_path):
+        """Backdate only the OLDEST two commits: the horizon lands at
+        the first in-window version, protecting everything newer."""
+        import json as _json
+
+        t = self._mk_versions(spark, tmp_path / "t")
+        for v in (0, 1):
+            p = os.path.join(t._log_dir, f"{v:020d}.json")
+            c = _json.load(open(p))
+            c["ts"] = c["ts"] - 36000
+            _json.dump(c, open(p, "w"))
+        t.vacuum(keep_versions=0, retain_hours=1.0)
+        # versions 2 and 3 (in-window) still time travel
+        assert [r["k"] for r in t.read(2).collect()] == [2]
+        assert [r["k"] for r in t.read(3).collect()] == [3]
+        with pytest.raises(Exception):
+            t.read(0).collect()
+
+
+# ===================================================================
+# Optimized writes (round 9 — Delta autoOptimize.optimizeWrite
+# parity): partitioned writes repartition by the partition columns
+# first, so each write lands ~1 file per partition instead of
+# tasks x partitions shards; a salt splits hot partitions.
+class TestOptimizedWrite:
+    def test_one_file_per_partition_per_write(self, spark, tmp_path):
+        df = spark.range(0, 400, 1, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("long").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df,
+            partition_by=["p"], optimized_write=True,
+        )
+        assert t.details()["num_files"] == 5  # one per partition
+        # later writers honor the table property automatically
+        t.append(
+            spark.range(400, 600, 1, 8).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 5).cast("long").alias("p"),
+                (F.col("id") * 2).alias("v"),
+            )
+        )
+        assert t.details()["num_files"] == 10
+        assert t.read().count() == 600
+        # content identical to an unoptimized twin
+        u = LakeTable.create(
+            spark, str(tmp_path / "u"), df, partition_by=["p"],
+        )
+        assert sorted(map(tuple, t.read(0).collect())) == sorted(
+            map(tuple, u.read().collect())
+        )
+
+    def test_salt_splits_hot_partition(self, spark, tmp_path):
+        """At test scale AQE's size-based coalescing would re-merge the
+        tiny salted splits (the right call for real file sizing) — turn
+        it off to observe the salt keys themselves."""
+        df = spark.range(0, 300, 1, 8).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("p"),  # ONE hot partition
+            (F.col("id") * 2).alias("v"),
+        )
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            t = LakeTable.create(
+                spark, str(tmp_path / "t"), df,
+                partition_by=["p"], optimized_write=True,
+                optimized_write_salt=4,
+            )
+        finally:
+            spark.conf.set(key, prev)
+        nf = t.details()["num_files"]
+        assert 2 <= nf <= 4  # split across salt keys, not 8 task shards
+        assert t.read().count() == 300

@@ -493,6 +493,33 @@ class TestLakeCdfStreamSource:
             (1, 0, 10, "insert"), (2, 1, 20, "insert"), (3, 0, 30, "insert")
         ]
 
+    def test_generated_columns_stream_in_prebirth_files(self, spark, tmp_path):
+        """Round 9: a generated column added AFTER files existed streams
+        its recomputed VALUE for those pre-birth files (not NULL) — the
+        wrapper's coalesce projection gives batch changes() parity,
+        composed with a rename of the source column."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+        t.rename_column("v", "val")
+        t.add_generated_column("val2", "val * 2")
+        t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck)
+        got = sorted(
+            (r["k"], r["val"], r["val2"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (r["k"], r["val"], r["val2"], r["_change_type"], r["_commit_version"])
+            for r in t.changes(-1).collect()
+        )
+        assert got == want
+        assert all(v2 == val * 2 for _, val, v2, _, _ in got)
+
     def test_lake_to_stream_to_lake_loop(self, spark, tmp_path):
         """The closed loop: table A's change feed streams into table B
         through foreachBatch + append_stream_batch — exactly-once on
