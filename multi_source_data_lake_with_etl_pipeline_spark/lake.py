@@ -3826,8 +3826,96 @@ class LakeTable:
         adds = self._write_files(df, schema)
         return self._commit(v + 1, "compact", adds, [a["path"] for a in active], schema)
 
+    def _verify_files_spark(
+        self, active: list[dict]
+    ) -> tuple[list[str], list[str], list[str]]:
+        """Distributed leg of verify_integrity: footer row counts + DV
+        sidecar consistency checked in a mapInPandas job over the file
+        SPECS (path, expected rows, dv pointer) — Arrow-batched worker
+        processes parse footers in parallel; only (kind, msg) verdicts
+        reach the driver. Sidecars read with a pushed-down _dv_base
+        filter, so a file's task touches only its own positions."""
+        import pandas as pd
+
+        specs = [
+            (
+                a["path"],
+                self._abs(a["path"]),
+                int(a.get("rows", 0)),
+                self._abs(a["dv"]["path"]) if a.get("dv") else None,
+                a["dv"]["path"] if a.get("dv") else None,
+                os.path.basename(a["path"]) if a.get("dv") else None,
+                int(a["dv"].get("ndel", 0)) if a.get("dv") else -1,
+            )
+            for a in active
+        ]
+        if not specs:
+            return [], [], []
+        sdf = self.spark.createDataFrame(
+            specs,
+            "path string, abs string, rows long, dv_abs string, "
+            "dv_rel string, dv_base string, ndel long",
+        ).repartition(
+            max(1, min(len(specs), self.spark.sparkContext.defaultParallelism))
+        )
+
+        def _check(batches):
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                kinds, msgs = [], []
+                for r in pdf.itertuples(index=False):
+                    if not _os.path.exists(r.abs):
+                        kinds.append("missing")
+                        msgs.append(r.path)
+                        continue
+                    footer_rows = _pq.ParquetFile(r.abs).metadata.num_rows
+                    if footer_rows != r.rows:
+                        kinds.append("rowcount")
+                        msgs.append(
+                            f"{r.path}: entry says {r.rows}, footer {footer_rows}"
+                        )
+                    if r.dv_abs is None:
+                        continue
+                    if not _os.path.exists(r.dv_abs):
+                        kinds.append("missing")
+                        msgs.append(r.dv_rel)
+                        continue
+                    t = _pq.read_table(
+                        r.dv_abs,
+                        columns=["_dv_pos"],
+                        filters=[("_dv_base", "==", r.dv_base)],
+                    )
+                    poss = t.column("_dv_pos").to_pylist()
+                    if len(poss) != r.ndel:
+                        kinds.append("dv")
+                        msgs.append(
+                            f"{r.path}: ndel {r.ndel} but sidecar holds "
+                            f"{len(poss)} positions"
+                        )
+                    elif poss and (min(poss) < 0 or max(poss) >= footer_rows):
+                        kinds.append("dv")
+                        msgs.append(
+                            f"{r.path}: DV position out of range "
+                            f"[{min(poss)}, {max(poss)}] for {footer_rows} rows"
+                        )
+                yield pd.DataFrame({"kind": kinds, "msg": msgs})
+
+        verdicts = sdf.mapInPandas(_check, "kind string, msg string").collect()
+        missing = sorted(r["msg"] for r in verdicts if r["kind"] == "missing")
+        rowcount_bad = sorted(
+            r["msg"] for r in verdicts if r["kind"] == "rowcount"
+        )
+        dv_bad = sorted(r["msg"] for r in verdicts if r["kind"] == "dv")
+        return missing, rowcount_bad, dv_bad
+
     def verify_integrity(
-        self, version: int | None = None, io_threads: int = 0
+        self,
+        version: int | None = None,
+        io_threads: int = 0,
+        distributed: bool = False,
     ) -> dict:
         """FSCK for a snapshot: metadata-vs-disk consistency, all from
         parquet FOOTERS and sidecar reads — no data scan, O(files)
@@ -3850,13 +3938,24 @@ class LakeTable:
         the latency. The orphan scan accumulates the ever-referenced
         path set with ONE forward replay of the commit log instead of
         a per-version snapshot (O(versions × files) on long
-        histories)."""
+        histories).
+
+        ``distributed=True`` (round 9): lift the per-file footer + DV
+        checks into a Spark job over the file list — mapInPandas
+        workers parse footers in PARALLEL PROCESSES (no driver GIL)
+        and, on a cluster, across executors; only per-file VERDICTS
+        return to the driver. The log replay (orphans, bloom
+        registration) stays driver metadata work. Same results as the
+        serial path (pinned in tests) — the knob for 10⁵-file tables
+        where a serial driver loop is minutes."""
         import pyarrow.parquet as pq
 
         v, active, schema = self._snapshot(version)
         missing: list[str] = []
         rowcount_bad: list[str] = []
         dv_bad: list[str] = []
+        if distributed:
+            missing, rowcount_bad, dv_bad = self._verify_files_spark(active)
 
         def _footer_rows(a: dict) -> tuple[dict, int | None]:
             ap = self._abs(a["path"])
@@ -3878,7 +3977,9 @@ class LakeTable:
             return rel, by_base
 
         dv_rels = sorted({a["dv"]["path"] for a in active if a.get("dv")})
-        if io_threads > 0:
+        if distributed:
+            pass  # per-file checks already ran in the Spark job above
+        elif io_threads > 0:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=io_threads) as ex:
@@ -3891,7 +3992,7 @@ class LakeTable:
                 a["path"]: rows for a, rows in map(_footer_rows, active)
             }
             dv_cache = dict(map(_load_dv, dv_rels))
-        for a in active:
+        for a in active if not distributed else []:
             footer_rows = footer_by_path[a["path"]]
             if footer_rows is None:
                 missing.append(a["path"])

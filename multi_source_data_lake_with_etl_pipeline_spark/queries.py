@@ -10879,6 +10879,64 @@ def lake_merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Optimized writes (round 9 — Delta autoOptimize.optimizeWrite
+# parity): a partitioned table created with optimized_write=True plus
+# a later append (the table property drives it) lands EXACTLY one file
+# per partition per write; content matches the relational
+# reconstruction, and the file-count invariant rides the n_files
+# column (2 writes x 1 file = 2 per partition).
+@register(
+    "lake_optimized_write_audit",
+    """
+    WITH rows_all AS (
+      SELECT o_orderkey AS k, o_orderkey % 8 AS p, o_custkey AS c
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c, CAST(2 AS BIGINT) AS n_files
+    FROM rows_all GROUP BY p
+    """,
+)
+def lake_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).alias("p"),
+        F.col("o_custkey").alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_optw_")
+    t = LakeTable.create(
+        spark, root + "/t", o.filter("k <= 1000").repartition(8),
+        partition_by=["p"], optimized_write=True,
+    )
+    t.append(o.filter("k BETWEEN 1001 AND 2000").repartition(8))
+    # files per partition from METADATA (the add entries' dirnames)
+    per_part: dict = {}
+    for a in t._snapshot()[1]:
+        key = a["partition"]["p"]
+        per_part[key] = per_part.get(key, 0) + 1
+    # metadata join (no UDF): a tiny driver-built frame carries the
+    # per-partition file counts
+    counts = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in per_part.items()], "p long, n_files long"
+    )
+    out = (
+        t.read()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .join(F.broadcast(counts), "p")
+        .select("p", "n", "sum_c", "n_files")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # MERGE ... WITH SCHEMA EVOLUTION (round 9 — Delta parity): a CDC feed
 # adds a column MID-STREAM; merge_into(evolve_schema=True) widens the
 # target in the same commit. The oracle reconstructs the final state

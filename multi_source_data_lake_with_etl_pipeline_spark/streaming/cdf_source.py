@@ -74,13 +74,28 @@ class _CdfPartition(InputPartition):
 
 
 class LakeCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, from_version: int, out_schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        from_version: int,
+        out_schema: StructType,
+        max_versions_per_batch: int | None = None,
+    ):
         self.path = path
         self.from_version = from_version
         self.out_schema = out_schema
+        self.max_versions = max_versions_per_batch
+        # position tracking for rate limiting: None = fresh (base is
+        # from_version); set by initialOffset, partitions() (including
+        # the last-batch re-plan the engine performs on every restart,
+        # which restores the checkpointed position before the first
+        # post-restart latestOffset), and commit(). Offsets stay exact
+        # either way — the cap only moves batch BOUNDARIES.
+        self._cursor: int | None = None
 
     # ------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
+        self._cursor = int(self.from_version)
         return {"v": int(self.from_version)}
 
     def latestOffset(self) -> dict:
@@ -90,7 +105,21 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             for f in os.listdir(log_dir)
             if f.endswith(".json") and not f.startswith("_")
         ]
-        return {"v": max(vs) if vs else int(self.from_version)}
+        latest = max(vs) if vs else int(self.from_version)
+        if self.max_versions is not None:
+            # maxFilesPerTrigger-style admission control at COMMIT
+            # granularity: a backfilled table drains as a sequence of
+            # bounded micro-batches instead of one giant first batch.
+            # Base = the reader's position: on a FRESH checkpoint the
+            # engine asks for latestOffset BEFORE initialOffset
+            # (observed call order), so an unset cursor means
+            # from_version; on a RESTART the engine re-plans the last
+            # checkpointed batch through partitions() first, which
+            # sets the cursor to the restored offset before this is
+            # ever consulted.
+            base = self._cursor if self._cursor is not None else int(self.from_version)
+            latest = min(latest, base + int(self.max_versions))
+        return {"v": latest}
 
     # ---------------------------------------------------- partitions
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -99,6 +128,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         # carry an active session)
         t = LakeTable(None, self.path)
         lo, hi = int(start["v"]), int(end["v"])
+        self._cursor = hi  # rate-limit base for the next batch
         _, _, current = t._snapshot(hi)
         overwrites = [
             w for w in t._versions() if t._read_commit(w)["op"] == "overwrite"
@@ -228,13 +258,20 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             yield tuple(col[i] for col in cols_out) + (change[i], version)
 
     def commit(self, end: dict) -> None:
-        pass  # the checkpoint owns the cursor; the log is immutable
+        # the checkpoint owns the durable cursor (the log is
+        # immutable); track it here only as the rate-limit base
+        v = int(end["v"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
 
 class LakeCdfDataSource(DataSource):
     """``spark.readStream.format("lakecdf")`` — options: ``path`` (the
     lake table), ``from_version`` (exclusive lower bound; default -1 =
-    stream from the create commit)."""
+    stream from the create commit), ``max_versions_per_batch``
+    (optional maxFilesPerTrigger-parity admission control: each
+    micro-batch covers at most that many commit versions; offsets stay
+    exact — see LakeCdfStreamReader for the restart caveat)."""
 
     @classmethod
     def name(cls) -> str:
@@ -255,10 +292,12 @@ class LakeCdfDataSource(DataSource):
         return f"{cols}, `_change_type` string, `_commit_version` long"
 
     def streamReader(self, schema: StructType) -> LakeCdfStreamReader:
+        mv = self.options.get("max_versions_per_batch")
         return LakeCdfStreamReader(
             self.options["path"],
             int(self.options.get("from_version", -1)),
             schema,
+            max_versions_per_batch=int(mv) if mv is not None else None,
         )
 
 
@@ -268,7 +307,10 @@ def register_lakecdf_datasource(spark: SparkSession) -> None:
 
 
 def lake_cdf_stream(
-    spark: SparkSession, path: str, from_version: int = -1
+    spark: SparkSession,
+    path: str,
+    from_version: int = -1,
+    max_versions_per_batch: int | None = None,
 ) -> DataFrame:
     """The lake table's change feed as an unbounded streaming
     DataFrame: every commit past ``from_version`` (exclusive) arrives
@@ -286,12 +328,16 @@ def lake_cdf_stream(
     from ..lake import _gen_expr
 
     register_lakecdf_datasource(spark)
-    out = (
+    reader = (
         spark.readStream.format("lakecdf")
         .option("path", path)
         .option("from_version", str(from_version))
-        .load()
     )
+    if max_versions_per_batch is not None:
+        reader = reader.option(
+            "max_versions_per_batch", str(int(max_versions_per_batch))
+        )
+    out = reader.load()
     _, _, schema = LakeTable(None, path)._snapshot()
     for f in schema.fields:
         e = _gen_expr(f)

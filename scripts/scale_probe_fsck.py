@@ -5,7 +5,9 @@ history (so the orphan scan has a real replay to do), then times:
 
 - FSCK with the parallel footer pool (the shipped path)
 - FSCK restricted to 1 worker (the old serial driver loop's shape)
-- the orphan scan's single forward log replay (included in both)
+- FSCK as a DISTRIBUTED Spark job (round 9: mapInPandas over the file
+  specs — parallel worker PROCESSES, the 100k-file cluster path)
+- the orphan scan's single forward log replay (included in all)
 
 Run on a quiet machine: ``python scripts/scale_probe_fsck.py``.
 """
@@ -53,8 +55,8 @@ def main() -> None:
         t.delete("k = 5", dv=True)
         nf = len(t._snapshot()[1])
 
-        # alternating A/B: default serial loop vs opt-in thread pool
-        ser, par = [], []
+        # alternating A/B/C: serial loop vs thread pool vs Spark job
+        ser, par, dist = [], [], []
         r = None
         for _ in range(3):
             t0 = time.time()
@@ -63,7 +65,13 @@ def main() -> None:
             t0 = time.time()
             r2 = t.verify_integrity(io_threads=32)
             par.append(round(time.time() - t0, 2))
+            t0 = time.time()
+            r3 = t.verify_integrity(distributed=True)
+            dist.append(round(time.time() - t0, 2))
             assert r == r2 and r["ok"], "semantics changed between modes"
+            assert {k: sorted(v) if isinstance(v, list) else v for k, v in r.items()} == {
+                k: sorted(v) if isinstance(v, list) else v for k, v in r3.items()
+            }, "distributed semantics diverged"
 
         print(
             json.dumps(
@@ -74,6 +82,7 @@ def main() -> None:
                     "build_create_s": round(build_create, 2),
                     "fsck_serial_default_s": ser,
                     "fsck_io_threads_32_s": par,
+                    "fsck_distributed_s": dist,
                 }
             )
         )

@@ -490,3 +490,47 @@ class TestOptimizedWrite:
         nf = t.details()["num_files"]
         assert 2 <= nf <= 4  # split across salt keys, not 8 task shards
         assert t.read().count() == 300
+
+
+# ===================================================================
+# Distributed FSCK (round 9): per-file footer + DV checks as a Spark
+# mapInPandas job — identical verdicts to the serial driver loop, on
+# healthy AND damaged tables.
+class TestDistributedFsck:
+    def test_matches_serial_on_healthy_and_damaged(self, spark, tmp_path):
+        import json as _json
+
+        df = spark.range(0, 60, 1, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df)
+        t.delete_keys(
+            spark.createDataFrame([(1,), (2,)], "k long"), "k", dv=True
+        )
+        t.update("k = 5", {"v": "-1"}, dv=True)
+
+        def both():
+            s = t.verify_integrity()
+            d = t.verify_integrity(distributed=True)
+            for key in ("ok", "orphan_files"):
+                assert s[key] == d[key], key
+            for key in ("missing_files", "rowcount_mismatches", "dv_issues"):
+                assert sorted(s[key]) == sorted(d[key]), key
+            return d
+
+        r = both()
+        assert r["ok"] and not r["dv_issues"]
+        # tamper ndel in the latest commit — both paths must flag it
+        vpath = os.path.join(t._log_dir, f"{t.latest_version():020d}.json")
+        c = _json.load(open(vpath))
+        for a in c["add"]:
+            if a.get("dv"):
+                a["dv"]["ndel"] += 1
+        _json.dump(c, open(vpath, "w"))
+        r = both()
+        assert not r["ok"] and r["dv_issues"]
+        # delete an active data file — both paths must report it missing
+        victim = t._snapshot()[1][0]["path"]
+        os.remove(t._abs(victim))
+        r = both()
+        assert not r["ok"] and victim in r["missing_files"]

@@ -520,6 +520,87 @@ class TestLakeCdfStreamSource:
         assert got == want
         assert all(v2 == val * 2 for _, val, v2, _, _ in got)
 
+    def test_rate_limited_batches_cover_feed_exactly_once(
+        self, spark, tmp_path
+    ):
+        """Round 9 (maxFilesPerTrigger parity at commit granularity):
+        max_versions_per_batch=2 splits a 6-commit backfill into
+        micro-batches of <=2 versions each; the union across batches is
+        exactly changes(-1) — no duplicates, offsets exact."""
+        import time as _time
+
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_cdf_stream,
+        )
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+        )
+        for i in range(1, 6):  # 6 commits total (create + 5 appends)
+            t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+        batches: list[tuple[int, list[int]]] = []
+
+        def sink(batch, batch_id):
+            vs = sorted(
+                r["_commit_version"]
+                for r in batch.select("_commit_version").collect()
+            )
+            if vs:
+                batches.append((batch_id, vs))
+
+        q = (
+            lake_cdf_stream(spark, t.path, max_versions_per_batch=2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if sum(len(vs) for _, vs in batches) >= 6:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+        got = [v for _, vs in batches for v in vs]
+        assert sorted(got) == [0, 1, 2, 3, 4, 5]  # exactly once
+        assert len(batches) >= 3  # bounded: never more than 2 versions
+        assert all(len(set(vs)) <= 2 for _, vs in batches)
+        # RESTART leg: new commits land; a restarted query sharing the
+        # checkpoint resumes from the restored offset (the engine's
+        # last-batch re-plan seeds the rate-limit cursor) and keeps
+        # batches bounded — nothing doubles, nothing is skipped.
+        for i in range(6, 9):
+            t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+        more: list[tuple[int, list[int]]] = []
+
+        def sink2(batch, batch_id):
+            vs = sorted(
+                r["_commit_version"]
+                for r in batch.select("_commit_version").collect()
+            )
+            if vs:
+                more.append((batch_id, vs))
+
+        q = (
+            lake_cdf_stream(spark, t.path, max_versions_per_batch=2)
+            .writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if sum(len(vs) for _, vs in more) >= 3:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+        assert sorted(v for _, vs in more for v in vs) == [6, 7, 8]
+        assert len(more) >= 2 and all(len(set(vs)) <= 2 for _, vs in more)
+
     def test_lake_to_stream_to_lake_loop(self, spark, tmp_path):
         """The closed loop: table A's change feed streams into table B
         through foreachBatch + append_stream_batch — exactly-once on
