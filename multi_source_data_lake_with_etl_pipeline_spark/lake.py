@@ -136,6 +136,7 @@ _WRITER_FEATURES = frozenset(
         "generated-columns",
         "partition-columns",
         "check-constraints",
+        "identity-columns",
     }
 )
 
@@ -258,11 +259,30 @@ _DROPPED_PROP = "colmap.dropped"
 # (coalesce is identity for materialized rows — a deterministic expr
 # recomputes the same value).
 _GEN_KEY = "lake.generated"
+# Identity columns (Delta GENERATED ALWAYS AS IDENTITY parity): the
+# {start, step} spec rides in StructField metadata (versioned with the
+# schema, travels with clone); the HIGH-WATER MARK (last assigned
+# value) lives in table props ("identity.<name>") and advances with
+# every assigning commit. ALWAYS semantics: user batches must NOT
+# supply the column — the engine assigns values that are UNIQUE and
+# MONOTONE in step direction but NOT consecutive (same contract as
+# Delta: ranges are reserved per write task, so gaps are normal).
+# Values are materialized at write; reads need nothing special — a
+# WRITER-only protocol feature ("identity-columns" stamp).
+_IDENTITY_KEY = "lake.identity"
 
 
 def _gen_expr(f) -> str | None:
     md = f.metadata or {}
     return md.get(_GEN_KEY)
+
+
+def _identity_spec(f) -> dict | None:
+    md = f.metadata or {}
+    raw = md.get(_IDENTITY_KEY)
+    if raw is None:
+        return None
+    return json.loads(raw) if isinstance(raw, str) else dict(raw)
 
 
 def _phys(f) -> str:
@@ -363,6 +383,7 @@ class LakeTable:
         generated_columns: dict[str, str] | None = None,
         optimized_write: bool = False,
         optimized_write_salt: int = 1,
+        identity_columns: dict[str, tuple[int, int]] | None = None,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
         columns, fixed for the table's lifetime (Delta parity — raise
@@ -380,7 +401,16 @@ class LakeTable:
         by the partition columns first — ~1 file per partition per
         write instead of tasks × partitions shards.
         ``optimized_write_salt`` > 1 splits each partition across that
-        many hash keys (skew guard for a hot partition)."""
+        many hash keys (skew guard for a hot partition).
+
+        ``identity_columns``: {name: (start, step)} GENERATED ALWAYS AS
+        IDENTITY columns (Delta parity) — BIGINT surrogate keys the
+        ENGINE assigns on every write (user batches must omit them):
+        unique, monotone in step direction, NOT consecutive (per-task
+        ranges leave gaps, as Delta documents). The high-water mark
+        lives in table props and advances with each assigning commit;
+        concurrent writers that would reuse a range conflict loudly.
+        Stamped as the writer-protocol feature "identity-columns"."""
         _check_reserved(df.schema)
         fields = list(df.schema.fields)
         for name, expr in (generated_columns or {}).items():
@@ -397,6 +427,35 @@ class LakeTable:
             dt = df.select(F.expr(expr).alias(name)).schema[0].dataType
             df = df.withColumn(name, F.expr(expr).cast(dt))
             fields.append(StructField(name, dt, True, {_GEN_KEY: expr}))
+        from pyspark.sql.types import LongType
+
+        for name, spec in (identity_columns or {}).items():
+            if name in {f.name for f in fields}:
+                raise ValueError(
+                    f"identity column {name!r} already in the frame — "
+                    "GENERATED ALWAYS AS IDENTITY values are engine-assigned"
+                )
+            if name in _RESERVED_COLS or not cls._COL_RE.match(name):
+                raise ValueError(f"invalid column name: {name!r}")
+            start, step = (
+                (spec.get("start", 1), spec.get("step", 1))
+                if isinstance(spec, dict)
+                else spec
+            )
+            if int(step) == 0:
+                raise ValueError(f"identity column {name!r}: step must be nonzero")
+            fields.append(
+                StructField(
+                    name,
+                    LongType(),
+                    True,
+                    {
+                        _IDENTITY_KEY: json.dumps(
+                            {"start": int(start), "step": int(step)}
+                        )
+                    },
+                )
+            )
         schema = StructType(fields)
         props: dict = {}
         pp: list[str] = []
@@ -441,7 +500,12 @@ class LakeTable:
         t = cls(spark, path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
+        fin_id = None
+        if identity_columns:
+            df, fin_id = t._assign_identity(df, schema, props)
         adds = t._write_files(df, schema, partition_phys=pp, optimized=False)
+        if fin_id is not None:
+            props = fin_id(props)
         t._commit(0, "create", adds, [], schema, props=props)
         return t
 
@@ -545,6 +609,9 @@ class LakeTable:
             "column_mapped": _is_mapped(schema),
             "generated_columns": sorted(
                 f.name for f in schema.fields if _gen_expr(f)
+            ),
+            "identity_columns": sorted(
+                f.name for f in schema.fields if _identity_spec(f)
             ),
             "partition_columns": self.partition_columns(v),
             "reader_features": sorted(rfeats),
@@ -771,6 +838,79 @@ class LakeTable:
                     + f"; sample: {[r.asDict() for r in sample]}"
                 )
         return df
+
+    def _assign_identity(
+        self,
+        df: DataFrame,
+        schema: StructType,
+        props: dict,
+        fill_only: bool = False,
+    ):
+        """Assign GENERATED ALWAYS AS IDENTITY values to a write batch.
+
+        Returns ``(df, finalize)`` where ``finalize(props_dict)``
+        records the new high-water marks AFTER the write job ran —
+        the max/min assigned value is captured by an Observation
+        riding the write itself (zero extra scan). Values are
+        ``watermark + step * (monotonically_increasing_id() + 1)``:
+        unique and monotone in step direction within and across
+        writes, with gaps (per-task id ranges are sparse) — exactly
+        Delta's documented identity contract; the watermark advances
+        past the extreme assigned value so the next write can never
+        collide. ``fill_only=True`` keeps NON-NULL values already in
+        the batch (the merge path: matched rows inherit the target's
+        id) and assigns only the nulls.
+
+        ALWAYS semantics: a user batch carrying the column raises
+        (``fill_only=False``)."""
+        ids = [
+            (f.name, _identity_spec(f), f.dataType)
+            for f in schema.fields
+            if _identity_spec(f)
+        ]
+        if not ids:
+            return df, None
+        from pyspark.sql import Observation
+
+        supplied = [n for n, _, _ in ids if n in df.columns]
+        if supplied and not fill_only:
+            raise ValueError(
+                f"column(s) {supplied} are GENERATED ALWAYS AS IDENTITY — "
+                "the engine assigns values; remove them from the batch"
+            )
+        obs = Observation()
+        aggs = []
+        for n, spec, dt in ids:
+            start, step = int(spec["start"]), int(spec["step"])
+            wm = int(props.get(f"identity.{n}", start - step))
+            fresh = (
+                F.lit(wm)
+                + F.lit(step) * (F.monotonically_increasing_id() + F.lit(1))
+            ).cast(dt)
+            col = (
+                F.coalesce(F.col(n), fresh) if n in df.columns else fresh
+            )
+            df = df.withColumn(n, col)
+            aggs.append((F.max(n) if step > 0 else F.min(n)).alias(n))
+        df = df.observe(obs, *aggs)
+        steps = {n: int(spec["step"]) for n, spec, _ in ids}
+
+        def finalize(p: dict) -> dict:
+            got = obs.get
+            for n, spec, _ in ids:
+                v = got[n]
+                if v is None:
+                    continue  # empty batch: watermark unchanged
+                prev = p.get(f"identity.{n}")
+                v = int(v)
+                # never regress (fill_only max may be an inherited id)
+                if prev is None or (
+                    v > int(prev) if steps[n] > 0 else v < int(prev)
+                ):
+                    p[f"identity.{n}"] = str(v)
+            return p
+
+        return df, finalize
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN (Delta column-mapping parity): a
@@ -1025,6 +1165,8 @@ class LakeTable:
         wfeats = set(feats)
         if any(k.startswith("constraint.") for k in (props or {})):
             wfeats.add("check-constraints")
+        if any(_identity_spec(f) for f in schema.fields):
+            wfeats.add("identity-columns")
         if wfeats:
             rec["writer_features"] = sorted(wfeats)
         target = os.path.join(self._log_dir, _ver_name(version))
@@ -2101,7 +2243,17 @@ class LakeTable:
         # generated columns materialize (or validate) against the
         # pre-append schema, BEFORE constraint validation (constraints
         # may reference them)
-        df = self._apply_generated(df, self._snapshot()[2])
+        cur_schema = self._snapshot()[2]
+        df = self._apply_generated(df, cur_schema)
+        # identity columns: engine-assigned from the high-water mark in
+        # props; the new mark is captured by an Observation on the
+        # write job and committed WITH this append (a concurrent
+        # assigning writer moves the mark first → loud conflict below)
+        id_names = [f.name for f in cur_schema.fields if _identity_spec(f)]
+        fin_id, props_base = None, None
+        if id_names:
+            props_base = self.props()
+            df, fin_id = self._assign_identity(df, cur_schema, props_base)
         # The base version is PINNED BEFORE validation and the target
         # is never re-read inside _commit: any commit interleaving
         # after this point forces the except-branch, which re-validates
@@ -2123,13 +2275,26 @@ class LakeTable:
         }
         adds = self._write_files(df, schema)
         n_appended = sum(int(a.get("rows", 0)) for a in adds)
+        commit_props = fin_id(dict(props_base)) if fin_id is not None else None
         for _ in range(21):
             try:
                 return self._commit(
                     v, "append", adds, [], schema,
+                    props=commit_props,
                     metrics={"rows_appended": n_appended},
                 )
             except CommitConflict:
+                if id_names:
+                    # our files carry ids reserved against props_base's
+                    # watermark — if ANY prop moved concurrently (another
+                    # assigning writer, a constraint change), the
+                    # reservation is stale: refuse rather than commit
+                    # colliding ids or stale props
+                    if self.props() != props_base:
+                        raise CommitConflict(
+                            "identity watermark or table properties moved "
+                            "concurrently — re-run against the new head"
+                        ) from None
                 schema = _union_schema()  # re-merge vs the racing commit
                 now = {
                     f.name: (_phys(f), _gen_expr(f))
@@ -2180,6 +2345,13 @@ class LakeTable:
         # renamed columns' physical names.
         _, _, schema = self._snapshot(v)
         df = self._apply_generated(df, schema)
+        # identity: assigned per batch; replayed batches dedupe on the
+        # txn marker BEFORE committing, so a replay never re-assigns
+        id_names = [f.name for f in schema.fields if _identity_spec(f)]
+        fin_id, id_props_base = None, None
+        if id_names:
+            id_props_base = self.props(v)
+            df, fin_id = self._assign_identity(df, schema, id_props_base)
         cons = self.constraints(v)
         self._check_constraints(df, cons)
         last = self.last_committed_batch(app_id)
@@ -2214,10 +2386,14 @@ class LakeTable:
             if f.name in batch_cols
         }
         n_appended = sum(int(a.get("rows", 0)) for a in adds)
+        stream_props = (
+            fin_id(dict(id_props_base)) if fin_id is not None else None
+        )
         for _ in range(21):
             try:
                 return self._commit(
                     v + 1, "append", adds, [], schema, txn=txn,
+                    props=stream_props,
                     metrics={"rows_appended": n_appended},
                 )
             except CommitConflict:
@@ -2229,6 +2405,14 @@ class LakeTable:
                 last = self.last_committed_batch(app_id)
                 if last is not None and batch_id <= last:
                     return None
+                if id_names and self.props() != id_props_base:
+                    # our files carry ids reserved against a stale
+                    # watermark — refuse; the batch re-applies on restart
+                    raise CommitConflict(
+                        "identity watermark or table properties moved "
+                        "concurrently — the stream batch will re-apply "
+                        "on restart"
+                    ) from None
                 latest_cons = self.constraints()
                 if latest_cons != cons:
                     self._check_constraints(df, latest_cons)
@@ -2286,27 +2470,54 @@ class LakeTable:
                 f"overwrite batch is missing partition column(s) "
                 f"{missing_part} — partitioning is fixed at create"
             )
+        # identity columns survive the replace (spec + watermark): the
+        # batch must omit them; values are engine-assigned ABOVE the
+        # existing watermark — ids never recycle across an overwrite
+        id_fields = [f for f in cur.fields if _identity_spec(f)]
+        base_props = self.props(v)
+        fin_id = None
+        if id_fields:
+            df, fin_id = self._assign_identity(
+                df, StructType(id_fields), base_props
+            )
         self._check_constraints(df)
         adds = self._write_files(df, partition_phys=part_logical)
         schema = df.schema
-        if gen_fields:
+        if gen_fields or id_fields:
             gmap = {f.name: _gen_expr(f) for f in gen_fields}
+            imap = {
+                f.name: (f.metadata or {}).get(_IDENTITY_KEY)
+                for f in id_fields
+            }
             schema = StructType(
                 [
                     StructField(
                         f.name, f.dataType, f.nullable, {_GEN_KEY: gmap[f.name]}
                     )
                     if f.name in gmap
-                    else f
+                    else (
+                        StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {_IDENTITY_KEY: imap[f.name]},
+                        )
+                        if f.name in imap
+                        else f
+                    )
                     for f in df.schema.fields
                 ]
             )
-        props = self.props(v)
+        props = dict(base_props)
         changed = props.pop(_DROPPED_PROP, None) is not None
         if part_logical:
             new_prop = json.dumps(part_logical)  # post-reset physical
             changed = changed or props.get(_PART_PROP) != new_prop
             props[_PART_PROP] = new_prop
+        if fin_id is not None:
+            before = dict(props)
+            props = fin_id(props)
+            changed = changed or props != before
         if changed:
             return self._commit(
                 v + 1, "overwrite", adds, [a["path"] for a in active],
@@ -2406,6 +2617,10 @@ class LakeTable:
             raise ValueError("replace_where requires a partitioned table")
         _check_reserved(df.schema)
         df = self._apply_generated(df, schema)
+        fin_id, id_props_base = None, None
+        if any(_identity_spec(f) for f in schema.fields):
+            id_props_base = self.props(v)
+            df, fin_id = self._assign_identity(df, schema, id_props_base)
         self._check_constraints(df)
         # NULL predicate rows are OUTSIDE the region (SQL boolean)
         stray = df.filter(F.expr(f"coalesce(not ({predicate}), true)"))
@@ -2424,6 +2639,7 @@ class LakeTable:
         return self._commit_checked(
             v, "overwrite", adds, [a["path"] for a in targets], schema,
             targets, read_probe=probe,
+            props=fin_id(dict(id_props_base)) if fin_id is not None else None,
             metrics={
                 "rows_written": n_rows,
                 "partitions_replaced": len(
@@ -2450,6 +2666,10 @@ class LakeTable:
             )
         _check_reserved(df.schema)
         df = self._apply_generated(df, schema)
+        fin_id, id_props_base = None, None
+        if any(_identity_spec(f) for f in schema.fields):
+            id_props_base = self.props(v)
+            df, fin_id = self._assign_identity(df, schema, id_props_base)
         self._check_constraints(df)
         adds = self._write_files(df, schema)
         new_keys = {
@@ -2465,6 +2685,7 @@ class LakeTable:
         return self._commit_checked(
             v, "overwrite", adds, [a["path"] for a in targets], schema,
             targets, read_probe=probe,
+            props=fin_id(dict(id_props_base)) if fin_id is not None else None,
             metrics={
                 "rows_written": sum(int(a.get("rows", 0)) for a in adds),
                 "partitions_replaced": len(new_keys),
@@ -2531,7 +2752,9 @@ class LakeTable:
         cols = [
             f.name
             for f in schema.fields
-            if not (_gen_expr(f) and f.name not in b.columns)
+            if not (
+                (_gen_expr(f) or _identity_spec(f)) and f.name not in b.columns
+            )
         ]
         ups = b.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*cols)
         dels = b.filter(F.upper(F.col(op_col)) == "D").select(key)
@@ -2554,7 +2777,11 @@ class LakeTable:
                 except Exception:
                     b.unpersist()
                     raise
-            gen_names = {f.name for f in schema.fields if _gen_expr(f)}
+            gen_names = {
+                f.name
+                for f in schema.fields
+                if _gen_expr(f) or _identity_spec(f)
+            }
             mcols = [c for c in cols if c not in gen_names]
             src = b.select(
                 *cols, F.upper(F.col(op_col)).alias("_cdc_op")
@@ -2665,6 +2892,7 @@ class LakeTable:
         extra_adds: list[dict] | None = None,
         read_probe=None,
         metrics: dict | None = None,
+        props: dict | None = None,
     ) -> tuple[list[dict], int]:
         """Shared DV-mode commit: union the touched entries' EXISTING
         vectors with the newly matched (base, pos) rows into ONE new
@@ -2716,7 +2944,7 @@ class LakeTable:
         adds = adds + (extra_adds or [])
         new_v = self._commit_checked(
             v, op, adds, [a["path"] for a in t_entries], schema, t_entries,
-            read_probe=read_probe, metrics=metrics,
+            read_probe=read_probe, metrics=metrics, props=props,
         )
         return adds, new_v
 
@@ -2813,6 +3041,29 @@ class LakeTable:
         v, active, schema = self._snapshot()
         source = self._apply_generated(source, schema)
         cur = self._read_entries(active, schema, keep_meta=True)
+        # identity columns: the source must omit them (ALWAYS
+        # semantics); matched rows INHERIT the target's value by key
+        # (min over duplicate-key targets — upsert collapses them to
+        # one row anyway) and unmatched rows get fresh engine-assigned
+        # values above the watermark
+        id_fields = [f for f in schema.fields if _identity_spec(f)]
+        fin_id, id_props_base = None, None
+        if id_fields:
+            names = [f.name for f in id_fields]
+            bad = [n for n in names if n in source.columns]
+            if bad:
+                raise ValueError(
+                    f"column(s) {bad} are GENERATED ALWAYS AS IDENTITY — "
+                    "the engine assigns values; remove them from the source"
+                )
+            tgt_ids = cur.groupBy(key).agg(
+                *[F.min(n).alias(n) for n in names]
+            )
+            source = source.join(tgt_ids, key, "left")
+            id_props_base = self.props(v)
+            source, fin_id = self._assign_identity(
+                source, schema, id_props_base, fill_only=True
+            )
         src = source.persist()
         # merge output rows are exactly the source rows (source wins on
         # match) plus untouched old rows — validating the source batch
@@ -2848,18 +3099,21 @@ class LakeTable:
             "rows_updated": updated,
             "files_rewritten": 0 if dv else len(touched),
         }
+        # identity watermark rides the merge commit (the counts above
+        # materialized src, so the Observation is complete)
+        id_props = fin_id(dict(id_props_base)) if fin_id is not None else None
         if dv:
             new_files = self._write_files(src.select(*data_cols), schema)
             if touched:
                 adds, new_v = self._commit_dv(
                     v, t_entries, matched_old, schema,
                     op="merge", extra_adds=new_files, read_probe=probe,
-                    metrics=m_metrics,
+                    metrics=m_metrics, props=id_props,
                 )
             else:  # pure insert — empty read set; still probe appends
                 new_v = self._commit_checked(
                     v, "merge", new_files, [], schema, [], read_probe=probe,
-                    metrics=m_metrics,
+                    metrics=m_metrics, props=id_props,
                 )
             touched = []  # nothing rewritten — report 0 like delete dv
         else:
@@ -2868,7 +3122,7 @@ class LakeTable:
             adds = self._write_files(merged, schema)
             new_v = self._commit_checked(
                 v, "merge", adds, touched, schema, t_entries, read_probe=probe,
-                metrics=m_metrics,
+                metrics=m_metrics, props=id_props,
             )
         # CDF capture: O(source rows), written after the commit wins its
         # version (a conflict raises above, so no stray change files).
@@ -3022,6 +3276,9 @@ class LakeTable:
         data_cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}
         gen_cols = {f.name for f in schema.fields if _gen_expr(f)}
+        # identity columns: never assignable, never insertable — update
+        # keeps the target value, insert gets an engine-assigned one
+        ident_cols = {f.name for f in schema.fields if _identity_spec(f)}
         for c in clauses:
             for col in (c.get("set") or {}) if isinstance(c.get("set"), dict) else {}:
                 if col not in by_name:
@@ -3038,6 +3295,19 @@ class LakeTable:
                     raise ValueError(
                         f"column {col!r} is GENERATED ALWAYS AS — it "
                         "recomputes automatically"
+                    )
+                if col in ident_cols:
+                    raise ValueError(
+                        f"column {col!r} is GENERATED ALWAYS AS IDENTITY "
+                        "— the engine assigns values"
+                    )
+            vals = c.get("values")
+            if isinstance(vals, dict):
+                bad_id = sorted(set(vals) & ident_cols)
+                if bad_id:
+                    raise ValueError(
+                        f"INSERT values: column(s) {bad_id} are GENERATED "
+                        "ALWAYS AS IDENTITY — the engine assigns values"
                     )
 
         if isinstance(on, (list, tuple)):
@@ -3158,6 +3428,9 @@ class LakeTable:
             outcols = []
             for col in data_cols:
                 e = F.col(f"tgt.{col}")
+                if col in ident_cols:
+                    outcols.append(e.alias(col))
+                    continue  # update always keeps the target's id
                 for k in upd_codes:
                     c_ = all_clauses[k]
                     st = c_.get("set") or "all"
@@ -3185,8 +3458,8 @@ class LakeTable:
             ins = j.filter(is_src_only & (F.col("_act") >= 200))
             outcols = []
             for col in data_cols:
-                if col in gen_cols:
-                    continue  # recomputed below
+                if col in gen_cols or col in ident_cols:
+                    continue  # recomputed / engine-assigned below
                 e = F.lit(None).cast(by_name[col].dataType)
                 for k in sorted(
                     k for k in all_clauses if k >= 200
@@ -3206,6 +3479,10 @@ class LakeTable:
 
         upd_df = _updated_rows(tgt_acting)
         ins_df = _insert_rows()
+        fin_id, id_props_base = None, None
+        if ins_df is not None and ident_cols:
+            id_props_base = self.props(v)
+            ins_df, fin_id = self._assign_identity(ins_df, schema, id_props_base)
 
         touched = self._touched_files(
             tgt_acting.select(F.col("tgt._dv_base").alias("_dv_base")),
@@ -3231,6 +3508,8 @@ class LakeTable:
         n_inserted = ins_df.count() if ins_df is not None else 0
         if n_inserted == 0:
             ins_df = None
+        # watermark observed during the count above; empty insert = no-op
+        id_props = fin_id(dict(id_props_base)) if fin_id is not None else None
         # constraint validation over every row the commit introduces
         # (BEFORE any file or commit lands; empty frames skip the pass)
         check_frames = []
@@ -3290,11 +3569,12 @@ class LakeTable:
                 _, new_v = self._commit_dv(
                     v, t_entries, acted_pos, schema, op="merge",
                     extra_adds=new_files, read_probe=probe, metrics=metrics,
+                    props=id_props,
                 )
             else:
                 new_v = self._commit_checked(
                     v, "merge", new_files, [], schema, [], read_probe=probe,
-                    metrics=metrics,
+                    metrics=metrics, props=id_props,
                 )
             rewritten = 0
         else:
@@ -3313,7 +3593,7 @@ class LakeTable:
                     adds += self._write_files(keep, schema)
             new_v = self._commit_checked(
                 v, "merge", adds, touched, schema, t_entries,
-                read_probe=probe, metrics=metrics,
+                read_probe=probe, metrics=metrics, props=id_props,
             )
             rewritten = len(touched)
 
@@ -3379,6 +3659,11 @@ class LakeTable:
                 raise ValueError(
                     f"UPDATE: column {c!r} is GENERATED ALWAYS AS "
                     f"({_gen_expr(f)}) — it recomputes automatically"
+                )
+            if _identity_spec(f):
+                raise ValueError(
+                    f"UPDATE: column {c!r} is GENERATED ALWAYS AS IDENTITY "
+                    "— the engine assigns values"
                 )
         cond = F.expr(f"coalesce(({predicate}), false)")
         # partition-only predicates locate their files from METADATA —

@@ -10937,6 +10937,90 @@ def lake_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Identity columns (round 9 — Delta GENERATED ALWAYS AS IDENTITY
+# parity): engine-assigned surrogate keys across create / append /
+# merge (matched rows keep their id, inserts draw above the
+# watermark). Ids themselves are engine-chosen (unique + monotone,
+# gaps allowed — same contract as Delta), so the audit pins the
+# CONTRACT relationally: payload state, uniqueness, and cross-batch
+# monotonicity, each as a count the oracle reconstructs.
+@register(
+    "lake_identity_audit",
+    """
+    WITH fin AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey BETWEEN 301 AND 400
+                    OR o_orderkey BETWEEN 801 AND 900
+                  THEN o_custkey + 5 ELSE o_custkey END AS c
+      FROM orders WHERE o_orderkey <= 900
+    )
+    SELECT 'rows' AS chk, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c, CAST(1 AS BIGINT) AS ok FROM fin
+    UNION ALL
+    SELECT 'unique_ids', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 1 FROM fin
+    UNION ALL
+    SELECT 'monotone_append',
+           (SELECT CAST(count(*) AS BIGINT) FROM fin WHERE k BETWEEN 501 AND 800),
+           CAST(0 AS BIGINT), 1
+    UNION ALL
+    SELECT 'monotone_insert',
+           (SELECT CAST(count(*) AS BIGINT) FROM fin WHERE k BETWEEN 801 AND 900),
+           CAST(0 AS BIGINT), 1
+    """,
+)
+def lake_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_idn_")
+    t = LakeTable.create(
+        spark, root + "/t", o.filter("k <= 500"),
+        identity_columns={"rid": (1, 1)},
+    )
+    t.append(o.filter("k BETWEEN 501 AND 800"))
+    t.merge(
+        o.filter("k BETWEEN 301 AND 400 OR k BETWEEN 801 AND 900").select(
+            "k", (F.col("c") + 5).alias("c")
+        ),
+        "k",
+    )
+    a = (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum("c").alias("sum_c"),
+            F.countDistinct("rid").alias("uq"),
+            F.max(F.when(F.col("k") <= 500, F.col("rid"))).alias("max1"),
+            F.min(
+                F.when(F.col("k").between(501, 800), F.col("rid"))
+            ).alias("min2"),
+            F.max(F.when(F.col("k") <= 800, F.col("rid"))).alias("max2"),
+            F.min(
+                F.when(F.col("k").between(801, 900), F.col("rid"))
+            ).alias("min3"),
+            F.sum(F.col("k").between(501, 800).cast("long")).alias("n2"),
+            F.sum(F.col("k").between(801, 900).cast("long")).alias("n3"),
+        )
+        .collect()[0]
+    )
+    rows = [
+        ("rows", int(a["total"]), int(a["sum_c"]), 1),
+        ("unique_ids", int(a["uq"]), 0, int(a["uq"] == a["total"])),
+        ("monotone_append", int(a["n2"]), 0, int(a["max1"] < a["min2"])),
+        ("monotone_insert", int(a["n3"]), 0, int(a["max2"] < a["min3"])),
+    ]
+    out = spark.createDataFrame(
+        rows, "chk string, n long, sum_c long, ok long"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # MERGE ... WITH SCHEMA EVOLUTION (round 9 — Delta parity): a CDC feed
 # adds a column MID-STREAM; merge_into(evolve_schema=True) widens the
 # target in the same commit. The oracle reconstructs the final state

@@ -242,7 +242,7 @@ class TestWriterFeatures:
 
         t = self._mk(spark, tmp_path / "t")
         c = t._read_commit(t.latest_version())
-        c["writer_features"] = ["identity-columns"]
+        c["writer_features"] = ["vector-clustered-write"]
         vpath = os.path.join(t._log_dir, f"{t.latest_version():020d}.json")
         with open(vpath, "w") as f:
             _json.dump(c, f)
@@ -250,7 +250,7 @@ class TestWriterFeatures:
         assert sorted(r["k"] for r in t2.read().collect()) == [1, 2]
         assert t2.changes(-1).count() == 2
         batch = spark.createDataFrame([(3, 30)], "k long, v long")
-        with pytest.raises(UnsupportedTableFeature, match="identity-columns"):
+        with pytest.raises(UnsupportedTableFeature, match="vector-clustered-write"):
             t2.append(batch)
         with pytest.raises(UnsupportedTableFeature, match="writer feature"):
             t2.merge(batch, "k")
@@ -534,3 +534,130 @@ class TestDistributedFsck:
         os.remove(t._abs(victim))
         r = both()
         assert not r["ok"] and victim in r["missing_files"]
+
+
+# ===================================================================
+# Identity columns (round 9 — Delta GENERATED ALWAYS AS IDENTITY
+# parity): engine-assigned BIGINT surrogate keys — unique, monotone in
+# step direction, gaps allowed; high-water mark in props; ALWAYS
+# semantics (user-supplied values rejected); updates preserve ids,
+# merge inserts get fresh ones; "identity-columns" writer stamp.
+class TestIdentityColumns:
+    def _mk(self, spark, path, **kw):
+        return LakeTable.create(
+            spark, str(path),
+            spark.createDataFrame([("a",), ("b",), ("c",)], "name string"),
+            identity_columns={"id": (1, 1)}, **kw,
+        )
+
+    def test_assign_unique_monotone_across_writes(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        r1 = t.read().collect()
+        ids1 = sorted(r["id"] for r in r1)
+        assert len(set(ids1)) == 3 and min(ids1) >= 1
+        t.append(spark.createDataFrame([("d",), ("e",)], "name string"))
+        rows = t.read().collect()
+        ids = [r["id"] for r in rows]
+        assert len(set(ids)) == 5  # unique across writes
+        by_name = {r["name"]: r["id"] for r in rows}
+        assert min(by_name["d"], by_name["e"]) > max(ids1)  # monotone
+        assert "identity-columns" in t.details()["writer_features"]
+        assert t.details()["identity_columns"] == ["id"]
+
+    def test_always_semantics_reject_supplied_values(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        batch = spark.createDataFrame([("x", 999)], "name string, id long")
+        with pytest.raises(ValueError, match="IDENTITY"):
+            t.append(batch)
+        with pytest.raises(ValueError, match="IDENTITY"):
+            t.update("name = 'a'", {"id": "123"})
+        with pytest.raises(ValueError, match="IDENTITY"):
+            t.merge(batch, "name")
+
+    def test_merge_updates_preserve_inserts_assign(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        before = {r["name"]: r["id"] for r in t.read().collect()}
+        t.merge(
+            spark.createDataFrame([("a",), ("z",)], "name string"), "name"
+        )
+        after = {r["name"]: r["id"] for r in t.read().collect()}
+        assert after["a"] == before["a"]  # matched keeps its id
+        assert after["z"] > max(before.values())  # fresh id above mark
+        assert len(set(after.values())) == 4
+
+    def test_merge_into_insert_assigns_update_preserves(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        before = {r["name"]: r["id"] for r in t.read().collect()}
+        src = spark.createDataFrame([("a", 1), ("q", 2)], "name string, flag long")
+        with pytest.raises(ValueError, match="IDENTITY"):
+            t.merge_into(src.select("name"), ["name"], clauses=[
+                {"when": "matched", "action": "update", "set": {"id": "src.name"}},
+            ])
+        r = t.merge_into(
+            src.select("name"), ["name"],
+            clauses=[
+                {"when": "matched", "action": "update", "set": "all"},
+                {"when": "not_matched", "action": "insert", "values": "all"},
+            ],
+        )
+        assert r["updated"] == 1 and r["inserted"] == 1
+        after = {r2["name"]: r2["id"] for r2 in t.read().collect()}
+        assert after["a"] == before["a"]
+        assert after["q"] > max(before.values())
+        assert len(set(after.values())) == 4
+
+    def test_overwrite_never_recycles_ids(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        old_max = max(r["id"] for r in t.read().collect())
+        t.overwrite(spark.createDataFrame([("p",), ("q",)], "name string"))
+        ids = [r["id"] for r in t.read().collect()]
+        assert min(ids) > old_max  # watermark survives the replace
+        assert t.details()["identity_columns"] == ["id"]
+
+    def test_descending_step(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([("a",), ("b",)], "name string"),
+            identity_columns={"id": (-1, -2)},
+        )
+        first = sorted(r["id"] for r in t.read().collect())
+        assert max(first) <= -1
+        t.append(spark.createDataFrame([("c",)], "name string"))
+        ids = {r["name"]: r["id"] for r in t.read().collect()}
+        assert ids["c"] < min(first)  # monotone downward
+        assert len(set(ids.values())) == 3
+
+    def test_stream_batches_idempotent_ids(self, spark, tmp_path):
+        """append_stream_batch on an identity table: the replayed batch
+        is a no-op (no re-assignment), distinct ids across batches."""
+        t = self._mk(spark, tmp_path / "t")
+        b = spark.createDataFrame([("s1",), ("s2",)], "name string")
+        v1 = t.append_stream_batch(b, "app", 0)
+        assert v1 is not None
+        assert t.append_stream_batch(b, "app", 0) is None  # replay no-op
+        t.append_stream_batch(
+            spark.createDataFrame([("s3",)], "name string"), "app", 1
+        )
+        ids = [r["id"] for r in t.read().collect()]
+        assert len(ids) == 6 and len(set(ids)) == 6
+
+    def test_apply_cdc_on_identity_table(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        before = {r["name"]: r["id"] for r in t.read().collect()}
+        batch = spark.createDataFrame(
+            [("a", "U"), ("n", "I"), ("b", "D")], "name string, op string"
+        )
+        res = t.apply_cdc(batch, key="name", atomic=True)
+        assert res["upserted"] == 2 and res["deleted"] == 1
+        after = {r["name"]: r["id"] for r in t.read().collect()}
+        assert set(after) == {"a", "c", "n"}
+        assert after["a"] == before["a"] and after["c"] == before["c"]
+        assert after["n"] > max(before.values())
+
+    def test_clone_carries_spec_and_watermark(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        c = t.clone_to(str(tmp_path / "c"))
+        old_max = max(r["id"] for r in c.read().collect())
+        c.append(spark.createDataFrame([("zz",)], "name string"))
+        ids = [r["id"] for r in c.read().collect()]
+        assert len(set(ids)) == 4 and max(ids) > old_max
