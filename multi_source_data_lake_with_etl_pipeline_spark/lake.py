@@ -270,6 +270,14 @@ _GEN_KEY = "lake.generated"
 # Values are materialized at write; reads need nothing special — a
 # WRITER-only protocol feature ("identity-columns" stamp).
 _IDENTITY_KEY = "lake.identity"
+# Column DEFAULT values (Delta DEFAULT parity): a CONSTANT expression
+# in StructField metadata; when a WRITE BATCH omits the column, the
+# default materializes at write time (footer stats work) — an explicit
+# NULL in a supplied column stays NULL, and files written BEFORE the
+# default existed keep reading NULL (no backfill), both exactly
+# Delta's contract. Defaults must be constant-foldable (no column
+# references) — validated at registration over a zero-column frame.
+_DEFAULT_KEY = "lake.default"
 
 
 def _gen_expr(f) -> str | None:
@@ -283,6 +291,11 @@ def _identity_spec(f) -> dict | None:
     if raw is None:
         return None
     return json.loads(raw) if isinstance(raw, str) else dict(raw)
+
+
+def _default_expr(f) -> str | None:
+    md = f.metadata or {}
+    return md.get(_DEFAULT_KEY)
 
 
 def _phys(f) -> str:
@@ -384,6 +397,7 @@ class LakeTable:
         optimized_write: bool = False,
         optimized_write_salt: int = 1,
         identity_columns: dict[str, tuple[int, int]] | None = None,
+        column_defaults: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
         columns, fixed for the table's lifetime (Delta parity — raise
@@ -410,9 +424,32 @@ class LakeTable:
         ranges leave gaps, as Delta documents). The high-water mark
         lives in table props and advances with each assigning commit;
         concurrent writers that would reuse a range conflict loudly.
-        Stamped as the writer-protocol feature "identity-columns"."""
+        Stamped as the writer-protocol feature "identity-columns".
+
+        ``column_defaults``: {name: constant_sql_expr} DEFAULT values
+        (Delta parity) for columns PRESENT in ``df`` — later batches
+        that omit the column materialize the default at write time;
+        see :meth:`set_column_default`."""
         _check_reserved(df.schema)
         fields = list(df.schema.fields)
+        for name, dexpr in (column_defaults or {}).items():
+            idx = next(
+                (i for i, f in enumerate(fields) if f.name == name), None
+            )
+            if idx is None:
+                raise ValueError(
+                    f"column_defaults: {name!r} not in the create batch — "
+                    "add the column first, or set_column_default later"
+                )
+            f = fields[idx]
+            # constant-foldability check (zero-column frame)
+            df.sparkSession.range(1).select().select(
+                F.expr(dexpr).cast(f.dataType).alias(name)
+            )
+            fields[idx] = StructField(
+                f.name, f.dataType, f.nullable,
+                {**(f.metadata or {}), _DEFAULT_KEY: dexpr},
+            )
         for name, expr in (generated_columns or {}).items():
             if name in {f.name for f in fields}:
                 raise ValueError(f"generated column {name!r} already in the frame")
@@ -613,6 +650,11 @@ class LakeTable:
             "identity_columns": sorted(
                 f.name for f in schema.fields if _identity_spec(f)
             ),
+            "column_defaults": {
+                f.name: _default_expr(f)
+                for f in schema.fields
+                if _default_expr(f)
+            },
             "partition_columns": self.partition_columns(v),
             "reader_features": sorted(rfeats),
             "writer_features": sorted(wfeats),
@@ -796,6 +838,83 @@ class LakeTable:
             v + 1, "add_generated_column", [], [], StructType(fields),
             metrics={"column": name},
         )
+
+    def set_column_default(self, name: str, expr: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN name SET DEFAULT (expr) — Delta
+        parity, metadata-only. The default is a CONSTANT expression
+        (no column references — validated over a zero-column frame at
+        registration): later write batches that OMIT the column
+        materialize it; supplying the column (even as NULL) keeps the
+        supplied value; rows written before the default keep NULL (no
+        backfill). Generated/identity columns can't take defaults."""
+        v, _, schema = self._snapshot()
+        f = next((f for f in schema.fields if f.name == name), None)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        if _gen_expr(f) or _identity_spec(f):
+            raise ValueError(
+                f"column {name!r} is GENERATED — it cannot take a DEFAULT"
+            )
+        # constant-foldability: analysis over a ZERO-COLUMN frame makes
+        # any column reference fail loudly here, not on the first write
+        got = (
+            self.spark.range(1)
+            .select()
+            .select(F.expr(expr).cast(f.dataType).alias(name))
+            .schema[0]
+            .dataType
+        )
+        assert got == f.dataType  # cast pinned the type
+        fields = [
+            StructField(
+                x.name,
+                x.dataType,
+                x.nullable,
+                {**(x.metadata or {}), _DEFAULT_KEY: expr},
+            )
+            if x.name == name
+            else x
+            for x in schema.fields
+        ]
+        return self._commit(
+            v + 1, "set_column_default", [], [], StructType(fields),
+            metrics={"column": name, "default": expr},
+        )
+
+    def drop_column_default(self, name: str) -> int:
+        """ALTER COLUMN name DROP DEFAULT — metadata-only; later
+        batches that omit the column go back to reading NULL."""
+        v, _, schema = self._snapshot()
+        f = next((f for f in schema.fields if f.name == name), None)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        if not _default_expr(f):
+            raise ValueError(f"column {name!r} has no DEFAULT")
+        fields = [
+            StructField(
+                x.name,
+                x.dataType,
+                x.nullable,
+                {k: v2 for k, v2 in (x.metadata or {}).items() if k != _DEFAULT_KEY},
+            )
+            if x.name == name
+            else x
+            for x in schema.fields
+        ]
+        return self._commit(
+            v + 1, "drop_column_default", [], [], StructType(fields),
+            metrics={"column": name},
+        )
+
+    def _apply_defaults(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Materialize DEFAULT values for columns the batch OMITS —
+        constant expressions, a narrow map. Supplied columns are left
+        alone (explicit NULL stays NULL, Delta parity)."""
+        for f in schema.fields:
+            e = _default_expr(f)
+            if e and f.name not in df.columns:
+                df = df.withColumn(f.name, F.expr(e).cast(f.dataType))
+        return df
 
     def _apply_generated(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Materialize the schema's generated columns into a write
@@ -2245,6 +2364,7 @@ class LakeTable:
         # may reference them)
         cur_schema = self._snapshot()[2]
         df = self._apply_generated(df, cur_schema)
+        df = self._apply_defaults(df, cur_schema)
         # identity columns: engine-assigned from the high-water mark in
         # props; the new mark is captured by an Observation on the
         # write job and committed WITH this append (a concurrent
@@ -2345,6 +2465,7 @@ class LakeTable:
         # renamed columns' physical names.
         _, _, schema = self._snapshot(v)
         df = self._apply_generated(df, schema)
+        df = self._apply_defaults(df, schema)
         # identity: assigned per batch; replayed batches dedupe on the
         # txn marker BEFORE committing, so a replay never re-assigns
         id_names = [f.name for f in schema.fields if _identity_spec(f)]
@@ -2464,6 +2585,10 @@ class LakeTable:
         # ts, exactly like create/append/replace_where
         if gen_fields:
             df = self._apply_generated(df, StructType(gen_fields))
+        # DEFAULT columns survive the replace: an omitted defaulted
+        # column materializes (and keeps its metadata below) instead of
+        # silently vanishing from the post-overwrite schema
+        df = self._apply_defaults(df, cur)
         missing_part = [c for c in part_logical if c not in df.columns]
         if missing_part:
             raise ValueError(
@@ -2483,31 +2608,36 @@ class LakeTable:
         self._check_constraints(df)
         adds = self._write_files(df, partition_phys=part_logical)
         schema = df.schema
-        if gen_fields or id_fields:
+        dmap = {
+            f.name: _default_expr(f)
+            for f in cur.fields
+            if _default_expr(f) and f.name in df.columns
+        }
+        if gen_fields or id_fields or dmap:
             gmap = {f.name: _gen_expr(f) for f in gen_fields}
             imap = {
                 f.name: (f.metadata or {}).get(_IDENTITY_KEY)
                 for f in id_fields
             }
-            schema = StructType(
-                [
-                    StructField(
+
+            def _remeta(f):
+                if f.name in gmap:
+                    return StructField(
                         f.name, f.dataType, f.nullable, {_GEN_KEY: gmap[f.name]}
                     )
-                    if f.name in gmap
-                    else (
-                        StructField(
-                            f.name,
-                            f.dataType,
-                            f.nullable,
-                            {_IDENTITY_KEY: imap[f.name]},
-                        )
-                        if f.name in imap
-                        else f
+                if f.name in imap:
+                    return StructField(
+                        f.name, f.dataType, f.nullable,
+                        {_IDENTITY_KEY: imap[f.name]},
                     )
-                    for f in df.schema.fields
-                ]
-            )
+                if f.name in dmap:
+                    return StructField(
+                        f.name, f.dataType, f.nullable,
+                        {_DEFAULT_KEY: dmap[f.name]},
+                    )
+                return f
+
+            schema = StructType([_remeta(f) for f in df.schema.fields])
         props = dict(base_props)
         changed = props.pop(_DROPPED_PROP, None) is not None
         if part_logical:
@@ -2617,6 +2747,7 @@ class LakeTable:
             raise ValueError("replace_where requires a partitioned table")
         _check_reserved(df.schema)
         df = self._apply_generated(df, schema)
+        df = self._apply_defaults(df, schema)
         fin_id, id_props_base = None, None
         if any(_identity_spec(f) for f in schema.fields):
             id_props_base = self.props(v)
@@ -2666,6 +2797,7 @@ class LakeTable:
             )
         _check_reserved(df.schema)
         df = self._apply_generated(df, schema)
+        df = self._apply_defaults(df, schema)
         fin_id, id_props_base = None, None
         if any(_identity_spec(f) for f in schema.fields):
             id_props_base = self.props(v)
@@ -2728,6 +2860,11 @@ class LakeTable:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        # a DEFAULTed column the feed omits materializes in the feed
+        # itself (BEFORE the persist, so unpersist hits this frame), so
+        # the atomic merge_into and two-commit merge() paths apply the
+        # identical row image
+        b = self._apply_defaults(b, self._snapshot()[2])
         b = b.persist()
         # VALIDATE before any commit, so a malformed batch leaves the
         # table untouched. Without order_col a key appearing twice is
@@ -3040,6 +3177,7 @@ class LakeTable:
 
         v, active, schema = self._snapshot()
         source = self._apply_generated(source, schema)
+        source = self._apply_defaults(source, schema)
         cur = self._read_entries(active, schema, keep_meta=True)
         # identity columns: the source must omit them (ALWAYS
         # semantics); matched rows INHERIT the target's value by key
@@ -3460,18 +3598,22 @@ class LakeTable:
             for col in data_cols:
                 if col in gen_cols or col in ident_cols:
                     continue  # recomputed / engine-assigned below
-                e = F.lit(None).cast(by_name[col].dataType)
+                # unlisted columns land the DEFAULT when one is
+                # declared, else NULL (Delta INSERT parity)
+                de = _default_expr(by_name[col])
+                fill = F.expr(de) if de else F.lit(None)
+                e = fill.cast(by_name[col].dataType)
                 for k in sorted(
                     k for k in all_clauses if k >= 200
                 ):
                     c_ = all_clauses[k]
                     vals = c_.get("values") or "all"
                     if vals == "all":
-                        expr = F.col(f"src.{col}") if col in source.columns else F.lit(None)
+                        expr = F.col(f"src.{col}") if col in source.columns else fill
                     elif col in vals:
                         expr = F.expr(vals[col])
                     else:
-                        expr = F.lit(None)
+                        expr = fill
                     e = F.when(F.col("_act") == k, expr.cast(by_name[col].dataType)).otherwise(e)
                 outcols.append(e.alias(col))
             out = ins.select(*outcols)

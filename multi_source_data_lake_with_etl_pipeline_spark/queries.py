@@ -10937,6 +10937,69 @@ def lake_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Column DEFAULT values (round 9 — Delta DEFAULT parity): batches that
+# omit the column materialize the constant at write; supplied values
+# win; rows predating the default keep NULL (no backfill); the default
+# applies through append AND merge-insert. Oracle reconstructs the
+# full lifecycle relationally.
+@register(
+    "lake_default_values_audit",
+    """
+    WITH fin AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CASE WHEN o_orderkey <= 200 THEN NULL           -- pre-default
+                  WHEN o_orderkey BETWEEN 201 AND 400 THEN 'fill'
+                  WHEN o_orderkey BETWEEN 401 AND 500 THEN 'explicit'
+                  ELSE 'fill' END AS tag                      -- merge inserts
+      FROM orders WHERE o_orderkey <= 600
+    )
+    SELECT coalesce(tag, '_null') AS tag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM fin GROUP BY 1
+    """,
+)
+def lake_default_values_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_dflt_")
+    # rows <= 200 land BEFORE the default exists (tag reads NULL, no
+    # backfill); the default then fills appended rows that omit tag,
+    # an explicit batch wins, and merge-inserted rows fill too
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 200"))
+    t.append(
+        o.filter("k < 0").select("k", "c", F.lit("").alias("tag")),
+        merge_schema=True,
+    )  # births the column (empty frame: schema-only widening)
+    t.set_column_default("tag", "'fill'")
+    t.append(o.filter("k BETWEEN 201 AND 400"))  # omitted -> 'fill'
+    t.append(
+        o.filter("k BETWEEN 401 AND 500").select(
+            "k", "c", F.lit("explicit").alias("tag")
+        )
+    )
+    t.merge_into(
+        o.filter("k BETWEEN 501 AND 600"), ["k"],
+        clauses=[
+            {"when": "not_matched", "action": "insert",
+             "values": {"k": "src.k", "c": "src.c"}},  # tag unlisted
+        ],
+    )
+    out = (
+        t.read()
+        .groupBy(F.coalesce(F.col("tag"), F.lit("_null")).alias("tag"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # Identity columns (round 9 — Delta GENERATED ALWAYS AS IDENTITY
 # parity): engine-assigned surrogate keys across create / append /
 # merge (matched rows keep their id, inserts draw above the

@@ -661,3 +661,108 @@ class TestIdentityColumns:
         c.append(spark.createDataFrame([("zz",)], "name string"))
         ids = [r["id"] for r in c.read().collect()]
         assert len(set(ids)) == 4 and max(ids) > old_max
+
+
+# ===================================================================
+# Column DEFAULT values (round 9 — Delta DEFAULT parity): constant
+# expressions that materialize when a write batch OMITS the column;
+# supplied values (including explicit NULL) win; pre-default files
+# keep NULL (no backfill); metadata-only ALTERs.
+class TestColumnDefaults:
+    def test_append_omitting_column_gets_default(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, "raw")], "k long, src string"),
+            column_defaults={"src": "'unknown'"},
+        )
+        t.append(spark.createDataFrame([(2,)], "k long"))           # omitted
+        t.append(spark.createDataFrame([(3, None)], "k long, src string"))
+        got = {r["k"]: r["src"] for r in t.read().collect()}
+        assert got == {1: "raw", 2: "unknown", 3: None}  # NULL stays NULL
+        assert t.details()["column_defaults"] == {"src": "'unknown'"}
+
+    def test_no_backfill_and_alter_lifecycle(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1,)], "k long"),
+        )
+        t.append(spark.createDataFrame([(2, 5)], "k long, v long"), merge_schema=True)
+        t.set_column_default("v", "99")
+        t.append(spark.createDataFrame([(3,)], "k long"))
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        # rows 1-2 predate the default (1 predates the column): no backfill
+        assert got == {1: None, 2: 5, 3: 99}
+        t.drop_column_default("v")
+        t.append(spark.createDataFrame([(4,)], "k long"))
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got[4] is None
+        with pytest.raises(ValueError, match="no DEFAULT"):
+            t.drop_column_default("v")
+
+    def test_default_must_be_constant(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 2)], "k long, v long"),
+        )
+        with pytest.raises(Exception):  # column reference rejected
+            t.set_column_default("v", "k + 1")
+        t2 = LakeTable.create(
+            spark, str(tmp_path / "t2"),
+            spark.createDataFrame([(1, 2)], "k long, v long"),
+            generated_columns={"g": "v * 2"},
+        )
+        with pytest.raises(ValueError, match="GENERATED"):
+            t2.set_column_default("g", "1")
+
+    def test_merge_into_insert_uses_default(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10, "a")], "k long, v long, tag string"),
+            column_defaults={"tag": "'dflt'"},
+        )
+        src = spark.createDataFrame([(1, 11), (2, 20)], "k long, v long")
+        t.merge_into(src, ["k"], clauses=[
+            {"when": "matched", "action": "update", "set": {"v": "src.v"}},
+            {"when": "not_matched", "action": "insert",
+             "values": {"k": "src.k", "v": "src.v"}},  # tag unlisted
+        ])
+        got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+        assert got == {1: (11, "a"), 2: (20, "dflt")}
+
+    def test_apply_cdc_atomic_matches_two_commit_with_default(
+        self, spark, tmp_path
+    ):
+        def mk(p):
+            return LakeTable.create(
+                spark, str(p),
+                spark.createDataFrame(
+                    [(1, 10, "x"), (2, 20, "y")], "k long, v long, tag string"
+                ),
+                column_defaults={"tag": "'cdc'"},
+            )
+
+        ta, tb = mk(tmp_path / "a"), mk(tmp_path / "b")
+        batch = spark.createDataFrame(
+            [(1, 100, "U"), (3, 30, "I")], "k long, v long, op string"
+        )
+        ta.apply_cdc(batch, key="k", atomic=True)
+        tb.apply_cdc(batch, key="k", atomic=False)
+        rows_a = sorted(map(tuple, ta.read().collect()))
+        rows_b = sorted(map(tuple, tb.read().collect()))
+        assert rows_a == rows_b == [
+            (1, 100, "cdc"), (2, 20, "y"), (3, 30, "cdc")
+        ]
+
+    def test_overwrite_keeps_default_column_and_metadata(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, "a")], "k long, tag string"),
+            column_defaults={"tag": "'d'"},
+        )
+        t.overwrite(spark.createDataFrame([(9,)], "k long"))  # tag omitted
+        got = [(r["k"], r["tag"]) for r in t.read().collect()]
+        assert got == [(9, "d")]
+        assert t.details()["column_defaults"] == {"tag": "'d'"}
+        t.append(spark.createDataFrame([(10,)], "k long"))
+        got = {r["k"]: r["tag"] for r in t.read().collect()}
+        assert got == {9: "d", 10: "d"}
