@@ -622,6 +622,68 @@ class LakeTable:
             )
         return out
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Snapshot file inventory as a QUERYABLE DataFrame (Iceberg
+        ``table.files`` metadata-table parity): one row per active add
+        entry — path, rows, bytes, live rows (DV-adjusted), partition
+        values (JSON), DV sidecar pointer. Pure metadata: built from
+        the commit log on the driver, zero data scanned; the SQL
+        surface a maintenance job uses to find skew, small files, or
+        DV-heavy files (``ORDER BY bytes``, ``GROUP BY partition``)."""
+        v, active, _ = self._snapshot(version)
+        rows = [
+            (
+                a["path"],
+                int(a.get("rows", 0)),
+                int(a.get("bytes", 0)),
+                int(a.get("rows", 0)) - int(a.get("dv", {}).get("ndel", 0)),
+                json.dumps(a.get("partition"), sort_keys=True)
+                if a.get("partition") is not None
+                else None,
+                a["dv"]["path"] if a.get("dv") else None,
+                int(a.get("dv", {}).get("ndel", 0)),
+            )
+            for a in active
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, rows long, bytes long, live_rows long, "
+            "partition string, dv_path string, dv_deleted long",
+        )
+
+    def generate_symlink_manifest(self, version: int | None = None) -> str:
+        """``GENERATE symlink_format_manifest`` (Delta parity): write
+        ``_symlink_format_manifest/[partition dirs/]manifest`` text
+        files listing the snapshot's active data-file paths, so
+        external engines that understand SymlinkTextInputFormat
+        (Presto/Trino/Athena/Hive) can query the CURRENT snapshot
+        without reading the commit log. Partitioned tables get one
+        manifest per partition directory (engines prune on the dir
+        layout). Regenerate after commits; refuses DV tables loudly —
+        a symlink reader would resurrect deleted rows."""
+        v, active, _ = self._snapshot(version)
+        if any(a.get("dv") for a in active):
+            raise ValueError(
+                "symlink manifest cannot represent deletion vectors — "
+                "compact first (vectors fold into the rewrite)"
+            )
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        shutil.rmtree(root, ignore_errors=True)
+        by_dir: dict[str, list[str]] = {}
+        for a in active:
+            rel = a["path"]
+            part_dir = os.path.dirname(rel)
+            sub = os.path.relpath(part_dir, _DATA) if part_dir != _DATA else "."
+            by_dir.setdefault(sub, []).append(
+                "file:" + os.path.abspath(self._abs(rel))
+            )
+        for sub, paths in by_dir.items():
+            d = root if sub == "." else os.path.join(root, sub)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as f:
+                f.write("\n".join(sorted(paths)) + "\n")
+        return root
+
     def details(self, version: int | None = None) -> dict:
         """DESCRIBE DETAIL parity: one metadata-only dict summarizing a
         snapshot — version, file/byte/row counts, deletion-vector

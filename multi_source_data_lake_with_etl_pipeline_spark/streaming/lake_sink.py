@@ -1,0 +1,243 @@
+"""Lake table as a native Structured Streaming SINK — the Delta-parity
+``df.writeStream.format("delta")`` slot, built on Spark 4's Python Data
+Source WRITER API (reference analog: the continuous point-write path,
+``src/loaders/timeseries_loaders.py``; the foreachBatch +
+``append_stream_batch`` route stays available and is required for
+tables with engine-side write features, see below).
+
+Exactly-once: executors write each task's rows to a STAGING parquet
+file (pyarrow, Arrow-typed to the sink schema) and return its path as
+the commit message; the driver's ``commit(messages, batchId)`` moves
+the staged files into ``data/`` and lands ONE lake commit carrying the
+``(app_id, batchId)`` txn marker — the same idempotence contract as
+``append_stream_batch``, so replayed micro-batches (Structured
+Streaming is at-least-once across restarts) dedupe on the marker and
+become no-ops. ``abort`` deletes the staged files; a crash between
+write and commit leaves only ``_tmp_sink_*`` debris that ``vacuum``
+sweeps.
+
+Feature gate (loud, at stream start): tables with generated columns,
+identity columns, partition columns, or column mapping need engine-side
+write logic that an executor-side parquet writer cannot run — the sink
+refuses them and points at foreachBatch + ``append_stream_batch``
+(which supports all of them). CHECK constraints ARE enforced: the
+driver validates the staged batch before committing and aborts the
+batch whole on a violation.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from ..lake import LakeTable, _DATA, _file_stats, _gen_expr, _identity_spec, _is_mapped
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+
+    m = {
+        LongType(): pa.int64(),
+        IntegerType(): pa.int32(),
+        ShortType(): pa.int16(),
+        ByteType(): pa.int8(),
+        DoubleType(): pa.float64(),
+        FloatType(): pa.float32(),
+        StringType(): pa.string(),
+        BooleanType(): pa.bool_(),
+        DateType(): pa.date32(),
+        # instant semantics: isAdjustedToUTC=true so Spark reads back
+        # TIMESTAMP (not NTZ); the session runs in UTC
+        TimestampType(): pa.timestamp("us", tz="UTC"),
+        TimestampNTZType(): pa.timestamp("us"),
+    }
+    got = m.get(dt)
+    if got is None:
+        raise ValueError(
+            f"lakesink: unsupported column type {dt.simpleString()} — "
+            "use foreachBatch + append_stream_batch"
+        )
+    return got
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    paths: list = field(default_factory=list)
+
+
+class LakeSinkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, app_id: str, schema: StructType):
+        self.path = path
+        self.app_id = app_id
+        self.sink_schema = schema
+        # validation runs ONCE on the driver at stream start: feature
+        # gate + append_stream_batch's schema-subset rule
+        t = LakeTable(None, path)
+        _, _, table_schema = t._snapshot()
+        blockers = []
+        if any(_gen_expr(f) for f in table_schema.fields):
+            blockers.append("generated columns")
+        if any(_identity_spec(f) for f in table_schema.fields):
+            blockers.append("identity columns")
+        if _is_mapped(table_schema):
+            blockers.append("column mapping")
+        if t._partition_phys():
+            blockers.append("partition columns")
+        if blockers:
+            raise ValueError(
+                f"lakesink: table at {path} uses {', '.join(blockers)} — "
+                "these need engine-side write logic; use foreachBatch + "
+                "append_stream_batch instead"
+            )
+        by_name = {f.name: f for f in table_schema.fields}
+        for f in schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                raise ValueError(
+                    f"lakesink: stream adds unknown column {f.name!r}; "
+                    "evolve the table with append(merge_schema=True) first"
+                )
+            if have.dataType != f.dataType:
+                raise ValueError(
+                    f"lakesink: schema mismatch on '{f.name}': table has "
+                    f"{have.dataType.simpleString()}, stream has "
+                    f"{f.dataType.simpleString()}"
+                )
+
+    # ------------------------------------------------------ executors
+    def write(self, iterator) -> _StagedFiles:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _StagedFiles([])
+        names = [f.name for f in self.sink_schema.fields]
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in self.sink_schema.fields]
+        )
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(list(col), type=arrow_schema.field(i).type)
+                for i, col in enumerate(cols)
+            ],
+            names=names,
+        )
+        staging = os.path.join(self.path, f"_tmp_sink_{uuid.uuid4().hex}")
+        os.makedirs(staging, exist_ok=True)
+        out = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, out)
+        return _StagedFiles([out])
+
+    # --------------------------------------------------------- driver
+    def _cleanup(self, messages) -> None:
+        import shutil
+
+        for m in messages or []:
+            for p in (m.paths if m else []):
+                shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        spark = SparkSession.getActiveSession()
+        t = LakeTable.load(spark, self.path)
+        last = t.last_committed_batch(self.app_id)
+        if last is not None and batchId <= last:
+            self._cleanup(messages)  # replay: the marker already landed
+            return
+        staged = [p for m in messages if m for p in m.paths]
+        v = t.latest_version()
+        _, _, schema = t._snapshot(v)
+        # CHECK constraints validate the WHOLE batch before any file
+        # moves — a violation aborts the micro-batch, table untouched
+        cons = t.constraints(v)
+        if cons and staged:
+            t._check_constraints(spark.read.parquet(*staged), cons)
+        adds = []
+        for p in staged:
+            new = f"{uuid.uuid4().hex}.parquet"
+            abs_new = os.path.join(t._data_dir, new)
+            os.rename(p, abs_new)
+            rows, stats, nulls = _file_stats(abs_new)
+            if rows == 0:
+                os.remove(abs_new)
+                continue
+            adds.append(
+                {
+                    "path": f"{_DATA}/{new}",
+                    "rows": rows,
+                    "bytes": os.path.getsize(abs_new),
+                    "stats": stats,
+                    "nulls": nulls,
+                }
+            )
+        self._cleanup(messages)  # empty staging dirs
+        txn = {"app": self.app_id, "batch": int(batchId)}
+        n = sum(a["rows"] for a in adds)
+        for _ in range(21):
+            try:
+                t._commit(
+                    v + 1, "append", adds, [], schema, txn=txn,
+                    metrics={"rows_appended": n},
+                )
+                return
+            except Exception as exc:  # CommitConflict — re-check marker
+                if type(exc).__name__ != "CommitConflict":
+                    raise
+                last = t.last_committed_batch(self.app_id)
+                if last is not None and batchId <= last:
+                    return  # a racing zombie committed this batch
+                v = t.latest_version()
+                _, _, schema = t._snapshot(v)
+        raise RuntimeError("lakesink lost 21 consecutive commit races")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
+class LakeSinkDataSource(DataSource):
+    """``df.writeStream.format("lakesink")`` — options: ``path`` (the
+    lake table), ``app_id`` (txn marker namespace; defaults to the
+    checkpoint-scoped query — pass one explicitly for cross-checkpoint
+    idempotence)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakesink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LakeSinkStreamWriter:
+        if overwrite:
+            raise ValueError("lakesink supports append output mode only")
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lakesink requires a 'path' option")
+        return LakeSinkStreamWriter(
+            path, self.options.get("app_id", "lakesink"), schema
+        )
+
+
+def register_lakesink_datasource(spark: SparkSession) -> None:
+    """Idempotent registration of the ``lakesink`` streaming format."""
+    spark.dataSource.register(LakeSinkDataSource)

@@ -766,3 +766,58 @@ class TestColumnDefaults:
         t.append(spark.createDataFrame([(10,)], "k long"))
         got = {r["k"]: r["tag"] for r in t.read().collect()}
         assert got == {9: "d", 10: "d"}
+
+
+# ===================================================================
+# Metadata surfaces (round 9): files_df (Iceberg table.files parity)
+# and GENERATE symlink_format_manifest (Delta parity).
+class TestMetadataSurfaces:
+    def test_files_df_matches_snapshot(self, spark, tmp_path):
+        df = spark.range(0, 40, 1, 2).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("long").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df, partition_by=["p"])
+        t.delete_keys(spark.createDataFrame([(1,)], "k long"), "k", dv=True)
+        fdf = t.files_df()
+        d = t.details()
+        agg = fdf.agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum("rows").alias("rows"),
+            F.sum("live_rows").alias("live"),
+            F.sum("dv_deleted").alias("ndel"),
+        ).collect()[0]
+        assert agg["nf"] == d["num_files"]
+        assert agg["rows"] == d["total_rows"]
+        assert agg["live"] == d["live_rows"]
+        assert agg["ndel"] == d["dv_deleted_rows"]
+        # partition values queryable
+        parts = {r["partition"] for r in fdf.collect()}
+        assert parts == {'{"p": 0}', '{"p": 1}'}
+
+    def test_symlink_manifest_lists_exact_snapshot(self, spark, tmp_path):
+        df = spark.range(0, 40, 1, 2).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("long").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        t = LakeTable.create(spark, str(tmp_path / "t"), df, partition_by=["p"])
+        root = t.generate_symlink_manifest()
+        listed = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                assert fn == "manifest"
+                listed += [
+                    ln.removeprefix("file:")
+                    for ln in open(os.path.join(dirpath, fn)).read().splitlines()
+                ]
+        active = {os.path.abspath(t._abs(a["path"])) for a in t._snapshot()[1]}
+        assert set(listed) == active
+        # a symlink reader over the manifest sees the exact table
+        got = spark.read.parquet(*listed).count()
+        assert got == 40
+        # DV tables refuse loudly (a symlink reader would resurrect rows)
+        t.delete_keys(spark.createDataFrame([(1,)], "k long"), "k", dv=True)
+        with pytest.raises(ValueError, match="deletion vectors"):
+            t.generate_symlink_manifest()

@@ -648,3 +648,105 @@ class TestLakeCdfStreamSource:
             (2, 6, "update_preimage"), (2, 60, "update_postimage"),
             (3, 7, "insert"),
         ]
+
+
+# ===================================================================
+# Lake as a native streaming SINK (round 9): Spark 4 Python Data
+# Source WRITER — executor-staged parquet + one txn-marked lake commit
+# per micro-batch; exactly-once across availableNow restarts.
+class TestLakeSink:
+    def _drain(self, spark, src_dir, schema, path, ck, app="sinkapp"):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.lake_sink import (
+            register_lakesink_datasource,
+        )
+
+        register_lakesink_datasource(spark)
+        q = (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .writeStream.format("lakesink")
+            .option("path", path)
+            .option("app_id", app)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_exactly_once_append_with_stats(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 51)], "k long, v long"
+        ).repartition(4).write.parquet(src)
+        ck = str(tmp_path / "ck")
+        self._drain(spark, src, "k long, v long", t.path, ck)
+        assert t.read().count() == 51
+        assert t.last_committed_batch("sinkapp") == 0
+        # replay with the same checkpoint: nothing doubles
+        self._drain(spark, src, "k long, v long", t.path, ck)
+        assert t.read().count() == 51
+        # footer stats landed -> point lookup prunes like any append
+        assert sorted(r["v"] for r in t.read_where_eq("k", 7).collect()) == [70]
+        # new source data with a NEW checkpoint but same app: appended
+        spark.createDataFrame([(99, 990)], "k long, v long").write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, "k long, v long", t.path, ck)
+        assert t.read().count() == 52
+
+    def test_constraint_violation_aborts_batch_whole(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 5)], "k long, v long"),
+        )
+        t.add_constraint("v_pos", "v > 0")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(2, 10), (3, -1)], "k long, v long"
+        ).write.parquet(src)
+        before = t.latest_version()
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.lake_sink import (
+            register_lakesink_datasource,
+        )
+
+        register_lakesink_datasource(spark)
+        q = (
+            spark.readStream.schema("k long, v long").parquet(src)
+            .writeStream.format("lakesink")
+            .option("path", t.path)
+            .option("app_id", "bad")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+        assert t.latest_version() == before  # table untouched
+        assert t.read().count() == 1
+
+    def test_feature_gated_tables_refuse_at_start(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.lake_sink import (
+            LakeSinkStreamWriter,
+        )
+        from pyspark.sql.types import StructType
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 5)], "k long, v long"),
+            generated_columns={"v2": "v * 2"},
+        )
+        schema = spark.createDataFrame([(1, 2)], "k long, v long").schema
+        with pytest.raises(ValueError, match="generated columns"):
+            LakeSinkStreamWriter(t.path, "x", schema)
