@@ -553,6 +553,131 @@ class LakeTable:
             raise FileNotFoundError(f"not a lake table: {path}")
         return t
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        parquet_dir: str,
+        path: str,
+        partition_schema: str | None = None,
+    ) -> "LakeTable":
+        """``CONVERT TO DELTA`` parity: turn an existing parquet
+        directory into a lake table IN PLACE — no bytes rewritten. Each
+        source file is HARDLINKED into the table's data/ dir under a
+        fresh UUID basename (same inode, zero data copied; falls back
+        to a copy only across filesystems): the rename matters because
+        Spark's partitionBy writes the SAME part-file basename into
+        every partition directory, and deletion-vector sidecars key by
+        basename — reusing source names would let one partition's DV
+        silently kill same-positioned rows in every sibling partition.
+        Footer stats come from parquet metadata (O(files) driver
+        reads). Hive-partitioned sources pass ``partition_schema``
+        (e.g. ``"dt date, region string"`` — CONVERT's partition
+        clause): directory values are parsed as typed partition
+        values, injected into entry stats, and the table is
+        partitioned by those columns from birth. The source directory
+        is independent after conversion (hardlinks survive its
+        deletion)."""
+        from urllib.parse import unquote
+
+        part_fields = (
+            list(StructType.fromDDL(partition_schema).fields)
+            if partition_schema
+            else []
+        )
+        pnames = [f.name for f in part_fields]
+        convs = {f.name: _part_converter(f.dataType) for f in part_fields}
+        ptypes = {f.name: f.dataType for f in part_fields}
+        adds = []
+        data_schema: StructType | None = None
+        for dirpath, _dirs, files in sorted(os.walk(parquet_dir)):
+            rel = os.path.relpath(dirpath, parquet_dir)
+            segs = [s for s in rel.split(os.sep) if s not in (".", "")]
+            pq_files = [f for f in sorted(files) if f.endswith(".parquet")]
+            if not pq_files:
+                continue
+            part: dict[str, object] = {}
+            ok = True
+            for seg in segs:
+                name, eq, raw = seg.partition("=")
+                if not eq or name not in convs:
+                    ok = False
+                    break
+                part[name] = (
+                    None if raw == _HIVE_NULL else _json_safe(convs[name](unquote(raw)))
+                )
+            if pnames and (not ok or len(part) != len(pnames)):
+                raise ValueError(
+                    f"convert_from_parquet: {dirpath!r} does not match the "
+                    f"declared partition layout {pnames} — every data file "
+                    "must sit under one dir per partition column"
+                )
+            for fname in pq_files:
+                ap = os.path.join(dirpath, fname)
+                rows, stats, nulls = _file_stats(ap)
+                if rows == 0:
+                    continue
+                entry = {
+                    "path": ap,  # relinked below once the table exists
+                    "rows": rows,
+                    "bytes": os.path.getsize(ap),
+                    "stats": stats,
+                    "nulls": nulls,
+                }
+                if pnames:
+                    for p in pnames:
+                        v = part.get(p)
+                        if v is None:
+                            nulls[p] = rows
+                        else:
+                            nulls[p] = 0
+                            if not isinstance(v, bool) and not ptypes[
+                                p
+                            ].simpleString().startswith("timestamp"):
+                                stats[p] = [v, v]
+                    entry["partition"] = dict(part)
+                adds.append(entry)
+                if data_schema is None:
+                    data_schema = spark.read.parquet(ap).schema
+        if not adds or data_schema is None:
+            raise ValueError(f"no parquet files under {parquet_dir!r}")
+        fields = [
+            f for f in data_schema.fields if f.name not in set(pnames)
+        ] + part_fields
+        schema = StructType(fields)
+        _check_reserved(schema)
+        props: dict = {}
+        if pnames:
+            props[_PART_PROP] = json.dumps(pnames)
+        t = cls(spark, path)
+        os.makedirs(t._log_dir, exist_ok=False)
+        os.makedirs(t._data_dir, exist_ok=True)
+        for a in adds:
+            src_abs = a["path"]
+            if pnames:
+                from urllib.parse import quote
+
+                rel_dir = "/".join(
+                    f"{p}={_HIVE_NULL}"
+                    if a["partition"][p] is None
+                    else f"{p}={quote(str(a['partition'][p]), safe='')}"
+                    for p in pnames
+                )
+                os.makedirs(
+                    os.path.join(t._data_dir, rel_dir), exist_ok=True
+                )
+                rel = f"{_DATA}/{rel_dir}/{uuid.uuid4().hex}.parquet"
+            else:
+                rel = f"{_DATA}/{uuid.uuid4().hex}.parquet"
+            dst = t._abs(rel)
+            try:
+                os.link(src_abs, dst)  # same inode — zero bytes copied
+            except OSError:
+                shutil.copy2(src_abs, dst)  # cross-device fallback
+            a["path"] = rel
+        t._commit(0, "create", adds, [], schema, props=props)
+        return t
+
     def clone_to(self, target_path: str, version: int | None = None) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta ``CLONE`` parity): the clone's
         create commit references this table's active data files by
@@ -1824,7 +1949,9 @@ class LakeTable:
             for p in paths:
                 # rindex: partition VALUES can't contain '/' (escaped
                 # %2F in dirnames), so the LAST /data/ is the data root
-                # even when the table path itself contains one
+                # even when the table path itself contains one (every
+                # producer — including convert_from_parquet's hardlink
+                # relocation — lands partitioned files under a data/)
                 root = p[: p.rindex(marker) + len(marker) - 1]
                 groups.setdefault(root, []).append(p)
             scans = [_scan(ps, root) for root, ps in sorted(groups.items())]

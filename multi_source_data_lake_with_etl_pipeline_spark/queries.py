@@ -10937,6 +10937,62 @@ def lake_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# CONVERT TO LAKE (round 9 — Delta CONVERT TO DELTA parity): a plain
+# partitioned parquet directory becomes a lake table IN PLACE (no
+# bytes rewritten; footer stats from metadata; absolute-path entries),
+# then the lake op surface — partition-pruned read, DV delete, append
+# — runs on the converted layout. Oracle reconstructs relationally.
+@register(
+    "lake_convert_in_place_audit",
+    """
+    WITH fin AS (
+      SELECT o_orderkey AS k, o_orderkey % 4 AS p, o_custkey AS c
+      FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey, 9, o_custkey + 1
+      FROM orders WHERE o_orderkey BETWEEN 1201 AND 1300
+    )
+    SELECT CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM fin GROUP BY p
+    """,
+)
+def lake_convert_in_place_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).alias("p"),
+        F.col("o_custkey").alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_conv_")
+    src = root + "/src"
+    o.filter("k <= 1200").write.partitionBy("p").parquet(src)
+    t = LakeTable.convert_from_parquet(
+        spark, src, root + "/t", partition_schema="p bigint"
+    )
+    # the converted table supports the full op surface in place
+    t.delete_keys(
+        o.filter("k <= 1200 AND k % 10 = 0").select("k"), "k", dv=True
+    )
+    t.append(
+        o.filter("k BETWEEN 1201 AND 1300").select(
+            "k", F.lit(9).cast("bigint").alias("p"), (F.col("c") + 1).alias("c")
+        )
+    )
+    out = (
+        t.read()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # Column DEFAULT values (round 9 — Delta DEFAULT parity): batches that
 # omit the column materialize the constant at write; supplied values
 # win; rows predating the default keep NULL (no backfill); the default

@@ -821,3 +821,70 @@ class TestMetadataSurfaces:
         t.delete_keys(spark.createDataFrame([(1,)], "k long"), "k", dv=True)
         with pytest.raises(ValueError, match="deletion vectors"):
             t.generate_symlink_manifest()
+
+
+# ===================================================================
+# CONVERT TO LAKE (round 9 — Delta CONVERT TO DELTA parity): an
+# existing parquet directory becomes a lake table IN PLACE — no bytes
+# rewritten; footer stats from metadata; hive-partitioned sources via
+# a declared partition schema; the full op surface works afterwards.
+class TestConvertFromParquet:
+    def test_flat_directory_converts_in_place(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.range(0, 100, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.parquet(src)
+        t = LakeTable.convert_from_parquet(spark, src, str(tmp_path / "t"))
+        assert t.read().count() == 100
+        assert t.rows() == 100  # metadata-only count works
+        # no bytes copied: data files are HARDLINKS of the source
+        # (same inode), under fresh uuid basenames
+        import glob
+
+        src_inodes = {
+            os.stat(p).st_ino for p in glob.glob(src + "/*.parquet")
+        }
+        for a in t._snapshot()[1]:
+            st = os.stat(t._abs(a["path"]))
+            assert st.st_ino in src_inodes and st.st_nlink >= 2
+        # stats landed -> pruning works on the converted files
+        assert len(t.files_overlapping("k", 0, 0)) < t.details()["num_files"]
+        # ops work: append lands in the table's own data dir, delete DV
+        t.append(spark.createDataFrame([(1000, 1)], "k long, v long"))
+        t.delete("k = 5", dv=True)
+        assert t.read().count() == 100
+        got = t.read_pruned("k", 3, 4).collect()
+        assert sorted(r["k"] for r in got) == [3, 4]
+
+    def test_partitioned_source_with_declared_schema(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.range(0, 60, 1, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("long").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        ).write.partitionBy("p").parquet(src)
+        t = LakeTable.convert_from_parquet(
+            spark, src, str(tmp_path / "t"), partition_schema="p long"
+        )
+        assert t.partition_columns() == ["p"]
+        assert t.read().count() == 60
+        # partition values read back typed, and pruning is metadata
+        got = t.read_pruned("p", 1, 1)
+        assert got.count() == 20
+        assert {r["p"] for r in got.collect()} == {1}
+        assert len(t.files_overlapping("p", 1, 1)) < t.details()["num_files"]
+        # partition-scoped ops work on the converted layout
+        t.replace_where(
+            spark.createDataFrame([(999, 2, 0)], "k long, p long, v long"),
+            "p = 2",
+        )
+        assert t.read().count() == 41
+        assert t.read_pruned("p", 2, 2).count() == 1
+
+    def test_malformed_partition_layout_raises(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(src)
+        with pytest.raises(ValueError, match="partition layout"):
+            LakeTable.convert_from_parquet(
+                spark, src, str(tmp_path / "t"), partition_schema="p long"
+            )
