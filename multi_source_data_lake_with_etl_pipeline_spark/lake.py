@@ -398,6 +398,7 @@ class LakeTable:
         optimized_write_salt: int = 1,
         identity_columns: dict[str, tuple[int, int]] | None = None,
         column_defaults: dict[str, str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
         columns, fixed for the table's lifetime (Delta parity — raise
@@ -429,8 +430,29 @@ class LakeTable:
         ``column_defaults``: {name: constant_sql_expr} DEFAULT values
         (Delta parity) for columns PRESENT in ``df`` — later batches
         that omit the column materialize the default at write time;
-        see :meth:`set_column_default`."""
+        see :meth:`set_column_default`.
+
+        ``bucket_by=(col, n)``: Iceberg bucket-transform hidden
+        partitioning — sugar for a GENERATED partition column
+        ``pmod(xxhash64(col), n)``. Point lookups on the bucketed
+        column (``read_where_eq``) hash the probe value once on the
+        driver and prune to ONE bucket's files via the general
+        equality-derivation rule — high-cardinality id retrieval at
+        1/n scan cost with no index to maintain. Composes with
+        ``partition_by`` (the bucket column is appended)."""
         _check_reserved(df.schema)
+        if bucket_by is not None:
+            bcol, nb = bucket_by
+            if bcol not in df.columns:
+                raise ValueError(f"bucket_by column {bcol!r} not in the frame")
+            if int(nb) < 2:
+                raise ValueError("bucket_by needs at least 2 buckets")
+            bname = f"{bcol}_bucket"
+            generated_columns = {
+                **(generated_columns or {}),
+                bname: f"pmod(xxhash64({bcol}), {int(nb)})",
+            }
+            partition_by = list(partition_by or []) + [bname]
         fields = list(df.schema.fields)
         for name, dexpr in (column_defaults or {}).items():
             idx = next(
@@ -2154,16 +2176,47 @@ class LakeTable:
             if not e or f.name in have:
                 continue
             m = self._GEN_DATE_RE.match(e)
-            if not m or m.group(1) not in by_field:
+            if m and m.group(1) in by_field and by_field[
+                m.group(1)
+            ].dataType.typeName() in safe_src:
+                for col, lo, hi in conds:
+                    if col != m.group(1) or lo is None or hi is None:
+                        continue
+                    lo_d, hi_d = str(lo)[:10], str(hi)[:10]
+                    if len(lo_d) == 10 and len(hi_d) == 10:
+                        out.append((f.name, lo_d, hi_d))
                 continue
-            if by_field[m.group(1)].dataType.typeName() not in safe_src:
+            # EQUALITY derivation through ANY single-source generated
+            # expression (Iceberg hidden-partitioning parity — the
+            # bucket-transform case ``pmod(xxhash64(k), N)`` included):
+            # no monotonicity needed, because X = v implies g = f(v)
+            # for a deterministic f. The value is computed by one
+            # driver-side evaluation of the expression over the
+            # literal; any failure (type mismatch, non-evaluable)
+            # conservatively derives nothing.
+            srcs = [
+                g.name
+                for g in schema.fields
+                if g.name != f.name and _ident_refs(e, g.name)
+            ]
+            if len(srcs) != 1 or self.spark is None:
                 continue
             for col, lo, hi in conds:
-                if col != m.group(1) or lo is None or hi is None:
+                if col != srcs[0] or lo is None or lo != hi:
                     continue
-                lo_d, hi_d = str(lo)[:10], str(hi)[:10]
-                if len(lo_d) == 10 and len(hi_d) == 10:
-                    out.append((f.name, lo_d, hi_d))
+                try:
+                    row = (
+                        self.spark.createDataFrame(
+                            [(lo,)], StructType([by_field[col]])
+                        )
+                        .select(F.expr(e).cast(f.dataType).alias("_v"))
+                        .first()
+                    )
+                except Exception:
+                    continue
+                if row is not None and row["_v"] is not None:
+                    v = _json_safe(row["_v"])
+                    out.append((f.name, v, v))
         return out
 
     def read_pruned_multi(self, conds: list[tuple[str, object, object]]) -> DataFrame:

@@ -888,3 +888,56 @@ class TestConvertFromParquet:
             LakeTable.convert_from_parquet(
                 spark, src, str(tmp_path / "t"), partition_schema="p long"
             )
+
+
+# ===================================================================
+# Bucket-transform hidden partitioning (round 9 — Iceberg parity):
+# create(bucket_by=(col, n)) = generated pmod(xxhash64(col), n)
+# partition column; point lookups prune to ONE bucket through the
+# general equality-derivation rule (X = v implies g = f(v)).
+class TestBucketBy:
+    def test_point_lookup_prunes_to_one_bucket(self, spark, tmp_path):
+        df = spark.range(0, 400, 1, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df, bucket_by=("k", 8),
+            optimized_write=True,
+        )
+        total = t.details()["num_files"]
+        assert total == 8  # optimized write: one file per bucket
+        for probe in (0, 17, 399):
+            got = t.read_where_eq("k", probe)
+            rows = got.collect()
+            assert [r["v"] for r in rows] == [probe * 3]
+            assert len(got.inputFiles()) == 1  # ONE bucket's file
+        # range probes never use the hash (non-monotone): still exact
+        assert t.read_pruned("k", 10, 12).count() == 3
+
+    def test_buckets_compose_with_partitions(self, spark, tmp_path):
+        df = spark.range(0, 200, 1, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("long").alias("region"),
+            (F.col("id") * 3).alias("v"),
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df,
+            partition_by=["region"], bucket_by=("k", 4),
+            optimized_write=True,
+        )
+        assert t.partition_columns() == ["region", "k_bucket"]
+        got = t.read_where_eq("k", 33)
+        assert [r["v"] for r in got.collect()] == [99]
+        # bucket pruning keeps at most one file PER REGION (k's range
+        # stats can't separate interleaved regions; the bucket can)
+        assert len(got.inputFiles()) <= 2
+        assert all("k_bucket=" in f for f in got.inputFiles())
+        # appends land bucketed by construction
+        t.append(
+            spark.createDataFrame([(1000, 0)], "k long, region long").select(
+                "k", "region", F.lit(3000).cast("long").alias("v")
+            )
+        )
+        got = t.read_where_eq("k", 1000)
+        assert [r["v"] for r in got.collect()] == [3000]
+        assert len(got.inputFiles()) == 1  # k=1000 outside old ranges
