@@ -329,6 +329,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k MinHash values per doc, computed PER ROW (no explode, no
     shuffle): fold the distinct-shingle-hash array with an elementwise
@@ -338,7 +339,13 @@ def minhash_signatures(
     Per-seed re-hash is ``xxhash64(seed, h)`` — one JVM hash call per
     (shingle, seed). Measured faster than the Kirsch-Mitzenmacher
     h1+i*h2 double-hashing here: under ANSI SQL the multiply/add pay
-    overflow checks that cost more than xxhash's mixing."""
+    overflow checks that cost more than xxhash's mixing.
+
+    ``shingles``: an already-built (id, _sh) shingle-set table for
+    exactly ``df`` (typically persisted by a caller that ALSO needs it
+    for exact verification) — the fold then reads the cached arrays
+    instead of re-shingling the corpus text (audit-reuse: the shingle
+    pass is the corpus-linear cost)."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
         F.col("_sh"),
@@ -349,9 +356,12 @@ def minhash_signatures(
             lambda a, b: F.least(a, b),
         ),
     )
-    return _shingle_set_table(df, text_col, id_col, n).select(
-        id_col, sig.alias("sig")
+    base = (
+        shingles
+        if shingles is not None
+        else _shingle_set_table(df, text_col, id_col, n)
     )
+    return base.select(id_col, sig.alias("sig"))
 
 
 def banded_signatures(
@@ -361,12 +371,14 @@ def banded_signatures(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_hash) LSH keys: MinHash signature folded per row,
     then one band hash per ``bands`` slice — a narrow map ×bands
-    explode, no shuffle. This IS the persistable dedup index row."""
+    explode, no shuffle. This IS the persistable dedup index row.
+    ``shingles``: see minhash_signatures (shared shingle-set reuse)."""
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, shingles=shingles)
     return sig.select(
         id_col,
         F.posexplode(

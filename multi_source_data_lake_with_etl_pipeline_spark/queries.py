@@ -4529,12 +4529,16 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     # legs — the shingle fold is the corpus-linear cost and the legs'
     # participant sets overlap almost entirely, so per-leg set builds
     # paid it twice. Parity is about banding + verification + the
-    # batch-boundary split, which all still run per leg.
+    # batch-boundary split, which all still run per leg. r9: the
+    # banded keys fold over the CACHED shingle table (shingles=sets)
+    # — the corpus is tokenized/shingled exactly once per run.
     docs3 = _with_min_words(d, "text", 3)
-    banded_all = banded_signatures(docs3, "text", "doc_id", 3, 32, 16).persist()
-    banded_all.count()
     sets = _shingle_set_table(docs3, "text", "doc_id", 3).persist()
     sets.count()
+    banded_all = banded_signatures(
+        docs3, "text", "doc_id", 3, 32, 16, shingles=sets
+    ).persist()
+    banded_all.count()
     minhash_index_build(base, idx, banded=banded_all.filter(F.col("doc_id") % 10 == 0))
     inc = minhash_lsh_incremental(
         delta,
@@ -4543,8 +4547,7 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
         append=False,
         banded_new=banded_all.filter(F.col("doc_id") % 10 == 1),
         sets=sets,
-    ).persist()
-    inc.count()
+    )
     # pairs(base) ≡ batch pairs with BOTH ids in base — no third
     # pipeline run needed; parity reduces to:
     # incremental == batch pairs with at least one delta-side id.
@@ -4554,23 +4557,21 @@ def minhash_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     batch_cand = minhash_lsh_pairs(d, banded=banded_all, verify=False).filter(
         (F.col("id_1") % 10 == 1) | (F.col("id_2") % 10 == 1)
     )
-    batch_delta = verify_pairs_exact(docs3, batch_cand, sets=sets).persist()
-    batch_delta.count()
-    # ONE job for both set-difference directions (r9, stage-count
-    # cut): the two anti-joins over the cached legs union into a
-    # single count instead of two driver-blocking actions.
+    batch_delta = verify_pairs_exact(docs3, batch_cand, sets=sets)
+    # ONE action for the whole parity check (r9, stage-count cut):
+    # pair triples are distinct by construction on both legs, so the
+    # symmetric difference is one full-outer join — each leg executes
+    # exactly once inside this job (their expensive subtrees read the
+    # CACHED banded/sets frames), replacing two persist+count
+    # materializations and two anti-join actions.
     keys = ["id_1", "id_2", "jaccard"]
     out = (
-        batch_delta.join(inc, keys, "left_anti")
-        .select(F.lit(1).alias("_one"))
-        .unionAll(
-            inc.join(batch_delta, keys, "left_anti").select(
-                F.lit(1).alias("_one")
-            )
-        )
+        inc.withColumn("_l", F.lit(1))
+        .join(batch_delta.withColumn("_r", F.lit(1)), keys, "full_outer")
+        .filter(F.col("_l").isNull() | F.col("_r").isNull())
         .agg(F.count(F.lit(1)).alias("violations"))
     )
-    return _eager_release(out, banded_all, sets, inc, batch_delta)
+    return _eager_release(out, banded_all, sets)
 
 
 # --- Heuristic corpus-quality filters (C4 / Gopher rule families) ----
