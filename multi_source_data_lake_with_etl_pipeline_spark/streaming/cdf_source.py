@@ -80,11 +80,24 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         from_version: int,
         out_schema: StructType,
         max_versions_per_batch: int | None = None,
+        mode: str = "cdf",
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
     ):
         self.path = path
         self.from_version = from_version
         self.out_schema = out_schema
         self.max_versions = max_versions_per_batch
+        # mode="appends" (Delta non-CDF streaming-source parity):
+        # stream only INSERT rows; a change commit in the offset range
+        # RAISES by default (silently dropping it would desync
+        # downstream state — Delta throws the same way), unless
+        # ignore_deletes (delete-only commits skipped: partition
+        # retention) or skip_change_commits (all change commits
+        # skipped: Delta skipChangeCommits) is set.
+        self.mode = mode
+        self.ignore_deletes = ignore_deletes
+        self.skip_change_commits = skip_change_commits
         # position tracking for rate limiting: None = fresh (base is
         # from_version); set by initialOffset, partitions() (including
         # the last-batch re-plan the engine performs on every restart,
@@ -172,6 +185,21 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             era = StructType.fromJson(json.loads(c["schema"]))
             if op in ("create", "append"):
                 file_parts(c["add"], "insert", era, v, v)
+            elif self.mode == "appends":
+                # data-only stream: change commits are not representable
+                if op == "compact":
+                    continue
+                if self.skip_change_commits:
+                    continue
+                if self.ignore_deletes and op == "delete":
+                    continue
+                raise ValueError(
+                    f"appends-mode lake stream hit a {op!r} commit at "
+                    f"version {v} — downstream state would desync; pass "
+                    "skip_change_commits=True (or ignore_deletes=True "
+                    "for delete-only retention) to skip, or stream the "
+                    "CDF mode instead"
+                )
             elif op == "overwrite":
                 _, prev_active, prev_schema = t._snapshot(v - 1)
                 prev_by_path = {a["path"]: a for a in prev_active}
@@ -298,12 +326,66 @@ class LakeCdfDataSource(DataSource):
             int(self.options.get("from_version", -1)),
             schema,
             max_versions_per_batch=int(mv) if mv is not None else None,
+            mode=self.options.get("mode", "cdf"),
+            ignore_deletes=self.options.get("ignore_deletes", "false")
+            == "true",
+            skip_change_commits=self.options.get(
+                "skip_change_commits", "false"
+            )
+            == "true",
         )
 
 
 def register_lakecdf_datasource(spark: SparkSession) -> None:
     """Idempotent registration of the ``lakecdf`` streaming format."""
     spark.dataSource.register(LakeCdfDataSource)
+
+
+def lake_append_stream(
+    spark: SparkSession,
+    path: str,
+    from_version: int = -1,
+    ignore_deletes: bool = False,
+    skip_change_commits: bool = False,
+    max_versions_per_batch: int | None = None,
+) -> DataFrame:
+    """The lake table as a DATA stream (Delta non-CDF streaming-source
+    parity): each commit's INSERTED rows arrive as a micro-batch (the
+    table's columns; ``_change_type``/``_commit_version`` dropped). A
+    merge/update/delete commit in range RAISES — Delta's contract: a
+    data stream silently skipping changes desyncs downstream state —
+    unless ``ignore_deletes`` (delete-only commits tolerated:
+    partition/GDPR retention) or ``skip_change_commits`` (every change
+    commit skipped) opts in. Generated columns recompute like the CDF
+    wrapper."""
+    from pyspark.sql import functions as F
+
+    from ..lake import _gen_expr
+
+    register_lakecdf_datasource(spark)
+    reader = (
+        spark.readStream.format("lakecdf")
+        .option("path", path)
+        .option("from_version", str(from_version))
+        .option("mode", "appends")
+        .option("ignore_deletes", "true" if ignore_deletes else "false")
+        .option(
+            "skip_change_commits", "true" if skip_change_commits else "false"
+        )
+    )
+    if max_versions_per_batch is not None:
+        reader = reader.option(
+            "max_versions_per_batch", str(int(max_versions_per_batch))
+        )
+    out = reader.load()
+    _, _, schema = LakeTable(None, path)._snapshot()
+    for f in schema.fields:
+        e = _gen_expr(f)
+        if e:
+            out = out.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.expr(e).cast(f.dataType))
+            )
+    return out.drop("_change_type", "_commit_version")
 
 
 def lake_cdf_stream(

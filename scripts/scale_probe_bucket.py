@@ -34,7 +34,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="bucket_probe_")
     try:
-        rows, nb = 2_000_000, 64
+        rows, nb = 20_000_000, 64
         df = spark.range(0, rows, 1, 32).select(
             F.col("id").alias("k"), (F.col("id") * 3).alias("v")
         )
@@ -54,7 +54,7 @@ def main() -> None:
                 times.append(time.time() - t0)
             return round(sorted(times)[1], 3)
 
-        probe = 1_234_567
+        probe = 12_345_678
         full = timed(
             lambda: t.read().filter(F.col("k") == probe).collect()
         )

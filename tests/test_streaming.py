@@ -750,3 +750,74 @@ class TestLakeSink:
         schema = spark.createDataFrame([(1, 2)], "k long, v long").schema
         with pytest.raises(ValueError, match="generated columns"):
             LakeSinkStreamWriter(t.path, "x", schema)
+
+
+# ===================================================================
+# Lake as a DATA stream (round 9 — Delta non-CDF source parity):
+# appends stream as rows; change commits raise unless opted out.
+class TestLakeAppendStream:
+    def _drain(self, spark, path, out, ck, **kw):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_append_stream,
+        )
+
+        q = (
+            lake_append_stream(spark, path, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    def test_appends_stream_and_change_commit_raises(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+        t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck)
+        got = spark.read.parquet(out)
+        assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+        assert got.columns == ["k", "v"]  # no meta columns
+        # a merge commit poisons the feed: the NEXT drain raises
+        t.merge(spark.createDataFrame([(2, 99)], "k long, v long"), "k")
+        with pytest.raises(Exception, match="appends-mode|merge"):
+            q = self._drain(spark, t.path, out, ck)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+
+    def test_skip_change_commits_and_ignore_deletes(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+        )
+        t.delete("k = 1")
+        t.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+        t.merge(spark.createDataFrame([(2, 99), (4, 40)], "k long, v long"), "k")
+        t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck, skip_change_commits=True)
+        # only the three append/create inserts arrive
+        assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [
+            1, 2, 3,
+        ]
+        # ignore_deletes tolerates delete commits but still raises on merge
+        t2 = LakeTable.create(
+            spark, str(tmp_path / "t2"),
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        )
+        t2.delete("k = 1")
+        t2.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+        out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+        self._drain(spark, t2.path, out2, ck2, ignore_deletes=True)
+        assert sorted(
+            r["k"] for r in spark.read.parquet(out2).collect()
+        ) == [1, 2, 3]
