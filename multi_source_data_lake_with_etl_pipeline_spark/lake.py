@@ -399,6 +399,7 @@ class LakeTable:
         identity_columns: dict[str, tuple[int, int]] | None = None,
         column_defaults: dict[str, str] | None = None,
         bucket_by: tuple[str, int] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
         columns, fixed for the table's lifetime (Delta parity — raise
@@ -439,7 +440,18 @@ class LakeTable:
         driver and prune to ONE bucket's files via the general
         equality-derivation rule — high-cardinality id retrieval at
         1/n scan cost with no index to maintain. Composes with
-        ``partition_by`` (the bucket column is appended)."""
+        ``partition_by`` (the bucket column is appended).
+
+        ``cluster_by``: LIQUID CLUSTERING (Delta CLUSTER BY parity) —
+        clustering COLUMNS stored as the ``clusterBy`` table property;
+        unlike partitioning they are a maintenance HINT, not a layout
+        contract: writes land unclustered at full speed, and
+        ``compact()`` / ``optimize_if_needed()`` pick the columns up
+        automatically (single column → range-cluster, several →
+        z-order), re-tightening footer stats on the OPTIMIZE cadence.
+        Re-clusterable any time with :meth:`set_cluster_by` (the Delta
+        advantage over fixed partitioning). Mutually exclusive with
+        ``partition_by``/``bucket_by`` (Delta's rule)."""
         _check_reserved(df.schema)
         if bucket_by is not None:
             bcol, nb = bucket_by
@@ -539,6 +551,16 @@ class LakeTable:
                     )
             pp = [_phys(by_name[c]) for c in partition_by]
             props[_PART_PROP] = json.dumps(pp)
+        if cluster_by:
+            if partition_by or bucket_by:
+                raise ValueError(
+                    "cluster_by is mutually exclusive with partition_by/"
+                    "bucket_by (Delta CLUSTER BY rule)"
+                )
+            missing_cc = [c for c in cluster_by if c not in {f.name for f in fields}]
+            if missing_cc:
+                raise ValueError(f"cluster_by column(s) {missing_cc} not in schema")
+            props["clusterBy"] = json.dumps(list(cluster_by))
         if optimized_write:
             props["optimizedWrite"] = "true"
             if optimized_write_salt > 1:
@@ -865,6 +887,7 @@ class LakeTable:
                 if _default_expr(f)
             },
             "partition_columns": self.partition_columns(v),
+            "clustering_columns": self.clustering_columns(v),
             "reader_features": sorted(rfeats),
             "writer_features": sorted(wfeats),
             "bloom_indexes": sorted(
@@ -2517,9 +2540,21 @@ class LakeTable:
         )
         nfiles = max(1, int(live_bytes) // max(small_file_bytes, 1))
         # DV-aware read: compacting a vectored file folds its deletions
-        # into the rewrite (the new files carry no dv entry)
+        # into the rewrite (the new files carry no dv entry); liquid
+        # clustering columns apply to the rewrite when set
         df = self._read_entries(targets, schema)
-        adds = self._write_files(df.coalesce(int(nfiles)), schema)
+        cc = self.clustering_columns(v0)
+        if len(cc) > 1:
+            from .sinks.maintenance import zorder_by
+
+            df = zorder_by(df, cc, int(nfiles))
+        elif cc:
+            df = df.repartitionByRange(
+                int(nfiles), F.col(cc[0])
+            ).sortWithinPartitions(cc[0])
+        else:
+            df = df.coalesce(int(nfiles))
+        adds = self._write_files(df, schema)
         v = self._commit_checked(
             v0, "compact", adds, target_paths, schema, targets
         )
@@ -4432,6 +4467,37 @@ class LakeTable:
         return out
 
     # ---------------------------------------------------------- upkeep
+    def set_cluster_by(self, cluster_by: list[str] | None) -> int:
+        """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE (Delta
+        liquid-clustering parity) — metadata-only: updates the
+        ``clusterBy`` property; existing files are untouched until the
+        next OPTIMIZE re-clusters them (incremental, on the
+        maintenance cadence — the liquid advantage over repartitioning
+        a table)."""
+        v, _, schema = self._snapshot()
+        props = self.props(v)
+        if cluster_by:
+            names = {f.name for f in schema.fields}
+            missing = [c for c in cluster_by if c not in names]
+            if missing:
+                raise ValueError(f"cluster_by column(s) {missing} not in schema")
+            if self._partition_phys(v):
+                raise ValueError(
+                    "cluster_by is mutually exclusive with partitioning"
+                )
+            props["clusterBy"] = json.dumps(list(cluster_by))
+        else:
+            props.pop("clusterBy", None)
+        return self._commit(
+            v + 1, "set_cluster_by", [], [], schema, props=props,
+            metrics={"cluster_by": list(cluster_by or [])},
+        )
+
+    def clustering_columns(self, version: int | None = None) -> list[str]:
+        """The table's liquid-clustering columns ([] when unset)."""
+        raw = self.props(version).get("clusterBy")
+        return json.loads(raw) if raw else []
+
     def compact(
         self,
         target_files: int = 1,
@@ -4454,8 +4520,16 @@ class LakeTable:
         maintenance job compacts yesterday's partition, never the
         100 TB table. Commits through the conflict-checked path so a
         concurrent rewrite of a target file conflicts instead of
-        resurrecting it."""
+        resurrecting it.
+
+        With ``cluster_by=None`` the table's LIQUID clustering columns
+        (``clusterBy`` property) apply automatically — OPTIMIZE on a
+        clustered table is re-clustering by default."""
         v, active, schema = self._snapshot()
+        if cluster_by is None:
+            cc = self.clustering_columns(v)
+            if cc:
+                cluster_by = cc if len(cc) > 1 else cc[0]
         if where is not None:
             if not self._partition_phys(v):
                 raise ValueError(

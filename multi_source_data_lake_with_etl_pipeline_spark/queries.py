@@ -10938,6 +10938,49 @@ def lake_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Liquid clustering (round 9 — Delta CLUSTER BY parity): clustering
+# columns live in the clusterBy table property; writes land
+# unclustered; OPTIMIZE re-clusters automatically. The audit scrambles
+# writes, optimizes, and runs a narrow range scan — values against the
+# relational answer, pruning pinned via the files-touched flag.
+@register(
+    "lake_liquid_cluster_scan",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(o_custkey AS BIGINT) AS c,
+           CAST(1 AS BIGINT) AS pruned
+    FROM orders WHERE o_orderkey BETWEEN 700 AND 760
+    """,
+)
+def lake_liquid_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_liq_")
+    # scrambled layout: hash-ordered writes leave every file's k range
+    # wide open, then OPTIMIZE re-clusters via the table property
+    t = LakeTable.create(
+        spark, root + "/t",
+        o.filter("k <= 2000").repartition(8, F.xxhash64("k")),
+        cluster_by=["k"],
+    )
+    t.compact(target_files=8)
+    total = t.details()["num_files"]
+    scan = t.read_pruned("k", 700, 760)
+    touched = len(scan.inputFiles())
+    out = scan.select(
+        "k", "c", F.lit(int(touched * 2 <= total)).alias("pruned")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # Bucket-transform hidden partitioning (round 9 — Iceberg parity):
 # create(bucket_by=(k, n)) buckets by pmod(xxhash64(k), n); point
 # lookups hash the probe once on the driver and prune to ONE bucket

@@ -941,3 +941,67 @@ class TestBucketBy:
         got = t.read_where_eq("k", 1000)
         assert [r["v"] for r in got.collect()] == [3000]
         assert len(got.inputFiles()) == 1  # k=1000 outside old ranges
+
+
+# ===================================================================
+# Liquid clustering (round 9 — Delta CLUSTER BY parity): clustering
+# columns as a table property; writes land unclustered; OPTIMIZE picks
+# the columns up automatically and re-tightens footer ranges.
+class TestLiquidClustering:
+    def test_optimize_reclusters_automatically(self, spark, tmp_path):
+        df = spark.range(0, 4000, 1, 8).select(
+            (F.col("id") * 2654435761 % 4096).alias("k"),
+            F.col("id").alias("v"),
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"), df, cluster_by=["k"],
+        )
+        assert t.details()["clustering_columns"] == ["k"]
+        # scrambled k: every file overlaps a narrow probe pre-OPTIMIZE
+        before = len(t.files_overlapping("k", 100, 120))
+        t.compact(target_files=8)  # cluster_by=None -> prop applies
+        after = len(t.files_overlapping("k", 100, 120))
+        assert after < before or before == 1
+        assert after <= 2  # range-clustered: probe hits ~one file
+        assert t.read().count() == 4000
+        # ALTER CLUSTER BY swaps the columns; NONE clears
+        t.set_cluster_by(["v"])
+        assert t.clustering_columns() == ["v"]
+        t.compact(target_files=8)
+        assert len(t.files_overlapping("v", 0, 30)) <= 2
+        t.set_cluster_by(None)
+        assert t.clustering_columns() == []
+
+    def test_optimize_if_needed_uses_clustering(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.range(0, 2000, 1, 1).select(
+                (F.col("id") * 2654435761 % 2048).alias("k"),
+                F.col("id").alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        for i in range(8):  # shower of small appends
+            t.append(
+                spark.createDataFrame(
+                    [(int(i * 37 % 2048), 100000 + i)], "k long, v long"
+                )
+            )
+        r = t.optimize_if_needed(min_small_files=4)
+        assert r["compacted"]
+        # the rewrite came out clustered: narrow probe prunes
+        assert len(t.files_overlapping("k", 5, 10)) <= 2
+        assert t.read().count() == 2008
+
+    def test_exclusive_with_partitioning(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 2, 3)], "k long, p long, v long")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            LakeTable.create(
+                spark, str(tmp_path / "t"), df,
+                partition_by=["p"], cluster_by=["k"],
+            )
+        t = LakeTable.create(
+            spark, str(tmp_path / "t2"), df, partition_by=["p"]
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            t.set_cluster_by(["k"])
