@@ -1005,3 +1005,125 @@ class TestLiquidClustering:
         )
         with pytest.raises(ValueError, match="mutually exclusive"):
             t.set_cluster_by(["k"])
+
+
+# ===================================================================
+# Round-9 feature COMPOSITIONS: the interactions are where lakes rot —
+# identity x partitions x CDF, defaults x rename, bucket x DV,
+# convert x clone x vacuum, liquid x DV, evolution x defaults.
+class TestRound9Compositions:
+    def test_identity_on_partitioned_table_with_cdf(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame(
+                [(0, "a"), (1, "b"), (0, "c")], "p long, name string"
+            ),
+            partition_by=["p"], identity_columns={"id": (1, 1)},
+        )
+        t.append(spark.createDataFrame([(1, "d")], "p long, name string"))
+        rows = t.read().collect()
+        assert len({r["id"] for r in rows}) == 4  # unique across partitions
+        # partition pruning still metadata-only with the identity col
+        pr = t.read_pruned("p", 0, 0)
+        assert {r["name"] for r in pr.collect()} == {"a", "c"}
+        assert all("p=0" in f for f in pr.inputFiles())
+        # CDF carries assigned ids
+        ch = t.changes(-1)
+        assert ch.filter("id IS NULL").count() == 0
+        assert ch.count() == 4
+
+    def test_default_survives_rename_of_other_columns(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, "x")], "k long, tag string"),
+            column_defaults={"tag": "'d'"},
+        )
+        t.rename_column("k", "key")
+        t.append(spark.createDataFrame([(2,)], "key long"))
+        got = {r["key"]: r["tag"] for r in t.read().collect()}
+        assert got == {1: "x", 2: "d"}
+        # renaming the DEFAULTED column keeps the default attached
+        t.rename_column("tag", "source_tag")
+        t.append(spark.createDataFrame([(3,)], "key long"))
+        got = {r["key"]: r["source_tag"] for r in t.read().collect()}
+        assert got == {1: "x", 2: "d", 3: "d"}
+        assert t.details()["column_defaults"] == {"source_tag": "'d'"}
+
+    def test_bucket_table_dv_delete_then_lookup(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.range(0, 300, 1, 4).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            bucket_by=("k", 8), optimized_write=True,
+        )
+        t.delete_keys(
+            spark.createDataFrame([(42,), (43,)], "k long"), "k", dv=True
+        )
+        assert t.read_where_eq("k", 42).count() == 0  # DV'd row stays dead
+        assert [r["v"] for r in t.read_where_eq("k", 44).collect()] == [88]
+        # compaction folds DVs and preserves bucket dirs
+        t.compact(target_files=8)
+        assert t.read().count() == 298
+        got = t.read_where_eq("k", 44)
+        assert [r["v"] for r in got.collect()] == [88]
+
+    def test_convert_then_clone_then_vacuum_source_safety(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        spark.range(0, 50, 1, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.parquet(src)
+        t = LakeTable.convert_from_parquet(spark, src, str(tmp_path / "t"))
+        c = t.clone_to(str(tmp_path / "c"))
+        # hardlinked files survive deleting the ORIGINAL parquet dir
+        import shutil as _sh
+
+        _sh.rmtree(src)
+        assert t.read().count() == 50
+        assert c.read().count() == 50
+        # vacuum on the clone only touches clone-local files: the
+        # converted table keeps reading
+        c.overwrite(spark.createDataFrame([(1, 2)], "k long, v long"))
+        c.vacuum(keep_versions=0)
+        assert t.read().count() == 50
+
+    def test_liquid_clustering_with_dv_and_defaults(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.range(0, 1000, 1, 4).select(
+                (F.col("id") * 2654435761 % 1024).alias("k"),
+                F.col("id").alias("v"),
+            ),
+            cluster_by=["k"],
+        )
+        t.set_column_default("v", "0")
+        t.delete("k < 10", dv=True)
+        t.compact(target_files=4)  # folds DVs AND re-clusters
+        assert t.read().filter("k < 10").count() == 0
+        assert len(t.files_overlapping("k", 500, 520)) <= 2
+        t.append(spark.createDataFrame([(2000,)], "k long"))  # default fills v
+        assert t.read().filter("k = 2000").collect()[0]["v"] == 0
+
+    def test_merge_evolution_into_identity_table(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([("a", 1), ("b", 2)], "name string, v long"),
+            identity_columns={"id": (1, 1)},
+        )
+        before = {r["name"]: r["id"] for r in t.read().collect()}
+        src = spark.createDataFrame(
+            [("a", 10, "eu"), ("z", 30, "us")], "name string, v long, region string"
+        )
+        t.merge_into(
+            src, ["name"],
+            clauses=[
+                {"when": "matched", "action": "update", "set": "all"},
+                {"when": "not_matched", "action": "insert", "values": "all"},
+            ],
+            evolve_schema=True,
+        )
+        rows = {r["name"]: (r["v"], r["region"], r["id"]) for r in t.read().collect()}
+        assert rows["a"] == (10, "eu", before["a"])   # id preserved
+        assert rows["b"] == (2, None, before["b"])    # untouched, region NULL
+        assert rows["z"][0:2] == (30, "us")
+        assert rows["z"][2] > max(before.values())    # fresh id
