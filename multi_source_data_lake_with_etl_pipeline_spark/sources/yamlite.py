@@ -1,4 +1,4 @@
-"""Dependency-free FLAT-SUBSET YAML codec (fallback when PyYAML is
+r"""Dependency-free FLAT-SUBSET YAML codec (fallback when PyYAML is
 absent — VERDICT r4 "missing" #3: the YAML read/write surface had no
 executable path in a container without PyYAML).
 

@@ -39,7 +39,18 @@ Limitations (documented, loud):
 
 - Vacuuming past a version that a checkpoint has not yet consumed
   breaks the stream (same as Delta CDF + VACUUM) — retention must
-  outlive consumer lag.
+  outlive consumer lag. ``vacuum(protect_checkpoints=[...])`` turns
+  this caveat into an enforced invariant.
+- ``Trigger.AvailableNow`` is not supported by Spark's Python data
+  source engine (it logs a warning and falls back to SINGLE-BATCH
+  execution). Without ``max_versions_per_batch`` that fallback still
+  drains everything available (one big batch). WITH the cap, one
+  availableNow invocation advances at most ``max_versions_per_batch``
+  commits and then terminates — bounded PROGRESS per run, never loss
+  or duplication (the checkpoint carries the position; rerun to catch
+  up). For a bounded full drain, run a processingTime trigger and stop
+  when caught up, or loop availableNow runs until no batch fires —
+  pinned by test_rate_limited_availablenow_bounded_progress.
 """
 
 from __future__ import annotations
@@ -99,16 +110,29 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         self.ignore_deletes = ignore_deletes
         self.skip_change_commits = skip_change_commits
         # position tracking for rate limiting: None = fresh (base is
-        # from_version); set by initialOffset, partitions() (including
-        # the last-batch re-plan the engine performs on every restart,
-        # which restores the checkpointed position before the first
-        # post-restart latestOffset), and commit(). Offsets stay exact
-        # either way — the cap only moves batch BOUNDARIES.
+        # from_version). The cursor is MONOTONE and seeded by every
+        # entry point that learns a position: initialOffset (fresh),
+        # partitions() — which the engine calls with the RESTORED
+        # checkpoint offsets before the first post-restart
+        # latestOffset, for BOTH committed (`partitions(end, end)`
+        # recovery call, observed on Spark 4.1) and uncommitted
+        # (last-batch re-plan) restarts — and commit(). latestOffset
+        # never returns below the cursor, so a capped offset can never
+        # regress behind the checkpoint's high-water mark (a regressed
+        # offset would poison the offset log: the engine adopts it as
+        # the next batch start and re-delivers consumed versions).
+        # Offsets stay exact either way — the cap only moves batch
+        # BOUNDARIES. test_rate_limited_clean_committed_restart pins
+        # the engine's seed-before-poll call order.
         self._cursor: int | None = None
+
+    def _advance(self, v: int) -> None:
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
     # ------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
-        self._cursor = int(self.from_version)
+        self._advance(int(self.from_version))
         return {"v": int(self.from_version)}
 
     def latestOffset(self) -> dict:
@@ -126,12 +150,14 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             # Base = the reader's position: on a FRESH checkpoint the
             # engine asks for latestOffset BEFORE initialOffset
             # (observed call order), so an unset cursor means
-            # from_version; on a RESTART the engine re-plans the last
-            # checkpointed batch through partitions() first, which
-            # sets the cursor to the restored offset before this is
-            # ever consulted.
+            # from_version; on a RESTART the engine seeds the cursor
+            # through partitions() with the checkpointed offsets
+            # before this is ever consulted (see _cursor above).
             base = self._cursor if self._cursor is not None else int(self.from_version)
             latest = min(latest, base + int(self.max_versions))
+            # monotone floor: never regress below a position we know
+            # about (e.g. a restored cursor ahead of a truncated cap)
+            latest = max(latest, base)
         return {"v": latest}
 
     # ---------------------------------------------------- partitions
@@ -141,7 +167,10 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         # carry an active session)
         t = LakeTable(None, self.path)
         lo, hi = int(start["v"]), int(end["v"])
-        self._cursor = hi  # rate-limit base for the next batch
+        # rate-limit base for the next batch — monotone: a re-planned
+        # OLD range (engine replaying the last checkpointed batch on
+        # restart) must never drag the cursor backwards
+        self._advance(max(lo, hi))
         _, _, current = t._snapshot(hi)
         overwrites = [
             w for w in t._versions() if t._read_commit(w)["op"] == "overwrite"
@@ -188,6 +217,15 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             elif self.mode == "appends":
                 # data-only stream: change commits are not representable
                 if op == "compact":
+                    continue
+                # METADATA-ONLY commits (setprops, constraints, column
+                # defaults, cluster-by, generated/rename/drop column,
+                # …) change zero rows — Delta's non-CDF source does not
+                # fail on them either; only genuine data-changing ops
+                # (overwrite/merge/delete/update) desync downstream
+                if not c.get("add") and not c.get("remove") and not os.path.isdir(
+                    os.path.join(self.path, _CDF, f"{v:020d}")
+                ):
                     continue
                 if self.skip_change_commits:
                     continue
@@ -288,9 +326,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # the checkpoint owns the durable cursor (the log is
         # immutable); track it here only as the rate-limit base
-        v = int(end["v"])
-        if self._cursor is None or v > self._cursor:
-            self._cursor = v
+        self._advance(int(end["v"]))
 
 
 class LakeCdfDataSource(DataSource):

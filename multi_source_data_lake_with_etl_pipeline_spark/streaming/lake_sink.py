@@ -30,6 +30,9 @@ from __future__ import annotations
 import os
 import uuid
 from dataclasses import dataclass, field
+from datetime import timezone as _dt_timezone
+
+_UTC = _dt_timezone.utc
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
@@ -69,7 +72,11 @@ def _arrow_type(dt):
         BooleanType(): pa.bool_(),
         DateType(): pa.date32(),
         # instant semantics: isAdjustedToUTC=true so Spark reads back
-        # TIMESTAMP (not NTZ); the session runs in UTC
+        # TIMESTAMP (not NTZ). Executor rows carry NAIVE datetimes
+        # rendered in the python worker's SYSTEM timezone (pickled-row
+        # deserialization, probe-verified) — write() normalizes them
+        # to UTC before building the arrays, so the written instant is
+        # host-timezone independent.
         TimestampType(): pa.timestamp("us", tz="UTC"),
         TimestampNTZType(): pa.timestamp("us"),
     }
@@ -139,9 +146,27 @@ class LakeSinkStreamWriter(DataSourceStreamWriter):
             [(f.name, _arrow_type(f.dataType)) for f in self.sink_schema.fields]
         )
         cols = list(zip(*rows))
+
+        def _vals(col, f):
+            # TIMESTAMP (instant) columns arrive as naive datetimes in
+            # the worker's SYSTEM timezone; astimezone(utc) interprets
+            # a naive value as local time and converts — written
+            # instants stay correct on any host, not just UTC ones.
+            # (DST-repeated local hours resolve via the value's fold
+            # attribute, the same rule datetime itself uses.) NTZ stays
+            # naive by definition; aware values convert exactly.
+            if isinstance(f.dataType, TimestampType):
+                return [
+                    None if v is None else v.astimezone(_UTC) for v in col
+                ]
+            return list(col)
+
         table = pa.Table.from_arrays(
             [
-                pa.array(list(col), type=arrow_schema.field(i).type)
+                pa.array(
+                    _vals(col, self.sink_schema.fields[i]),
+                    type=arrow_schema.field(i).type,
+                )
                 for i, col in enumerate(cols)
             ],
             names=names,

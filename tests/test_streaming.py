@@ -821,3 +821,159 @@ class TestLakeAppendStream:
         assert sorted(
             r["k"] for r in spark.read.parquet(out2).collect()
         ) == [1, 2, 3]
+
+    def test_appends_stream_tolerates_metadata_only_commits(
+        self, spark, tmp_path
+    ):
+        """Round 10 (ADVICE r9): property/constraint/schema-metadata
+        commits change ZERO rows — the appends stream skips them
+        instead of dying with 'downstream state would desync' (Delta's
+        non-CDF source does not fail on property-only commits either);
+        genuine change commits still raise."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 10)], "k long, v long"),
+        )
+        t.set_properties({"owner": "me"})          # setprops
+        t.add_constraint("k_pos", "k > 0")          # setprops (validated)
+        t.set_column_default("v", "5")              # set_column_default
+        t.rename_column("v", "val")                 # rename_column
+        t.append(spark.createDataFrame([(2, 20)], "k long, val long"))
+        t.set_cluster_by(["k"])                     # set_cluster_by
+        t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, t.path, out, ck)
+        got = spark.read.parquet(out)
+        assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+        assert sorted(got.columns) == ["k", "val"]  # current names
+        # a data-changing commit still raises on the next drain
+        t.update("k = 2", {"val": "99"})
+        with pytest.raises(Exception, match="appends-mode|update"):
+            q = self._drain(spark, t.path, out, ck)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+
+
+# ===================================================================
+# Round 10 — rate-limit cursor hardening (ADVICE r9 high): offsets
+# must never regress behind the checkpoint across ANY restart flavor.
+class TestRateLimitRestarts:
+    def test_rate_limited_clean_committed_restart(self, spark, tmp_path):
+        """Full drain with every batch COMMITTED (idle grace before
+        stop), then new commits and a restart on the same checkpoint:
+        exactly-once delivery, batches stay bounded — pins the engine's
+        seed-before-poll call order (partitions(restored, restored)
+        precedes the first latestOffset) plus the reader's monotone
+        cursor."""
+        import time as _time
+
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_cdf_stream,
+        )
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+        )
+        for i in range(1, 6):
+            t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+
+        def run(target_versions, ck):
+            seen = []
+
+            def sink(batch, bid):
+                vs = sorted(
+                    r["_commit_version"]
+                    for r in batch.select("_commit_version").collect()
+                )
+                if vs:
+                    seen.append(vs)
+
+            q = (
+                lake_cdf_stream(spark, t.path, max_versions_per_batch=2)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                deadline = _time.time() + 120
+                while _time.time() < deadline:
+                    if sum(len(v) for v in seen) >= target_versions:
+                        break
+                    _time.sleep(0.5)
+                # idle grace: let the engine COMMIT the final batch so
+                # the restart takes the clean-committed path
+                _time.sleep(4)
+            finally:
+                q.stop()
+            return seen
+
+        ck = str(tmp_path / "ck")
+        first = run(6, ck)
+        assert sorted(v for vs in first for v in vs) == [0, 1, 2, 3, 4, 5]
+        assert all(len(vs) <= 2 for vs in first)  # bounded
+        import os as _os
+
+        committed = sorted(
+            int(f) for f in _os.listdir(_os.path.join(ck, "commits"))
+            if f.isdigit()
+        )
+        offsets = sorted(
+            int(f) for f in _os.listdir(_os.path.join(ck, "offsets"))
+            if f.isdigit()
+        )
+        # clean shutdown precondition: every planned batch committed
+        assert committed and committed[-1] == offsets[-1]
+        for i in range(6, 11):
+            t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+        second = run(5, ck)
+        got = [v for vs in second for v in vs]
+        assert sorted(got) == [6, 7, 8, 9, 10]  # exactly-once, no replay
+        assert all(len(vs) <= 2 for vs in second)  # cap survives restart
+
+    def test_rate_limited_availablenow_bounded_progress(self, spark, tmp_path):
+        """availableNow falls back to SINGLE-BATCH execution for Python
+        data sources, so with max_versions_per_batch each invocation
+        advances at most that many commits — bounded PROGRESS per run,
+        never loss or duplication; looping drains the feed exactly
+        once (the documented contract)."""
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.cdf_source import (
+            lake_cdf_stream,
+        )
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+        )
+        for i in range(1, 5):
+            t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+        ck = str(tmp_path / "ck")
+        runs: list[list[int]] = []
+        for _ in range(8):  # 5 commits / 2 per run -> 3 runs needed
+            seen: list[int] = []
+
+            def sink(batch, bid, acc=seen):
+                acc.extend(
+                    r["_commit_version"]
+                    for r in batch.select("_commit_version").collect()
+                )
+
+            q = (
+                lake_cdf_stream(spark, t.path, max_versions_per_batch=2)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            runs.append(sorted(set(seen)))
+            if not seen:
+                break
+        delivered = [v for r in runs for v in r]
+        assert sorted(delivered) == [0, 1, 2, 3, 4]  # complete, no dupes
+        assert all(len(r) <= 2 for r in runs)  # bounded progress per run
+        assert len([r for r in runs if r]) >= 3
