@@ -40,6 +40,7 @@ that, checkpoints keep replay O(files), matching Delta's design.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -368,6 +369,38 @@ def _part_converter(dt) -> "callable":
     return str
 
 
+def _ts_epoch(ts) -> float:
+    """Normalize a user-facing timestamp — epoch seconds (int/float),
+    ``datetime.datetime``/``date``, or an ISO-8601 string — to epoch
+    seconds. Naive datetimes and tz-less strings are taken as UTC (the
+    commit log records ``time.time()``, which is UTC by definition);
+    aware values convert exactly."""
+    if isinstance(ts, bool):
+        raise TypeError("timestamp must be epoch seconds, datetime, or str")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        try:
+            ts = datetime.datetime.fromisoformat(ts)
+        except ValueError:
+            raise ValueError(
+                f"unparseable timestamp string {ts!r} (ISO-8601 expected, "
+                "e.g. '2024-06-01 09:00:00' or '2024-06-01T09:00:00+02:00')"
+            ) from None
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    if isinstance(ts, datetime.date):
+        return datetime.datetime(
+            ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, or str — got "
+        f"{type(ts).__name__}"
+    )
+
+
 def _ident_refs(predicate: str, name: str) -> bool:
     """Conservative: does the SQL text reference ``name`` as a word?"""
     # backticks are NOT part of the boundary classes: a quoted
@@ -476,10 +509,23 @@ class LakeTable:
                     "add the column first, or set_column_default later"
                 )
             f = fields[idx]
-            # constant-foldability check (zero-column frame)
-            df.sparkSession.range(1).select().select(
-                F.expr(dexpr).cast(f.dataType).alias(name)
+            # constant-foldability check (zero-column frame) — .schema
+            # FORCES analysis (matching set_column_default): under
+            # lazy-analysis clients a column-referencing default would
+            # otherwise slip through registration and fail on the
+            # first write instead of here
+            got = (
+                df.sparkSession.range(1)
+                .select()
+                .select(F.expr(dexpr).cast(f.dataType).alias(name))
+                .schema[0]
+                .dataType
             )
+            if got != f.dataType:
+                raise ValueError(
+                    f"column_defaults: {name!r} default {dexpr!r} does "
+                    f"not cast to {f.dataType.simpleString()}"
+                )
             fields[idx] = StructField(
                 f.name, f.dataType, f.nullable,
                 {**(f.metadata or {}), _DEFAULT_KEY: dexpr},
@@ -501,32 +547,47 @@ class LakeTable:
         from pyspark.sql.types import LongType
 
         for name, spec in (identity_columns or {}).items():
-            if name in {f.name for f in fields}:
-                raise ValueError(
-                    f"identity column {name!r} already in the frame — "
-                    "GENERATED ALWAYS AS IDENTITY values are engine-assigned"
-                )
-            if name in _RESERVED_COLS or not cls._COL_RE.match(name):
-                raise ValueError(f"invalid column name: {name!r}")
-            start, step = (
-                (spec.get("start", 1), spec.get("step", 1))
-                if isinstance(spec, dict)
-                else spec
-            )
+            if isinstance(spec, dict):
+                start, step = spec.get("start", 1), spec.get("step", 1)
+                always = bool(spec.get("always", True))
+            else:
+                start, step = spec
+                always = True
             if int(step) == 0:
                 raise ValueError(f"identity column {name!r}: step must be nonzero")
-            fields.append(
-                StructField(
-                    name,
-                    LongType(),
-                    True,
-                    {
-                        _IDENTITY_KEY: json.dumps(
-                            {"start": int(start), "step": int(step)}
-                        )
-                    },
+            meta = {
+                _IDENTITY_KEY: json.dumps(
+                    {"start": int(start), "step": int(step), "always": always}
                 )
+            }
+            present = next(
+                (i for i, f in enumerate(fields) if f.name == name), None
             )
+            if present is not None:
+                # GENERATED BY DEFAULT ({"always": False}) accepts a
+                # user-supplied column: non-null values are kept (and
+                # the watermark advances past them), nulls are
+                # engine-assigned. ALWAYS keeps rejecting.
+                if always:
+                    raise ValueError(
+                        f"identity column {name!r} already in the frame — "
+                        "GENERATED ALWAYS AS IDENTITY values are "
+                        "engine-assigned (use {'always': False} for "
+                        "GENERATED BY DEFAULT)"
+                    )
+                f = fields[present]
+                if not isinstance(f.dataType, LongType):
+                    raise ValueError(
+                        f"identity column {name!r} must be BIGINT, the "
+                        f"frame has {f.dataType.simpleString()}"
+                    )
+                fields[present] = StructField(
+                    f.name, f.dataType, True, {**(f.metadata or {}), **meta}
+                )
+                continue
+            if name in _RESERVED_COLS or not cls._COL_RE.match(name):
+                raise ValueError(f"invalid column name: {name!r}")
+            fields.append(StructField(name, LongType(), True, meta))
         schema = StructType(fields)
         props: dict = {}
         pp: list[str] = []
@@ -722,7 +783,9 @@ class LakeTable:
         t._commit(0, "create", adds, [], schema, props=props)
         return t
 
-    def clone_to(self, target_path: str, version: int | None = None) -> "LakeTable":
+    def clone_to(
+        self, target_path: str, version: int | None = None, timestamp=None
+    ) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta ``CLONE`` parity): the clone's
         create commit references this table's active data files by
         ABSOLUTE path — no bytes are copied, and cloning a 100 TB table
@@ -732,8 +795,13 @@ class LakeTable:
         clone-local files (the source table never changes); vacuum on
         either side only deletes that side's own data/ files, so a
         vacuumed source can still break an old clone snapshot exactly
-        as Delta documents — clone then vacuum source = re-clone."""
-        v, active, schema = self._snapshot(version)
+        as Delta documents — clone then vacuum source = re-clone.
+
+        ``timestamp``: ``CLONE ... TIMESTAMP AS OF`` — the source
+        snapshot resolves by wall-clock time (:meth:`version_at`)."""
+        v, active, schema = self._snapshot(
+            self._resolve_version(version, timestamp)
+        )
         t = LakeTable(self.spark, target_path)
         os.makedirs(t._log_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -936,6 +1004,76 @@ class LakeTable:
                 return dict(c["props"])
         return dict(ck_props) if ck_props is not None else {}
 
+    # engine-owned property namespaces: they carry invariants their
+    # dedicated APIs maintain (constraint predicates are validated,
+    # identity watermarks only move forward, bloom dirs reference real
+    # indexes, partition/cluster layout gates writer behavior) — a raw
+    # SET TBLPROPERTIES through them would corrupt those invariants
+    _ENGINE_PROP_PREFIXES = ("constraint.", "identity.", "bloom.", "colmap.")
+    _ENGINE_PROP_KEYS = frozenset({_PART_PROP, "clusterBy"})
+
+    def set_properties(self, updates: dict[str, str]) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES (Delta parity): merge
+        user properties into the table's dict as one metadata-only
+        commit. Engine-owned namespaces (constraints, identity
+        watermarks, bloom indexes, partition/cluster layout) are
+        REFUSED — they have dedicated APIs whose invariants a raw
+        write would corrupt. ``optimizedWrite`` / ``optimizedWrite.salt``
+        ARE settable (they're writer-behavior toggles) with value
+        validation."""
+        if not updates:
+            raise ValueError("set_properties: empty update dict")
+        for k, val in updates.items():
+            if not isinstance(k, str) or not k:
+                raise ValueError(f"bad property key {k!r}")
+            if not isinstance(val, str):
+                raise ValueError(
+                    f"property {k!r}: value must be a string, got "
+                    f"{type(val).__name__} (properties are a string map, "
+                    "Delta parity)"
+                )
+            if k.startswith(self._ENGINE_PROP_PREFIXES) or k in self._ENGINE_PROP_KEYS:
+                raise ValueError(
+                    f"property {k!r} is engine-owned — use the dedicated "
+                    "API (add_constraint/set_cluster_by/…)"
+                )
+            if k == "optimizedWrite" and val not in ("true", "false"):
+                raise ValueError("optimizedWrite must be 'true' or 'false'")
+            if k == "optimizedWrite.salt" and (
+                not val.isdigit() or int(val) < 1
+            ):
+                raise ValueError("optimizedWrite.salt must be a positive int")
+        v = self.latest_version()
+        props = self.props(v)
+        props.update(updates)
+        _, _, schema = self._snapshot(v)
+        return self._commit(
+            v + 1, "setprops", [], [], schema, props=props,
+            metrics={"set_keys": sorted(updates)},
+        )
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """ALTER TABLE ... UNSET TBLPROPERTIES: drop user properties
+        (missing keys raise — matching Delta without IF EXISTS).
+        Engine-owned namespaces refuse, as in :meth:`set_properties`."""
+        if not keys:
+            raise ValueError("unset_properties: empty key list")
+        v = self.latest_version()
+        props = self.props(v)
+        for k in keys:
+            if k.startswith(self._ENGINE_PROP_PREFIXES) or k in self._ENGINE_PROP_KEYS:
+                raise ValueError(
+                    f"property {k!r} is engine-owned — use the dedicated API"
+                )
+            if k not in props:
+                raise ValueError(f"no such property: {k!r}")
+            del props[k]
+        _, _, schema = self._snapshot(v)
+        return self._commit(
+            v + 1, "setprops", [], [], schema, props=props,
+            metrics={"unset_keys": sorted(keys)},
+        )
+
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Named CHECK constraints at ``version``: {name: sql_pred}."""
         pfx = "constraint."
@@ -1096,7 +1234,11 @@ class LakeTable:
             .schema[0]
             .dataType
         )
-        assert got == f.dataType  # cast pinned the type
+        if got != f.dataType:  # explicit (survives python -O)
+            raise ValueError(
+                f"DEFAULT {expr!r} does not cast to "
+                f"{f.dataType.simpleString()} for column {name!r}"
+            )
         fields = [
             StructField(
                 x.name,
@@ -1213,7 +1355,13 @@ class LakeTable:
         id) and assigns only the nulls.
 
         ALWAYS semantics: a user batch carrying the column raises
-        (``fill_only=False``)."""
+        (``fill_only=False``). GENERATED BY DEFAULT columns
+        (``{"always": False}`` in the spec) take the fill-only path on
+        every write: supplied non-null values are kept VERBATIM and the
+        watermark advances past them (the Observation max/min runs over
+        the final column, supplied values included), omitted values and
+        nulls are engine-assigned — so engine-assigned ids can never
+        collide with user-supplied ones in an earlier batch."""
         ids = [
             (f.name, _identity_spec(f), f.dataType)
             for f in schema.fields
@@ -1223,7 +1371,11 @@ class LakeTable:
             return df, None
         from pyspark.sql import Observation
 
-        supplied = [n for n, _, _ in ids if n in df.columns]
+        supplied = [
+            n
+            for n, spec, _ in ids
+            if n in df.columns and spec.get("always", True)
+        ]
         if supplied and not fill_only:
             raise ValueError(
                 f"column(s) {supplied} are GENERATED ALWAYS AS IDENTITY — "
@@ -1239,7 +1391,9 @@ class LakeTable:
                 + F.lit(step) * (F.monotonically_increasing_id() + F.lit(1))
             ).cast(dt)
             col = (
-                F.coalesce(F.col(n), fresh) if n in df.columns else fresh
+                F.coalesce(F.col(n).cast(dt), fresh)
+                if n in df.columns
+                else fresh
             )
             df = df.withColumn(n, col)
             aggs.append((F.max(n) if step > 0 else F.min(n)).alias(n))
@@ -1302,7 +1456,7 @@ class LakeTable:
         in table props, so a later add of the same logical name gets a
         fresh physical name instead of resurrecting the dropped data.
         Rejected while a CHECK constraint references the column."""
-        v, _, schema = self._snapshot()
+        v, active, schema = self._snapshot()
         field = next((f for f in schema.fields if f.name == name), None)
         if field is None:
             raise ValueError(f"no such column: {name!r}")
@@ -1310,9 +1464,21 @@ class LakeTable:
             raise ValueError("cannot drop the table's only column")
         if _phys(field) in self._partition_phys(v):
             raise ValueError(
-                f"cannot drop partition column {name!r} — partitioning "
-                "is fixed at create (Delta parity)"
+                f"cannot drop partition column {name!r} — change the "
+                "layout first (set_partitioning) or keep the column "
+                "(Delta: partitioning is fixed at create)"
             )
+        # partition evolution: files from an earlier layout key their
+        # hive DIRECTORIES by this column — dropping it would orphan
+        # those files' partition values at read time
+        for a in active:
+            if _phys(field) in (a.get("partition") or {}):
+                raise ValueError(
+                    f"cannot drop column {name!r}: active files from an "
+                    "earlier partition layout still key their hive "
+                    "directories by it — compact() them into the "
+                    "current layout first"
+                )
         self._reject_constrained(name, "drop")
         props = self.props(v)
         dropped = set(json.loads(props.get(_DROPPED_PROP, "[]")))
@@ -1907,15 +2073,24 @@ class LakeTable:
         return os.path.join(self.path, rel)
 
     # ---------------------------------------------------------- reads
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, timestamp=None) -> DataFrame:
         """Snapshot read. The file list is resolved NOW — later commits
         never affect this DataFrame (snapshot isolation).
 
         Schema = the snapshot version's committed schema (additive
-        evolution: appending a wider frame advances it; files written
-        before the new column existed read as NULL, and time travel to
-        an older version reads with that version's narrower schema)."""
-        _, active, schema = self._snapshot(version)
+        evolution: appending a wider frame advances it; time travel to
+        an older version reads with that version's narrower schema).
+
+        ``timestamp`` (Delta ``TIMESTAMP AS OF`` parity): wall-clock
+        time travel — epoch seconds, datetime, or ISO-8601 string
+        (naive = UTC) resolved to the latest commit at or before it
+        (:meth:`version_at`; loud before the first commit). Mutually
+        exclusive with ``version``. Vacuum drops old files exactly as
+        for numeric time travel — ``retain_hours`` is the matching
+        wall-clock retention knob."""
+        _, active, schema = self._snapshot(
+            self._resolve_version(version, timestamp)
+        )
         return self._read_entries(active, schema)
 
     def _read_entries(
@@ -1990,16 +2165,34 @@ class LakeTable:
 
         if partitioned:
             marker = f"{os.sep}{_DATA}{os.sep}"
-            groups: dict[str, list[str]] = {}
-            for p in paths:
-                # rindex: partition VALUES can't contain '/' (escaped
-                # %2F in dirnames), so the LAST /data/ is the data root
-                # even when the table path itself contains one (every
-                # producer — including convert_from_parquet's hardlink
-                # relocation — lands partitioned files under a data/)
-                root = p[: p.rindex(marker) + len(marker) - 1]
-                groups.setdefault(root, []).append(p)
-            scans = [_scan(ps, root) for root, ps in sorted(groups.items())]
+            # group by (data root, ERA LAYOUT): partition EVOLUTION
+            # (set_partitioning) leaves files from different eras with
+            # different hive key sets under one data root, and Spark's
+            # partition discovery demands a CONSISTENT partition schema
+            # per scan relation — one scan per layout, then union.
+            # Files from an unpartitioned era (no hive dirs — their
+            # one-time partition columns live in the file BYTES) scan
+            # plain. No-evolution tables collapse to the single-scan
+            # fast path exactly as before.
+            groups: dict[tuple, list[str]] = {}
+            for a, p in zip(entries, paths):
+                part = a.get("partition")
+                layout = tuple(sorted(part)) if part else ()
+                if layout:
+                    # rindex: partition VALUES can't contain '/'
+                    # (escaped %2F in dirnames), so the LAST /data/ is
+                    # the data root even when the table path itself
+                    # contains one (every producer — including
+                    # convert_from_parquet's hardlink relocation —
+                    # lands partitioned files under a data/)
+                    root = p[: p.rindex(marker) + len(marker) - 1]
+                else:
+                    root = ""
+                groups.setdefault((root, layout), []).append(p)
+            scans = [
+                _scan(ps, root or None)
+                for (root, _layout), ps in sorted(groups.items())
+            ]
             df = scans[0]
             for d in scans[1:]:
                 df = df.unionByName(d)
@@ -2054,20 +2247,61 @@ class LakeTable:
             *[self._abs(p) for p in dv_rels]
         )
 
-    def version_at(self, ts: float) -> int:
-        """Time travel: largest version committed at or before ``ts``."""
-        best = None
+    def _effective_commit_times(self) -> list[tuple[int, float]]:
+        """(version, effective commit time) — raw wall-clock stamps
+        MONOTONIZED along version order (Delta's timestamp-adjustment
+        rule): ``eff(v) = max(raw(v), eff(prev))``, so a clock-skewed
+        commit whose stamp runs backwards can never make timestamp
+        resolution non-causal (resolve to a LATER version than one the
+        target time precedes)."""
+        out: list[tuple[int, float]] = []
+        eff: float | None = None
         for v in self._versions():
-            if self._read_commit(v)["ts"] <= ts:
+            raw = float(self._read_commit(v).get("ts", 0))
+            eff = raw if eff is None else max(eff, raw)
+            out.append((v, eff))
+        return out
+
+    def version_at(self, ts) -> int:
+        """TIMESTAMP AS OF resolution: the largest version whose
+        EFFECTIVE commit time is at or before ``ts`` (epoch seconds,
+        datetime, or ISO-8601 string — naive means UTC). Ties — several
+        versions sharing one effective time — resolve to the HIGHEST
+        version (Delta's rule: the table state at that instant is the
+        last of them). Loud ``ValueError`` when ``ts`` precedes the
+        first commit (Delta parity: AS OF before table creation is an
+        error, not an empty table)."""
+        target = _ts_epoch(ts)
+        best = None
+        for v, eff in self._effective_commit_times():
+            if eff <= target:
                 best = v
         if best is None:
-            raise ValueError(f"no commit at or before {ts}")
+            raise ValueError(
+                f"no commit at or before {ts!r} — the table's first "
+                "commit is later (AS OF before creation)"
+            )
         return best
+
+    def _resolve_version(self, version: int | None, timestamp) -> int | None:
+        """One rule for every AS OF surface: ``timestamp`` resolves via
+        :meth:`version_at`; passing both is ambiguous and rejected."""
+        if timestamp is None:
+            return version
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        return self.version_at(timestamp)
 
     # ---------------------------------------------------------- tags
     _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
-    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+    def tag(
+        self,
+        name: str,
+        version: int | None = None,
+        replace: bool = False,
+        timestamp=None,
+    ) -> int:
         """Name a version (Iceberg tag parity): a durable ref like
         ``training-run-2024-01`` that pins the EXACT snapshot a
         consumer read, independent of later commits — the
@@ -2076,9 +2310,13 @@ class LakeTable:
         travel, and vacuuming past a tagged version breaks it exactly
         as it breaks numeric time travel. Tags are immutable unless
         ``replace=True`` (accidental re-pointing silently changes what
-        a published dataset name means)."""
+        a published dataset name means).
+
+        ``timestamp``: pin the snapshot by wall-clock time instead of
+        a version number (:meth:`version_at` rules)."""
         if not self._TAG_RE.match(name):
             raise ValueError(f"invalid tag name {name!r}")
+        version = self._resolve_version(version, timestamp)
         v = self.latest_version() if version is None else version
         if v not in self._versions():
             raise ValueError(f"tag {name!r}: version {v} does not exist")
@@ -2937,7 +3175,10 @@ class LakeTable:
     def partitions(self, version: int | None = None) -> list[dict]:
         """SHOW PARTITIONS parity: the distinct partition value tuples
         of the snapshot's active files, as {logical name: value} dicts
-        — pure metadata, O(files) driver work, zero scan."""
+        — pure metadata, O(files) driver work, zero scan. Files from an
+        earlier partition layout (partition evolution) are skipped:
+        their current-layout values aren't in metadata — compact() to
+        migrate them if a complete listing matters."""
         v, active, schema = self._snapshot(version)
         pp = self._partition_phys(version)
         if not pp:
@@ -2945,11 +3186,29 @@ class LakeTable:
         by_phys = {_phys(f): f.name for f in schema.fields}
         seen: dict[tuple, dict] = {}
         for a in active:
-            part = a.get("partition", {})
+            part = a.get("partition")
+            if part is None or not all(p in part for p in pp):
+                continue
             key = tuple(part.get(p) for p in pp)
             if key not in seen:
                 seen[key] = {by_phys.get(p, p): part.get(p) for p in pp}
         return [seen[k] for k in sorted(seen, key=lambda t: tuple(map(str, t)))]
+
+    def _split_by_layout(self, entries: list[dict]) -> tuple[list, list]:
+        """(prunable, legacy): entries whose partition values carry
+        EVERY current partition key vs. files written under an earlier
+        layout (partition evolution) — a legacy entry's location can't
+        be decided from metadata, so pruning must treat it
+        conservatively and whole-file ops must prove non-overlap."""
+        pp = self._partition_phys()
+        prunable, legacy = [], []
+        for a in entries:
+            part = a.get("partition")
+            if part is not None and all(p in part for p in pp):
+                prunable.append(a)
+            else:
+                legacy.append(a)
+        return prunable, legacy
 
     def _matching_entries(
         self, entries: list[dict], predicate: str, schema: StructType
@@ -2959,7 +3218,12 @@ class LakeTable:
         analyzed over a tiny frame of the DISTINCT partition tuples
         (typed, logical names), so it may reference only partition
         columns (anything else fails analysis loudly) and the cost is
-        O(distinct partitions), never O(files) Spark work."""
+        O(distinct partitions), never O(files) Spark work. Entries from
+        an earlier partition layout are NEVER returned (their values
+        aren't in metadata) — callers that must account for them use
+        ``_split_by_layout`` and decide per their semantics
+        (conservative include for row-level ops, overlap proof for
+        whole-file ops)."""
         pp = self._partition_phys()
         by_phys = {_phys(f): f for f in schema.fields}
         part_fields = [
@@ -2967,6 +3231,7 @@ class LakeTable:
             for p in pp
         ]
         convs = [_part_converter(by_phys[p].dataType) for p in pp]
+        prunable, _legacy = self._split_by_layout(entries)
 
         def key_of(a: dict) -> tuple:
             part = a.get("partition", {})
@@ -2975,7 +3240,7 @@ class LakeTable:
                 for i, p in enumerate(pp)
             )
 
-        uniq = {key_of(a) for a in entries if a.get("partition") is not None}
+        uniq = {key_of(a) for a in prunable}
         if not uniq:
             return []
         pdf = self.spark.createDataFrame(
@@ -2983,11 +3248,7 @@ class LakeTable:
             StructType(part_fields),
         )
         hits = {tuple(r) for r in pdf.filter(F.expr(predicate)).collect()}
-        return [
-            a
-            for a in entries
-            if a.get("partition") is not None and key_of(a) in hits
-        ]
+        return [a for a in prunable if key_of(a) in hits]
 
     def _partition_candidates(
         self, active: list[dict], predicate: str, schema: StructType
@@ -2998,13 +3259,19 @@ class LakeTable:
         DELETE/UPDATE on a 100 TB table then never lists, scans, or
         rewrites any other partition's files); otherwise every active
         entry (conservative — the predicate references data columns,
-        so file location can't be decided from partition values)."""
+        so file location can't be decided from partition values).
+        Files from an EARLIER partition layout (partition evolution)
+        are always candidates — their values aren't in metadata, and
+        excluding them would let matching rows silently survive a
+        row-level DELETE/UPDATE."""
         if not self._partition_phys():
             return active
         try:
-            return self._matching_entries(active, predicate, schema)
+            matched = self._matching_entries(active, predicate, schema)
         except Exception:
             return active
+        _, legacy = self._split_by_layout(active)
+        return matched + legacy
 
     def replace_where(self, df: DataFrame, predicate: str) -> int:
         """INSERT OVERWRITE ... replaceWhere (Delta parity): atomically
@@ -3039,6 +3306,28 @@ class LakeTable:
                 f"region ({predicate}), e.g. {sample}"
             )
         targets = self._matching_entries(active, predicate, schema)
+        # partition evolution: files from an earlier layout have no
+        # current-layout metadata — replaceWhere is a WHOLE-FILE
+        # operation, so a legacy file with even one matching row can
+        # neither be kept (its rows would survive the replace) nor
+        # dropped (its non-matching rows would vanish). Prove
+        # non-overlap with one bounded scan of the legacy files only;
+        # overlap refuses loudly with the remedy.
+        _, legacy = self._split_by_layout(active)
+        if legacy:
+            overlap = (
+                self._read_entries(legacy, schema)
+                .filter(F.expr(f"coalesce(({predicate}), false)"))
+                .limit(1)
+                .count()
+            )
+            if overlap:
+                raise ValueError(
+                    f"replace_where: {len(legacy)} file(s) written under "
+                    "an earlier partition layout contain rows matching "
+                    f"({predicate}) — run compact() to rewrite them into "
+                    "the current layout first"
+                )
         adds = self._write_files(df, schema)
         n_rows = sum(int(a.get("rows", 0)) for a in adds)
         probe = lambda ents: bool(  # noqa: E731 — metadata-only probe
@@ -3085,9 +3374,42 @@ class LakeTable:
             tuple(a["partition"].get(p) for p in pp) for a in adds
         }
         key_of = lambda a: tuple(  # noqa: E731
-            a.get("partition", {}).get(p) for p in pp
+            (a.get("partition") or {}).get(p) for p in pp
         )
-        targets = [a for a in active if key_of(a) in new_keys]
+        prunable, legacy = self._split_by_layout(active)
+        if legacy and new_keys:
+            # partition evolution: a legacy file's rows might belong to
+            # an overwritten partition — whole-file semantics can't
+            # split it; prove non-overlap (typed comparison against the
+            # hive-encoded keys) or refuse with the remedy
+            by_phys = {_phys(f): f for f in schema.fields}
+            convs = {p: _part_converter(by_phys[p].dataType) for p in pp}
+            cond = None
+            for key in new_keys:
+                c = None
+                for p, pv in zip(pp, key):
+                    col = F.col(by_phys[p].name)
+                    leg = (
+                        col.isNull()
+                        if pv is None
+                        else (col == F.lit(convs[p](pv)))
+                    )
+                    c = leg if c is None else (c & leg)
+                cond = c if cond is None else (cond | c)
+            overlap = (
+                self._read_entries(legacy, schema)
+                .filter(cond)
+                .limit(1)
+                .count()
+            )
+            if overlap:
+                raise ValueError(
+                    f"overwrite_partitions: {len(legacy)} file(s) written "
+                    "under an earlier partition layout contain rows in an "
+                    "overwritten partition — run compact() to rewrite "
+                    "them into the current layout first"
+                )
+        targets = [a for a in prunable if key_of(a) in new_keys]
         probe = lambda ents: any(  # noqa: E731 — metadata-only probe
             key_of(e) in new_keys for e in ents
         )
@@ -3362,7 +3684,7 @@ class LakeTable:
         )
         return adds, new_v
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int | None = None, timestamp=None) -> int:
         """RESTORE to an earlier version (Delta parity): metadata-only
         rollback — one new commit whose active set is exactly the
         target version's. No data is rewritten, the mistaken commits
@@ -3377,7 +3699,15 @@ class LakeTable:
         CHECK constraints added AFTER the target version are NOT
         re-validated against the restored rows (Delta RESTORE parity:
         restore is metadata-only by design) — drop or re-add the
-        constraint if the rollback may predate it."""
+        constraint if the rollback may predate it.
+
+        ``timestamp`` (``RESTORE TO TIMESTAMP AS OF`` parity): resolve
+        the target as the latest commit at or before the wall-clock
+        time — :meth:`version_at` rules (naive = UTC, ties to the
+        higher version, loud before the first commit)."""
+        version = self._resolve_version(version, timestamp)
+        if version is None:
+            raise ValueError("restore needs a version or a timestamp")
         cur_v, cur_active, _ = self._snapshot()
         _, active, schema = self._snapshot(version)
         missing = [
@@ -3691,9 +4021,18 @@ class LakeTable:
         data_cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}
         gen_cols = {f.name for f in schema.fields if _gen_expr(f)}
-        # identity columns: never assignable, never insertable — update
-        # keeps the target value, insert gets an engine-assigned one
+        # identity columns: never assignable by UPDATE (both kinds —
+        # an existing row's id never changes); INSERT values are
+        # rejected for ALWAYS but accepted for GENERATED BY DEFAULT
+        # (the fill-only assignment keeps them and advances the
+        # watermark past them)
         ident_cols = {f.name for f in schema.fields if _identity_spec(f)}
+        ident_always = {
+            f.name
+            for f in schema.fields
+            if (_identity_spec(f) or {}).get("always", True)
+            and _identity_spec(f)
+        }
         for c in clauses:
             for col in (c.get("set") or {}) if isinstance(c.get("set"), dict) else {}:
                 if col not in by_name:
@@ -3718,7 +4057,7 @@ class LakeTable:
                     )
             vals = c.get("values")
             if isinstance(vals, dict):
-                bad_id = sorted(set(vals) & ident_cols)
+                bad_id = sorted(set(vals) & ident_always)
                 if bad_id:
                     raise ValueError(
                         f"INSERT values: column(s) {bad_id} are GENERATED "
@@ -3873,8 +4212,11 @@ class LakeTable:
             ins = j.filter(is_src_only & (F.col("_act") >= 200))
             outcols = []
             for col in data_cols:
-                if col in gen_cols or col in ident_cols:
-                    continue  # recomputed / engine-assigned below
+                if col in gen_cols or col in ident_always:
+                    # recomputed / engine-assigned below; BY DEFAULT
+                    # identity columns stay in the projection (a clause
+                    # may supply explicit values; nulls get assigned)
+                    continue
                 # unlisted columns land the DEFAULT when one is
                 # declared, else NULL (Delta INSERT parity)
                 de = _default_expr(by_name[col])
@@ -4311,7 +4653,13 @@ class LakeTable:
             os.path.join(self.path, _CDF, f"{version:020d}")
         )
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        from_timestamp=None,
+        to_timestamp=None,
+    ) -> DataFrame:
         """Change data feed: row-level changes committed in
         ``(from_version, to_version]`` with ``_change_type``
         (insert / update_preimage / update_postimage / delete) and
@@ -4335,7 +4683,39 @@ class LakeTable:
         (_cdf_lineage), exactly like change files: the era's files store
         era PHYSICAL names, and reading them with the CURRENT mapping
         would silently NULL a renamed column across an overwrite
-        boundary (overwrite resets physical == logical)."""
+        boundary (overwrite resets physical == logical).
+
+        Wall-clock bounds (Delta CDF ``startingTimestamp`` /
+        ``endingTimestamp`` parity, against MONOTONIZED commit times):
+        ``from_timestamp`` includes every commit at or after it — it
+        resolves to the EARLIEST such version (loud error when it lies
+        beyond the last commit, Delta's rule: nothing to stream yet is
+        a user mistake, not an empty feed); ``to_timestamp`` is the
+        inclusive upper bound, the LATEST commit at or before it."""
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise ValueError("pass from_version OR from_timestamp")
+            target = _ts_epoch(from_timestamp)
+            first = next(
+                (
+                    v
+                    for v, eff in self._effective_commit_times()
+                    if eff >= target
+                ),
+                None,
+            )
+            if first is None:
+                raise ValueError(
+                    f"from_timestamp {from_timestamp!r} is after the last "
+                    "commit — no changes at or after it"
+                )
+            from_version = first - 1  # exclusive lower bound includes it
+        if from_version is None:
+            raise ValueError("changes needs from_version or from_timestamp")
+        if to_timestamp is not None:
+            if to_version is not None:
+                raise ValueError("pass to_version OR to_timestamp")
+            to_version = self.version_at(to_timestamp)
         _, _, schema = self._snapshot()
         hi = self.latest_version() if to_version is None else to_version
         overwrites = [
@@ -4491,6 +4871,64 @@ class LakeTable:
         return self._commit(
             v + 1, "set_cluster_by", [], [], schema, props=props,
             metrics={"cluster_by": list(cluster_by or [])},
+        )
+
+    def set_partitioning(self, partition_by: list[str] | None) -> int:
+        """PARTITION EVOLUTION (Iceberg parity — Delta cannot do this):
+        change the table's partition layout as a METADATA-ONLY commit
+        affecting FUTURE writes. Existing files keep their era's
+        layout untouched (no 100 TB rewrite); reads union the eras
+        (one native scan per layout under the hood); metadata pruning
+        applies per-era — current-layout files prune exactly as
+        before, earlier-layout files are conservatively scanned by
+        row-level ops (DELETE/UPDATE stay correct, just less pruned)
+        until OPTIMIZE/compact rewrites them into the current layout.
+        Whole-file partition ops (replace_where /
+        overwrite_partitions) PROVE legacy files don't overlap the
+        claimed region, and refuse with a compact() remedy otherwise —
+        partition evolution may relax pruning, never correctness.
+
+        ``partition_by=None`` / ``[]`` drops partitioning for future
+        writes. Validation matches create(): partitionable scalar
+        types, no duplicates, at least one non-partition data column.
+        Mutually exclusive with liquid clustering (clear it first)."""
+        v, _, schema = self._snapshot()
+        props = self.props(v)
+        pp: list[str] = []
+        if partition_by:
+            if self.clustering_columns(v):
+                raise ValueError(
+                    "partitioning is mutually exclusive with liquid "
+                    "clustering — set_cluster_by(None) first"
+                )
+            by_name = {f.name: f for f in schema.fields}
+            if len(set(partition_by)) != len(partition_by):
+                raise ValueError("duplicate partition columns")
+            if len(partition_by) >= len(schema.fields):
+                raise ValueError(
+                    "at least one non-partition data column is required"
+                )
+            for c in partition_by:
+                f = by_name.get(c)
+                if f is None:
+                    raise ValueError(f"partition column {c!r} not in schema")
+                s = f.dataType.simpleString()
+                if s not in _PARTITIONABLE:
+                    raise ValueError(
+                        f"partition column {c!r}: type {s} is not "
+                        "partitionable (exact string-round-trippable "
+                        "scalars only)"
+                    )
+            pp = [_phys(by_name[c]) for c in partition_by]
+        if pp == self._partition_phys(v):
+            raise ValueError("set_partitioning: layout unchanged")
+        if pp:
+            props[_PART_PROP] = json.dumps(pp)
+        else:
+            props.pop(_PART_PROP, None)
+        return self._commit(
+            v + 1, "set_partitioning", [], [], schema, props=props,
+            metrics={"partition_by": list(partition_by or [])},
         )
 
     def clustering_columns(self, version: int | None = None) -> list[str]:
@@ -4810,11 +5248,47 @@ class LakeTable:
             "orphan_files": orphans,
         }
 
+    @staticmethod
+    def _checkpoint_consumed_version(ck_dir: str) -> int | None:
+        """Latest lake version a Structured Streaming CHECKPOINT has
+        durably consumed: the ``{"v": N}`` offset of the newest batch
+        present in ``commits/`` (a batch in ``offsets/`` alone is
+        planned, not consumed). ``None`` when no batch has committed.
+        Multi-source streams carry one offset line per source; every
+        line shaped ``{"v": int}`` is considered and the MINIMUM wins
+        (conservative: protect the laggiest lake source)."""
+        commits_dir = os.path.join(ck_dir, "commits")
+        offsets_dir = os.path.join(ck_dir, "offsets")
+        try:
+            done = [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+        except FileNotFoundError:
+            return None
+        if not done:
+            return None
+        last = max(done)
+        vs: list[int] = []
+        try:
+            with open(os.path.join(offsets_dir, str(last))) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            return None
+        for line in lines[2:]:  # line 0 = "v1", line 1 = batch metadata
+            try:
+                obj = json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(obj, dict) and set(obj) == {"v"} and isinstance(
+                obj["v"], int
+            ):
+                vs.append(obj["v"])
+        return min(vs) if vs else None
+
     def vacuum(
         self,
         keep_versions: int = 0,
         dry_run: bool = False,
         retain_hours: float | None = None,
+        protect_checkpoints: list[str] | None = None,
     ) -> int:
         """Drop data files unreferenced by the snapshots of the last
         ``keep_versions`` + current versions, or by any TAGGED version
@@ -4844,7 +5318,18 @@ class LakeTable:
         table accumulates one change dir per merge/delete/update
         forever. ``changes()`` over a dropped version simply skips it,
         exactly as documented: read the feed before vacuuming past
-        it."""
+        it.
+
+        ``protect_checkpoints`` (consumer-floor guard): paths of
+        Structured Streaming CHECKPOINTS whose streams read this table
+        (lakecdf source / lake_append_stream). Vacuum REFUSES — loudly,
+        naming the stranded version and checkpoint — when the retention
+        horizon would drop a version some checkpoint has not yet
+        consumed, converting the documented CDF+VACUUM caveat into an
+        enforced invariant. A checkpoint with no committed batch yet
+        protects everything (its start position is unknowable here).
+        The refusal fires on ``dry_run`` too (preflight parity: an
+        operator must see the refusal before the irreversible run)."""
         latest = self.latest_version()
         horizon = max(0, latest - keep_versions)
         if retain_hours is not None:
@@ -4856,6 +5341,20 @@ class LakeTable:
             ]
             if in_window:
                 horizon = min(horizon, min(in_window))
+        for ck in protect_checkpoints or []:
+            consumed = self._checkpoint_consumed_version(ck)
+            # the stream's next batch starts AFTER `consumed`: versions
+            # consumed+1..latest must survive, i.e. horizon <= consumed+1
+            floor = 0 if consumed is None else consumed + 1
+            if horizon > floor:
+                raise ValueError(
+                    f"vacuum would strand streaming checkpoint {ck!r}: "
+                    f"version {floor} is not yet consumed (checkpoint "
+                    f"committed through "
+                    f"{'nothing' if consumed is None else consumed}) but "
+                    f"the retention horizon is {horizon} — advance the "
+                    "stream or raise keep_versions/retain_hours"
+                )
         keep: set[str] = set()
         keep_dv: set[str] = set()
         protected = set(range(horizon, latest + 1)) | set(self.tags().values())

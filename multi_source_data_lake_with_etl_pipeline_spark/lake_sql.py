@@ -1,0 +1,570 @@
+"""SQL-text front end for lake DML/DDL/maintenance — closes the S7
+asymmetry (reference ``src/api/main.py:154-176`` accepts arbitrary SQL
+strings): SELECT already runs through temp-view registration
+(``catalog.py``), and this module gives SQL-speaking users the
+MUTATION surface too, dispatching a small statement family onto the
+existing :class:`~.lake.LakeTable` methods — no new semantics, one
+grammar, loud errors.
+
+Supported statements (case-insensitive keywords):
+
+- ``SELECT`` / ``WITH`` — registered lake tables become temp views
+  (snapshot reads) and the statement runs through ``spark.sql`` with
+  Spark's own parser/optimizer; named parameters bind natively.
+- ``MERGE INTO t [AS tgt] USING (<subquery>)|<view> [AS src] ON <cond>
+  WHEN MATCHED [AND c] THEN UPDATE SET col=e,…|SET *|DELETE
+  WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *
+  WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …|DELETE``
+  → :meth:`LakeTable.merge_into` (aliases are pinned to ``tgt``/
+  ``src`` — the engine's merge aliases; supplying others errors).
+- ``UPDATE t SET col = expr[, …] [WHERE pred]`` → ``update``.
+- ``DELETE FROM t [WHERE pred]`` → ``delete``.
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (pred)`` /
+  ``DROP CONSTRAINT name`` → ``add_constraint``/``drop_constraint``.
+- ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN c`` →
+  ``rename_column``/``drop_column``.
+- ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)`` /
+  ``UNSET TBLPROPERTIES ('k', …)`` → ``set_properties``/``unset_properties``.
+- ``ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT`` →
+  ``set_column_default``/``drop_column_default``.
+- ``ALTER TABLE t CLUSTER BY (a[, b…]) | CLUSTER BY NONE`` →
+  ``set_cluster_by``.
+- ``OPTIMIZE t [WHERE pred] [ZORDER BY (a[, b…])]`` → ``compact``
+  (single column → range-cluster, several → z-order; table
+  ``clusterBy`` props apply when no ZORDER is given).
+- ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` → ``vacuum``.
+- ``RESTORE [TABLE] t TO VERSION AS OF n |
+  TO TIMESTAMP AS OF '<ts>'`` → ``restore``.
+- ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t`` — DataFrames.
+
+Injection safety: every statement accepts named parameters
+(``:name``), bound as TYPED SQL literals by :func:`_bind` — keys and
+values arrive as data, never spliced by the caller into the SQL text;
+strings escape by quote-doubling, datetimes render as TIMESTAMP
+literals. Identifiers (table/column/constraint names) validate against
+a strict regex before touching any API.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .lake import LakeTable
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str, what: str = "identifier") -> str:
+    name = name.strip().strip("`")
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid {what}: {name!r}")
+    return name
+
+
+def _sql_literal(v) -> str:
+    """Render a python value as a SQL literal — the ONLY way parameter
+    values enter statement text (never caller-side splicing)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(
+        f"unsupported parameter type {type(v).__name__} (scalar "
+        "int/float/str/bool/None/date/datetime only)"
+    )
+
+
+_PARAM = re.compile(r"(?<![:\w]):([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _bind(sql: str, params: dict | None) -> str:
+    """Substitute ``:name`` markers OUTSIDE string literals with typed
+    SQL literals. Unknown markers raise (a typo must not silently ride
+    into the engine as the literal text ``:nmae``)."""
+    if not params:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    used: set[str] = set()
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _PARAM.match(sql, i)
+        if m:
+            name = m.group(1)
+            if name not in params:
+                raise KeyError(f"unbound SQL parameter :{name}")
+            used.add(name)
+            out.append(_sql_literal(params[name]))
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    unused = set(params) - used
+    if unused:
+        raise ValueError(f"parameter(s) never referenced: {sorted(unused)}")
+    return "".join(out)
+
+
+def _split_top(text: str, keyword: str) -> list[str]:
+    """Split on a keyword occurring at paren-depth 0 outside string
+    literals (case-insensitive, word-bounded). Returns the segments;
+    the keyword itself is dropped."""
+    kw = keyword.upper()
+    klen = len(kw)
+    parts: list[str] = []
+    depth, i, n, start = 0, 0, len(text), 0
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            q = ch
+            i += 1
+            while i < n:
+                if text[i] == q:
+                    if i + 1 < n and text[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + klen].upper() == kw:
+            # word boundaries only apply to WORD keywords (a comma
+            # splitter must split right after an identifier)
+            wordish = kw[0].isalnum() or kw[0] == "_"
+            before_ok = not wordish or i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            after = i + klen
+            after_ok = not wordish or after >= n or not (
+                text[after].isalnum() or text[after] == "_"
+            )
+            if before_ok and after_ok:
+                parts.append(text[start:i])
+                start = i + klen
+                i = start
+                continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+class LakeSqlRunner:
+    """Dispatch SQL statements over a set of named lake tables.
+
+    ``tables``: {name: LakeTable | path}. SELECT statements see every
+    table as a temp view (fresh snapshot per call); DML/DDL statements
+    resolve the table by name and call the matching engine method.
+    """
+
+    def __init__(self, spark: SparkSession, tables: dict):
+        self.spark = spark
+        self.tables: dict[str, LakeTable] = {}
+        for name, t in tables.items():
+            self.register(name, t)
+
+    def register(self, name: str, table) -> None:
+        name = _check_ident(name, "table name")
+        self.tables[name] = (
+            table
+            if isinstance(table, LakeTable)
+            else LakeTable.load(self.spark, str(table))
+        )
+
+    def _table(self, name: str) -> LakeTable:
+        name = _check_ident(name, "table name")
+        t = self.tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"unknown table {name!r} (registered: {sorted(self.tables)})"
+            )
+        return t
+
+    # ----------------------------------------------------------- entry
+    def sql(self, statement: str, params: dict | None = None):
+        """Run one statement. Returns a DataFrame for SELECT/DESCRIBE,
+        the underlying method's result (version int or metrics dict)
+        for mutations."""
+        stmt = _bind(statement.strip().rstrip(";"), params)
+        head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+        if head in ("SELECT", "WITH"):
+            for name, t in self.tables.items():
+                t.read().createOrReplaceTempView(name)
+            return self.spark.sql(stmt)
+        if head == "MERGE":
+            return self._merge(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
+        if head == "OPTIMIZE":
+            return self._optimize(stmt)
+        if head == "VACUUM":
+            return self._vacuum(stmt)
+        if head == "RESTORE":
+            return self._restore(stmt)
+        if head == "DESCRIBE":
+            return self._describe(stmt)
+        raise ValueError(
+            f"unsupported statement {head!r} — supported: SELECT/WITH, "
+            "MERGE, UPDATE, DELETE, ALTER TABLE, OPTIMIZE, VACUUM, "
+            "RESTORE, DESCRIBE HISTORY/DETAIL"
+        )
+
+    # ------------------------------------------------------------ MERGE
+    _MERGE_HEAD = re.compile(
+        r"^MERGE\s+INTO\s+(?P<tgt>[\w`]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
+        r"USING\s+(?P<src>\(.*?\)|[\w`]+)(?:\s+AS\s+(?P<salias>\w+))?\s+"
+        r"ON\s+",
+        re.I | re.S,
+    )
+
+    def _merge(self, stmt: str):
+        m = self._MERGE_HEAD.match(stmt)
+        if not m:
+            raise ValueError(
+                "malformed MERGE — expected: MERGE INTO t [AS tgt] USING "
+                "(<subquery>)|<view> [AS src] ON <cond> WHEN …"
+            )
+        if m.group("talias") and m.group("talias").lower() != "tgt":
+            raise ValueError(
+                "MERGE target alias must be 'tgt' (the engine's alias; "
+                f"got {m.group('talias')!r})"
+            )
+        if m.group("salias") and m.group("salias").lower() != "src":
+            raise ValueError(
+                "MERGE source alias must be 'src' (the engine's alias; "
+                f"got {m.group('salias')!r})"
+            )
+        t = self._table(m.group("tgt"))
+        src_txt = m.group("src").strip()
+        if src_txt.startswith("("):
+            for name, tab in self.tables.items():
+                tab.read().createOrReplaceTempView(name)
+            source = self.spark.sql(src_txt[1:-1])
+        else:
+            sname = _check_ident(src_txt, "source")
+            if sname in self.tables:
+                source = self.tables[sname].read()
+            else:
+                source = self.spark.table(sname)  # a registered temp view
+        rest = stmt[m.end() :]
+        segs = _split_top(rest, "WHEN")
+        on_cond = segs[0].strip()
+        if not on_cond:
+            raise ValueError("MERGE: empty ON condition")
+        clauses = [self._merge_clause(s) for s in segs[1:]]
+        if not clauses:
+            raise ValueError("MERGE: at least one WHEN clause required")
+        return t.merge_into(source, on_cond, clauses)
+
+    _CLAUSE_RE = re.compile(
+        r"^\s*(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+SOURCE)?)\s*"
+        r"(?:AND\s+(?P<cond>.*?))?\s*THEN\s+(?P<act>.*)$",
+        re.I | re.S,
+    )
+
+    def _merge_clause(self, seg: str) -> dict:
+        m = self._CLAUSE_RE.match(seg)
+        if not m:
+            raise ValueError(f"malformed MERGE clause: WHEN {seg.strip()!r}")
+        kind = re.sub(r"\s+", " ", m.group("kind").upper())
+        when = {
+            "MATCHED": "matched",
+            "NOT MATCHED": "not_matched",
+            "NOT MATCHED BY SOURCE": "not_matched_by_source",
+        }[kind]
+        cond = m.group("cond").strip() if m.group("cond") else None
+        act = m.group("act").strip()
+        up = act.upper()
+        out: dict = {"when": when, "condition": cond}
+        if up == "DELETE":
+            out["action"] = "delete"
+            return out
+        if up.startswith("UPDATE"):
+            rest = act[len("UPDATE") :].strip()
+            if not rest.upper().startswith("SET"):
+                raise ValueError(f"UPDATE without SET in clause: {act!r}")
+            rest = rest[3:].strip()
+            out["action"] = "update"
+            out["set"] = "all" if rest == "*" else self._assignments(rest)
+            return out
+        if up.startswith("INSERT"):
+            rest = act[len("INSERT") :].strip()
+            out["action"] = "insert"
+            if rest == "*":
+                out["values"] = "all"
+                return out
+            mm = re.match(
+                r"^\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                rest,
+                re.I | re.S,
+            )
+            if not mm:
+                raise ValueError(
+                    f"malformed INSERT in MERGE clause: {act!r} — expected "
+                    "INSERT * or INSERT (cols) VALUES (exprs)"
+                )
+            cols = [
+                _check_ident(c, "column") for c in mm.group("cols").split(",")
+            ]
+            vals = _split_top(mm.group("vals"), ",")
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT column/value count mismatch: {len(cols)} vs "
+                    f"{len(vals)}"
+                )
+            out["values"] = {c: v.strip() for c, v in zip(cols, vals)}
+            return out
+        raise ValueError(f"unsupported MERGE action: {act!r}")
+
+    @staticmethod
+    def _assignments(text: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for part in _split_top(text, ","):
+            if "=" not in part:
+                raise ValueError(f"malformed assignment: {part.strip()!r}")
+            col, expr = part.split("=", 1)
+            col = col.strip()
+            # tgt.col / bare col both allowed in MERGE SET (Delta form)
+            if "." in col:
+                qual, col = col.split(".", 1)
+                if qual.strip().lower() != "tgt":
+                    raise ValueError(
+                        f"assignment target must be tgt.<col>, got {qual!r}"
+                    )
+            out[_check_ident(col, "column")] = expr.strip()
+        return out
+
+    # --------------------------------------------------------- UPDATE
+    _UPDATE_RE = re.compile(
+        r"^UPDATE\s+(?P<t>[\w`]+)\s+SET\s+(?P<set>.*?)"
+        r"(?:\s+WHERE\s+(?P<pred>.*))?$",
+        re.I | re.S,
+    )
+
+    def _update(self, stmt: str):
+        m = self._UPDATE_RE.match(stmt)
+        if not m:
+            raise ValueError("malformed UPDATE — UPDATE t SET c=e[, …] [WHERE p]")
+        t = self._table(m.group("t"))
+        pred = (m.group("pred") or "true").strip()
+        return t.update(pred, self._assignments(m.group("set")))
+
+    # --------------------------------------------------------- DELETE
+    _DELETE_RE = re.compile(
+        r"^DELETE\s+FROM\s+(?P<t>[\w`]+)(?:\s+WHERE\s+(?P<pred>.*))?$",
+        re.I | re.S,
+    )
+
+    def _delete(self, stmt: str):
+        m = self._DELETE_RE.match(stmt)
+        if not m:
+            raise ValueError("malformed DELETE — DELETE FROM t [WHERE p]")
+        t = self._table(m.group("t"))
+        return t.delete((m.group("pred") or "true").strip())
+
+    # ---------------------------------------------------------- ALTER
+    def _alter(self, stmt: str):
+        m = re.match(
+            r"^ALTER\s+TABLE\s+(?P<t>[\w`]+)\s+(?P<rest>.*)$", stmt, re.I | re.S
+        )
+        if not m:
+            raise ValueError("malformed ALTER TABLE")
+        t = self._table(m.group("t"))
+        rest = m.group("rest").strip()
+        up = rest.upper()
+        mm = re.match(
+            r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$", rest, re.I | re.S
+        )
+        if mm:
+            return t.add_constraint(
+                _check_ident(mm.group(1), "constraint"), mm.group(2).strip()
+            )
+        mm = re.match(r"^DROP\s+CONSTRAINT\s+(\w+)\s*$", rest, re.I)
+        if mm:
+            return t.drop_constraint(_check_ident(mm.group(1), "constraint"))
+        mm = re.match(r"^RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*$", rest, re.I)
+        if mm:
+            return t.rename_column(
+                _check_ident(mm.group(1), "column"),
+                _check_ident(mm.group(2), "column"),
+            )
+        mm = re.match(r"^DROP\s+COLUMN\s+([\w`]+)\s*$", rest, re.I)
+        if mm:
+            return t.drop_column(_check_ident(mm.group(1), "column"))
+        mm = re.match(
+            r"^(UN)?SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", rest, re.I | re.S
+        )
+        if mm:
+            items = [p.strip() for p in _split_top(mm.group(2), ",")]
+            if mm.group(1):  # UNSET
+                return t.unset_properties([self._unquote(k) for k in items])
+            updates: dict[str, str] = {}
+            for item in items:
+                if "=" not in item:
+                    raise ValueError(f"malformed property: {item!r}")
+                k, v = item.split("=", 1)
+                updates[self._unquote(k.strip())] = self._unquote(v.strip())
+            return t.set_properties(updates)
+        mm = re.match(
+            r"^ALTER\s+COLUMN\s+([\w`]+)\s+SET\s+DEFAULT\s+(.*)$", rest, re.I | re.S
+        )
+        if mm:
+            return t.set_column_default(
+                _check_ident(mm.group(1), "column"), mm.group(2).strip()
+            )
+        mm = re.match(
+            r"^ALTER\s+COLUMN\s+([\w`]+)\s+DROP\s+DEFAULT\s*$", rest, re.I
+        )
+        if mm:
+            return t.drop_column_default(_check_ident(mm.group(1), "column"))
+        if up.startswith("CLUSTER BY"):
+            arg = rest[len("CLUSTER BY") :].strip()
+            if arg.upper() == "NONE":
+                return t.set_cluster_by(None)
+            mm = re.match(r"^\((.*)\)$", arg, re.S)
+            if not mm:
+                raise ValueError("CLUSTER BY needs (col[, …]) or NONE")
+            return t.set_cluster_by(
+                [_check_ident(c, "column") for c in mm.group(1).split(",")]
+            )
+        raise ValueError(f"unsupported ALTER TABLE form: {rest!r}")
+
+    @staticmethod
+    def _unquote(s: str) -> str:
+        s = s.strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+            return s[1:-1].replace(s[0] * 2, s[0])
+        return s
+
+    # ------------------------------------------------------- OPTIMIZE
+    _OPT_RE = re.compile(
+        r"^OPTIMIZE\s+(?P<t>[\w`]+)"
+        r"(?:\s+WHERE\s+(?P<pred>.*?))?"
+        r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
+        re.I | re.S,
+    )
+
+    def _optimize(self, stmt: str):
+        m = self._OPT_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "malformed OPTIMIZE — OPTIMIZE t [WHERE p] [ZORDER BY (cols)]"
+            )
+        t = self._table(m.group("t"))
+        kwargs: dict = {}
+        if m.group("pred"):
+            kwargs["where"] = m.group("pred").strip()
+        if m.group("z"):
+            cols = [_check_ident(c, "column") for c in m.group("z").split(",")]
+            kwargs["cluster_by"] = cols if len(cols) > 1 else cols[0]
+        return t.compact(**kwargs)
+
+    # --------------------------------------------------------- VACUUM
+    _VAC_RE = re.compile(
+        r"^VACUUM\s+(?P<t>[\w`]+)"
+        r"(?:\s+RETAIN\s+(?P<h>\d+(?:\.\d+)?)\s+HOURS)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        re.I,
+    )
+
+    def _vacuum(self, stmt: str):
+        m = self._VAC_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "malformed VACUUM — VACUUM t [RETAIN n HOURS] [DRY RUN]"
+            )
+        t = self._table(m.group("t"))
+        return t.vacuum(
+            retain_hours=float(m.group("h")) if m.group("h") else None,
+            dry_run=bool(m.group("dry")),
+        )
+
+    # -------------------------------------------------------- RESTORE
+    _RESTORE_RE = re.compile(
+        r"^RESTORE\s+(?:TABLE\s+)?(?P<t>[\w`]+)\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)|TIMESTAMP\s+AS\s+OF\s+"
+        r"'(?P<ts>[^']*)')\s*$",
+        re.I,
+    )
+
+    def _restore(self, stmt: str):
+        m = self._RESTORE_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "malformed RESTORE — RESTORE [TABLE] t TO VERSION AS OF n | "
+                "TO TIMESTAMP AS OF '<ts>'"
+            )
+        t = self._table(m.group("t"))
+        if m.group("v") is not None:
+            return t.restore(int(m.group("v")))
+        return t.restore(timestamp=m.group("ts"))
+
+    # ------------------------------------------------------- DESCRIBE
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(
+            r"^DESCRIBE\s+(?P<kind>HISTORY|DETAIL)\s+(?P<t>[\w`]+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError("malformed DESCRIBE — DESCRIBE HISTORY|DETAIL t")
+        t = self._table(m.group("t"))
+        if m.group("kind").upper() == "HISTORY":
+            rows = [
+                (
+                    int(h["version"]),
+                    str(h["op"]),
+                    float(h.get("ts", 0.0)),
+                    int(h.get("added_files", 0)),
+                    int(h.get("removed_files", 0)),
+                )
+                for h in t.history()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, operation string, ts double, "
+                "num_added_files long, num_removed_files long",
+            )
+        d = t.details()
+        import json as _json
+
+        return self.spark.createDataFrame(
+            [(_json.dumps(d, default=str),)], "detail_json string"
+        )
+
+
+def lake_sql(spark: SparkSession, statement: str, tables: dict, params=None):
+    """One-shot convenience: run a single statement over named tables."""
+    return LakeSqlRunner(spark, tables).sql(statement, params)

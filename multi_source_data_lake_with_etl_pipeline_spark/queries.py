@@ -11620,3 +11620,479 @@ def lake_string_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ===================================================================
+# Round 10 — TIMESTAMP AS OF time travel (Delta parity): commit
+# wall-clock stamps are pinned to known values (the engine exposes them
+# only through resolution, so the audit doctors the log exactly as a
+# clock would have), then every AS OF surface — read, changes bounds,
+# restore — must agree with its version-addressed twin, including the
+# equal-timestamp tie (higher version wins) and the monotonized
+# clock-skew rule (a back-dated commit inherits its predecessor's
+# effective time). Oracle reconstructs each snapshot relationally.
+@register(
+    "lake_timetravel_timestamp_audit",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+                  WHERE o_orderkey <= 600),
+    v0 AS (SELECT * FROM base WHERE k <= 200),
+    v1 AS (SELECT * FROM base WHERE k <= 400),
+    v2 AS (SELECT * FROM base)
+    SELECT 'asof_mid1' AS chk,
+           (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n,
+           (SELECT CAST(sum(c) AS BIGINT) FROM v0) AS sum_c
+    UNION ALL
+    SELECT 'asof_exact2',
+           (SELECT CAST(count(*) AS BIGINT) FROM v1),
+           (SELECT CAST(sum(c) AS BIGINT) FROM v1)
+    UNION ALL
+    SELECT 'asof_late',
+           (SELECT CAST(count(*) AS BIGINT) FROM v2),
+           (SELECT CAST(sum(c) AS BIGINT) FROM v2)
+    UNION ALL
+    SELECT 'changes_from_ts',
+           (SELECT CAST(count(*) AS BIGINT) FROM base
+             WHERE k > 200),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'tie_and_skew', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'restored_ts',
+           (SELECT CAST(count(*) AS BIGINT) FROM v1),
+           (SELECT CAST(sum(c) AS BIGINT) FROM v1)
+    """,
+)
+def lake_timetravel_timestamp_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    def _pin(t, v, ts):
+        p = _os.path.join(t._log_dir, f"{v:020d}.json")
+        with open(p) as f:
+            rec = _json.load(f)
+        rec["ts"] = float(ts)
+        with open(p, "w") as f:
+            _json.dump(rec, f)
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_tsaudit_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 200"))
+    t.append(o.filter("k BETWEEN 201 AND 400"))
+    t.append(o.filter("k BETWEEN 401 AND 600"))
+    _pin(t, 0, 1000.0)
+    _pin(t, 1, 2000.0)
+    _pin(t, 2, 3000.0)
+
+    def _agg(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+        ).collect()[0]
+        return int(r["n"]), int(r["s"])
+
+    rows = []
+    rows.append(("asof_mid1", *_agg(t.read(timestamp=1500.0))))
+    rows.append(("asof_exact2", *_agg(t.read(timestamp=2000.0))))
+    rows.append(("asof_late", *_agg(t.read(timestamp="2099-01-01"))))
+    # changes: from_timestamp includes commits AT or AFTER it
+    n_ch = t.changes(from_timestamp=2000.0).count()
+    rows.append(("changes_from_ts", int(n_ch), 0))
+    # tie: equal stamps resolve to the higher version; skew: a
+    # back-dated later commit inherits the predecessor's effective time
+    t2 = LakeTable.create(spark, root + "/t2", o.filter("k <= 10"))
+    t2.append(o.filter("k BETWEEN 11 AND 20"))
+    t2.append(o.filter("k BETWEEN 21 AND 30"))
+    _pin(t2, 0, 1000.0)
+    _pin(t2, 1, 2000.0)
+    _pin(t2, 2, 2000.0)  # tie with v1
+    ok = int(t2.version_at(2000.0) == 2)
+    _pin(t2, 2, 900.0)  # skew: behind even the create
+    ok &= int(t2.version_at(2000.0) == 2)  # eff(v2)=max(900,2000)=2000
+    pre_create = 0
+    try:
+        t2.version_at(500.0)
+    except ValueError:
+        pre_create = 1
+    ok &= pre_create
+    rows.append(("tie_and_skew", ok, 0))
+    # RESTORE TO TIMESTAMP: wall-clock rollback == version rollback
+    t.restore(timestamp=2500.0)
+    rows.append(("restored_ts", *_agg(t.read())))
+    out = spark.createDataFrame(rows, "chk string, n long, sum_c long")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Round 10 — SQL-text front end (closes the reference's S7 asymmetry:
+# src/api/main.py:154-176 accepts arbitrary SQL strings): an entire
+# mutation pipeline — MERGE INTO with mixed clauses, parameterized
+# UPDATE/DELETE (values bound as typed literals, never spliced: the
+# injection probe is a live payload that must match NOTHING), ALTER
+# ADD CONSTRAINT, SET TBLPROPERTIES, OPTIMIZE, RESTORE — runs purely
+# via SQL strings and must land byte-identical to the relational
+# oracle's reconstruction.
+@register(
+    "lake_sql_dml_audit",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                         o_orderpriority AS prio
+                  FROM orders WHERE o_orderkey <= 500),
+    merged AS (
+      SELECT k,
+             CASE WHEN k <= 250 THEN c + 100 ELSE c END AS c,
+             prio
+      FROM base
+    ),
+    updated AS (
+      SELECT k,
+             CASE WHEN prio = '1-URGENT' THEN c + 7 ELSE c END AS c,
+             prio
+      FROM merged
+    ),
+    final AS (SELECT * FROM updated WHERE k % 10 <> 3)
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM final GROUP BY prio
+    UNION ALL
+    SELECT '_audit',
+           (SELECT CAST(count(*) AS BIGINT) FROM final),
+           CAST(1 AS BIGINT)
+    """,
+)
+def lake_sql_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+    from .lake_sql import LakeSqlRunner
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_sql_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 500"))
+    r = LakeSqlRunner(spark, {"t": t})
+    o.filter("k <= 250").select("k", (F.col("c") + 100).alias("c2")) \
+        .createOrReplaceTempView("bump_src")
+    r.sql(
+        "MERGE INTO t AS tgt USING bump_src AS src ON tgt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET c = src.c2"
+    )
+    r.sql(
+        "UPDATE t SET c = c + :delta WHERE prio = :p",
+        {"delta": 7, "p": "1-URGENT"},
+    )
+    # live injection payload arrives as DATA -> deletes nothing
+    res = r.sql("DELETE FROM t WHERE prio = :p", {"p": "x' OR '1'='1"})
+    assert res["deleted"] == 0
+    r.sql("DELETE FROM t WHERE k % 10 = :m", {"m": 3})
+    r.sql("ALTER TABLE t ADD CONSTRAINT c_pos CHECK (c > 0)")
+    r.sql("ALTER TABLE t SET TBLPROPERTIES ('owner' = 'sql-front-end')")
+    r.sql("OPTIMIZE t")
+    audit = int(
+        "c_pos" in t.constraints()
+        and t.props().get("owner") == "sql-front-end"
+        and [h["op"] for h in t.history()][0] == "compact"
+    )
+    got = (
+        r.sql("SELECT prio, count(*) AS n, sum(c) AS sum_c FROM t GROUP BY prio")
+        .select(
+            "prio", F.col("n").cast("long"), F.col("sum_c").cast("long")
+        )
+    )
+    total = t.read().count()
+    out = got.unionByName(
+        spark.createDataFrame(
+            [("_audit", int(total), audit)], "prio string, n long, sum_c long"
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Round 10 — GENERATED BY DEFAULT AS IDENTITY (Delta parity; the
+# migration path that preserves source ids): supplied values are kept
+# verbatim, NULLs/omissions are engine-assigned, the watermark advances
+# past the supplied maximum so later assignments can never collide.
+# Supplied ids are deterministic (k + 100000), so the oracle checks
+# them EXACTLY; engine-assigned ids are pinned by contract checks.
+@register(
+    "lake_identity_bydefault_audit",
+    """
+    WITH sup AS (SELECT o_orderkey AS k, o_custkey AS c
+                 FROM orders WHERE o_orderkey <= 300),
+    omit AS (SELECT o_orderkey AS k, o_custkey AS c
+             FROM orders WHERE o_orderkey BETWEEN 301 AND 500)
+    SELECT 'supplied' AS chk,
+           (SELECT CAST(count(*) AS BIGINT) FROM sup) AS n,
+           (SELECT CAST(sum(k) + 100000 * count(*) AS BIGINT) FROM sup)
+             AS sum_rid,
+           CAST(1 AS BIGINT) AS ok
+    UNION ALL
+    SELECT 'assigned',
+           (SELECT CAST(count(*) AS BIGINT) FROM omit),
+           CAST(0 AS BIGINT), 1
+    UNION ALL
+    SELECT 'all_unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM sup)
+             + (SELECT CAST(count(*) AS BIGINT) FROM omit),
+           CAST(0 AS BIGINT), 1
+    """,
+)
+def lake_identity_bydefault_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_iddef_")
+    # create batch SUPPLIES ids (k + 100000) for k <= 300
+    t = LakeTable.create(
+        spark, root + "/t",
+        o.filter("k <= 300").withColumn(
+            "rid", (F.col("k") + F.lit(100000)).cast("long")
+        ),
+        identity_columns={"rid": {"start": 1, "step": 1, "always": False}},
+    )
+    # append OMITS the column -> engine assigns above the watermark
+    t.append(o.filter("k BETWEEN 301 AND 500"))
+    a = (
+        t.read()
+        .agg(
+            F.sum(F.when(F.col("k") <= 300, F.col("rid"))).alias("sum_sup"),
+            F.sum((F.col("k") <= 300).cast("long")).alias("n_sup"),
+            F.sum((F.col("k") > 300).cast("long")).alias("n_asg"),
+            F.min(F.when(F.col("k") > 300, F.col("rid"))).alias("min_asg"),
+            F.max(F.when(F.col("k") <= 300, F.col("rid"))).alias("max_sup"),
+            F.countDistinct("rid").alias("uq"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .collect()[0]
+    )
+    rows = [
+        ("supplied", int(a["n_sup"]), int(a["sum_sup"]), 1),
+        # engine-assigned ids live strictly ABOVE the supplied max
+        ("assigned", int(a["n_asg"]), 0, int(a["min_asg"] > a["max_sup"])),
+        ("all_unique", int(a["total"]), 0, int(a["uq"] == a["total"])),
+    ]
+    out = spark.createDataFrame(
+        rows, "chk string, n long, sum_rid long, ok long"
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Round 10 — vacuum consumer-floor guard: a Structured Streaming
+# checkpoint's committed offset becomes an ENFORCED retention floor
+# (the CDF+VACUUM caveat as an invariant). The checkpoint files are
+# fabricated in the exact engine format (v1 header, metadata line,
+# one {"v": N} offset line per source) so the audit stays scan-free;
+# the streaming integration is pinned by
+# tests/test_lake_round10.py::TestVacuumConsumerGuard.
+@register(
+    "lake_vacuum_checkpoint_guard_audit",
+    """
+    SELECT 'lagging_refuses' AS chk, CAST(1 AS BIGINT) AS ok
+    UNION ALL SELECT 'names_stranded_version', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'fresh_checkpoint_protects_all', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'caught_up_allows', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'multi_source_min_wins', CAST(1 AS BIGINT)
+    """,
+)
+def lake_vacuum_checkpoint_guard_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    def _fake_ck(root, name, batch_offsets, committed_through):
+        """Checkpoint in the engine's file format: offsets/<b> with the
+        v1 header + metadata + one offset line per source; commits/<b>
+        for batches <= committed_through."""
+        ck = _os.path.join(root, name)
+        _os.makedirs(_os.path.join(ck, "offsets"))
+        _os.makedirs(_os.path.join(ck, "commits"))
+        for b, offs in enumerate(batch_offsets):
+            lines = ["v1", '{"batchTimestampMs":0}'] + [
+                '{"v": %d}' % v for v in offs
+            ]
+            with open(_os.path.join(ck, "offsets", str(b)), "w") as f:
+                f.write("\n".join(lines))
+            if b <= committed_through:
+                with open(_os.path.join(ck, "commits", str(b)), "w") as f:
+                    f.write('v1\n{"nextBatchWatermarkMs":0}')
+        return ck
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    root = tempfile.mkdtemp(prefix="lake_vguard_")
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 100"))
+    for lo in (101, 201, 301, 401):
+        t.append(o.filter(f"k BETWEEN {lo} AND {lo + 99}"))
+    # latest version = 4; a consumer committed through version 1
+    lag = _fake_ck(root, "lag", [[0], [1], [4]], committed_through=1)
+    refused = named = 0
+    try:
+        t.vacuum(keep_versions=0, protect_checkpoints=[lag])
+    except ValueError as exc:
+        refused = 1
+        named = int("version 2" in str(exc))
+    fresh = _fake_ck(root, "fresh", [[0]], committed_through=-1)
+    fresh_guard = 0
+    try:
+        t.vacuum(keep_versions=3, dry_run=True, protect_checkpoints=[fresh])
+    except ValueError:
+        fresh_guard = 1
+    caught = _fake_ck(root, "done", [[0], [4]], committed_through=1)
+    allows = int(
+        t.vacuum(keep_versions=0, dry_run=True, protect_checkpoints=[caught])
+        >= 0
+    )
+    # multi-source stream: the LAGGIEST {"v": N} line wins
+    multi = _fake_ck(root, "multi", [[4, 1]], committed_through=0)
+    multi_guard = 0
+    try:
+        t.vacuum(keep_versions=0, protect_checkpoints=[multi])
+    except ValueError as exc:
+        multi_guard = int("version 2" in str(exc))
+    rows = [
+        ("lagging_refuses", refused),
+        ("names_stranded_version", named),
+        ("fresh_checkpoint_protects_all", fresh_guard),
+        ("caught_up_allows", allows),
+        ("multi_source_min_wins", multi_guard),
+    ]
+    out = spark.createDataFrame(rows, "chk string, ok long")
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Round 10 stretch — PARTITION EVOLUTION (Iceberg parity; Delta
+# cannot): set_partitioning() changes the layout for FUTURE writes
+# only. The audit writes an unpartitioned era, evolves, writes a
+# hive-partitioned era, then proves: reads union both eras, metadata
+# pruning stays correct per-era (legacy files conservatively
+# included), row-level DELETE reaches legacy rows, whole-file
+# replace_where REFUSES while legacy rows overlap and works after
+# compact() migrates the layout. Oracle reconstructs relationally.
+@register(
+    "lake_partition_evolution_audit",
+    """
+    WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                         o_orderpriority AS prio
+                  FROM orders WHERE o_orderkey <= 600),
+    after_delete AS (SELECT * FROM base WHERE prio <> '5-LOW'),
+    final AS (
+      SELECT k, CASE WHEN prio = '1-URGENT' THEN 0 ELSE c END AS c, prio
+      FROM after_delete
+      WHERE prio <> '1-URGENT'
+      UNION ALL
+      SELECT -1 AS k, CAST(0 AS BIGINT) AS c, '1-URGENT' AS prio
+    )
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM final GROUP BY prio
+    UNION ALL
+    SELECT '_pruned',
+           (SELECT CAST(count(*) AS BIGINT) FROM after_delete
+             WHERE prio = '2-HIGH'),
+           (SELECT CAST(sum(c) AS BIGINT) FROM after_delete
+             WHERE prio = '2-HIGH')
+    UNION ALL
+    SELECT '_audit', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def lake_partition_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_pevo_")
+    # era 1: unpartitioned
+    t = LakeTable.create(spark, root + "/t", o.filter("k <= 300"))
+    t.set_partitioning(["prio"])
+    # era 2: hive-partitioned by prio
+    t.append(o.filter("k BETWEEN 301 AND 600"))
+    layouts = {
+        tuple(sorted((a.get("partition") or {}))) for a in t._snapshot()[1]
+    }
+    mixed = int(layouts == {(), ("prio",)})
+    # metadata pruning over BOTH eras: a pruned read of one priority
+    # touches fewer files than the table while staying exact
+    n_files = len(t._snapshot()[1])
+    pr = t.read_pruned("prio", "2-HIGH", "2-HIGH").filter("prio = '2-HIGH'")
+    pruned_ok = int(0 < len(pr.inputFiles()) <= n_files)
+    pra = pr.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")).collect()[0]
+    # whole-file replace_where refuses while legacy rows overlap…
+    # (probed BEFORE the delete: a row-level DELETE rewrites its
+    # touched files into the CURRENT layout, which would migrate the
+    # legacy era away and defuse the probe)
+    refused = 0
+    repl = spark.createDataFrame(
+        [(-1, 0, "1-URGENT")], "k long, c long, prio string"
+    )
+    try:
+        t.replace_where(repl, "prio = '1-URGENT'")
+    except ValueError as exc:
+        refused = int("earlier partition layout" in str(exc))
+    # row-level DELETE reaches the legacy era (prio is only partition
+    # metadata for era-2 files)
+    t.delete("prio = '5-LOW'")
+    # …compact() migrates everything into the current layout, unlocking
+    t.compact(target_files=2)
+    migrated = int(
+        all("prio" in (a.get("partition") or {}) for a in t._snapshot()[1])
+    )
+    t.replace_where(repl, "prio = '1-URGENT'")
+    got = (
+        t.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+        )
+    )
+    audit = int(mixed and pruned_ok and refused and migrated)
+    out = got.unionByName(
+        spark.createDataFrame(
+            [
+                ("_pruned", int(pra["n"]), int(pra["s"])),
+                ("_audit", audit, 1),
+            ],
+            "prio string, n long, sum_c long",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

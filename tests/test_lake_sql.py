@@ -1,0 +1,216 @@
+"""Round 10: SQL-text front end for lake DML/DDL — every statement
+family dispatches onto the existing LakeTable methods; a pipeline run
+purely via SQL strings matches its Python-API twin; parameters bind as
+typed literals (injection-safe)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+from multi_source_data_lake_with_etl_pipeline_spark.lake_sql import (
+    LakeSqlRunner,
+    _bind,
+    _split_top,
+    lake_sql,
+)
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, name string, v long",
+        ),
+    )
+    return LakeSqlRunner(spark, {"t": t}), t
+
+
+class TestHelpers:
+    def test_split_top_respects_quotes_and_parens(self):
+        segs = _split_top(
+            "a = 'x WHEN y' WHEN (b WHEN c) WHEN d", "WHEN"
+        )
+        assert segs == ["a = 'x WHEN y' ", " (b WHEN c) ", " d"]
+
+    def test_bind_types_and_escaping(self):
+        out = _bind(
+            "a = :s AND b = :n AND c = :f AND d = :none AND e = :dt",
+            {
+                "s": "o'brien",
+                "n": 7,
+                "f": 1.5,
+                "none": None,
+                "dt": datetime.date(2024, 6, 1),
+            },
+        )
+        assert "'o''brien'" in out and " 7 " in out and "1.5" in out
+        assert "NULL" in out and "DATE '2024-06-01'" in out
+
+    def test_bind_skips_markers_inside_strings(self):
+        assert _bind("a = ':x' AND b = :y", {"y": 1}) == "a = ':x' AND b = 1"
+
+    def test_bind_unknown_and_unused_raise(self):
+        with pytest.raises(KeyError):
+            _bind("a = :missing", {"other": 1})
+        with pytest.raises(ValueError, match="never referenced"):
+            _bind("a = :x", {"x": 1, "stray": 2})
+
+
+class TestStatements:
+    def test_select_with_params(self, runner):
+        r, t = runner
+        df = r.sql("SELECT name FROM t WHERE v > :lo ORDER BY name", {"lo": 15})
+        assert [x["name"] for x in df.collect()] == ["b", "c"]
+
+    def test_update_delete(self, runner):
+        r, t = runner
+        res = r.sql("UPDATE t SET v = v + :bump WHERE id = :id", {"bump": 5, "id": 2})
+        assert res["updated"] == 1
+        res = r.sql("DELETE FROM t WHERE name = :n", {"n": "c"})
+        assert res["deleted"] == 1
+        got = {x["id"]: x["v"] for x in t.read().collect()}
+        assert got == {1: 10, 2: 25}
+
+    def test_injection_value_stays_data(self, runner):
+        r, t = runner
+        # a classic injection payload arrives as a VALUE — bound as a
+        # string literal it matches nothing instead of everything
+        res = r.sql(
+            "DELETE FROM t WHERE name = :n", {"n": "x' OR '1'='1"}
+        )
+        assert res["deleted"] == 0
+        assert t.read().count() == 3
+
+    def test_merge_sql_matches_python_twin(self, spark, tmp_path):
+        mk = lambda p: LakeTable.create(
+            spark, str(tmp_path / p),
+            spark.createDataFrame(
+                [(1, 10), (2, 20)], "k long, v long"
+            ),
+        )
+        t_sql, t_py = mk("sql"), mk("py")
+        src = spark.createDataFrame(
+            [(2, 200), (3, 300)], "k long, v long"
+        )
+        src.createOrReplaceTempView("updates_view")
+        LakeSqlRunner(spark, {"t": t_sql}).sql(
+            "MERGE INTO t AS tgt USING updates_view AS src "
+            "ON tgt.k = src.k "
+            "WHEN MATCHED THEN UPDATE SET v = src.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"
+        )
+        t_py.merge_into(
+            src, "tgt.k = src.k",
+            [
+                {"when": "matched", "action": "update", "set": {"v": "src.v"}},
+                {
+                    "when": "not_matched",
+                    "action": "insert",
+                    "values": {"k": "src.k", "v": "src.v"},
+                },
+            ],
+        )
+        assert sorted(map(tuple, t_sql.read().collect())) == sorted(
+            map(tuple, t_py.read().collect())
+        )
+
+    def test_merge_subquery_source_and_clause_conditions(self, runner):
+        r, t = runner
+        r.sql(
+            "MERGE INTO t USING (SELECT id, v * 2 AS v2 FROM t) AS src "
+            "ON tgt.id = src.id "
+            "WHEN MATCHED AND src.v2 > :min THEN UPDATE SET v = src.v2 "
+            "WHEN MATCHED THEN DELETE",
+            {"min": 25},
+        )
+        got = {x["id"]: x["v"] for x in t.read().collect()}
+        assert got == {2: 40, 3: 60}  # id=1 (v2=20 <= 25) deleted
+
+    def test_merge_wrong_alias_rejected(self, runner):
+        r, _ = runner
+        with pytest.raises(ValueError, match="alias must be"):
+            r.sql(
+                "MERGE INTO t AS target USING t AS src ON 1=1 "
+                "WHEN MATCHED THEN DELETE"
+            )
+
+    def test_alter_constraint_lifecycle(self, runner, spark):
+        r, t = runner
+        r.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+        assert "v_pos" in t.constraints()
+        with pytest.raises(Exception):
+            t.append(spark.createDataFrame([(9, "x", -5)], "id long, name string, v long"))
+        r.sql("ALTER TABLE t DROP CONSTRAINT v_pos")
+        assert t.constraints() == {}
+
+    def test_alter_rename_drop_column(self, runner):
+        r, t = runner
+        r.sql("ALTER TABLE t RENAME COLUMN v TO val")
+        assert "val" in [f.name for f in t.read().schema.fields]
+        r.sql("ALTER TABLE t DROP COLUMN val")
+        assert "val" not in [f.name for f in t.read().schema.fields]
+
+    def test_tblproperties_and_defaults(self, runner):
+        r, t = runner
+        r.sql("ALTER TABLE t SET TBLPROPERTIES ('owner' = 'me', 'x' = '1')")
+        assert t.props()["owner"] == "me"
+        r.sql("ALTER TABLE t UNSET TBLPROPERTIES ('x')")
+        assert "x" not in t.props()
+        with pytest.raises(ValueError, match="engine-owned"):
+            r.sql("ALTER TABLE t SET TBLPROPERTIES ('constraint.evil' = '1=1')")
+        r.sql("ALTER TABLE t ALTER COLUMN v SET DEFAULT 99")
+        r, t2 = r, t  # defaults materialize on omission
+        t.append(t.spark.createDataFrame([(7, "g")], "id long, name string"))
+        assert {x["id"]: x["v"] for x in t.read().collect()}[7] == 99
+        r.sql("ALTER TABLE t ALTER COLUMN v DROP DEFAULT")
+
+    def test_optimize_vacuum_restore_describe(self, runner):
+        r, t = runner
+        v0 = t.latest_version()
+        t.append(t.spark.createDataFrame([(8, "h", 80)], "id long, name string, v long"))
+        r.sql("OPTIMIZE t")
+        n = r.sql("VACUUM t RETAIN 9999 HOURS DRY RUN")
+        assert isinstance(n, int)
+        hist = r.sql("DESCRIBE HISTORY t")
+        ops = [x["operation"] for x in hist.collect()]
+        assert ops[0] == "compact" and "create" in ops
+        r.sql(f"RESTORE TABLE t TO VERSION AS OF {v0}")
+        assert t.read().count() == 3
+        det = r.sql("DESCRIBE DETAIL t").collect()
+        assert len(det) == 1
+
+    def test_restore_to_timestamp_sql(self, runner):
+        import json, os
+
+        r, t = runner
+        # pin commit 0 time, append, pin later, restore by wall clock
+        p = os.path.join(t._log_dir, f"{0:020d}.json")
+        rec = json.load(open(p)); rec["ts"] = 1000.0; json.dump(rec, open(p, "w"))
+        t.append(t.spark.createDataFrame([(9, "i", 90)], "id long, name string, v long"))
+        p = os.path.join(t._log_dir, f"{1:020d}.json")
+        rec = json.load(open(p)); rec["ts"] = 2000.0; json.dump(rec, open(p, "w"))
+        r.sql(
+            "RESTORE t TO TIMESTAMP AS OF "
+            f"'{datetime.datetime.fromtimestamp(1500.0, tz=datetime.timezone.utc).isoformat()}'"
+        )
+        assert t.read().count() == 3
+
+    def test_unknown_table_and_statement(self, runner, spark):
+        r, _ = runner
+        with pytest.raises(ValueError, match="unknown table"):
+            r.sql("DELETE FROM ghost WHERE 1=1")
+        with pytest.raises(ValueError, match="unsupported statement"):
+            r.sql("TRUNCATE TABLE t")
+
+    def test_one_shot_helper(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "q"),
+            spark.createDataFrame([(1, 5)], "k long, v long"),
+        )
+        df = lake_sql(spark, "SELECT sum(v) AS s FROM q", {"q": t})
+        assert df.collect()[0]["s"] == 5
