@@ -435,9 +435,10 @@ class LakeTable:
         cluster_by: list[str] | None = None,
     ) -> "LakeTable":
         """Create the table. ``partition_by``: hive-style partition
-        columns, fixed for the table's lifetime (Delta parity — raise
-        at drop, survive rename metadata-only, recorded as
-        ``partitionColumns`` in details()). ``generated_columns``:
+        columns (raise at drop, survive rename metadata-only, recorded
+        as ``partitionColumns`` in details()); evolvable later via
+        :meth:`set_partitioning` (Iceberg-style partition evolution —
+        Delta fixes the layout at create, this engine does not). ``generated_columns``:
         {name: sql_expr} GENERATED ALWAYS AS columns born WITH the
         table, so a generated column can itself be a partition column
         — the canonical Delta pattern ``partition_by=["event_date"]``

@@ -11797,7 +11797,7 @@ def lake_sql_dml_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = r.sql("DELETE FROM t WHERE prio = :p", {"p": "x' OR '1'='1"})
     assert res["deleted"] == 0
     r.sql("DELETE FROM t WHERE k % 10 = :m", {"m": 3})
-    r.sql("ALTER TABLE t ADD CONSTRAINT c_pos CHECK (c > 0)")
+    r.sql("ALTER TABLE t ADD CONSTRAINT c_pos CHECK (c >= 0)")
     r.sql("ALTER TABLE t SET TBLPROPERTIES ('owner' = 'sql-front-end')")
     r.sql("OPTIMIZE t")
     audit = int(
