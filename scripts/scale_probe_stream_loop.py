@@ -33,7 +33,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from multi_source_data_lake_with_etl_pipeline_spark.catalog import load_table
 from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
@@ -56,22 +55,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     register_lakesink_datasource(spark)
     o = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(N_BATCHES * ROWS_PER_BATCH)
-        .withColumn(
-            "slice",
-            (
-                (F.row_number().over(Window.orderBy("o_orderkey")) - 1)
-                / ROWS_PER_BATCH
-            ).cast("int"),
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                "o_orderkey"
+            ),
+            F.col("l_partkey").alias("o_custkey"),
+            F.col("l_extendedprice").alias("o_totalprice"),
         )
+        .withColumn("slice", F.pmod(F.col("o_orderkey"), F.lit(N_BATCHES)))
         .persist()
     )
     total = o.count()
     print(
-        f"corpus: {total} orders rows as {N_BATCHES} bursts of "
-        f"~{ROWS_PER_BATCH}; maintenance cadence {CADENCE}"
+        f"corpus: {total} lineitem rows as {N_BATCHES} modulo bursts of "
+        f"~{total // N_BATCHES}; maintenance cadence {CADENCE}"
     )
     print("| bursts | mode | B files | B rows | read B | drain |")
     print("|---|---|---|---|---|---|")
@@ -139,9 +137,13 @@ def main() -> None:
         bt = LakeTable.load(spark, b.path)
         results[mode] = (len(bt._snapshot()[1]), bt.read().count())
         # consumer-floor guard against the LIVE checkpoint: caught-up
-        # stream allows an aggressive vacuum of A; a lagging one refuses
+        # stream allows an aggressive vacuum of A. ONE unconsumed
+        # append is still fine (its snapshot references every file the
+        # stream needs); TWO pending commits put the keep_versions=0
+        # horizon past the first unconsumed version -> refuse.
         a.vacuum(keep_versions=0, dry_run=True, protect_checkpoints=[ck])
-        a.append(o.filter("slice = 0").drop("slice"))  # now it lags
+        a.append(o.filter("slice = 0").drop("slice"))
+        a.append(o.filter("slice = 1").drop("slice"))  # now it strands
         try:
             a.vacuum(keep_versions=0, dry_run=True, protect_checkpoints=[ck])
             print(f"| - | {mode} | GUARD FAILED | - | - | - |")
