@@ -8,9 +8,19 @@ grammar, loud errors.
 
 Supported statements (case-insensitive keywords):
 
-- ``SELECT`` / ``WITH`` — registered lake tables become temp views
-  (snapshot reads) and the statement runs through ``spark.sql`` with
-  Spark's own parser/optimizer; named parameters bind natively.
+- ``SELECT`` / ``WITH`` / ``VALUES`` — registered lake tables become
+  temp views (snapshot reads) and the statement runs through
+  ``spark.sql`` with Spark's own parser/optimizer. ``FROM t VERSION AS
+  OF n`` / ``t TIMESTAMP AS OF '<ts>'`` rewrite to snapshot views
+  (quote-aware — string literals never rewrite).
+- ``INSERT INTO|OVERWRITE t [(cols)] SELECT …|VALUES …`` →
+  ``append``/``overwrite`` (positional column binding; engine-assigned
+  columns excluded from the default target list).
+- ``CREATE TABLE t (col TYPE, …) [PARTITIONED BY (…)] [LOCATION '…']
+  [TBLPROPERTIES (…)]`` and CTAS ``CREATE TABLE t AS SELECT …`` →
+  ``LakeTable.create`` (auto-registers; LOCATION or runner
+  ``base_dir`` names the path).
+- ``SHOW PARTITIONS t`` / ``SHOW TBLPROPERTIES t`` — DataFrames.
 - ``MERGE INTO t [AS tgt] USING (<subquery>)|<view> [AS src] ON <cond>
   WHEN MATCHED [AND c] THEN UPDATE SET col=e,…|SET *|DELETE
   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)|INSERT *
@@ -48,6 +58,7 @@ a strict regex before touching any API.
 from __future__ import annotations
 
 import datetime
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,8 +196,11 @@ class LakeSqlRunner:
     resolve the table by name and call the matching engine method.
     """
 
-    def __init__(self, spark: SparkSession, tables: dict):
+    def __init__(
+        self, spark: SparkSession, tables: dict, base_dir: str | None = None
+    ):
         self.spark = spark
+        self.base_dir = base_dir  # CREATE TABLE without LOCATION lands here
         self.tables: dict[str, LakeTable] = {}
         for name, t in tables.items():
             self.register(name, t)
@@ -210,21 +224,23 @@ class LakeSqlRunner:
 
     # ----------------------------------------------------------- entry
     def sql(self, statement: str, params: dict | None = None):
-        """Run one statement. Returns a DataFrame for SELECT/DESCRIBE,
-        the underlying method's result (version int or metrics dict)
-        for mutations."""
+        """Run one statement. Returns a DataFrame for SELECT/DESCRIBE/
+        SHOW, the underlying method's result (version int or metrics
+        dict) for mutations."""
         stmt = _bind(statement.strip().rstrip(";"), params)
         head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
-        if head in ("SELECT", "WITH"):
-            for name, t in self.tables.items():
-                t.read().createOrReplaceTempView(name)
-            return self.spark.sql(stmt)
+        if head in ("SELECT", "WITH", "VALUES"):
+            return self._select(stmt)
         if head == "MERGE":
             return self._merge(stmt)
         if head == "UPDATE":
             return self._update(stmt)
         if head == "DELETE":
             return self._delete(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
+        if head == "CREATE":
+            return self._create(stmt)
         if head == "ALTER":
             return self._alter(stmt)
         if head == "OPTIMIZE":
@@ -235,11 +251,78 @@ class LakeSqlRunner:
             return self._restore(stmt)
         if head == "DESCRIBE":
             return self._describe(stmt)
+        if head == "SHOW":
+            return self._show(stmt)
         raise ValueError(
             f"unsupported statement {head!r} — supported: SELECT/WITH, "
-            "MERGE, UPDATE, DELETE, ALTER TABLE, OPTIMIZE, VACUUM, "
-            "RESTORE, DESCRIBE HISTORY/DETAIL"
+            "MERGE, UPDATE, DELETE, INSERT, CREATE TABLE, ALTER TABLE, "
+            "OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, "
+            "SHOW PARTITIONS/TBLPROPERTIES"
         )
+
+    # ----------------------------------------------------------- SELECT
+    _ASOF_RE = re.compile(
+        r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(\d+|'[^']*')",
+        re.I,
+    )
+
+    def _rewrite_asof(self, stmt: str) -> str:
+        """``FROM t VERSION AS OF n`` / ``t TIMESTAMP AS OF '<ts>'``
+        inside a SELECT: each occurrence of a REGISTERED table is
+        rewritten to a generated snapshot view (registered on the fly
+        via ordinary time travel). Quote-aware via string-literal
+        SPANS (not segmentation — the timestamp argument is itself a
+        quoted literal): a match whose table name starts inside a
+        string literal is left untouched."""
+        spans: list[tuple[int, int]] = []
+        i, n = 0, len(stmt)
+        while i < n:
+            ch = stmt[i]
+            if ch in ("'", '"'):
+                j = i + 1
+                while j < n:
+                    if stmt[j] == ch:
+                        if j + 1 < n and stmt[j + 1] == ch:
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, j + 1))
+                i = j + 1
+                continue
+            i += 1
+
+        def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)  # inside a string literal
+            name = m.group(1)
+            if name not in self.tables:
+                return m.group(0)
+            kind = m.group(2).upper()
+            arg = m.group(3)
+            t = self.tables[name]
+            if kind == "VERSION":
+                df = t.read(int(arg))
+                view = f"{name}__asof_v{arg}"
+            else:
+                import hashlib
+
+                ts = arg[1:-1]
+                df = t.read(timestamp=ts)
+                view = (
+                    f"{name}__asof_t"
+                    f"{hashlib.md5(ts.encode()).hexdigest()[:10]}"
+                )
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._ASOF_RE.sub(sub, stmt)
+
+    def _select(self, stmt: str) -> DataFrame:
+        for name, t in self.tables.items():
+            t.read().createOrReplaceTempView(name)
+        return self.spark.sql(self._rewrite_asof(stmt))
 
     # ------------------------------------------------------------ MERGE
     _MERGE_HEAD = re.compile(
@@ -393,6 +476,141 @@ class LakeSqlRunner:
             raise ValueError("malformed DELETE — DELETE FROM t [WHERE p]")
         t = self._table(m.group("t"))
         return t.delete((m.group("pred") or "true").strip())
+
+    # --------------------------------------------------------- INSERT
+    _INSERT_RE = re.compile(
+        r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<t>[\w`]+)"
+        r"(?:\s*\((?P<cols>[^)]*)\))?\s+(?P<body>.*)$",
+        re.I | re.S,
+    )
+
+    def _insert(self, stmt: str):
+        """``INSERT INTO t [(cols)] SELECT …|VALUES …`` → append;
+        ``INSERT OVERWRITE t …`` → overwrite. Column binding is
+        POSITIONAL (standard INSERT semantics): the query/VALUES
+        columns map to the listed columns, or to the table's columns
+        in order when no list is given; identity/generated columns the
+        engine assigns must be omitted from the list."""
+        m = self._INSERT_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                "malformed INSERT — INSERT INTO|OVERWRITE t [(cols)] "
+                "SELECT …|VALUES …"
+            )
+        t = self._table(m.group("t"))
+        body = m.group("body").strip()
+        if not re.match(r"^(SELECT|WITH|VALUES|\()", body, re.I):
+            raise ValueError(f"INSERT body must be SELECT/VALUES, got {body[:30]!r}")
+        df = self._select(body[1:-1] if body.startswith("(") else body)
+        from .lake import _gen_expr, _identity_spec
+
+        _, _, schema = t._snapshot()
+        if m.group("cols"):
+            cols = [
+                _check_ident(c, "column") for c in m.group("cols").split(",")
+            ]
+        else:
+            # engine-assigned columns can't be targets of a bare INSERT
+            cols = [
+                f.name
+                for f in schema.fields
+                if not _gen_expr(f) and not _identity_spec(f)
+            ]
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT column count mismatch: statement provides "
+                f"{len(df.columns)} columns for targets {cols}"
+            )
+        from pyspark.sql import functions as F
+
+        by_name = {f.name: f for f in schema.fields}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(f"INSERT: no such column(s) {unknown}")
+        # standard INSERT coercion: each positional value casts to its
+        # target column's type (VALUES integer literals arrive as INT)
+        df = df.toDF(*cols).select(
+            *[F.col(c).cast(by_name[c].dataType).alias(c) for c in cols]
+        )
+        if m.group("mode").upper() == "OVERWRITE":
+            return t.overwrite(df)
+        return t.append(df)
+
+    # --------------------------------------------------------- CREATE
+    _CREATE_RE = re.compile(
+        r"^CREATE\s+TABLE\s+(?P<t>[\w`]+)\s*"
+        r"(?:\((?P<cols>[^)]*)\)\s*)?"
+        r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+        r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?"
+        r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
+        r"(?:AS\s+(?P<query>(?:SELECT|WITH|VALUES).*))?$",
+        re.I | re.S,
+    )
+
+    def _create(self, stmt: str):
+        """``CREATE TABLE t (a BIGINT, …) [PARTITIONED BY (…)]
+        [LOCATION '…'] [TBLPROPERTIES (…)]`` and CTAS
+        (``CREATE TABLE t [LOCATION …] AS SELECT …``). Without
+        LOCATION the runner's ``base_dir`` names the path; the new
+        table auto-registers under its name."""
+        m = self._CREATE_RE.match(stmt)
+        if not m or (not m.group("cols") and not m.group("query")):
+            raise ValueError(
+                "malformed CREATE TABLE — CREATE TABLE t (col TYPE, …) "
+                "[PARTITIONED BY (…)] [LOCATION '…'] [TBLPROPERTIES (…)] "
+                "| CREATE TABLE t [LOCATION '…'] AS SELECT …"
+            )
+        name = _check_ident(m.group("t"), "table name")
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already registered")
+        loc = m.group("loc")
+        if loc is None:
+            if self.base_dir is None:
+                raise ValueError(
+                    "CREATE TABLE needs LOCATION '…' (or construct the "
+                    "runner with base_dir=…)"
+                )
+            import os as _os
+
+            loc = _os.path.join(self.base_dir, name)
+        if m.group("query"):
+            df = self._select(m.group("query").strip())
+        else:
+            ddl = m.group("cols").strip()
+            df = self.spark.createDataFrame([], ddl)
+        partition_by = None
+        if m.group("part"):
+            partition_by = [
+                _check_ident(c, "column") for c in m.group("part").split(",")
+            ]
+        t = LakeTable.create(self.spark, loc, df, partition_by=partition_by)
+        if m.group("props"):
+            updates: dict[str, str] = {}
+            for item in _split_top(m.group("props"), ","):
+                if "=" not in item:
+                    raise ValueError(f"malformed property: {item.strip()!r}")
+                k, val = item.split("=", 1)
+                updates[self._unquote(k.strip())] = self._unquote(val.strip())
+            t.set_properties(updates)
+        self.tables[name] = t
+        return t
+
+    # ----------------------------------------------------------- SHOW
+    def _show(self, stmt: str) -> DataFrame:
+        m = re.match(
+            r"^SHOW\s+(?P<kind>PARTITIONS|TBLPROPERTIES)\s+(?P<t>[\w`]+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError("malformed SHOW — SHOW PARTITIONS|TBLPROPERTIES t")
+        t = self._table(m.group("t"))
+        if m.group("kind").upper() == "PARTITIONS":
+            parts = t.partitions()
+            rows = [(json.dumps(p, sort_keys=True, default=str),) for p in parts]
+            return self.spark.createDataFrame(rows or [], "partition string")
+        rows = sorted((k, str(v)) for k, v in t.props().items())
+        return self.spark.createDataFrame(rows or [], "key string, value string")
 
     # ---------------------------------------------------------- ALTER
     def _alter(self, stmt: str):

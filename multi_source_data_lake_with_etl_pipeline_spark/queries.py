@@ -12096,3 +12096,80 @@ def lake_partition_evolution_audit(
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# Round 10 — SQL DDL/ingest statements (the second half of the SQL
+# front end): CREATE TABLE (partitioned, with TBLPROPERTIES), INSERT
+# INTO … SELECT / VALUES (positional binding + type coercion), CTAS,
+# SHOW PARTITIONS, and VERSION AS OF time travel INSIDE a SELECT
+# (quote-aware rewrite to snapshot views). Everything runs through
+# SQL strings only; the oracle reconstructs relationally.
+@register(
+    "lake_sql_ddl_audit",
+    """
+    WITH src AS (SELECT o_orderkey AS k, o_custkey AS c,
+                        o_orderpriority AS prio
+                 FROM orders WHERE o_orderkey <= 400),
+    tt AS (
+      SELECT * FROM src
+      UNION ALL SELECT 9001, 77, 'X-PRIO'
+      UNION ALL SELECT 9002, 78, 'X-PRIO'
+    )
+    SELECT prio, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sum_c
+    FROM tt GROUP BY prio
+    UNION ALL
+    SELECT '_asof_v1',
+           (SELECT CAST(count(*) AS BIGINT) FROM src),
+           CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT '_partitions',
+           (SELECT CAST(count(DISTINCT prio) AS BIGINT) FROM tt),
+           CAST(1 AS BIGINT)
+    """,
+)
+def lake_sql_ddl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .lake_sql import LakeSqlRunner
+
+    root = tempfile.mkdtemp(prefix="lake_sqlddl_")
+    r = LakeSqlRunner(spark, {}, base_dir=root)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    r.sql(
+        "CREATE TABLE tt (k BIGINT, c BIGINT, prio STRING) "
+        "PARTITIONED BY (prio) TBLPROPERTIES ('owner' = 'ddl-audit')"
+    )
+    v_ins = r.sql(
+        "INSERT INTO tt SELECT o_orderkey, o_custkey, o_orderpriority "
+        "FROM orders_src WHERE o_orderkey <= :hi",
+        {"hi": 400},
+    )
+    r.sql("INSERT INTO tt VALUES (9001, 77, 'X-PRIO'), (9002, 78, 'X-PRIO')")
+    # CTAS over the SQL-visible view of tt
+    r.sql(
+        "CREATE TABLE summary AS "
+        "SELECT prio, count(*) AS n, sum(c) AS sum_c FROM tt GROUP BY prio"
+    )
+    # VERSION AS OF inside SELECT: snapshot right after the first INSERT
+    n_v1 = r.sql(
+        f"SELECT count(*) AS n FROM tt VERSION AS OF {int(v_ins)}"
+    ).collect()[0]["n"]
+    n_parts = r.sql("SHOW PARTITIONS tt").count()
+    ok = int(
+        r.tables["tt"].props().get("owner") == "ddl-audit"
+        and r.tables["tt"].partition_columns() == ["prio"]
+    )
+    got = r.sql("SELECT prio, n, sum_c FROM summary").select(
+        "prio", F.col("n").cast("long"), F.col("sum_c").cast("long")
+    )
+    out = got.unionByName(
+        spark.createDataFrame(
+            [("_asof_v1", int(n_v1), ok), ("_partitions", int(n_parts), 1)],
+            "prio string, n long, sum_c long",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -214,3 +214,103 @@ class TestStatements:
         )
         df = lake_sql(spark, "SELECT sum(v) AS s FROM q", {"q": t})
         assert df.collect()[0]["s"] == 5
+
+
+class TestRound10bStatements:
+    """INSERT / CREATE TABLE / SHOW / AS OF-in-SELECT extensions."""
+
+    def test_insert_values_and_select(self, runner, spark):
+        r, t = runner
+        res = r.sql("INSERT INTO t VALUES (10, 'j', 100), (11, 'k', 110)")
+        assert isinstance(res, int)
+        assert t.read().count() == 5
+        r.sql(
+            "INSERT INTO t SELECT id + :off, concat(name, '_c'), v "
+            "FROM t WHERE id = 1",
+            {"off": 100},
+        )
+        got = {x["id"]: x["name"] for x in t.read().collect()}
+        assert got[101] == "a_c"
+
+    def test_insert_column_list_positional(self, runner, spark):
+        r, t = runner
+        r.sql("INSERT INTO t (v, id, name) VALUES (990, 99, 'z')")
+        row = [x for x in t.read().collect() if x["id"] == 99][0]
+        assert (row["v"], row["name"]) == (990, "z")
+        with pytest.raises(ValueError, match="count mismatch"):
+            r.sql("INSERT INTO t (id, name) VALUES (1, 'a', 3)")
+
+    def test_insert_overwrite(self, runner):
+        r, t = runner
+        r.sql("INSERT OVERWRITE t VALUES (7, 'only', 70)")
+        assert [tuple(x) for x in t.read().collect()] == [(7, "only", 70)]
+
+    def test_create_table_and_ctas(self, spark, tmp_path):
+        r = LakeSqlRunner(spark, {}, base_dir=str(tmp_path))
+        t = r.sql(
+            "CREATE TABLE logs (day STRING, msg STRING, n BIGINT) "
+            "PARTITIONED BY (day) TBLPROPERTIES ('owner' = 'ops')"
+        )
+        assert t.partition_columns() == ["day"]
+        assert t.props()["owner"] == "ops"
+        r.sql("INSERT INTO logs VALUES ('d1', 'hello', 1), ('d2', 'bye', 2)")
+        assert r.sql("SELECT count(*) AS n FROM logs").collect()[0]["n"] == 2
+        c = r.sql(
+            "CREATE TABLE agg LOCATION '%s' AS "
+            "SELECT day, sum(n) AS total FROM logs GROUP BY day"
+            % (tmp_path / "agg_loc")
+        )
+        assert sorted(tuple(x) for x in c.read().collect()) == [
+            ("d1", 1), ("d2", 2),
+        ]
+        with pytest.raises(ValueError, match="already registered"):
+            r.sql("CREATE TABLE logs (a BIGINT)")
+
+    def test_show_partitions_and_tblproperties(self, spark, tmp_path):
+        r = LakeSqlRunner(spark, {}, base_dir=str(tmp_path))
+        r.sql("CREATE TABLE p (day STRING, n BIGINT) PARTITIONED BY (day)")
+        r.sql("INSERT INTO p VALUES ('a', 1), ('b', 2)")
+        parts = sorted(x["partition"] for x in r.sql("SHOW PARTITIONS p").collect())
+        assert parts == ['{"day": "a"}', '{"day": "b"}']
+        r.sql("ALTER TABLE p SET TBLPROPERTIES ('x' = '1')")
+        kv = {x["key"]: x["value"] for x in r.sql("SHOW TBLPROPERTIES p").collect()}
+        assert kv["x"] == "1"
+
+    def test_select_version_and_timestamp_as_of(self, runner, spark):
+        import json, os
+
+        r, t = runner
+        v0 = t.latest_version()
+        r.sql("INSERT INTO t VALUES (50, 'new', 500)")
+        n_now = r.sql("SELECT count(*) AS n FROM t").collect()[0]["n"]
+        n_v0 = r.sql(
+            f"SELECT count(*) AS n FROM t VERSION AS OF {v0}"
+        ).collect()[0]["n"]
+        assert (n_v0, n_now) == (3, 4)
+        # timestamp form: pin commit times, read between them
+        p = os.path.join(t._log_dir, f"{v0:020d}.json")
+        rec = json.load(open(p)); rec["ts"] = 1000.0; json.dump(rec, open(p, "w"))
+        p = os.path.join(t._log_dir, f"{v0 + 1:020d}.json")
+        rec = json.load(open(p)); rec["ts"] = 2000.0; json.dump(rec, open(p, "w"))
+        n_ts = r.sql(
+            "SELECT count(*) AS n FROM t TIMESTAMP AS OF '1970-01-01T00:25:00'"
+        ).collect()[0]["n"]
+        assert n_ts == 3
+        # a string literal containing the pattern is NOT rewritten
+        row = r.sql(
+            "SELECT 't VERSION AS OF 0' AS s FROM t LIMIT 1"
+        ).collect()[0]
+        assert row["s"] == "t VERSION AS OF 0"
+
+    def test_insert_into_identity_table_omits_engine_columns(
+        self, spark, tmp_path
+    ):
+        t = LakeTable.create(
+            spark, str(tmp_path / "idt"),
+            spark.createDataFrame([("a",)], "name string"),
+            identity_columns={"rid": (1, 1)},
+        )
+        r = LakeSqlRunner(spark, {"idt": t})
+        r.sql("INSERT INTO idt VALUES ('b'), ('c')")  # rid engine-assigned
+        rows = {x["name"]: x["rid"] for x in t.read().collect()}
+        assert len(set(rows.values())) == 3
