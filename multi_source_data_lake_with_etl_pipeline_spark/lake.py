@@ -1210,6 +1210,53 @@ class LakeTable:
             metrics={"column": name},
         )
 
+    def add_column(
+        self, name: str, dtype: str, default: str | None = None
+    ) -> int:
+        """ALTER TABLE ADD COLUMN (plain data column) — metadata-only:
+        the logical schema widens by one NULLABLE field; existing files
+        simply lack its physical column and read NULL (parquet
+        missing-column semantics — zero bytes rewritten at any size,
+        Delta parity). ``default``: an optional constant DEFAULT for
+        the new column (validated like :meth:`set_column_default`) —
+        it applies to LATER batches that omit the column, never as a
+        backfill (existing rows stay NULL, exactly Delta's rule). A
+        logical name colliding with a used-or-tombstoned physical name
+        gets a fresh physical name (column-mapping rule — re-adding a
+        dropped name must not resurrect the dropped bytes)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        v, _, schema = self._snapshot()
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        if name in _RESERVED_COLS or not self._COL_RE.match(name):
+            raise ValueError(f"invalid column name: {name!r}")
+        dt = _parse_datatype_string(dtype)
+        md: dict = {}
+        used = {_phys(f) for f in schema.fields} | set(
+            json.loads(self.props(v).get(_DROPPED_PROP, "[]"))
+        )
+        if name in used:
+            md[_PHYS_KEY] = f"{name}__p{uuid.uuid4().hex[:8]}"
+        if default is not None:
+            got = (
+                self.spark.range(1)
+                .select()
+                .select(F.expr(default).cast(dt).alias(name))
+                .schema[0]
+                .dataType
+            )
+            if got != dt:
+                raise ValueError(
+                    f"DEFAULT {default!r} does not cast to {dtype}"
+                )
+            md[_DEFAULT_KEY] = default
+        fields = list(schema.fields) + [StructField(name, dt, True, md)]
+        return self._commit(
+            v + 1, "add_column", [], [], StructType(fields),
+            metrics={"column": name, "type": dt.simpleString()},
+        )
+
     def set_column_default(self, name: str, expr: str) -> int:
         """ALTER TABLE ... ALTER COLUMN name SET DEFAULT (expr) — Delta
         parity, metadata-only. The default is a CONSTANT expression

@@ -537,32 +537,64 @@ class LakeSqlRunner:
         return t.append(df)
 
     # --------------------------------------------------------- CREATE
-    _CREATE_RE = re.compile(
-        r"^CREATE\s+TABLE\s+(?P<t>[\w`]+)\s*"
-        r"(?:\((?P<cols>[^)]*)\)\s*)?"
-        r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+    _CREATE_TAIL = re.compile(
+        r"^(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
         r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?"
         r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
         r"(?:AS\s+(?P<query>(?:SELECT|WITH|VALUES).*))?$",
         re.I | re.S,
     )
 
+    @staticmethod
+    def _matching_paren(text: str, start: int) -> int:
+        """Index of the ')' matching text[start] == '(' — quote-aware."""
+        depth, i, n = 0, start, len(text)
+        while i < n:
+            ch = text[i]
+            if ch in ("'", '"'):
+                q = ch
+                i += 1
+                while i < n and text[i] != q:
+                    i += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        raise ValueError("unbalanced parentheses in CREATE TABLE")
+
     def _create(self, stmt: str):
         """``CREATE TABLE t (a BIGINT, …) [PARTITIONED BY (…)]
         [LOCATION '…'] [TBLPROPERTIES (…)]`` and CTAS
         (``CREATE TABLE t [LOCATION …] AS SELECT …``). Without
         LOCATION the runner's ``base_dir`` names the path; the new
-        table auto-registers under its name."""
-        m = self._CREATE_RE.match(stmt)
-        if not m or (not m.group("cols") and not m.group("query")):
+        table auto-registers under its name. Column definitions take
+        the full option set (see :meth:`_parse_create_columns`) —
+        extracted by a balanced-paren scan so generated expressions
+        and IDENTITY(START WITH …) nest freely."""
+        hm = re.match(
+            r"^CREATE\s+TABLE\s+(?P<t>[\w`]+)\s*(?P<rest>.*)$", stmt, re.I | re.S
+        )
+        if not hm:
+            raise ValueError("malformed CREATE TABLE")
+        name = _check_ident(hm.group("t"), "table name")
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already registered")
+        rest = hm.group("rest").strip()
+        cols_text = None
+        if rest.startswith("("):
+            end = self._matching_paren(rest, 0)
+            cols_text = rest[1:end]
+            rest = rest[end + 1 :].strip()
+        m = self._CREATE_TAIL.match(rest)
+        if not m or (cols_text is None and not m.group("query")):
             raise ValueError(
-                "malformed CREATE TABLE — CREATE TABLE t (col TYPE, …) "
+                "malformed CREATE TABLE — CREATE TABLE t (col TYPE [opts], …) "
                 "[PARTITIONED BY (…)] [LOCATION '…'] [TBLPROPERTIES (…)] "
                 "| CREATE TABLE t [LOCATION '…'] AS SELECT …"
             )
-        name = _check_ident(m.group("t"), "table name")
-        if name in self.tables:
-            raise ValueError(f"table {name!r} already registered")
         loc = m.group("loc")
         if loc is None:
             if self.base_dir is None:
@@ -573,17 +605,24 @@ class LakeSqlRunner:
             import os as _os
 
             loc = _os.path.join(self.base_dir, name)
+        create_kwargs: dict = {}
+        not_nulls: list[str] = []
         if m.group("query"):
             df = self._select(m.group("query").strip())
         else:
-            ddl = m.group("cols").strip()
-            df = self.spark.createDataFrame([], ddl)
+            df, create_kwargs, not_nulls = self._parse_create_columns(
+                cols_text
+            )
         partition_by = None
         if m.group("part"):
             partition_by = [
                 _check_ident(c, "column") for c in m.group("part").split(",")
             ]
-        t = LakeTable.create(self.spark, loc, df, partition_by=partition_by)
+        t = LakeTable.create(
+            self.spark, loc, df, partition_by=partition_by, **create_kwargs
+        )
+        for c in not_nulls:
+            t.add_not_null(c)
         if m.group("props"):
             updates: dict[str, str] = {}
             for item in _split_top(m.group("props"), ","):
@@ -594,6 +633,95 @@ class LakeSqlRunner:
             t.set_properties(updates)
         self.tables[name] = t
         return t
+
+    _IDENTITY_OPT = re.compile(
+        r"^GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*"
+        r"(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?"
+        r"\s*$",
+        re.I,
+    )
+
+    def _parse_create_columns(self, cols_text: str):
+        """CREATE TABLE column list with per-column options (Delta DDL
+        parity): ``GENERATED ALWAYS AS (expr)``, ``GENERATED ALWAYS |
+        BY DEFAULT AS IDENTITY [(START WITH n INCREMENT BY m)]``,
+        ``DEFAULT expr``, trailing ``NOT NULL`` (becomes a named CHECK
+        constraint). Returns (empty frame of the PLAIN columns,
+        create() kwargs, not-null column list)."""
+        plain: list[tuple[str, str]] = []
+        gens: dict[str, str] = {}
+        idents: dict[str, dict] = {}
+        defaults: dict[str, str] = {}
+        not_nulls: list[str] = []
+        for item in _split_top(cols_text, ","):
+            txt = item.strip()
+            mm = re.match(r"^([\w`]+)\s+(.*)$", txt, re.S)
+            if not mm:
+                raise ValueError(f"malformed column definition: {txt!r}")
+            name = _check_ident(mm.group(1), "column")
+            rest = mm.group(2).strip()
+            opt = re.search(r"\b(GENERATED|DEFAULT|NOT\s+NULL)\b", rest, re.I)
+            typ = (rest[: opt.start()] if opt else rest).strip()
+            opts = rest[opt.start() :].strip() if opt else ""
+            if not typ and not re.match(r"^GENERATED", opts, re.I):
+                raise ValueError(f"column {name!r}: missing type")
+            if re.search(r"\bNOT\s+NULL\s*$", opts, re.I):
+                not_nulls.append(name)
+                opts = re.sub(r"\s*NOT\s+NULL\s*$", "", opts, flags=re.I)
+            if not opts:
+                from pyspark.sql.types import _parse_datatype_string
+
+                try:
+                    _parse_datatype_string(typ)
+                except Exception:
+                    raise ValueError(
+                        f"column {name!r}: unsupported option or type "
+                        f"{typ!r}"
+                    ) from None
+                plain.append((name, typ))
+                continue
+            gm = re.match(
+                r"^GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$", opts, re.I | re.S
+            )
+            if gm:
+                gens[name] = gm.group(1).strip()
+                continue
+            im = self._IDENTITY_OPT.match(opts)
+            if im:
+                if typ.upper() not in ("BIGINT", "LONG"):
+                    raise ValueError(
+                        f"identity column {name!r} must be BIGINT, got "
+                        f"{typ or '<none>'}"
+                    )
+                idents[name] = {
+                    "start": int(im.group(2) or 1),
+                    "step": int(im.group(3) or 1),
+                    "always": im.group(1).upper() == "ALWAYS",
+                }
+                continue
+            dm = re.match(r"^DEFAULT\s+(.+)$", opts, re.I | re.S)
+            if dm:
+                plain.append((name, typ))
+                defaults[name] = dm.group(1).strip()
+                continue
+            raise ValueError(
+                f"column {name!r}: unsupported option {opts!r}"
+            )
+        if not plain:
+            raise ValueError(
+                "CREATE TABLE needs at least one plain data column"
+            )
+        df = self.spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in plain)
+        )
+        kwargs: dict = {}
+        if gens:
+            kwargs["generated_columns"] = gens
+        if idents:
+            kwargs["identity_columns"] = idents
+        if defaults:
+            kwargs["column_defaults"] = defaults
+        return df, kwargs, not_nulls
 
     # ----------------------------------------------------------- SHOW
     def _show(self, stmt: str) -> DataFrame:
@@ -641,6 +769,26 @@ class LakeSqlRunner:
         mm = re.match(r"^DROP\s+COLUMN\s+([\w`]+)\s*$", rest, re.I)
         if mm:
             return t.drop_column(_check_ident(mm.group(1), "column"))
+        mm = re.match(
+            r"^ADD\s+COLUMN\s+([\w`]+)\s+(.+?)"
+            r"(?:\s+DEFAULT\s+(.+?))?"
+            r"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\))?\s*$",
+            rest,
+            re.I | re.S,
+        )
+        if mm:
+            col = _check_ident(mm.group(1), "column")
+            if mm.group(4):
+                if mm.group(3):
+                    raise ValueError(
+                        "a generated column cannot also take a DEFAULT"
+                    )
+                return t.add_generated_column(col, mm.group(4).strip())
+            return t.add_column(
+                col,
+                mm.group(2).strip(),
+                default=mm.group(3).strip() if mm.group(3) else None,
+            )
         mm = re.match(
             r"^(UN)?SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", rest, re.I | re.S
         )

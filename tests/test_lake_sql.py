@@ -314,3 +314,91 @@ class TestRound10bStatements:
         r.sql("INSERT INTO idt VALUES ('b'), ('c')")  # rid engine-assigned
         rows = {x["name"]: x["rid"] for x in t.read().collect()}
         assert len(set(rows.values())) == 3
+
+
+class TestDdlColumnOptions:
+    """ADD COLUMN + CREATE TABLE per-column options (round 10b)."""
+
+    def test_add_column_plain_and_default(self, runner, spark):
+        r, t = runner
+        r.sql("ALTER TABLE t ADD COLUMN note STRING")
+        assert [f.name for f in t.read().schema.fields][-1] == "note"
+        # existing rows read NULL; no backfill
+        assert all(x["note"] is None for x in t.read().collect())
+        r.sql("ALTER TABLE t ADD COLUMN score BIGINT DEFAULT 5")
+        t.append(
+            spark.createDataFrame([(9, "x", 90)], "id long, name string, v long")
+        )
+        rows = {x["id"]: (x["note"], x["score"]) for x in t.read().collect()}
+        assert rows[9] == (None, 5)  # default fills the omitted column
+        assert rows[1] == (None, None)  # never a backfill
+        with pytest.raises(ValueError, match="already exists"):
+            r.sql("ALTER TABLE t ADD COLUMN note STRING")
+
+    def test_add_column_generated_via_sql(self, runner, spark):
+        r, t = runner
+        r.sql("ALTER TABLE t ADD COLUMN v2 BIGINT GENERATED ALWAYS AS (v * 2)")
+        t.append(
+            spark.createDataFrame([(9, "x", 90)], "id long, name string, v long")
+        )
+        rows = {x["id"]: x["v2"] for x in t.read().collect()}
+        assert rows[9] == 180
+        assert rows[1] == 20  # pre-birth rows compute on read
+
+    def test_readd_dropped_name_gets_fresh_physical(self, runner, spark):
+        r, t = runner
+        r.sql("ALTER TABLE t DROP COLUMN v")
+        r.sql("ALTER TABLE t ADD COLUMN v BIGINT")
+        # dropped bytes must NOT resurrect
+        assert all(x["v"] is None for x in t.read().collect())
+
+    def test_create_table_full_column_options(self, spark, tmp_path):
+        r = LakeSqlRunner(spark, {}, base_dir=str(tmp_path))
+        t = r.sql(
+            "CREATE TABLE ev ("
+            "  rid BIGINT GENERATED ALWAYS AS IDENTITY "
+            "    (START WITH 100 INCREMENT BY 10),"
+            "  sid BIGINT GENERATED BY DEFAULT AS IDENTITY,"
+            "  k BIGINT NOT NULL,"
+            "  region STRING DEFAULT 'emea',"
+            "  v BIGINT,"
+            "  v2 BIGINT GENERATED ALWAYS AS (v * 2)"
+            ")"
+        )
+        assert "k_not_null" in t.constraints()
+        r.sql("INSERT INTO ev (k, v) VALUES (1, 10), (2, 20)")
+        rows = sorted(t.read().collect(), key=lambda x: x["k"])
+        assert [x["region"] for x in rows] == ["emea", "emea"]
+        assert [x["v2"] for x in rows] == [20, 40]
+        rids = [x["rid"] for x in rows]
+        assert len(set(rids)) == 2 and all(x >= 100 for x in rids)
+        assert all((x - 100) % 10 == 0 for x in rids)  # step honored
+        sids = [x["sid"] for x in rows]
+        assert len(set(sids)) == 2
+        # NOT NULL enforced
+        with pytest.raises(Exception):
+            r.sql("INSERT INTO ev (k, v) VALUES (NULL, 5)")
+        # BY DEFAULT identity accepts explicit values through append
+        t.append(
+            spark.createDataFrame(
+                [(777, 3, "apac", 30)], "sid long, k long, region string, v long"
+            )
+        )
+        got = {x["k"]: x["sid"] for x in t.read().collect()}
+        assert got[3] == 777
+        # ALWAYS identity refuses supplied values
+        with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+            t.append(
+                spark.createDataFrame(
+                    [(1, 4, "x", 40)], "rid long, k long, region string, v long"
+                )
+            )
+
+    def test_create_table_bad_options_loud(self, spark, tmp_path):
+        r = LakeSqlRunner(spark, {}, base_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="must be BIGINT"):
+            r.sql("CREATE TABLE x (a STRING GENERATED ALWAYS AS IDENTITY, b BIGINT)")
+        with pytest.raises(ValueError, match="plain data column"):
+            r.sql("CREATE TABLE y (a BIGINT GENERATED ALWAYS AS IDENTITY)")
+        with pytest.raises(ValueError, match="unsupported option"):
+            r.sql("CREATE TABLE z (a BIGINT SPARKLY, b BIGINT)")
