@@ -3,6 +3,8 @@ availableNow → memory sink, checked against batch equivalents."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -977,3 +979,121 @@ class TestRateLimitRestarts:
         assert sorted(delivered) == [0, 1, 2, 3, 4]  # complete, no dupes
         assert all(len(r) <= 2 for r in runs)  # bounded progress per run
         assert len([r for r in runs if r]) >= 3
+
+
+# ===================================================================
+# Round 10 — lakesink PARTITIONED tables: executor-grouped hive writes
+class TestLakeSinkPartitioned:
+    def _drain(self, spark, src_dir, schema, path, ck, app="psink"):
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.lake_sink import (
+            register_lakesink_datasource,
+        )
+
+        register_lakesink_datasource(spark)
+        q = (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .writeStream.format("lakesink")
+            .option("path", path)
+            .option("app_id", app)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_partitioned_sink_prunes_and_matches(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame(
+                [(0, "seed", 0)], "k long, region string, v long"
+            ).withColumnRenamed("region", "region"),
+            partition_by=["region"],
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "us", 10), (2, "eu", 20), (3, "us", 30), (4, None, 40)],
+            "k long, region string, v long",
+        ).repartition(2).write.parquet(src)
+        ck = str(tmp_path / "ck")
+        self._drain(spark, src, "k long, region string, v long", t.path, ck)
+        got = sorted((r["k"], r["region"], r["v"]) for r in t.read().collect())
+        assert got == [
+            (0, "seed", 0), (1, "us", 10), (2, "eu", 20),
+            (3, "us", 30), (4, None, 40),
+        ]
+        # entries carry partition metadata -> replace_where prunes them
+        parts = {
+            json.dumps(a.get("partition"))
+            for a in t._snapshot()[1]
+            if a.get("partition")
+        }
+        assert any("us" in p for p in parts) and any("null" in p for p in parts)
+        # metadata pruning works on sink-written files
+        pruned = t.read_pruned("region", "eu", "eu")
+        assert sorted(r["k"] for r in pruned.collect() if r["region"] == "eu") == [2]
+        # NULL partition skipping
+        assert sorted(
+            r["k"] for r in t.read_where_null("region").collect()
+        ) == [4]
+        # replay: second drain on same checkpoint is a no-op
+        self._drain(spark, src, "k long, region string, v long", t.path, ck)
+        assert t.read().count() == 5
+
+    def test_partitioned_sink_constraint_on_partition_column(
+        self, spark, tmp_path
+    ):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, "ok", 0)], "k long, region string, v long"),
+            partition_by=["region"],
+        )
+        t.add_constraint("region_known", "region IN ('ok', 'us', 'eu')")
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "mars", 10)], "k long, region string, v long"
+        ).write.parquet(src)
+        ck = str(tmp_path / "ck")
+        with pytest.raises(Exception, match="region_known|constraint|Stream"):
+            q_schema = "k long, region string, v long"
+            self._drain(spark, src, q_schema, t.path, ck)
+            raise RuntimeError("Stream should have failed")
+        assert t.read().count() == 1  # batch aborted whole
+
+    def test_empty_string_partition_value_rejects(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(0, "x", 0)], "k long, region string, v long"),
+            partition_by=["region"],
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "", 10)], "k long, region string, v long"
+        ).write.parquet(src)
+        ck = str(tmp_path / "ck")
+        with pytest.raises(Exception, match="empty-string|Stream"):
+            self._drain(spark, src, "k long, region string, v long", t.path, ck)
+            raise RuntimeError("Stream should have failed")
+        assert t.read().count() == 1
+
+    def test_generated_partition_still_gated(self, spark, tmp_path):
+        from multi_source_data_lake_with_etl_pipeline_spark.lake import LakeTable
+        from multi_source_data_lake_with_etl_pipeline_spark.streaming.lake_sink import (
+            LakeSinkStreamWriter,
+        )
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            spark.createDataFrame([(1, 5)], "k long, v long"),
+            generated_columns={"bucket": "pmod(k, 4)"},
+            partition_by=["bucket"],
+        )
+        with pytest.raises(ValueError, match="generated columns"):
+            LakeSinkStreamWriter(
+                t.path, "x", spark.createDataFrame([(1, 5)], "k long, v long").schema
+            )
