@@ -335,7 +335,8 @@ class LakeCdfDataSource(DataSource):
     stream from the create commit), ``max_versions_per_batch``
     (optional maxFilesPerTrigger-parity admission control: each
     micro-batch covers at most that many commit versions; offsets stay
-    exact — see LakeCdfStreamReader for the restart caveat)."""
+    exact, and the cursor is monotone across restarts — see
+    LakeCdfStreamReader; availableNow caveat in the module docstring)."""
 
     @classmethod
     def name(cls) -> str:
