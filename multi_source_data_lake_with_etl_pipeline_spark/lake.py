@@ -328,6 +328,71 @@ def _to_physical(df: DataFrame, schema: StructType | None) -> DataFrame:
     )
 
 
+# Target parquet file size for lake data writes (guide §6: aim for
+# files in the 128 MB-1 GB range). Used to derive a scale-adaptive
+# writer partition count from the optimizer's size estimate instead of
+# inheriting the source's task count: a KB-sized commit lands as one
+# file, a 100 TB batch keeps every writer task. Env-overridable so a
+# cluster deployment can push toward 1 GB objects without a code edit.
+_TARGET_FILE_BYTES = int(
+    os.environ.get("MDL_TARGET_FILE_BYTES", str(128 << 20))
+)
+
+
+def _explicit_layout(df: DataFrame) -> bool:
+    """True when the batch's plan TOP is a caller-specified
+    repartition/coalesce (optionally under partition-local sorts or
+    projections): the caller chose the file layout — compact's
+    range-repartition into target_files, a pruning audit's scrambled
+    repartition(n) — and size-based coalescing must not override it.
+    This mirrors AQE's own rule of never coalescing a user-specified
+    repartition. Only the top of the plan is inspected: a repartition
+    buried under joins/filters is an execution detail, not a layout
+    request for THIS write."""
+    try:
+        node = df._jdf.queryExecution().logical()
+        for _ in range(8):
+            name = node.getClass().getSimpleName()
+            if name.startswith("Repartition"):  # Repartition / ...ByExpression
+                return True
+            if name in ("Sort", "Project"):
+                node = node.children().head()
+                continue
+            return False
+    except Exception:
+        return False
+    return False
+
+
+def _size_coalesce(df: DataFrame) -> DataFrame:
+    """Coalesce a write batch to ceil(estimated bytes / target file
+    size) partitions. The estimate is the optimizer's ``sizeInBytes``
+    (free — no extra Spark job); without CBO it over-estimates after
+    selective filters, which only errs toward MORE files, never toward
+    collapsing a big batch into one. coalesce() is narrow: no shuffle,
+    and a no-op when the target exceeds the current partition count.
+    Batches whose plan top is an explicit repartition keep their
+    caller-chosen layout (:func:`_explicit_layout`)."""
+    if _explicit_layout(df):
+        return df
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+    except Exception:
+        return df  # unestimable plan — keep the source layout
+    n = max(1, -(-est // _TARGET_FILE_BYTES))
+    # Unestimable plans (streaming micro-batches, some Python sources)
+    # report defaultSizeInBytes ~= Long.MaxValue; a target that large is
+    # (a) beyond coalesce's int argument and (b) a guaranteed no-op —
+    # keep the source layout instead of pretending to know better.
+    if n > 1_000_000:
+        return df
+    return df.coalesce(n)
+
+
 # --------------------------------------------------------------- hive
 # partition columns (Delta partitionColumns parity): fixed at CREATE,
 # stored in table props as the columns' stable PHYSICAL names (so
@@ -1967,6 +2032,14 @@ class LakeTable:
             partition_phys = self._partition_phys()
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         if not partition_phys:
+            # Right-size output files from the optimizer's size estimate
+            # (aim for ~128 MB files; small files tax every later read
+            # twice — listing/planning AND per-file open). coalesce() is
+            # narrow (no shuffle) and a no-op when the target >= the
+            # current partition count, so a 100 TB batch keeps its
+            # parallelism while a KB-sized commit lands as ONE file
+            # instead of (task count) KB shards.
+            df = _size_coalesce(df)
             df.write.mode("overwrite").parquet(tmp)
             adds = []
             for fname in sorted(os.listdir(tmp)):
@@ -2026,6 +2099,13 @@ class LakeTable:
                     )
                 )
             df = df.repartition(*keys)
+        else:
+            # Same file-sizing rule as the unpartitioned branch: without
+            # optimizedWrite's key repartition, a hive write shards into
+            # (tasks x partition values) files; coalescing the batch to
+            # its size-derived task count bounds that at (size-derived
+            # tasks x values) — one file per value for small batches.
+            df = _size_coalesce(df)
         types = {f.name: f.dataType for f in df.schema.fields}
         # '' in a string partition column is unrepresentable: Spark
         # writes it as __HIVE_DEFAULT_PARTITION__ — the same dirname as
@@ -2677,7 +2757,7 @@ class LakeTable:
             idx = parts[0]
             for p_ in parts[1:]:
                 idx = idx.unionByName(p_)
-            idx.write.mode("overwrite").parquet(out_dir)
+            _size_coalesce(idx).write.mode("overwrite").parquet(out_dir)
         else:  # empty table: empty index frame
             self.spark.createDataFrame(
                 [], "base string, m long, k long, words array<long>"
@@ -3621,7 +3701,9 @@ class LakeTable:
         ks = keys.select(key).distinct().persist()
         cur = self._read_entries(active, schema, keep_meta=True)
         matched = cur.join(ks, key, "left_semi").persist()
-        touched = self._touched_files(matched, col="_dv_base", active=active)
+        touched, deleted = self._touched_counts(
+            matched, col="_dv_base", active=active
+        )
         if not touched:
             for f in (ks, matched):
                 f.unpersist()
@@ -3629,7 +3711,6 @@ class LakeTable:
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
-        deleted = matched.count()
         # Rebase guard: a file appended AFTER our snapshot may contain a
         # key we're purging — rebasing past it would leave those rows
         # alive (a silently incomplete GDPR erasure).
@@ -3815,6 +3896,29 @@ class LakeTable:
         }
         return sorted(out)
 
+    def _touched_counts(
+        self,
+        marker: DataFrame,
+        col: str = "_dv_base",
+        active: list[dict] | None = None,
+    ) -> tuple[list[str], int]:
+        """:meth:`_touched_files` fused with the marker-row count the
+        callers all need next — ONE per-file grouped aggregate instead
+        of a distinct+collect job followed by a count job (each a full
+        pass over the marker frame). Returns (stored paths, total
+        marker rows); path resolution rules are _touched_files'."""
+        if active is None:
+            _, active, _ = self._snapshot()
+        by_base = {os.path.basename(a["path"]): a["path"] for a in active}
+        rows = marker.groupBy(col).agg(F.count(F.lit(1)).alias("_n")).collect()
+        total = sum(int(r["_n"]) for r in rows)
+        out = {
+            by_base[base]
+            for r in rows
+            if (base := os.path.basename(r[col])) in by_base
+        }
+        return sorted(out), total
+
     def merge(self, source: DataFrame, key: str, dv: bool = False) -> dict:
         """MERGE (upsert) by ``key``: rewrite ONLY files containing a
         matched key; unmatched source rows become inserts in new files.
@@ -3873,8 +3977,20 @@ class LakeTable:
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
         affected = matched_old.select(*data_cols)
-        updated = src.join(affected.select(key).distinct(), key, "left_semi").count()
-        inserted = src.count() - updated
+        # one pass over src for BOTH counts: a left join against the
+        # distinct matched keys marks each source row updated/inserted
+        # (NULL keys never match — they stay inserts, as before)
+        mk = affected.select(key).distinct().withColumn("_mk", F.lit(1))
+        row = (
+            src.join(mk, key, "left")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count("_mk").alias("_u"),
+            )
+            .collect()[0]
+        )
+        updated = int(row["_u"])
+        inserted = int(row["_n"]) - updated
         # Rebase guard: an append interleaving one of OUR source keys
         # means this merge's matched/unmatched split is stale — a blind
         # rebase would commit duplicate keys (our "insert" of a key the
@@ -4293,27 +4409,33 @@ class LakeTable:
             id_props_base = self.props(v)
             ins_df, fin_id = self._assign_identity(ins_df, schema, id_props_base)
 
-        touched = self._touched_files(
-            tgt_acting.select(F.col("tgt._dv_base").alias("_dv_base")),
-            col="_dv_base", active=active,
-        )
-        by_path = {a["path"]: a for a in active}
-        t_entries = [by_path[p] for p in touched]
-
-        # ONE aggregation for both target-side action counts
-        if upd_codes or del_codes:
-            agg_row = tgt_acting.agg(
+        # ONE grouped aggregation for the touched-file set AND both
+        # target-side action counts (was a distinct+collect plus a
+        # global agg — two full passes over tgt_acting)
+        by_base = {os.path.basename(a["path"]): a["path"] for a in active}
+        grp_rows = (
+            tgt_acting.groupBy(F.col("tgt._dv_base").alias("_dv_base"))
+            .agg(
                 F.sum(
                     F.col("_act").isin(upd_codes or [-99]).cast("bigint")
                 ).alias("u"),
                 F.sum(
                     F.col("_act").isin(del_codes or [-99]).cast("bigint")
                 ).alias("d"),
-            ).collect()[0]
-            n_updated = int(agg_row["u"] or 0)
-            n_deleted = int(agg_row["d"] or 0)
-        else:
-            n_updated = n_deleted = 0
+            )
+            .collect()
+        )
+        touched = sorted(
+            {
+                by_base[base]
+                for r in grp_rows
+                if (base := os.path.basename(r["_dv_base"])) in by_base
+            }
+        )
+        n_updated = sum(int(r["u"] or 0) for r in grp_rows)
+        n_deleted = sum(int(r["d"] or 0) for r in grp_rows)
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
         n_inserted = ins_df.count() if ins_df is not None else 0
         if n_inserted == 0:
             ins_df = None
@@ -4480,14 +4602,15 @@ class LakeTable:
         cand = self._partition_candidates(active, predicate, schema)
         cur = self._read_entries(cand, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
-        touched = self._touched_files(matched, col="_dv_base", active=active)
+        touched, n_updated = self._touched_counts(
+            matched, col="_dv_base", active=active
+        )
         if not touched:
             matched.unpersist()
             return {"updated": 0, "rewritten_files": 0, "version": v}
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
-        n_updated = matched.count()
 
         def _assigned(df: DataFrame) -> DataFrame:
             # simultaneous assignment: all exprs bind to the pre-update
@@ -4593,14 +4716,15 @@ class LakeTable:
         cand = self._partition_candidates(active, predicate, schema)
         cur = self._read_entries(cand, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
-        touched = self._touched_files(matched, col="_dv_base", active=active)
+        touched, deleted = self._touched_counts(
+            matched, col="_dv_base", active=active
+        )
         if not touched:
             matched.unpersist()
             return {"deleted": 0, "rewritten_files": 0, "version": v}
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
-        deleted = matched.count()
         # Rebase guard: concurrently-appended rows matching the
         # predicate must conflict, not silently survive the delete.
         probe = (
@@ -4697,7 +4821,10 @@ class LakeTable:
         change rows under a stale logical name — ``changes()`` aliases
         them back through the current mapping exactly like data files."""
         df = _to_physical(df, schema)
-        df.write.mode("overwrite").parquet(
+        # same file-sizing rule as data writes: a small change set lands
+        # as one file, not (task count) KB shards every changes() reader
+        # then re-pays in listing and per-file opens
+        _size_coalesce(df).write.mode("overwrite").parquet(
             os.path.join(self.path, _CDF, f"{version:020d}")
         )
 

@@ -38,6 +38,20 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE (advisory 64 MB), not
+        # toward default parallelism: with the default parallelismFirst=
+        # true AQE keeps ~core-count tiny partitions "for parallelism",
+        # which at any scale leaves reduce tasks far below the 100 MB-
+        # 1 GB band the shuffle-efficiency guidance targets (and on
+        # KB-sized working sets schedules 32 tasks where 1 suffices).
+        # Size-based coalescing is scale-adaptive by construction: the
+        # SAME setting yields 1 partition for a KB aggregate and
+        # thousands for a 100 TB shuffle. Spark's own config reference
+        # recommends parallelismFirst=false in real clusters.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("MDL_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",

@@ -24,6 +24,10 @@ def _mk(spark, tmp_path, rows=100, files=4):
         .withColumn("k", F.col("id"))
         .withColumn("v", (F.col("id") * 10).cast("long"))
         .drop("id")
+        # explicit layout request (no-op narrow coalesce): the writer's
+        # size-based file coalescing honors a caller-chosen repartition,
+        # so the fixture keeps exactly `files` contiguous-k files
+        .coalesce(files)
     )
     return LakeTable.create(spark, str(tmp_path / "t"), df)
 
@@ -410,6 +414,7 @@ class TestLakeClustering:
             .withColumn("k", (F.col("id") * 37) % 400)  # scrambles order
             .withColumn("v", F.col("id"))
             .drop("id")
+            .coalesce(4)  # explicit layout: keep 4 scrambled files
         )
         t = LakeTable.create(spark, str(tmp_path / "t"), df)
         assert len(t.files_overlapping("k", 10, 20)) == 4  # no skipping
@@ -2083,14 +2088,14 @@ def test_rebase_conflicts_on_concurrent_append_of_matching_rows(
 
     # --- predicate delete (dv mode) vs matching append: conflict too.
     # DV mode never rewrites data files, so interleave the racer via
-    # _touched_files (called between snapshot and commit).
+    # _touched_counts (called between snapshot and commit).
     import json as _json
 
     t4 = _mk(spark, tmp_path / "d", rows=20, files=1)
     racer4 = t4._write_files(
         spark.createDataFrame([(7, 70)], "k long, v long")
     )
-    orig_tf = type(t4)._touched_files
+    orig_tf = type(t4)._touched_counts
 
     def hooked_tf(marker, col="_f", active=None):
         out = orig_tf(t4, marker, col=col, active=active)
@@ -2107,10 +2112,10 @@ def test_rebase_conflicts_on_concurrent_append_of_matching_rows(
             pass
         return out
 
-    t4._touched_files = hooked_tf
+    t4._touched_counts = hooked_tf
     with pytest.raises(CommitConflict, match="concurrent append"):
         t4.delete("k = 7", dv=True)
-    del t4._touched_files
+    del t4._touched_counts
     assert t4.read().filter("k = 7").count() == 2
 
 
