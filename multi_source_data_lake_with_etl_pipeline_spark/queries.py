@@ -172,6 +172,28 @@ def _eager_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return _finalize_release(out, *cached)
 
 
+def _sym_diff_count(a: DataFrame, b: DataFrame, cols: list[str]) -> int:
+    """Rows present in exactly one side (set compare on ``cols``): ONE
+    full-outer-join action replaces the two anti-join ``.count()``
+    actions the parity audits used to run — each of those was its own
+    Spark job with a full pass over both inputs. Equivalence: an
+    equality join leaves NULL-keyed rows unmatched on both paths, so a
+    row that an anti-join would count surfaces here with the other
+    side's marker NULL; duplicate rows multiply matched pairs, never a
+    NULL marker, so the verdict matches the anti-join pair exactly."""
+    la = a.select(*cols).withColumn("_l", F.lit(1))
+    rb = b.select(*cols).withColumn("_r", F.lit(1))
+    row = (
+        la.join(rb, cols, "full_outer")
+        .agg(
+            F.sum(F.col("_l").isNull().cast("long")).alias("extra"),
+            F.sum(F.col("_r").isNull().cast("long")).alias("missing"),
+        )
+        .collect()[0]
+    )
+    return int(row["missing"] or 0) + int(row["extra"] or 0)
+
+
 _DRAINED: dict[tuple[int, str], str] = {}
 
 
@@ -3826,9 +3848,9 @@ def mv_incremental_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained = maintain_aggregate(view, t.changes(base_version), keys, sums)
     recomputed = aggregate_snapshot(t.read(), keys, sums)
     cols = [*keys, "o_totalprice_sum", "_record_count"]
-    missing = recomputed.join(maintained, cols, "left_anti").count()
-    extra = maintained.join(recomputed, cols, "left_anti").count()
-    return spark.createDataFrame([(missing + extra,)], "violations long")
+    # one full-outer pass for both directions (was two anti-join counts)
+    violations = _sym_diff_count(recomputed, maintained, cols)
+    return spark.createDataFrame([(violations,)], "violations long")
 
 
 # Blocked fuzzy string join (entity resolution): same-nation customer
@@ -10151,10 +10173,8 @@ def dv_delete_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = ta.delete_keys(keys, "l_orderkey", dv=True)
     rb = tb.delete_keys(keys, "l_orderkey", dv=False)
     a, b = ta.read(), tb.read()
-    cols = a.columns
-    mism = (
-        a.join(b, cols, "left_anti").count() + b.join(a, cols, "left_anti").count()
-    )
+    # one full-outer pass for both directions (was two anti-join counts)
+    mism = _sym_diff_count(a, b, a.columns)
     out = a.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(ra["deleted"]).cast("long").alias("n_deleted"),
@@ -10369,9 +10389,9 @@ def dv_merge_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = ta.merge(src, "k", dv=True)
     mb = tb.merge(src, "k", dv=False)
     a, b = ta.read(), tb.read()
+    # one full-outer pass for both directions (was two anti-join counts)
     mism = (
-        a.join(b, a.columns, "left_anti").count()
-        + b.join(a, a.columns, "left_anti").count()
+        _sym_diff_count(a, b, a.columns)
         + abs(ma["updated"] - mb["updated"])
         + abs(ma["inserted"] - mb["inserted"])
     )
