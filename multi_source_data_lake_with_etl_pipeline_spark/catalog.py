@@ -35,16 +35,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# File-identity-keyed METADATA caches (guide §6: table formats keep
+# schema/manifest metadata so readers stop re-reading file footers on
+# every scan — the same ~50-80 ms of driver work was being paid per
+# load_table call here: one pyarrow footer sniff + one Spark schema
+# inference). Keys carry (path, size, mtime), so a rewritten input
+# invalidates naturally. Only SCHEMAS are cached — pure metadata;
+# every query still scans the parquet bytes, nothing result-shaped is
+# memoized.
+_NANOS_CACHE: dict[tuple, list[str]] = {}
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _stat_key(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_size, st.st_mtime)
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Footer-sniffed via pyarrow."""
+    vectorized reader rejects. Footer-sniffed via pyarrow (cached per
+    file identity)."""
+    key = _stat_key(path)
+    if key is not None and key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
     try:
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        out = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
     except Exception:
-        return []
+        out = []
+    if key is not None:
+        _NANOS_CACHE[key] = out
+    return out
 
 
 SILVER_DIR = os.environ.get("SPARK_GRAFT_SILVER_DIR", "/tmp/mdl_silver")
@@ -133,9 +160,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Plain ``spark.read.parquet`` so Catalyst
     gets full predicate pushdown + column pruning on the scan; tables
     with un-scannable raw types are served from their silver copy
-    (see ``silver_path``)."""
+    (see ``silver_path``). The parquet schema is cached per file
+    identity (size+mtime) and pinned on repeat reads — skipping
+    Spark's footer-inference round per call, the manifest-metadata
+    idea of guide §6 applied to the session catalog; the scan itself
+    is unchanged (same schema bytes the footer would yield)."""
     silver = silver_path(spark, sf_dir, name)
-    return spark.read.parquet(silver or table_path(sf_dir, name))
+    p = silver or table_path(sf_dir, name)
+    key = _stat_key(p)
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return spark.read.schema(cached).parquet(p)
+    df = spark.read.parquet(p)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_tables(

@@ -355,7 +355,10 @@ def _explicit_layout(df: DataFrame) -> bool:
             name = node.getClass().getSimpleName()
             if name.startswith("Repartition"):  # Repartition / ...ByExpression
                 return True
-            if name in ("Sort", "Project"):
+            if name in ("Sort", "Project", "CollectMetrics"):
+                # CollectMetrics: fused-validation observations ride the
+                # write batch (see _write_files observe=) — they carry
+                # no layout intent, look through them like projections
                 node = node.children().head()
                 continue
             return False
@@ -1629,6 +1632,43 @@ class LakeTable:
             + f"; sample for {first!r}: {[r.asDict() for r in sample]}"
         )
 
+    def _fused_constraints(
+        self, frame_for_msg: DataFrame, cons: dict[str, str] | None = None
+    ) -> tuple[dict, "callable | None"]:
+        """CHECK-constraint enforcement fused into a write job: returns
+        ``(observe_metrics, validate)`` for :meth:`_write_files` —
+        violation counts ride the write's own pass (guide §1.2: one
+        fewer full scan per mutating commit) and ``validate`` aborts
+        BEFORE any file is renamed into data/, so a rejected batch
+        still lands nothing. Only safe for frames containing EXACTLY
+        the rows to validate (a rewrite frame that copies old rows
+        through must not use this: restore is documented to re-admit
+        rows violating a later constraint, and re-checking them here
+        would reject an unrelated update). The exact per-constraint
+        counts and row samples for the error message come from one
+        re-scan of ``frame_for_msg`` — failure path only, same cost
+        the eager check paid there."""
+        cons = self.constraints() if cons is None else cons
+        if not cons:
+            return {}, None
+        viol = {
+            n: F.expr(f"coalesce(not ({p}), false)") for n, p in cons.items()
+        }
+        metrics = {
+            f"_viol_{n}": F.sum(v.cast("bigint")) for n, v in viol.items()
+        }
+        def validate(observed: dict) -> None:
+            if any(int(observed[f"_viol_{n}"] or 0) for n in cons):
+                # raises with exact counts + samples (deterministic
+                # batch: the re-scan sees the same violations)
+                self._check_constraints(frame_for_msg, cons)
+                raise ConstraintViolation(
+                    "CHECK constraint(s) violated during the write, "
+                    "commit rejected (re-scan found no violating rows — "
+                    "non-deterministic batch?)"
+                )
+        return metrics, validate
+
     def _checkpoint_at_or_before(
         self, v: int
     ) -> tuple[int, list[dict], dict | None, list[str], list[str]] | None:
@@ -2007,6 +2047,8 @@ class LakeTable:
         schema: StructType | None = None,
         partition_phys: list[str] | None = None,
         optimized: bool | None = None,
+        observe: dict | None = None,
+        validate=None,
     ) -> list[dict]:
         """Materialize ``df`` as immutable data files; returns their add
         entries (with footer stats). Files land under data/ with UUID
@@ -2026,7 +2068,38 @@ class LakeTable:
         partition-discovers them back at read), their values recorded
         on the add entry and injected into its stats as exact [v, v]
         ranges + null counts — so partition pruning IS the existing
-        metadata file-skipping, evaluated before any listing."""
+        metadata file-skipping, evaluated before any listing.
+
+        ``observe``: {name: aggregate Column} metrics that ride the
+        write job itself via an Observation over the batch's LOGICAL
+        columns (guide §1.2: validations and counts that used to be
+        their own Spark actions fuse into the write's single pass).
+        When given, the return value is ``(adds, observed_dict)``.
+        ``validate``: callable invoked with the observed metrics AFTER
+        the staging write but BEFORE any file is renamed into data/ —
+        raising aborts the write with nothing landed, preserving the
+        validate-before-any-file-lands contract at zero extra actions."""
+        obs_user = None
+        if observe:
+            from pyspark.sql import Observation
+
+            obs_user = Observation()
+            df = df.observe(
+                obs_user, *[c.alias(n) for n, c in observe.items()]
+            )
+
+        def _validated(tmp_dir: str) -> dict | None:
+            if obs_user is None:
+                return None
+            got = obs_user.get
+            if validate is not None:
+                try:
+                    validate(got)
+                except BaseException:
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                    raise
+            return got
+
         df = _to_physical(df, schema)
         if partition_phys is None:
             partition_phys = self._partition_phys()
@@ -2041,6 +2114,7 @@ class LakeTable:
             # instead of (task count) KB shards.
             df = _size_coalesce(df)
             df.write.mode("overwrite").parquet(tmp)
+            observed = _validated(tmp)
             adds = []
             for fname in sorted(os.listdir(tmp)):
                 if not fname.endswith(".parquet"):
@@ -2062,7 +2136,7 @@ class LakeTable:
                     }
                 )
             shutil.rmtree(tmp)
-            return adds
+            return (adds, observed) if observe else adds
         from urllib.parse import unquote
 
         missing = [c for c in partition_phys if c not in df.columns]
@@ -2130,6 +2204,7 @@ class LakeTable:
                 ],
             )
         df.write.partitionBy(*partition_phys).mode("overwrite").parquet(tmp)
+        observed = _validated(tmp)
         if obs is not None:
             bad = [c for c, n in obs.get.items() if n]
             if bad:
@@ -2195,7 +2270,7 @@ class LakeTable:
                     }
                 )
         shutil.rmtree(tmp)
-        return adds
+        return (adds, observed) if observe else adds
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, rel)
@@ -3025,7 +3100,9 @@ class LakeTable:
         # batch slip under it
         v = self.latest_version() + 1
         cons = self.constraints(v - 1)
-        self._check_constraints(df, cons)
+        # constraint validation rides the write job itself (one pass,
+        # guide §1.2); violations abort before any file lands in data/
+        obs_c, val_c = self._fused_constraints(df, cons)
         schema = _union_schema()
         # physical names the files are written with — pinned; a retry
         # whose recomputed schema maps any batch column elsewhere (a
@@ -3036,7 +3113,12 @@ class LakeTable:
             for f in schema.fields
             if f.name in df.columns
         }
-        adds = self._write_files(df, schema)
+        if obs_c:
+            adds, _ = self._write_files(
+                df, schema, observe=obs_c, validate=val_c
+            )
+        else:
+            adds = self._write_files(df, schema)
         n_appended = sum(int(a.get("rows", 0)) for a in adds)
         commit_props = fin_id(dict(props_base)) if fin_id is not None else None
         for _ in range(21):
@@ -3117,7 +3199,10 @@ class LakeTable:
             id_props_base = self.props(v)
             df, fin_id = self._assign_identity(df, schema, id_props_base)
         cons = self.constraints(v)
-        self._check_constraints(df, cons)
+        # fused into the write below (guide §1.2); a replayed batch
+        # (dedup return) skips straight to its no-op without a
+        # validation scan — it was validated when it first committed
+        obs_c, val_c = self._fused_constraints(df, cons)
         last = self.last_committed_batch(app_id)
         if last is not None and batch_id <= last:
             return None
@@ -3135,7 +3220,12 @@ class LakeTable:
                     f"{have.dataType.simpleString()}, batch has "
                     f"{f.dataType.simpleString()}"
                 )
-        adds = self._write_files(df, schema)
+        if obs_c:
+            adds, _ = self._write_files(
+                df, schema, observe=obs_c, validate=val_c
+            )
+        else:
+            adds = self._write_files(df, schema)
         # The txn marker rides the commit record itself, so a crash can
         # never separate "data visible" from "batch recorded" — replay
         # after any crash point is correct (either the commit exists
@@ -3248,8 +3338,14 @@ class LakeTable:
             df, fin_id = self._assign_identity(
                 df, StructType(id_fields), base_props
             )
-        self._check_constraints(df)
-        adds = self._write_files(df, partition_phys=part_logical)
+        obs_c, val_c = self._fused_constraints(df)  # rides the write
+        if obs_c:
+            adds, _ = self._write_files(
+                df, partition_phys=part_logical, observe=obs_c,
+                validate=val_c,
+            )
+        else:
+            adds = self._write_files(df, partition_phys=part_logical)
         schema = df.schema
         dmap = {
             f.name: _default_expr(f)
@@ -3424,15 +3520,28 @@ class LakeTable:
         if any(_identity_spec(f) for f in schema.fields):
             id_props_base = self.props(v)
             df, fin_id = self._assign_identity(df, schema, id_props_base)
-        self._check_constraints(df)
+        # constraint + stray-row validation both ride the write job
+        # below (guide §1.2: two standalone scans of the batch fold
+        # into the write's single pass); either violation aborts before
+        # any file is renamed into data/, same contract as before.
+        obs_c, val_c = self._fused_constraints(df)
         # NULL predicate rows are OUTSIDE the region (SQL boolean)
-        stray = df.filter(F.expr(f"coalesce(not ({predicate}), true)"))
-        if stray.limit(1).count():
-            sample = [r.asDict() for r in stray.limit(3).collect()]
-            raise ValueError(
-                f"replace_where: batch rows fall outside the predicate "
-                f"region ({predicate}), e.g. {sample}"
-            )
+        stray_pred = F.expr(f"coalesce(not ({predicate}), true)")
+        obs_c["_stray"] = F.sum(stray_pred.cast("bigint"))
+
+        def _validate(observed: dict) -> None:
+            if val_c is not None:
+                val_c(observed)
+            if int(observed["_stray"] or 0):
+                sample = [
+                    r.asDict()
+                    for r in df.filter(stray_pred).limit(3).collect()
+                ]
+                raise ValueError(
+                    f"replace_where: batch rows fall outside the predicate "
+                    f"region ({predicate}), e.g. {sample}"
+                )
+
         targets = self._matching_entries(active, predicate, schema)
         # partition evolution: files from an earlier layout have no
         # current-layout metadata — replaceWhere is a WHOLE-FILE
@@ -3456,7 +3565,9 @@ class LakeTable:
                     f"({predicate}) — run compact() to rewrite them into "
                     "the current layout first"
                 )
-        adds = self._write_files(df, schema)
+        adds, _ = self._write_files(
+            df, schema, observe=obs_c, validate=_validate
+        )
         n_rows = sum(int(a.get("rows", 0)) for a in adds)
         probe = lambda ents: bool(  # noqa: E731 — metadata-only probe
             self._matching_entries(ents, predicate, schema)
@@ -3496,8 +3607,13 @@ class LakeTable:
         if any(_identity_spec(f) for f in schema.fields):
             id_props_base = self.props(v)
             df, fin_id = self._assign_identity(df, schema, id_props_base)
-        self._check_constraints(df)
-        adds = self._write_files(df, schema)
+        obs_c, val_c = self._fused_constraints(df)  # rides the write
+        if obs_c:
+            adds, _ = self._write_files(
+                df, schema, observe=obs_c, validate=val_c
+            )
+        else:
+            adds = self._write_files(df, schema)
         new_keys = {
             tuple(a["partition"].get(p) for p in pp) for a in adds
         }
@@ -3730,7 +3846,11 @@ class LakeTable:
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.join(ks, key, "left_anti")
-            adds = self._write_files(keep, schema) if keep.limit(1).count() else []
+            # no emptiness pre-probe: a zero-row write lands no files
+            # (rows==0 splits are dropped), so writing directly costs
+            # the same one action the probe did — and saves it when
+            # rows survive (the common case)
+            adds = self._write_files(keep, schema)
             new_v = self._commit_checked(
                 v, "delete", adds, touched, schema, t_entries, read_probe=probe,
                 metrics={"rows_deleted": deleted, "files_rewritten": len(touched)},
@@ -3771,27 +3891,55 @@ class LakeTable:
         their replacements)."""
         new_pos = matched.select("_dv_base", "_dv_pos")
         prior = self._active_dv_positions(t_entries)
+        bases = [os.path.basename(a["path"]) for a in t_entries]
         if prior is not None:
-            bases = [os.path.basename(a["path"]) for a in t_entries]
             new_pos = new_pos.unionByName(
                 prior.filter(F.col("_dv_base").isin(bases))
             ).distinct()
         os.makedirs(self._dv_dir, exist_ok=True)
         dv_name = f"{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        # per-file deleted-row counts ride the sidecar write itself
+        # (guide §1.2) instead of re-reading the file just written —
+        # one conditional-sum per touched base, observed over EXACTLY
+        # the rows landing in the sidecar. Falls back to the re-read
+        # for very wide touch sets where a per-base expression list
+        # would bloat the plan.
+        obs = None
+        if len(bases) <= 64:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_pos = new_pos.observe(
+                obs,
+                *[
+                    F.sum(
+                        (F.col("_dv_base") == F.lit(b)).cast("bigint")
+                    ).alias(f"_b{i}")
+                    for i, b in enumerate(bases)
+                ],
+            )
         new_pos.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
         os.rename(
             os.path.join(tmp, part[0]), os.path.join(self._dv_dir, dv_name)
         )
         shutil.rmtree(tmp)
-        counts = {
-            r["_dv_base"]: r["n"]
-            for r in self.spark.read.parquet(os.path.join(self._dv_dir, dv_name))
-            .groupBy("_dv_base")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if obs is not None:
+            got = obs.get
+            counts = {
+                b: int(got[f"_b{i}"] or 0) for i, b in enumerate(bases)
+            }
+        else:
+            counts = {
+                r["_dv_base"]: r["n"]
+                for r in self.spark.read.parquet(
+                    os.path.join(self._dv_dir, dv_name)
+                )
+                .groupBy("_dv_base")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         adds = [
             {
                 **a,
@@ -3964,12 +4112,15 @@ class LakeTable:
         src = source.persist()
         # merge output rows are exactly the source rows (source wins on
         # match) plus untouched old rows — validating the source batch
-        # covers every row the commit can introduce
-        try:
-            self._check_constraints(src)
-        except ConstraintViolation:
-            src.unpersist()
-            raise
+        # covers every row the commit can introduce. The violation
+        # counts ride the updated/inserted count aggregate below
+        # (guide §1.2: no standalone validation scan); a violation
+        # raises there, before any file or commit is written.
+        cons = self.constraints(v)
+        viol = {
+            n: F.expr(f"coalesce(not ({p}), false)")
+            for n, p in (cons or {}).items()
+        }
         src_keys = src.select(key).distinct()
         matched_old = cur.join(src_keys, key, "left_semi").persist()
         touched = self._touched_files(matched_old, col="_dv_base", active=active)
@@ -3986,9 +4137,23 @@ class LakeTable:
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.count("_mk").alias("_u"),
+                *[
+                    F.sum(v.cast("bigint")).alias(f"_viol_{n}")
+                    for n, v in viol.items()
+                ],
             )
             .collect()[0]
         )
+        if any(int(row[f"_viol_{n}"] or 0) for n in viol):
+            src.unpersist()
+            matched_old.unpersist()
+            # exact counts + samples for the message — failure path only
+            self._check_constraints(src, cons)
+            raise ConstraintViolation(
+                "CHECK constraint(s) violated during merge counts, "
+                "commit rejected (re-scan found no violating rows — "
+                "non-deterministic source?)"
+            )
         updated = int(row["_u"])
         inserted = int(row["_n"]) - updated
         # Rebase guard: an append interleaving one of OUR source keys
@@ -4436,25 +4601,48 @@ class LakeTable:
         n_deleted = sum(int(r["d"] or 0) for r in grp_rows)
         by_path = {a["path"]: a for a in active}
         t_entries = [by_path[p] for p in touched]
-        n_inserted = ins_df.count() if ins_df is not None else 0
-        if n_inserted == 0:
-            ins_df = None
-        # watermark observed during the count above; empty insert = no-op
+        # Writes with FUSED validation + counting (guide §1.2): each
+        # frame's CHECK-constraint counts ride its own write job (both
+        # frames contain exactly the rows the commit introduces), and
+        # the insert count that used to be its own action is observed
+        # during the insert write — violations abort before any file
+        # is renamed into data/, exactly the old contract. An empty
+        # insert frame writes no files (zero-row splits are dropped),
+        # so the empty-insert fast path is preserved at the same cost
+        # (the standalone count was one action too).
+        cons = self.constraints(v)
+        new_files = []
+        n_inserted = 0
+        try:
+            if upd_df is not None and n_updated:
+                fr = upd_df.drop("_dv_base", "_dv_pos")
+                obs_c, val_c = self._fused_constraints(fr, cons)
+                if obs_c:
+                    a, _ = self._write_files(
+                        fr, schema, observe=obs_c, validate=val_c
+                    )
+                else:
+                    a = self._write_files(fr, schema)
+                new_files += a
+            if ins_df is not None:
+                obs_c, val_c = self._fused_constraints(
+                    ins_df.select(*data_cols), cons
+                )
+                obs_c["_cnt"] = F.count(F.lit(1))
+                a, observed = self._write_files(
+                    ins_df, schema, observe=obs_c, validate=val_c
+                )
+                n_inserted = int(observed["_cnt"] or 0)
+                if n_inserted == 0:
+                    ins_df = None  # empty insert = no-op (no CDF rows)
+                else:
+                    new_files += a
+        except ConstraintViolation:
+            for f_ in (src, joined, tgt_acting):
+                f_.unpersist()
+            raise
+        # watermark observed during the insert write above
         id_props = fin_id(dict(id_props_base)) if fin_id is not None else None
-        # constraint validation over every row the commit introduces
-        # (BEFORE any file or commit lands; empty frames skip the pass)
-        check_frames = []
-        if upd_df is not None and n_updated:
-            check_frames.append(upd_df.drop("_dv_base", "_dv_pos"))
-        if ins_df is not None:
-            check_frames.append(ins_df.select(*data_cols))
-        for frame in check_frames:
-            try:
-                self._check_constraints(frame)
-            except ConstraintViolation:
-                for f_ in (src, joined, tgt_acting):
-                    f_.unpersist()
-                raise
 
         # Rebase guard: a concurrent append row is in this merge's read
         # set if it can match the ON condition against our source — or
@@ -4481,16 +4669,6 @@ class LakeTable:
             "files_rewritten": 0 if dv else len(touched),
             "files_partition_pruned": pruned_files,
         }
-        new_files = []
-        for frame, n_rows in (
-            (
-                upd_df.drop("_dv_base", "_dv_pos") if upd_df is not None else None,
-                n_updated,
-            ),
-            (ins_df, n_inserted),
-        ):
-            if frame is not None and n_rows:
-                new_files += self._write_files(frame, schema)
         if dv:
             acted_pos = tgt_acting.select(
                 F.col("tgt._dv_base").alias("_dv_base"),
@@ -4520,8 +4698,8 @@ class LakeTable:
                     ["_dv_base", "_dv_pos"],
                     "left_anti",
                 ).select(*data_cols)
-                if keep.limit(1).count():
-                    adds += self._write_files(keep, schema)
+                # zero-row writes land no files — no emptiness pre-probe
+                adds += self._write_files(keep, schema)
             new_v = self._commit_checked(
                 v, "merge", adds, touched, schema, t_entries,
                 read_probe=probe, metrics=metrics, props=id_props,
@@ -4602,17 +4780,9 @@ class LakeTable:
         cand = self._partition_candidates(active, predicate, schema)
         cur = self._read_entries(cand, schema, keep_meta=True)
         matched = cur.filter(cond).persist()
-        touched, n_updated = self._touched_counts(
-            matched, col="_dv_base", active=active
-        )
-        if not touched:
-            matched.unpersist()
-            return {"updated": 0, "rewritten_files": 0, "version": v}
-        by_path = {a["path"]: a for a in active}
-        t_entries = [by_path[p] for p in touched]
         data_cols = [f.name for f in schema.fields]
 
-        def _assigned(df: DataFrame) -> DataFrame:
+        def _assigned(df: DataFrame, keep: tuple = ()) -> DataFrame:
             # simultaneous assignment: all exprs bind to the pre-update
             # row because they evaluate in ONE select over it
             out = df.select(
@@ -4621,7 +4791,8 @@ class LakeTable:
                     if c in assignments
                     else F.col(c)
                     for c in data_cols
-                ]
+                ],
+                *[F.col(k) for k in keep],
             )
             # recompute generated columns against the new values
             for f in schema.fields:
@@ -4631,11 +4802,59 @@ class LakeTable:
             return out
 
         post = _assigned(matched.select(*data_cols))
-        try:
-            self._check_constraints(post)
-        except ConstraintViolation:
+        cons = self.constraints(v)
+        if cons:
+            # The POST-update constraint check rides the SAME grouped
+            # aggregate that finds touched files + the update count
+            # (guide §1.2: one pass, not two). It must see exactly the
+            # updated rows — never the copied-through rows of the
+            # rewrite frame, which restore may legally have re-admitted
+            # in violation of a later constraint.
+            viol = {
+                n: F.expr(f"coalesce(not ({p}), false)")
+                for n, p in cons.items()
+            }
+            grp = (
+                _assigned(matched, keep=("_dv_base",))
+                .groupBy("_dv_base")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(x.cast("bigint")).alias(f"_viol_{n}")
+                        for n, x in viol.items()
+                    ],
+                )
+                .collect()
+            )
+            if any(int(r[f"_viol_{n}"] or 0) for r in grp for n in viol):
+                matched.unpersist()
+                # exact counts + samples for the message — failure path
+                self._check_constraints(post, cons)
+                raise ConstraintViolation(
+                    "CHECK constraint(s) violated during update counts, "
+                    "commit rejected (re-scan found no violating rows — "
+                    "non-deterministic assignments?)"
+                )
+            by_base = {
+                os.path.basename(a["path"]): a["path"] for a in active
+            }
+            touched = sorted(
+                {
+                    by_base[base]
+                    for r in grp
+                    if (base := os.path.basename(r["_dv_base"])) in by_base
+                }
+            )
+            n_updated = sum(int(r["_n"]) for r in grp)
+        else:
+            touched, n_updated = self._touched_counts(
+                matched, col="_dv_base", active=active
+            )
+        if not touched:
             matched.unpersist()
-            raise
+            return {"updated": 0, "rewritten_files": 0, "version": v}
+        by_path = {a["path"]: a for a in active}
+        t_entries = [by_path[p] for p in touched]
         probe = (
             lambda ents: self._read_entries(ents, schema)
             .filter(cond)
@@ -4743,7 +4962,8 @@ class LakeTable:
         else:
             affected = self._read_entries(t_entries, schema)
             keep = affected.filter(~cond)
-            adds = self._write_files(keep, schema) if keep.limit(1).count() else []
+            # zero-row writes land no files — no emptiness pre-probe
+            adds = self._write_files(keep, schema)
             new_v = self._commit_checked(
                 v, "delete", adds, touched, schema, t_entries, read_probe=probe,
                 metrics={"rows_deleted": deleted, "files_rewritten": len(touched)},

@@ -812,3 +812,34 @@ def test_yamlite_rejects_yaml_only_escapes_with_line_context():
     dumped = yaml.safe_dump([{"a": "ok", "b": "bell\x07"}])
     with pytest.raises(ValueError):
         yamlite.parse(dumped)
+
+
+def test_load_table_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Round-10 optimization: load_table pins the parquet schema per
+    file identity (size+mtime) to skip footer re-inference. A rewrite
+    of the file must invalidate the entry — a stale schema would
+    mis-read the new bytes."""
+    import os
+    import time as _time
+
+    from multi_source_data_lake_with_etl_pipeline_spark.catalog import (
+        load_table,
+    )
+
+    sf = str(tmp_path)
+    p = os.path.join(sf, "tbl.parquet")
+    spark.createDataFrame([(1, "a")], "k long, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    df1 = load_table(spark, sf, "tbl")
+    assert set(df1.columns) == {"k", "s"}
+    assert df1.count() == 1
+    df1b = load_table(spark, sf, "tbl")  # served from the cache
+    assert df1b.schema == df1.schema and df1b.count() == 1
+    _time.sleep(0.01)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "k long, s string, x double"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df2 = load_table(spark, sf, "tbl")  # new identity -> re-inferred
+    assert set(df2.columns) == {"k", "s", "x"}
+    assert df2.count() == 1

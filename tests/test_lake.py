@@ -1379,8 +1379,8 @@ def test_delete_keys_loses_commit_race_loudly(spark, tmp_path):
     }
     orig = t._write_files
 
-    def hooked(df, schema=None):
-        adds = orig(df, schema)
+    def hooked(df, schema=None, **kw):
+        adds = orig(df, schema, **kw)
         with open(os.path.join(t._log_dir, f"{1:020d}.json"), "x") as f:
             _json.dump(racer, f)  # the racer wins version 1 mid-rewrite
         return adds
@@ -1916,8 +1916,8 @@ def test_rebase_raises_when_concurrent_rewrite_steals_touched_file(spark, tmp_pa
     victim = t._snapshot()[1][0]
     orig = t._write_files
 
-    def hooked(df, schema=None):
-        adds = orig(df, schema)
+    def hooked(df, schema=None, **kw):
+        adds = orig(df, schema, **kw)
         # the racer compacts the victim into a new file mid-rewrite
         racer = {
             "version": 1, "op": "compact", "ts": 0,
@@ -2019,8 +2019,8 @@ def _racer_append_hook(t, racer_adds):
 
     orig = type(t)._write_files
 
-    def hooked(df, schema=None):
-        adds = orig(t, df, schema)
+    def hooked(df, schema=None, **kw):
+        adds = orig(t, df, schema, **kw)
         v = t.latest_version() + 1
         racer = {
             "version": v, "op": "append", "ts": 0,
@@ -2320,8 +2320,8 @@ class TestCheckConstraints:
         t2 = _mk(spark, tmp_path / "b", rows=5, files=1)
         orig_wf = type(t2)._write_files
 
-        def hooked_wf(df, schema=None):
-            adds = orig_wf(t2, df, schema)
+        def hooked_wf(df, schema=None, **kw):
+            adds = orig_wf(t2, df, schema, **kw)
             if not t2.constraints():
                 # the "other writer": commits v_nonneg while our append
                 # is writing its (violating) files
@@ -2456,8 +2456,8 @@ class TestColumnMapping:
         t = _mk(spark, tmp_path, rows=5, files=1)
         orig = type(t)._write_files
 
-        def hooked(df, schema=None):
-            adds = orig(t, df, schema)
+        def hooked(df, schema=None, **kw):
+            adds = orig(t, df, schema, **kw)
             if not hasattr(t, "_raced"):
                 t._raced = True
                 t2 = LakeTable.load(spark, t.path)
@@ -2824,8 +2824,8 @@ class TestRound7ReviewFixes:
 
         orig = type(t)._write_files
 
-        def hooked(df, schema=None):
-            adds = orig(t, df, schema)
+        def hooked(df, schema=None, **kw):
+            adds = orig(t, df, schema, **kw)
             v = t.latest_version() + 1
             racer = {
                 "version": v, "op": "append", "ts": 0,
@@ -2876,8 +2876,8 @@ class TestRound7ReviewFixes:
         t = _mk(spark, tmp_path, rows=5, files=1)
         orig = type(t)._write_files
 
-        def hooked(df, schema=None):
-            adds = orig(t, df, schema)
+        def hooked(df, schema=None, **kw):
+            adds = orig(t, df, schema, **kw)
             if not hasattr(t, "_raced_gen"):
                 t._raced_gen = True
                 LakeTable.load(spark, t.path).add_generated_column(
@@ -3202,8 +3202,8 @@ class TestPartitionedTables:
         other = LakeTable.load(spark, t.path)
         orig = type(t)._write_files
 
-        def hooked(self_, df, schema=None, partition_phys=None):
-            adds = orig(self_, df, schema, partition_phys)
+        def hooked(self_, df, schema=None, partition_phys=None, **kw):
+            adds = orig(self_, df, schema, partition_phys, **kw)
             if not getattr(t, "_raced", False):
                 t._raced = True
                 other.append(
@@ -3221,8 +3221,8 @@ class TestPartitionedTables:
             # disjoint racer: replace p=2 while the racer appends p=0
             t._raced = False
 
-            def hooked2(self_, df, schema=None, partition_phys=None):
-                adds = orig(self_, df, schema, partition_phys)
+            def hooked2(self_, df, schema=None, partition_phys=None, **kw):
+                adds = orig(self_, df, schema, partition_phys, **kw)
                 if not getattr(t, "_raced", False):
                     t._raced = True
                     other.append(
