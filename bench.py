@@ -68,8 +68,11 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    degraded: list[str] = []
     for name, fn in q.spark_queries().items():
         over_budget = time.perf_counter() - bench_start > budget_s
+        if over_budget:
+            degraded.append(name)
         got: list[float] = []
         attempts = 1 if over_budget else runs
         while attempts > 0:
@@ -106,6 +109,10 @@ def main() -> None:
             for n, xs in attempts_by_query.items()
             if len(xs) > 1
         },
+        # Queries the soft budget degraded to a SINGLE attempt (their
+        # median is one cold-ish shot, not a median-of-3): a round-
+        # over-round comparison should discount moves on these names.
+        "degraded_to_single_attempt": degraded,
     }
     if failures:
         full["failed_queries"] = failures
@@ -143,6 +150,11 @@ def main() -> None:
             "queries": slowest,
             "n_queries": len(timings),
             "n_failed": len(failures),
+            # How many queries the 420 s soft budget degraded to a
+            # single timed attempt (full name list in the detail
+            # file) — lets a PERF comparison discount single-shot
+            # numbers without changing any timed path.
+            "n_degraded": len(degraded),
             "audit_sec": audit_sec,
             "detail": detail_ref,
             "sf": sf_val,

@@ -48,11 +48,35 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _stat_key(path: str) -> tuple | None:
+    """Identity of a parquet input for the metadata caches.
+
+    Files: (path, size, mtime_ns) — nanosecond mtime, so an in-place
+    rewrite within 1 s on a coarse filesystem still changes the key.
+    Directory datasets: the root stat does NOT change when a file
+    inside a (possibly nested/partitioned) subdir is rewritten, so the
+    key folds in every contained data file's (relpath, size, mtime_ns)
+    — any rewrite, addition or removal anywhere under the root yields
+    a new key and the stale schema can never be served."""
     try:
         st = os.stat(path)
     except OSError:
         return None
-    return (path, st.st_size, st.st_mtime)
+    if not os.path.isdir(path):
+        return (path, st.st_size, st.st_mtime_ns)
+    files: list[tuple] = []
+    for dirpath, _dirs, names in os.walk(path):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden markers carry no schema
+            try:
+                fst = os.stat(os.path.join(dirpath, n))
+            except OSError:
+                continue
+            files.append(
+                (os.path.relpath(os.path.join(dirpath, n), path),
+                 fst.st_size, fst.st_mtime_ns)
+            )
+    return (path, st.st_mtime_ns, tuple(sorted(files)))
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

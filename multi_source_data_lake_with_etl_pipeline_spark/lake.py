@@ -45,8 +45,10 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,6 +162,55 @@ class ConstraintViolation(ValueError):
 
 def _ver_name(v: int) -> str:
     return f"{v:020d}.json"
+
+
+# ------------------------------------------------------------------ log cache
+# Parsed commit-log caches (guide §1.2: stop re-doing identical driver
+# work between Spark actions). The r10 dissect attributed ~50% of the
+# lake audits' wall to inter-job driver gaps, part of which is
+# re-reading and re-parsing the same immutable commit JSONs on every
+# _snapshot()/props()/history() call; at 100 TB scale a commit's add
+# list is thousands of entries and the replay is the dominant
+# metadata cost per operation.
+#
+# Safety model — exact, not heuristic:
+# - Commit files are IMMUTABLE by construction (O_EXCL create, never
+#   rewritten), so (log_dir, version) identifies content — except when
+#   a table is deleted and recreated at the same path (tests and temp
+#   dirs do this constantly). Every cached value therefore carries the
+#   stat signature (inode, size, mtime_ns) of its version's commit
+#   file and is revalidated with ONE os.stat per lookup; a recreated
+#   table yields a new signature and the stale entry is dropped.
+# - Concurrent writers (other threads/processes) only ever ADD new
+#   version files; discovery of the tail (`latest_version`) stays an
+#   uncached listdir, so a cached replay can never hide a newer commit.
+# - Cached add-entry dicts are shared references; every consumer in
+#   this codebase treats snapshot entries as read-only (copy-on-modify
+#   via {**a, ...}) and _commit only serializes them.
+_LOG_CACHE_LOCK = threading.Lock()
+_COMMIT_CACHE: OrderedDict[tuple, tuple] = OrderedDict()  # (dir,v)->(sig,rec)
+_COMMIT_CACHE_CAP = 8192
+_REPLAY_CACHE: OrderedDict[tuple, tuple] = OrderedDict()  # (dir,v)->(sig,state)
+_REPLAY_CACHE_CAP = 2048
+_PROPS_CACHE: OrderedDict[tuple, tuple] = OrderedDict()  # (dir,v)->(sig,props)
+_PROPS_CACHE_CAP = 4096
+
+
+def _cache_get(cache: OrderedDict, key: tuple, sig) -> object | None:
+    with _LOG_CACHE_LOCK:
+        hit = cache.get(key)
+        if hit is None or hit[0] != sig:
+            return None
+        cache.move_to_end(key)
+        return hit[1]
+
+
+def _cache_put(cache: OrderedDict, cap: int, key: tuple, sig, val) -> None:
+    with _LOG_CACHE_LOCK:
+        cache[key] = (sig, val)
+        cache.move_to_end(key)
+        while len(cache) > cap:
+            cache.popitem(last=False)
 
 
 def _file_stats(abs_path: str) -> tuple[int, dict[str, list], dict[str, int]]:
@@ -905,9 +956,31 @@ class LakeTable:
             raise FileNotFoundError(f"empty log: {self._log_dir}")
         return vs[-1]
 
+    def _commit_sig(self, v: int) -> tuple | None:
+        """Stat signature of version ``v``'s commit file — the cache
+        validity token (None = no such commit file)."""
+        try:
+            st = os.stat(os.path.join(self._log_dir, _ver_name(v)))
+        except OSError:
+            return None
+        return (st.st_ino, st.st_size, st.st_mtime_ns)
+
     def _read_commit(self, v: int) -> dict:
+        """Parsed commit record (cached per file identity; commits are
+        immutable, so the signature only changes when a table is
+        recreated at the same path). The returned dict is SHARED with
+        the cache — callers must not mutate it."""
+        key = (self._log_dir, v)
+        sig = self._commit_sig(v)
+        if sig is not None:
+            rec = _cache_get(_COMMIT_CACHE, key, sig)
+            if rec is not None:
+                return rec
         with open(os.path.join(self._log_dir, _ver_name(v))) as f:
-            return json.load(f)
+            rec = json.load(f)
+        if sig is not None:
+            _cache_put(_COMMIT_CACHE, _COMMIT_CACHE_CAP, key, sig, rec)
+        return rec
 
     def history(self) -> list[dict]:
         """Commit metadata, newest first (op, version, ts, file deltas)."""
@@ -1060,18 +1133,31 @@ class LakeTable:
         fall back to the full walk; create() seeds props at version 0,
         so tables written by this code never walk past creation."""
         v = self.latest_version() if version is None else version
+        # cached per (log_dir, v) and validated against v's commit-file
+        # identity like _replay — callers mutate the returned dict, so
+        # a COPY is cached and a COPY is returned
+        key = (self._log_dir, v)
+        sig = self._commit_sig(v)
+        if sig is not None:
+            hit = _cache_get(_PROPS_CACHE, key, sig)
+            if hit is not None:
+                return dict(hit)
         floor, ck_props = -1, None
         ckpt = self._checkpoint_at_or_before(v)
         if ckpt is not None and ckpt[2] is not None:
             floor, ck_props = ckpt[0], ckpt[2]
+        out = dict(ck_props) if ck_props is not None else {}
         for cv in range(v, floor, -1):
             try:
                 c = self._read_commit(cv)
             except FileNotFoundError:
                 continue
             if "props" in c:
-                return dict(c["props"])
-        return dict(ck_props) if ck_props is not None else {}
+                out = dict(c["props"])
+                break
+        if sig is not None:
+            _cache_put(_PROPS_CACHE, _PROPS_CACHE_CAP, key, sig, dict(out))
+        return out
 
     # engine-owned property namespaces: they carry invariants their
     # dedicated APIs maintain (constraint predicates are validated,
@@ -1752,18 +1838,57 @@ class LakeTable:
         self, version: int | None = None
     ) -> tuple[int, list[dict], StructType, set[str], set[str]]:
         v = self.latest_version() if version is None else version
+        key = (self._log_dir, v)
+        sig = self._commit_sig(v)
+        # exact hit: the replayed state AT v, validated against v's
+        # commit-file identity (a recreated table changes the signature)
+        if sig is not None:
+            state = _cache_get(_REPLAY_CACHE, key, sig)
+            if state is not None:
+                active_d, schema, feats, wfeats = state
+                self._wf_cache = (v, frozenset(wfeats))
+                return v, list(active_d.values()), schema, set(feats), set(wfeats)
         start = 0
         active: dict[str, dict] = {}
         feats: set[str] = set()
         wfeats: set[str] = set()
-        ckpt = self._checkpoint_at_or_before(v)
-        if ckpt is not None:
-            start = ckpt[0] + 1
-            active = {a["path"]: a for a in ckpt[1]}
-            feats = set(ckpt[3])
-            # pre-writer-protocol checkpoints lack the key; such tables
-            # carry no writer stamps anywhere, so empty is exact
-            wfeats = set(ckpt[4] or [])
+        schema = None
+        # incremental extension: the nearest cached state at v' < v
+        # (validated the same way) replays only commits v'+1..v on a
+        # COPY — the common mutating-op pattern (_snapshot at v-1, then
+        # at v) walks one commit instead of the whole log
+        base = None
+        if sig is not None:
+            with _LOG_CACHE_LOCK:
+                cands = [
+                    k[1]
+                    for k in _REPLAY_CACHE
+                    if k[0] == self._log_dir and k[1] < v
+                ]
+            for v2 in sorted(cands, reverse=True):
+                s2 = self._commit_sig(v2)
+                if s2 is None:
+                    continue
+                st2 = _cache_get(_REPLAY_CACHE, (self._log_dir, v2), s2)
+                if st2 is not None:
+                    base = (v2, st2)
+                    break
+        if base is not None:
+            v2, (active_d2, schema2, feats2, wfeats2) = base
+            start = v2 + 1
+            active = dict(active_d2)
+            feats = set(feats2)
+            wfeats = set(wfeats2)
+            schema = schema2
+        else:
+            ckpt = self._checkpoint_at_or_before(v)
+            if ckpt is not None:
+                start = ckpt[0] + 1
+                active = {a["path"]: a for a in ckpt[1]}
+                feats = set(ckpt[3])
+                # pre-writer-protocol checkpoints lack the key; such tables
+                # carry no writer stamps anywhere, so empty is exact
+                wfeats = set(ckpt[4] or [])
         schema_json = None
         for cv in range(start, v + 1):
             try:
@@ -1777,9 +1902,20 @@ class LakeTable:
             feats.update(c.get("reader_features", []))
             wfeats.update(c.get("writer_features", []))
             schema_json = c["schema"]
-        if schema_json is None:  # checkpoint covered everything
-            schema_json = self._read_commit(v)["schema"]
-        schema = StructType.fromJson(json.loads(schema_json))
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        elif schema is None:  # checkpoint covered everything
+            schema = StructType.fromJson(
+                json.loads(self._read_commit(v)["schema"])
+            )
+        if sig is not None:
+            _cache_put(
+                _REPLAY_CACHE,
+                _REPLAY_CACHE_CAP,
+                key,
+                sig,
+                (dict(active), schema, frozenset(feats), frozenset(wfeats)),
+            )
         self._wf_cache = (v, frozenset(wfeats))
         return v, list(active.values()), schema, feats, wfeats
 
@@ -3524,6 +3660,14 @@ class LakeTable:
         # below (guide §1.2: two standalone scans of the batch fold
         # into the write's single pass); either violation aborts before
         # any file is renamed into data/, same contract as before.
+        # Error-precedence note (intentional trade, round 10): because
+        # validation now rides the write, a batch that BOTH contains
+        # stray rows AND overlaps a legacy-layout file reports the
+        # legacy-overlap error first (pre-fusion the stray error fired
+        # first), and an invalid batch pays the staging write before
+        # rejection — both rejections are loud ValueErrors and the
+        # table state is identical (nothing lands), so the saved scan
+        # on every VALID batch wins.
         obs_c, val_c = self._fused_constraints(df)
         # NULL predicate rows are OUTSIDE the region (SQL boolean)
         stray_pred = F.expr(f"coalesce(not ({predicate}), true)")
@@ -4605,11 +4749,16 @@ class LakeTable:
         # frame's CHECK-constraint counts ride its own write job (both
         # frames contain exactly the rows the commit introduces), and
         # the insert count that used to be its own action is observed
-        # during the insert write — violations abort before any file
-        # is renamed into data/, exactly the old contract. An empty
-        # insert frame writes no files (zero-row splits are dropped),
-        # so the empty-insert fast path is preserved at the same cost
-        # (the standalone count was one action too).
+        # during the insert write. A violating frame aborts its own
+        # write before any of ITS files is renamed into data/; files
+        # an earlier leg already landed are removed in the handler
+        # below — nothing was committed, so the un-referenced files
+        # were invisible to readers and the table state is unchanged
+        # (the old both-legs-validated-first contract, restored at the
+        # cost of the cleanup unlink instead of an extra action). An
+        # empty insert frame writes no files (zero-row splits are
+        # dropped), so the empty-insert fast path is preserved at the
+        # same cost (the standalone count was one action too).
         cons = self.constraints(v)
         new_files = []
         n_inserted = 0
@@ -4638,6 +4787,14 @@ class LakeTable:
                 else:
                     new_files += a
         except ConstraintViolation:
+            # the insert leg rejected AFTER the update leg landed its
+            # (uncommitted, reader-invisible) files — remove them so a
+            # rejected merge leaves no orphans for vacuum to find
+            for a_ in new_files:
+                try:
+                    os.remove(self._abs(a_["path"]))
+                except OSError:
+                    pass
             for f_ in (src, joined, tgt_acting):
                 f_.unpersist()
             raise

@@ -628,13 +628,17 @@ def pq_adc_topk(
     query: Sequence[float],
     topk: int = 10,
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate nearest neighbours by asymmetric distance: the query
     stays a float vector, database rows are PQ codes, distance = sum of
     m LUT lookups — pure JVM expression over a literal LUT (no UDF in
     the scoring scan), then TakeOrdered. The scan reads only the code
     column: at 100 TB this touches the 16x-compressed representation.
-    Returns (id, pq_dist) ascending."""
+    Returns (id, pq_dist) ascending. ``keep_cols``: extra columns of
+    ``encoded`` carried through to the result (e.g. ``pq_code`` so an
+    auditor can recompute the distance from the SAME row in one pass
+    instead of re-joining the encoded table)."""
     lut = pq_adc_lut(codebooks, query)
     m = len(lut)
     flat = [float(x) for sub in lut for x in sub]  # row-major (m, k)
@@ -650,7 +654,9 @@ def pq_adc_topk(
         ),
     )
     return (
-        encoded.select(id_col, F.round(dist, 6).alias("pq_dist"))
+        encoded.select(
+            id_col, F.round(dist, 6).alias("pq_dist"), *(keep_cols or [])
+        )
         .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )

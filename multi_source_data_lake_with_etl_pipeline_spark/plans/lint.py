@@ -51,12 +51,22 @@ class LintFinding:
 
 
 def _plan_text(df: DataFrame) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+    # Ask the JVM for the explain STRING directly (what DataFrame.explain
+    # prints) instead of capturing stdout: redirect_stdout swaps the
+    # PROCESS-global sys.stdout, so concurrent linters (thread-pooled
+    # sweeps) would capture each other's plans — and the direct call
+    # skips a print round trip.
+    try:
+        text = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # non-classic sessions: fall back to stdout capture
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
     # The Final Plan reflects AQE's actual choices; lint that when
     # present, else the whole text.
-    text = buf.getvalue()
     return text.split("== Initial Plan ==")[0]
 
 

@@ -38,16 +38,17 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions by SIZE (advisory 64 MB), not
-        # toward default parallelism: with the default parallelismFirst=
-        # true AQE keeps ~core-count tiny partitions "for parallelism",
-        # which at any scale leaves reduce tasks far below the 100 MB-
-        # 1 GB band the shuffle-efficiency guidance targets (and on
-        # KB-sized working sets schedules 32 tasks where 1 suffices).
-        # Size-based coalescing is scale-adaptive by construction: the
-        # SAME setting yields 1 partition for a KB aggregate and
-        # thousands for a 100 TB shuffle. Spark's own config reference
-        # recommends parallelismFirst=false in real clusters.
+        # AQE post-shuffle coalescing mode. Default = Spark's own
+        # default (parallelismFirst=true: keep ~core-count partitions
+        # for parallelism). The size-based alternative (false) was
+        # A/B'd in round 10 and LOST locally: at bench SFs the working
+        # sets are KB-MB, so size-based coalescing collapses reduce
+        # stages to 1-2 tasks and serializes compute that 32 tiny
+        # tasks finish faster (part_coorder_triangles 4.1->7.6 s).
+        # On a real cluster Spark's config reference recommends false
+        # (size-based targets the 100 MB-1 GB reduce-partition band),
+        # so the knob is exposed via MDL_AQE_PARALLELISM_FIRST for
+        # deployments while the local default stays measured-best.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             os.environ.get("MDL_AQE_PARALLELISM_FIRST", "true"),

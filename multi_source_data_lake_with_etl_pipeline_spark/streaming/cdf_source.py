@@ -273,10 +273,31 @@ class LakeCdfStreamReader(DataSourceStreamReader):
     def read(self, partition: _CdfPartition):
         """Executor-side: pyarrow scan of ONE parquet file, era→current
         projection, DV anti-filter for overwrite-removed files, hive
-        partition constants — yields tuples in output-schema order."""
+        partition constants.
+
+        Fast path (guide §4: Arrow batches across the Python boundary,
+        never per-row tuples): the whole projection is column-level
+        pyarrow work — reuse the file's buffers, fill constants, cast
+        to the output schema's exact Arrow types — and ONE RecordBatch
+        crosses to the JVM. The tuple path remains as a fallback for
+        any file/type combination the Arrow cast refuses, so a weird
+        era file degrades to the old behavior instead of failing."""
+        spec = partition.spec
+        try:
+            batches = self._read_arrow(spec)
+        except Exception:
+            batches = None
+        if batches is not None:
+            yield from batches
+            return
+        yield from self._read_rows(spec)
+
+    def _scan_spec(self, spec: dict):
+        """(parquet table of wanted columns | None, file column-name
+        set, row count, keep-row indices | None) shared by both read
+        paths."""
         import pyarrow.parquet as pq
 
-        spec = partition.spec
         pf = pq.ParquetFile(spec["path"])
         names = set(pf.schema_arrow.names)
         n = pf.metadata.num_rows
@@ -302,6 +323,44 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                 if b == spec["dv_base"]
             }
             keep = [i for i in range(n) if i not in dead]
+        return table, names, n, keep
+
+    def _read_arrow(self, spec: dict):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        table, names, n, keep = self._scan_spec(spec)
+        out_fields = self.out_schema.fields
+        arrays, fields = [], []
+        for f, c in zip(out_fields[:-2], spec["cols"]):
+            t = to_arrow_type(f.dataType)
+            if c is not None and c in names:
+                arr = table.column(c).combine_chunks()
+                if arr.type != t:
+                    arr = arr.cast(t)
+            else:
+                # column born after this era / hive partition constant
+                v = spec["part_values"].get(c) if c is not None else None
+                arr = pa.nulls(n, t) if v is None else pa.array([v] * n, type=t)
+            arrays.append(arr)
+            fields.append(pa.field(f.name, t))
+        if spec["kind"] == "cdf":
+            change = table.column("_change_type").combine_chunks().cast(pa.string())
+        else:
+            change = pa.array([spec["change"]] * n, type=pa.string())
+        arrays.append(change)
+        fields.append(pa.field("_change_type", pa.string()))
+        arrays.append(pa.array([spec["version"]] * n, type=pa.int64()))
+        fields.append(pa.field("_commit_version", pa.int64()))
+        out = pa.table(arrays, schema=pa.schema(fields))
+        if keep is not None:
+            out = out.take(keep)
+        return out.to_batches()
+
+    def _read_rows(self, spec: dict):
+        """Row-at-a-time fallback — the original tuple path."""
+        table, names, n, keep = self._scan_spec(spec)
         cols_out = []
         for c in spec["cols"]:
             if c is not None and c in names:

@@ -649,7 +649,12 @@ class TestLakeStreamMerge:
         )
 
         n_batches = 8
-        for mode, maintain in (("plain", 0), ("maint", 3)):
+
+        # the two trickles are fully independent (own table, source,
+        # checkpoint dirs) — run them concurrently (guide §2.6) so the
+        # test pays ONE stream-drain wall instead of two
+        def _trickle(arg):
+            mode, maintain = arg
             t = _mk(spark, tmp_path / mode, rows=200, files=2)
             src = tmp_path / f"cdc_{mode}"
             os.makedirs(src)
@@ -680,10 +685,12 @@ class TestLakeStreamMerge:
             assert t.rows() == 200 + n_batches
             got = {int(r["k"]): int(r["v"]) for r in t.read().collect()}
             assert got[0] == 0 and got[21] == -7 and got[1007] == 7
-            if mode == "plain":
-                plain = d
-            else:
-                maint = d
+            return d
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            plain, maint = pool.map(_trickle, (("plain", 0), ("maint", 3)))
         # the unmaintained trickle's backlog grows with batch count; the
         # maintained one is bounded by the cadence, not the stream length
         assert plain["dv_deleted_rows"] >= 3 * (n_batches - 1)

@@ -591,12 +591,22 @@ def test_all_registered_queries_lint_clean(spark):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    bad = []
-    for name, fn in q.spark_queries().items():
+    # Plan-only work (explain, no actions), but each lint pays driver
+    # Catalyst analysis serially — a small thread pool overlaps the
+    # py4j/JVM waits (guide §2.6) without changing what is asserted.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lint(item):
+        name, fn = item
         try:
-            findings = lint_plan(fn(spark, SF_SMOKE))
+            return name, lint_plan(fn(spark, SF_SMOKE))
         except Exception:  # covered by the oracle/rows tests, not here
-            continue
+            return name, []
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(_lint, q.spark_queries().items()))
+    bad = []
+    for name, findings in results:
         for f in findings:
             if name not in mod.ALLOW.get(f.code, {}):
                 bad.append((name, f.code))

@@ -21,18 +21,41 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    for name, fn in q.spark_queries().items():
-        assert fn(spark, sf_dir).count() > 0, f"{name} returned 0 rows"
+    """Every registered query returns rows at the smoke SF.
+
+    Queries run through a small thread pool (guide §2.6 "overlap
+    independent jobs"): each query alone leaves most of local[*] idle
+    during its serial driver phases, so 4 in flight back-fill the
+    executor and the registry-wide sweep finishes ~3x faster without
+    changing what is asserted. Every query builds its own temp dirs /
+    uniquely-named sinks, so concurrent execution is safe — and any
+    failure is still attributed to its query name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _count(item):
+        name, fn = item
+        try:
+            return name, fn(spark, sf_dir).count(), None
+        except Exception as exc:  # surface as a named assertion, not a crash
+            return name, -1, f"{type(exc).__name__}: {exc}"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(_count, q.spark_queries().items()))
+    bad = [(n, c, e) for n, c, e in results if c <= 0]
+    assert bad == [], f"queries returned 0 rows or raised: {bad}"
 
 
 def test_driver_window_rotation_contract():
     """The external correctness harness snapshots the FIRST 50 registry
     entries; the rotation must fill that window with (a) queries whose
     LATEST committed CORRECTNESS_r*.json row FAILED (oracled first, but
-    crashed rows-only rows re-enter too), then (b) queries no snapshot
-    has seen yet (oracled before rows-only), then (c) already-green
-    queries STALEST-FIRST by latest-row round — so each round's 50 rows
-    are the most externally meaningful ones available."""
+    crashed rows-only rows re-enter too), then (a') green queries whose
+    IMPLEMENTATION changed since their last oracle round (the declared
+    _REVERIFY_CHANGED tier — their green history describes the old
+    computation), then (b) queries no snapshot has seen yet (oracled
+    before rows-only), then (c) already-green queries STALEST-FIRST by
+    latest-row round — so each round's 50 rows are the most externally
+    meaningful ones available."""
     import glob
     import json
     import os
@@ -63,7 +86,15 @@ def test_driver_window_rotation_contract():
             )
         )
     }
+    changed_tier = [
+        n
+        for n in q._REVERIFY_CHANGED
+        if n in latest
+        and n not in failed
+        and latest_round.get(n, 0) < q._REVERIFY_SINCE_ROUND
+    ]
     n_failed = len([n for n in names if n in failed])
+    n_changed = len(changed_tier)
     n_unseen = len([n for n in names if n not in latest])
     # failed queries lead the window, oracled failures before rows-only
     head_failed = names[:n_failed]
@@ -73,8 +104,10 @@ def test_driver_window_rotation_contract():
         len(head_failed),
     )
     assert all(n not in oracled for n in head_failed[first_ro_fail:])
+    # then the declared changed-since-last-oracle tier, declared order
+    assert names[n_failed : n_failed + n_changed] == changed_tier
     # then never-checked queries, oracled before rows-only
-    unseen = names[n_failed : n_failed + n_unseen]
+    unseen = names[n_failed + n_changed : n_failed + n_changed + n_unseen]
     assert all(n not in latest for n in unseen)
     first_rows_only = next(
         (i for i, n in enumerate(unseen) if n not in oracled), len(unseen)
@@ -82,7 +115,7 @@ def test_driver_window_rotation_contract():
     assert all(n not in oracled for n in unseen[first_rows_only:])
     # then already-green queries, stalest latest-round first: rounds
     # monotonically non-decreasing behind the refresh/fresh head
-    rest = names[n_failed + n_unseen :]
+    rest = names[n_failed + n_changed + n_unseen :]
     rest_rounds = [latest_round[n] for n in rest]
     assert rest_rounds == sorted(rest_rounds)
     # and nothing is lost: the full registry is still served
